@@ -1,0 +1,76 @@
+"""Differential harness: every catalog query vs its DuckDB oracle.
+
+Mirrors the driver's check (row count + column names + order-insensitive
+values) so correctness regressions surface locally before the round gate."""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from warp_pipes_spark.queries import QUERIES
+
+ORACLED = [name for name, spec in QUERIES.items() if spec.oracle]
+ROWS_ONLY = [name for name, spec in QUERIES.items() if not spec.oracle]
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm_cell(v):
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    sres = spec.fn(spark, sf_dir)
+    scols_raw = sres.columns
+    srows_raw = [tuple(r) for r in sres.collect()]
+    ocols_raw, orows_raw = _duck(sf_dir, spec.oracle)
+    assert len(srows_raw) == len(orows_raw), (
+        f"{name}: row count {len(srows_raw)} vs oracle {len(orows_raw)}"
+    )
+    scols, srows = _normalize(scols_raw, srows_raw)
+    ocols, orows = _normalize(ocols_raw, orows_raw)
+    assert scols == ocols, f"{name}: columns {scols} vs oracle {ocols}"
+    mismatches = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first: "
+        f"spark={srows[mismatches[0]]} oracle={orows[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = QUERIES[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

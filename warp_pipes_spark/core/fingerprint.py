@@ -1,0 +1,94 @@
+"""Deterministic content fingerprinting.
+
+Capability parity with the reference's fingerprint support
+(``warp_pipes/support/fingerprint.py:19-87`` and
+``warp_pipes/core/fingerprintable.py:32-260``): every operator, config and
+dataset gets a stable hash so transformed outputs can be memoized and reused
+across runs. The reference hashes via HF ``datasets.fingerprint.Hasher`` /
+xxhash over pickled state; we hash a *stable JSON rendering* of plain-Python
+config trees with blake2b (stdlib, no extra deps) — same capability,
+different machinery.
+
+Design notes for scale: fingerprints are computed driver-side over tiny
+config structures (never over data). Dataset fingerprints hash file-level
+metadata (path, size, mtime) rather than content, so fingerprinting a
+100 TB input is O(#files) metadata calls, not an O(data) scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+from typing import Any
+
+FINGERPRINT_BYTES = 8  # 16 hex chars, same display width as the reference
+
+
+def _stable_json(obj: Any) -> Any:
+    """Render an arbitrary config tree into a JSON-serializable structure
+    deterministically (dicts sorted, sets ordered, callables by source)."""
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    if isinstance(obj, bytes):
+        return {"__bytes__": hashlib.blake2b(obj, digest_size=8).hexdigest()}
+    if isinstance(obj, dict):
+        return {str(k): _stable_json(v) for k, v in sorted(obj.items(), key=lambda kv: str(kv[0]))}
+    if isinstance(obj, (list, tuple)):
+        return [_stable_json(x) for x in obj]
+    if isinstance(obj, (set, frozenset)):
+        return sorted(_stable_json(x) for x in obj)
+    # Fingerprintable objects (e.g. Pipe) expose their own struct
+    to_struct = getattr(obj, "to_json_struct", None)
+    if callable(to_struct):
+        return to_struct()
+    if callable(obj):
+        # hash callables by qualified name + source text when available so
+        # editing a lambda changes the fingerprint (cache invalidation)
+        name = getattr(obj, "__qualname__", repr(obj))
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            src = ""
+        return {"__callable__": name, "__src__": src}
+    return {"__repr__": repr(obj)}
+
+
+def fingerprint_struct(obj: Any) -> str:
+    """Hash any JSON-able config tree to a 16-hex-char fingerprint."""
+    payload = json.dumps(_stable_json(obj), sort_keys=True, ensure_ascii=False)
+    return hashlib.blake2b(payload.encode("utf-8"), digest_size=FINGERPRINT_BYTES).hexdigest()
+
+
+def get_fingerprint(obj: Any) -> str:
+    """Fingerprint an arbitrary object (config, pipe, path...)."""
+    fp = getattr(obj, "fingerprint", None)
+    if isinstance(fp, str):
+        return fp
+    return fingerprint_struct(obj)
+
+
+def fingerprint_path(path: str) -> str:
+    """Cheap stable snapshot hash of an on-disk dataset: file list + sizes +
+    mtimes. Replaces the reference's HF dataset `_fingerprint` for Parquet
+    inputs; O(#files), never scans data (100 TB-safe)."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, path), st.st_size, int(st.st_mtime)))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    else:
+        entries.append(("__missing__", path, 0))
+    return fingerprint_struct(entries)
+
+
+def combine_fingerprints(*fps: str) -> str:
+    """Chain fingerprints: hash(input_fp, pipe_fp) keys the memoized output,
+    mirroring the reference's new-fingerprint computation for dataset maps."""
+    return fingerprint_struct(list(fps))

@@ -1,0 +1,92 @@
+"""Sources / sinks and the stable row-id contract.
+
+The reference relies on implicit positional row indices
+(``with_indices=True``, ``warp_pipes/core/pipe.py:277``); Spark has no row
+order, so every dataset in this engine carries an explicit ``row_id``
+(natural key where the source has one, else assigned once at ingest with
+``monotonically_increasing_id`` — unique and stable within the materialized
+snapshot, assigned without any shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# natural stable keys in the driver testdata
+NATURAL_KEYS: Dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def with_row_id(df: DataFrame, key: Optional[str] = None) -> DataFrame:
+    """Attach a stable ``row_id`` column: alias a natural key, or assign
+    ``monotonically_increasing_id`` (partition-local, no shuffle, stable for
+    the life of the materialized snapshot)."""
+    if "row_id" in df.columns:
+        return df
+    if key is not None:
+        return df.withColumn("row_id", F.col(key).cast("long"))
+    return df.withColumn("row_id", F.monotonically_increasing_id())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
+    # Parquet TIMESTAMP(NANOS) (events.ts) is not a native Spark type: read
+    # nanos as long, then truncate to micros — the same conversion DuckDB
+    # applies when it coerces TIMESTAMP_NS to its micro TIMESTAMP.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if row_id:
+        df = with_row_id(df, NATURAL_KEYS.get(name))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES
+) -> Dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> None:
+    """Register each testdata table as a temp view for spark.sql use."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

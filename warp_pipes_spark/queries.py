@@ -1,0 +1,720 @@
+"""Declared query catalog (SURVEY.md §2.11 + LLM-pipeline extensions).
+
+Each entry pairs a Spark implementation (built on the warp_pipes_spark
+operator library) with an ANSI-SQL DuckDB oracle over the same parquet
+tables. Column names and types are aligned on both sides so the driver's
+order-insensitive value-hash comparison passes bit-for-bit: monetary/float
+aggregates are cast to DECIMAL **before** summation (order-independent),
+counts/lengths are cast to matching integer widths, and every computed
+column is aliased identically.
+
+The catalog is the engine's public regression surface: each query exercises
+one operator-inventory row (scan/project/filter/agg/join/window/set-op/
+string/date/nesting/dedup/similarity/search)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.io import load_table
+from warp_pipes_spark.pipes.basics import Apply, FilterKeys, RenameKeys
+from warp_pipes_spark.pipes.pipelines import Sequential
+from warp_pipes_spark.text.analysis import (
+    DocFingerprint,
+    LangId,
+    QualityScore,
+    TokenCount,
+    doc_fingerprint_sql,
+    langid_sql,
+    quality_sql,
+    token_count_sql,
+    tokens_sql,
+)
+from warp_pipes_spark.text.dedup import (
+    ExactDedup,
+    MinHashDedup,
+    NgramJaccardDedup,
+    SimHashDedup,
+    ngram_jaccard_sql,
+)
+from warp_pipes_spark.ml.similarity import BruteForceCosineTopK, CosinePairs
+from warp_pipes_spark.search.bm25 import Bm25Search, bm25_oracle_sql
+from warp_pipes_spark.search.group_lookup import GroupLookupSearch
+from warp_pipes_spark.search.index import Index
+from warp_pipes_spark.search.result import merge_results, topk_results
+from warp_pipes_spark.search.topk import TopkSearch
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None for rows-only checks
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps must be interpreted identically to DuckDB's naive reading
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+D184 = "decimal(18,4)"
+D186 = "decimal(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# Q01-Q20: relational inventory (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+
+def q01_select(spark, sf):
+    pipe = FilterKeys(["c_custkey", "c_name"])
+    return pipe(T(spark, sf, "customer"))
+
+
+def q02_rename(spark, sf):
+    pipe = RenameKeys({"c_custkey": "customer.id", "c_mktsegment": "customer.segment"})
+    return pipe(T(spark, sf, "customer"))
+
+
+def q03_filter_math(spark, sf):
+    li = T(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    pipe = Apply(
+        {"net": (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D184)}
+    )
+    return pipe(li).select("l_orderkey", "l_linenumber", "net")
+
+
+def q04_group_agg(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast(D184)).cast(D184).alias("sum_price"),
+        )
+    )
+
+
+def q05_distinct_agg(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+def q06_join(spark, sf):
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+def q07_multijoin(spark, sf):
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(F.col("o_totalprice").cast(D184)).cast(D184).alias("rev"))
+    )
+
+
+def q08_semijoin(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def q09_antijoin(spark, sf):
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q10_window_topk(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        T(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q11_window_running(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf, "events")
+        .withColumn("cum_value", F.sum(F.col("value").cast(D184)).over(w).cast(D184))
+        .select("user_id", "event_id", "cum_value")
+    )
+
+
+def q12_lag(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .withColumn(
+            "is_first",
+            F.when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select("user_id", "event_id", "is_first")
+    )
+
+
+def q13_sort_limit(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q14_intersect(spark, sf):
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("x"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("x"))
+    return a.intersect(b)
+
+
+def q15_rollup(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q16_string_funcs(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n"),
+            F.upper(F.substring("text", 1, 10)).alias("head10"),
+        )
+    )
+
+
+def q17_date_trunc(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(D184)).cast(D184).alias("v"),
+        )
+    )
+
+
+def q18_case_agg(spark, sf):
+    return (
+        T(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("c_acctbal") <= 0, 1).otherwise(0)).alias("nonpos"),
+        )
+    )
+
+
+def q19_group_collect(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("l_linenumber").alias("first_line"),
+            F.max("l_linenumber").alias("last_line"),
+        )
+    )
+
+
+def q20_exact_dedup(spark, sf):
+    out = ExactDedup(key_col="text", id_col="doc_id", min_copies=2)(
+        T(spark, sf, "documents")
+    )
+    return out.select("text", F.col("n_copies"))
+
+
+ORACLES_RELATIONAL: Dict[str, str] = {
+    "q01_select": "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "q02_rename": 'SELECT c_custkey AS "customer.id", c_mktsegment AS "customer.segment" FROM customer ORDER BY 1',
+    "q03_filter_math": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net "
+        "FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber"
+    ),
+    "q04_group_agg": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price "
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "q05_distinct_agg": (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+    "q06_join": (
+        "SELECT n.n_name, COUNT(*) AS n_cust FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1"
+    ),
+    "q07_multijoin": (
+        "SELECT r.r_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1"
+    ),
+    "q08_semijoin": (
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY 1"
+    ),
+    "q09_antijoin": (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY 1"
+    ),
+    "q10_window_topk": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk "
+        "FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk"
+    ),
+    "q11_window_running": (
+        "SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_value "
+        "FROM events ORDER BY user_id, event_id"
+    ),
+    "q12_lag": (
+        "SELECT user_id, event_id, CASE WHEN LAG(ts) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_first "
+        "FROM events ORDER BY user_id, event_id"
+    ),
+    "q13_sort_limit": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "q14_intersect": (
+        "SELECT x FROM (SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'O') t ORDER BY x"
+    ),
+    "q15_rollup": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+    "q16_string_funcs": (
+        "SELECT doc_id, LENGTH(text) AS n, UPPER(SUBSTR(text, 1, 10)) AS head10 "
+        "FROM documents WHERE lang = 'en' ORDER BY doc_id"
+    ),
+    "q17_date_trunc": (
+        "SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v "
+        "FROM events GROUP BY 1, 2 ORDER BY d, event_type"
+    ),
+    "q18_case_agg": (
+        "SELECT c_mktsegment, "
+        "CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos, "
+        "CAST(SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos "
+        "FROM customer GROUP BY 1 ORDER BY 1"
+    ),
+    "q19_group_collect": (
+        "SELECT l_orderkey, COUNT(*) AS n_lines, MIN(l_linenumber) AS first_line, "
+        "MAX(l_linenumber) AS last_line FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    "q20_exact_dedup": (
+        "SELECT text, COUNT(*) AS n_copies FROM documents "
+        "GROUP BY text HAVING COUNT(*) > 1 ORDER BY text"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Extensions: events/sessionization, text analysis, dedup, similarity, search
+# ---------------------------------------------------------------------------
+
+
+def q21_sessionize(spark, sf):
+    """Session counting: new session when gap > 30 min (lag + conditional
+    sum) — the batch form of session windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = T(spark, sf, "events").withColumn("prev_ts", F.lag("ts").over(w))
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").cast("long").alias("n_sessions"))
+    )
+
+
+def q22_tumbling_window(spark, sf):
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    window aggregation; windows align to epoch => hour truncation)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(D184)).cast(D184).alias("v"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "v")
+    )
+
+
+def q23_token_count(spark, sf):
+    out = TokenCount()(T(spark, sf, "documents"))
+    return out.select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+def q24_quality(spark, sf):
+    out = QualityScore()(T(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio"
+    )
+
+
+def q25_langid(spark, sf):
+    out = LangId()(T(spark, sf, "documents"))
+    return out.select("doc_id", "pred_lang")
+
+
+def q26_doc_fingerprint(spark, sf):
+    out = DocFingerprint()(T(spark, sf, "documents"))
+    return out.select("doc_id", "doc_fp")
+
+
+def q27_ngram_jaccard(spark, sf):
+    return NgramJaccardDedup(n=2, threshold=0.2)(T(spark, sf, "documents"))
+
+
+def q28_minhash_dedup(spark, sf):
+    return MinHashDedup(n=2, n_hashes=32, band_size=4, threshold=0.2)(
+        T(spark, sf, "documents")
+    )
+
+
+def q29_simhash_dedup(spark, sf):
+    return SimHashDedup(n_bands=8, max_hamming=12)(T(spark, sf, "documents"))
+
+
+def q30_cosine_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+
+
+def q31_cosine_pairs(spark, sf):
+    emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return CosinePairs(threshold=0.30)(emb)
+
+
+def _bm25_queries(spark, sf):
+    docs = T(spark, sf, "documents")
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    return docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_expr(F.col("text")), 1, 5), " ").alias("text"),
+    )
+
+
+BM25_QUERIES_CTE = (
+    "SELECT doc_id AS query_id, "
+    f"array_to_string(({tokens_sql('text')})[1:5], ' ') AS qtext "
+    "FROM documents WHERE doc_id % 25 = 0"
+)
+
+
+def q32_bm25(spark, sf):
+    docs = T(spark, sf, "documents")
+    return Bm25Search(corpus=docs, k=10)(_bm25_queries(spark, sf))
+
+
+def q33_group_lookup(spark, sf):
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    engine = GroupLookupSearch(
+        corpus=c,
+        group_key="c_nationkey",
+        corpus_id="c_custkey",
+        query_id="n_nationkey",
+        query_group_key="n_nationkey",
+    )
+    return engine(n)
+
+
+def q34_json_extract(spark, sf):
+    ev = T(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q35_passages(spark, sf):
+    """Strided passage windows (size=8, stride=6) over tokenized documents —
+    the relational skeleton of GeneratePassages (1 doc row -> N passage rows)."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    size, stride = 8, 6
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+    windows = F.transform(starts, lambda s: F.slice(F.col("toks"), s, size))
+    out = (
+        docs.select("doc_id", F.posexplode(windows).alias("passage_idx", "window"))
+        .filter(F.size("window") > 0)
+        .select(
+            "doc_id",
+            "passage_idx",
+            F.size("window").cast("int").alias("n_tokens"),
+            F.array_join("window", " ").alias("passage_text"),
+        )
+    )
+    return out
+
+
+def q36_group_nest(spark, sf):
+    """Nest (collect per group, order pinned) + array ops: per order, sorted
+    line numbers joined to a string (flatten→nest round-trip demo)."""
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber"))), ","
+            ).alias("lines"),
+        )
+    )
+
+
+def q37_index_rerank(spark, sf):
+    """Engine chain: BM25 (k=20) -> Topk re-rank (k=5) via the Index
+    orchestrator; oracle = BM25 top-5 directly."""
+    docs = T(spark, sf, "documents")
+    idx = Index(
+        corpus=docs,
+        engines=[Bm25Search(corpus=docs, k=20), TopkSearch(k=5)],
+        k=5,
+    )
+    out = idx(_bm25_queries(spark, sf))
+    return out.select(
+        "query_id", "rank", "idx", F.col("score").cast(D186).alias("score")
+    )
+
+
+def q38_merge_scores(spark, sf):
+    """Score-merge algebra (the reference's SearchResult.__add__): cosine
+    top-5 results + label-match bonus (0.5) summed per (query, idx), then
+    top-3."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cos = (
+        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+        .select("query_id", F.col("neighbor_id").alias("idx"), F.col("score").cast("double").alias("score"))
+    )
+    qlab = queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    clab = emb.select(F.col("vec_id").alias("idx"), F.col("label").alias("clab"))
+    bonus = (
+        qlab.join(clab, qlab.qlab == clab.clab)
+        .where(F.col("query_id") != F.col("idx"))
+        .select("query_id", "idx", F.lit(0.5).alias("score"))
+    )
+    merged = merge_results(cos, bonus)
+    out = topk_results(merged, 3)
+    return out.select(
+        "query_id", "rank", "idx", F.col("score").cast(D186).alias("score")
+    )
+
+
+def _jaccard_oracle(threshold, n):
+    return ngram_jaccard_sql(n=n, threshold=threshold)
+
+
+ORACLES_EXT: Dict[str, Optional[str]] = {
+    "q21_sessionize": (
+        "WITH g AS (SELECT user_id, ts, "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events) "
+        "SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM g GROUP BY 1 ORDER BY 1"
+    ),
+    "q22_tumbling_window": (
+        "SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "q23_token_count": (
+        f"SELECT doc_id, {token_count_sql()} AS n_tokens FROM documents ORDER BY doc_id"
+    ),
+    "q24_quality": (
+        "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in quality_sql().items())
+        + " FROM documents ORDER BY doc_id"
+    ),
+    "q25_langid": (
+        f"SELECT doc_id, {langid_sql()} AS pred_lang FROM documents ORDER BY doc_id"
+    ),
+    "q26_doc_fingerprint": (
+        f"SELECT doc_id, {doc_fingerprint_sql()} AS doc_fp FROM documents ORDER BY doc_id"
+    ),
+    "q27_ngram_jaccard": _jaccard_oracle(0.2, 2),
+    "q28_minhash_dedup": None,  # LSH recall is probabilistic; verified in tests
+    "q29_simhash_dedup": None,  # sketch-based; verified in tests
+    "q30_cosine_topk": (
+        "WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 25 = 0), "
+        "c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "CAST(list_dot_product(q.qv, c.cv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS DECIMAL(18,6)) AS score "
+        "FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, score, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank "
+        "FROM scored) "
+        "SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5 "
+        "ORDER BY query_id, rank"
+    ),
+    "q31_cosine_pairs": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(18,6)) AS cosine "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE CAST(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(18,6)) >= 0.30 "
+        "ORDER BY id_a, id_b"
+    ),
+    "q32_bm25": bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10),
+    "q33_group_lookup": (
+        "SELECT n.n_nationkey AS query_id, "
+        "COALESCE(c.c_custkey, -1) AS idx, "
+        "CASE WHEN c.c_custkey IS NULL THEN CAST('-infinity' AS DOUBLE) ELSE 0.0 END AS score "
+        "FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "ORDER BY query_id, idx"
+    ),
+    "q34_json_extract": (
+        "SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, "
+        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "q35_passages": (
+        f"WITH d AS (SELECT doc_id, {tokens_sql()} AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 6)) AS start, "
+        "generate_subscripts(generate_series(1, greatest(len(toks), 1), 6), 1) - 1 AS passage_idx FROM d) "
+        "SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx, "
+        "CAST(len(toks[start:start+7]) AS INTEGER) AS n_tokens, "
+        "array_to_string(toks[start:start+7], ' ') AS passage_text "
+        "FROM s WHERE len(toks[start:start+7]) > 0 "
+        "ORDER BY doc_id, passage_idx"
+    ),
+    "q36_group_nest": (
+        "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    "q37_index_rerank": bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=5),
+    "q38_merge_scores": (
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), "
+        "q AS (SELECT * FROM emb WHERE vec_id % 50 = 0), "
+        "cos AS (SELECT query_id, idx, score FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS idx, "
+        "  CAST(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS DECIMAL(18,6)) AS score, "
+        "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        "    CAST(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS DECIMAL(18,6)) DESC, c.vec_id) AS rk "
+        "  FROM q JOIN emb c ON q.vec_id <> c.vec_id) t WHERE rk <= 5), "
+        "bonus AS (SELECT q.vec_id AS query_id, c.vec_id AS idx, 0.5 AS score "
+        "  FROM q JOIN emb c ON q.label = c.label AND q.vec_id <> c.vec_id), "
+        "unioned AS (SELECT query_id, idx, CAST(score AS DOUBLE) AS score FROM cos "
+        "  UNION ALL SELECT query_id, idx, score FROM bonus), "
+        "merged AS (SELECT query_id, idx, SUM(score) AS score FROM unioned GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, idx, score, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS INTEGER) AS rank FROM merged) "
+        "SELECT query_id, rank, idx, CAST(score AS DECIMAL(18,6)) AS score "
+        "FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
+    ),
+}
+
+
+QUERIES: Dict[str, QuerySpec] = {}
+
+
+def _register():
+    fns = {
+        "q01_select": q01_select,
+        "q02_rename": q02_rename,
+        "q03_filter_math": q03_filter_math,
+        "q04_group_agg": q04_group_agg,
+        "q05_distinct_agg": q05_distinct_agg,
+        "q06_join": q06_join,
+        "q07_multijoin": q07_multijoin,
+        "q08_semijoin": q08_semijoin,
+        "q09_antijoin": q09_antijoin,
+        "q10_window_topk": q10_window_topk,
+        "q11_window_running": q11_window_running,
+        "q12_lag": q12_lag,
+        "q13_sort_limit": q13_sort_limit,
+        "q14_intersect": q14_intersect,
+        "q15_rollup": q15_rollup,
+        "q16_string_funcs": q16_string_funcs,
+        "q17_date_trunc": q17_date_trunc,
+        "q18_case_agg": q18_case_agg,
+        "q19_group_collect": q19_group_collect,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_sessionize": q21_sessionize,
+        "q22_tumbling_window": q22_tumbling_window,
+        "q23_token_count": q23_token_count,
+        "q24_quality": q24_quality,
+        "q25_langid": q25_langid,
+        "q26_doc_fingerprint": q26_doc_fingerprint,
+        "q27_ngram_jaccard": q27_ngram_jaccard,
+        "q28_minhash_dedup": q28_minhash_dedup,
+        "q29_simhash_dedup": q29_simhash_dedup,
+        "q30_cosine_topk": q30_cosine_topk,
+        "q31_cosine_pairs": q31_cosine_pairs,
+        "q32_bm25": q32_bm25,
+        "q33_group_lookup": q33_group_lookup,
+        "q34_json_extract": q34_json_extract,
+        "q35_passages": q35_passages,
+        "q36_group_nest": q36_group_nest,
+        "q37_index_rerank": q37_index_rerank,
+        "q38_merge_scores": q38_merge_scores,
+    }
+    oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
+    for name, fn in fns.items():
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracles.get(name))
+
+
+_register()
+
+
+def query_fns() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sqls() -> Dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -1,0 +1,205 @@
+"""In-engine BM25 lexical search (no external Elasticsearch).
+
+Capability parity with the reference's ES engine
+(``warp_pipes/search/elasticsearch.py:98-341``): BM25 ranking with optional
+auxiliary-query boosting and term filters — but computed *inside* the engine
+as DataFrame ops over an inverted index, instead of shipping the corpus to an
+external server over HTTP (``support/elasticsearch.py:283-322``).
+
+Formula (Lucene/ES default, k1=1.2, b=0.75)::
+
+    idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d)   = Σ_{t ∈ q ∩ d} idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale notes: the inverted index ``(term, doc_id, tf, dl)`` is partitioned by
+term, so the query-term join shuffles only matching postings; per-term scores
+are cast to DECIMAL before the final sum so results are bit-stable regardless
+of aggregation order (needed for the differential oracle and for
+deterministic re-runs at any parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
+
+K1 = 1.2
+B = 0.75
+
+
+def build_inverted_index(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """corpus -> postings (term, doc_id, tf, dl). Materialize (e.g. write
+    partitioned by term bucket) to amortize across query batches."""
+    toks = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("tokens")
+    )
+    exploded = toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    return exploded.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+
+class Bm25Search(Pipe):
+    """Query pipe: input df = queries (query_id, text); returns long-form
+    results (query_id, idx, score DECIMAL, rank <= k).
+
+    ``aux_text_col``/``aux_weight`` reproduce the reference's
+    auxiliary-query boosting (``support/elasticsearch.py:189-248``);
+    ``filter_key`` reproduces the ES term filter as an equi-join predicate."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        k: int = 10,
+        corpus_id: str = "doc_id",
+        corpus_text: str = "text",
+        query_id: str = "query_id",
+        query_text: str = "text",
+        aux_text_col: str | None = None,
+        aux_weight: float = 1.0,
+        filter_key: str | None = None,
+        corpus_filter_key: str | None = None,
+        k1: float = K1,
+        b: float = B,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.k = k
+        self.corpus_id = corpus_id
+        self.corpus_text = corpus_text
+        self.query_id = query_id
+        self.query_text = query_text
+        self.aux_text_col = aux_text_col
+        self.aux_weight = aux_weight
+        self.filter_key = filter_key
+        self.corpus_filter_key = corpus_filter_key or filter_key
+        self.k1 = k1
+        self.b = b
+
+    _no_fingerprint = ("corpus",)
+
+    def _postings(self) -> DataFrame:
+        return build_inverted_index(self.corpus, self.corpus_id, self.corpus_text)
+
+    def _scored(self, queries: DataFrame, query_text_col: str, weight: float) -> DataFrame:
+        postings = self._postings()
+        n_docs = self.corpus.count()
+        # avgdl from exact integer sum -> single division (deterministic)
+        dls = postings.select("doc_id", "dl").distinct()
+        sum_dl, cnt = dls.agg(F.sum("dl"), F.count(F.lit(1))).first()
+        avgdl = float(sum_dl) / float(cnt)
+        df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(df_counts, "term")
+
+        q_terms = queries.select(
+            F.col(self.query_id).alias("query_id"),
+            *( [F.col(self.filter_key).alias("__qfilter")] if self.filter_key else [] ),
+            F.explode(
+                F.array_distinct(tokens_expr(F.col(query_text_col)))
+            ).alias("term"),
+        )
+        joined = q_terms.join(postings, on="term")
+        if self.filter_key:
+            doc_filters = self.corpus.select(
+                F.col(self.corpus_id).alias("doc_id"),
+                F.col(self.corpus_filter_key).alias("__dfilter"),
+            )
+            joined = joined.join(doc_filters, "doc_id").where(
+                F.col("__qfilter") == F.col("__dfilter")
+            )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        norm = tf + F.lit(self.k1) * (
+            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.lit(avgdl)
+        )
+        term_score = (idf * tf * F.lit(self.k1 + 1.0) / norm * F.lit(weight)).cast(
+            "decimal(18,6)"
+        )
+        return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        parts = [self._scored(df, self.query_text, 1.0)]
+        if self.aux_text_col:
+            parts.append(self._scored(df, self.aux_text_col, self.aux_weight))
+        all_terms = parts[0]
+        for p in parts[1:]:
+            all_terms = all_terms.unionByName(p)
+        scores = all_terms.groupBy("query_id", "idx").agg(F.sum("ts").alias("score"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(
+                "query_id",
+                "rank",
+                "idx",
+                F.col("score").cast("decimal(18,6)").alias("score"),
+            )
+        )
+
+
+def bm25_oracle_sql(
+    corpus_table: str,
+    queries_cte: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle implementing the identical formula over the identical
+    tokenization. ``queries_cte`` must yield (query_id, qtext)."""
+    toks = tokens_sql(text_col)
+    return f"""
+WITH queries AS ({queries_cte}),
+doc_tokens AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {corpus_table}
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM doc_tokens
+),
+tf AS (
+  SELECT term, doc_id, dl, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(tokens)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doc_tokens
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+q_terms AS (
+  SELECT query_id, unnest(list_distinct({tokens_sql('qtext')})) AS term FROM queries
+),
+term_scores AS (
+  SELECT q.query_id, t.doc_id AS idx,
+         CAST(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * CAST(t.tf AS DOUBLE) * {k1 + 1.0}
+           / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))
+         AS DECIMAL(18,6)) AS ts
+  FROM q_terms q
+  JOIN tf t ON q.term = t.term
+  JOIN dfreq d ON t.term = d.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, idx, SUM(ts) AS score FROM term_scores GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, idx, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, idx, CAST(score AS DECIMAL(18,6)) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,64 @@
+"""Index orchestrator: corpus + engine chain.
+
+Capability parity with the reference's ``Index``
+(``warp_pipes/search/index.py:38-248``): own a corpus, build a chain of
+engines, run queries through the chain where each engine sees the previous
+engine's results (re-rankers consume them; retrievers optionally merge with
+them by score-sum, the reference's ``merge_previous_results``).
+
+Here "build" materializes DataFrames (and can persist them under the pipe
+fingerprint via the cache manager); "query" is a lazy transform chain."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.core.fingerprint import combine_fingerprints
+from warp_pipes_spark.search.result import merge_results, topk_results
+from warp_pipes_spark.search.topk import TopkSearch
+
+
+class Index(Pipe):
+    """``engines``: sequence of Pipes producing long-form results
+    (query_id, idx, score[, rank]) from a query DataFrame. Re-rank engines
+    (``TopkSearch``) are fed the previous results instead of the queries."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        engines: Sequence[Pipe],
+        k: int = 10,
+        merge_previous_results: bool = False,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.engines = list(engines)
+        self.k = k
+        self.merge_previous_results = merge_previous_results
+
+    _no_fingerprint = ("corpus",)
+
+    @property
+    def build_fingerprint(self) -> str:
+        return combine_fingerprints(*[e.fingerprint for e in self.engines])
+
+    def _transform(self, queries: DataFrame, **kwargs) -> DataFrame:
+        prev: Optional[DataFrame] = None
+        for engine in self.engines:
+            if isinstance(engine, TopkSearch):
+                if prev is None:
+                    raise ValueError("re-ranker engine requires previous results")
+                prev = engine.transform(prev)
+                continue
+            out = engine.transform(queries)
+            if prev is not None and self.merge_previous_results and getattr(
+                engine, "merge_previous_results", True
+            ):
+                prev = merge_results(prev, out.select("query_id", "idx", "score"))
+            else:
+                prev = out.select("query_id", "idx", "score")
+        return topk_results(prev, self.k)

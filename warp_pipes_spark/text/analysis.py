@@ -1,0 +1,228 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+Extensions beyond the reference (north-star additions): token counting,
+quality scoring, language identification, and document fingerprinting over a
+``documents(doc_id, text, ...)`` table. All are pure column expressions —
+JVM-side, whole-stage-codegen'd, zero shuffle, zero Python — so they run at
+scan speed on 100 TB.
+
+Each operator ships a matching DuckDB oracle-SQL generator built from the
+SAME constants, so the driver's differential harness can verify them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+
+# regex used to tokenize: runs of non-lowercase-letters separate tokens.
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+# tiny deterministic stopword lists for language scoring (public knowledge)
+LANG_STOPWORDS: Dict[str, tuple] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "que", "es", "un", "una", "por"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+# punctuation alphabet for quality ratios (explicit set => engine-agnostic)
+PUNCT_CHARS = ".,;:!?"
+
+# polynomial rolling-hash parameters for document fingerprints
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+
+def tokens_expr(text: Column) -> Column:
+    """lowercase tokens, empty strings removed (split-regex parity with the
+    DuckDB oracle is guaranteed because both use RE-class `[^a-z]+`)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def tokens_sql(text: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text}), '{TOKEN_SPLIT_RE}'),"
+        f" t -> length(t) > 0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+class TokenCount(Pipe):
+    """Whitespace/regex token count per document (extension operator)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "n_tokens", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        return {self.out_col: F.size(tokens_expr(F.col(self.text_col)))}
+
+
+def token_count_sql(text: str = "text") -> str:
+    return f"CAST(len({tokens_sql(text)}) AS INTEGER)"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+class QualityScore(Pipe):
+    """Deterministic quality features: char count, token count, mean token
+    length, punctuation ratio. Ratios are cast to DECIMAL(18,6) so the
+    DuckDB differential oracle matches exactly (no float-order ambiguity)."""
+
+    def __init__(self, text_col: str = "text", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        text = F.col(self.text_col)
+        toks = tokens_expr(text)
+        n_chars = F.length(text)
+        n_tokens = F.size(toks)
+        punct = n_chars - F.length(F.translate(text, PUNCT_CHARS, ""))
+        mean_tok = (
+            F.when(
+                n_tokens > 0,
+                (
+                    F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+                    / n_tokens.cast("double")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        punct_ratio = (
+            F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        return {
+            "q_chars": n_chars.cast("int"),
+            "q_tokens": n_tokens.cast("int"),
+            "q_mean_tok_len": mean_tok,
+            "q_punct_ratio": punct_ratio,
+        }
+
+
+def quality_sql(text: str = "text") -> Dict[str, str]:
+    toks = tokens_sql(text)
+    return {
+        "q_chars": f"CAST(length({text}) AS INTEGER)",
+        "q_tokens": f"CAST(len({toks}) AS INTEGER)",
+        "q_mean_tok_len": (
+            f"CAST(CASE WHEN len({toks}) > 0 THEN "
+            f"list_sum(list_transform({toks}, t -> length(t))) / CAST(len({toks}) AS DOUBLE) "
+            f"ELSE 0.0 END AS DECIMAL(18,6))"
+        ),
+        "q_punct_ratio": (
+            f"CAST(CASE WHEN length({text}) > 0 THEN "
+            f"CAST(length({text}) - length(translate({text}, '{PUNCT_CHARS}', '')) AS DOUBLE)"
+            f" / CAST(length({text}) AS DOUBLE) ELSE 0.0 END AS DECIMAL(18,6))"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+
+class LangId(Pipe):
+    """Stopword-hit language scoring: count tokens present in each language's
+    stopword list; predict argmax (alphabetical tie-break), 'und' if no hits.
+    Pure column expressions — no UDF, no shuffle."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "pred_lang", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        toks = tokens_expr(F.col(self.text_col))
+
+        def hit_counter(words):
+            # NB: closure factory, not a default-arg lambda — a 2-param lambda
+            # would be interpreted by F.filter as (element, index)
+            return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+        counts = {
+            lang: hit_counter(words) for lang, words in sorted(LANG_STOPWORDS.items())
+        }
+        langs = sorted(counts)
+        best = counts[langs[0]]
+        for lang in langs[1:]:
+            best = F.greatest(best, counts[lang])
+        pred = F.lit("und")
+        # alphabetical priority on ties: first language reaching the max wins
+        for lang in reversed(langs):
+            pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+        return {self.out_col: pred}
+
+
+def langid_sql(text: str = "text") -> str:
+    toks = tokens_sql(text)
+    cnt = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+    langs = sorted(cnt)
+    greatest = f"greatest({', '.join(cnt[lang] for lang in langs)})"
+    whens = " ".join(
+        f"WHEN {cnt[lang]} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+
+class DocFingerprint(Pipe):
+    """Polynomial rolling hash over the normalized text (keep [a-z ] only):
+    ``h = fold(h*31 + code(char)) mod 1e9+7``. Integer arithmetic — exact
+    parity with the DuckDB oracle, and a deterministic 64-bit-free content id
+    usable for grouping/sharding at 100 TB."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "doc_fp", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        normalized = F.regexp_replace(F.lower(F.col(self.text_col)), "[^a-z ]", "")
+        chars = F.filter(F.split(normalized, ""), lambda c: F.length(c) > 0)
+        h = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        )
+        return {self.out_col: h}
+
+
+def doc_fingerprint_sql(text: str = "text") -> str:
+    normalized = f"regexp_replace(lower({text}), '[^a-z ]', '', 'g')"
+    codes = (
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({normalized}, ''), c -> length(c) > 0), "
+        f"c -> CAST(ord(c) AS BIGINT)))"
+    )
+    return f"list_reduce({codes}, (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"

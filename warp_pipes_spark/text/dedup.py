@@ -1,0 +1,358 @@
+"""Deduplication operators for LLM-data pipelines (north-star extensions).
+
+Four families, all expressed as DataFrame plans designed for 100 TB:
+
+- **ExactDedup** — hash-groupBy on content (or a normalized fingerprint).
+  One shuffle on the group key; map-side partial aggregation halves traffic.
+- **NgramJaccardDedup** — exact n-gram-shingle Jaccard via an inverted
+  index: explode distinct shingles, self-join on shingle (co-occurrence
+  counts), Jaccard from |A∩B| / (|A|+|B|-|A∩B|). Deterministic (no hashing),
+  SQL-expressible — this is the correctness oracle for the sketch methods.
+  Scale note: join fan-out is bounded by dropping ultra-common shingles
+  (document-frequency cap), the standard trick to keep the inverted index
+  skew-free.
+- **MinHashDedup** — MinHash signatures + LSH banding: per-shingle 64-bit
+  hashes under ``n_hashes`` seeded permutations (xxhash64), per-doc min,
+  band → bucket join on (band_id, band_hash), candidate pairs verified with
+  exact Jaccard. Sub-quadratic: the only shuffle is on bucket keys.
+- **SimHashDedup** — 64-bit SimHash of token hashes; near-dups = pairs whose
+  signatures agree on all-but-<=k bit-bands (bucketed join per band).
+- **EmbeddingCosineDedup** lives in ``warp_pipes_spark.ml.similarity``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
+
+
+def shingles_expr(text, n: int = 3):
+    """Distinct word n-gram shingles of the tokenized text (array<string>).
+    Built with zip-free index arithmetic: shingle i = tokens[i .. i+n-1]."""
+    toks = tokens_expr(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
+    return F.when(n_sh > 0, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(text: str = "text", n: int = 3) -> str:
+    toks = tokens_sql(text)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+class ExactDedup(Pipe):
+    """Exact duplicate groups by content column: ``groupBy(text)`` with
+    count + min(doc_id) as the canonical representative. One shuffle; at
+    100 TB, group on a 64-bit fingerprint (see DocFingerprint) instead of
+    the raw text to cut shuffle width from document size to 8 bytes."""
+
+    def __init__(
+        self,
+        key_col: str = "text",
+        id_col: str = "doc_id",
+        min_copies: int = 2,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.key_col = key_col
+        self.id_col = id_col
+        self.min_copies = min_copies
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        return (
+            df.groupBy(self.key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min(self.id_col).alias("canonical_id"),
+            )
+            .filter(F.col("n_copies") >= self.min_copies)
+        )
+
+
+class NgramJaccardDedup(Pipe):
+    """Exact n-gram Jaccard similar pairs via inverted-index self-join.
+
+    Plan shape: docs → (doc_id, shingle) exploded distinct → self-join on
+    shingle (doc_a < doc_b) → groupBy pair count = |A∩B| → join doc sizes →
+    Jaccard filter. Common-shingle cap (``max_df``) bounds worst-case
+    fan-out, which is what keeps this viable at scale."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        threshold: float = 0.5,
+        max_df: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.threshold = threshold
+        self.max_df = max_df
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        docs = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            shingles_expr(F.col(self.text_col), self.n).alias("shingles"),
+        )
+        sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+        inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+        if self.max_df is not None:
+            df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            inv = (
+                inv.join(df_counts.filter(F.col("df") <= self.max_df), "shingle")
+                .select("doc_id", "shingle")
+            )
+        a = inv.alias("a")
+        b = inv.alias("b")
+        pair_inter = (
+            a.join(b, on="shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+        out = (
+            pair_inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+                ).cast("decimal(18,6)"),
+            )
+            .filter(F.col("jaccard") >= F.lit(self.threshold))
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
+        return out
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    sh = shingles_sql(text, n)
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {sh} AS shingles FROM {table}
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_shingles FROM docs
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM docs
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       CAST(p.n_common / CAST(sa.n_shingles + sb.n_shingles - p.n_common AS DOUBLE)
+            AS DECIMAL(18,6)) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.n_common / CAST(sa.n_shingles + sb.n_shingles - p.n_common AS DOUBLE)
+           AS DECIMAL(18,6)) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+class MinHashDedup(Pipe):
+    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
+
+    signature[i] = min over shingles of xxhash64(shingle, seed=i);
+    bands of ``band_size`` rows hashed to buckets; docs sharing any
+    (band_id, band_hash) bucket become candidates; candidates are verified
+    with exact shingle Jaccard so the output is deterministic given the data
+    (LSH affects recall only). Shuffles: explode→min (map-side combine),
+    bucket join, verification join — all on compact integer keys."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        n_hashes: int = 32,
+        band_size: int = 4,
+        threshold: float = 0.5,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_hashes = n_hashes
+        self.band_size = band_size
+        self.threshold = threshold
+        assert n_hashes % band_size == 0, "n_hashes must divide into bands"
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        docs = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            shingles_expr(F.col(self.text_col), self.n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        # signature: for each seed, min xxhash64 over the doc's shingles.
+        # Computed per-row with array expressions — no explode, no shuffle.
+        def min_hash(seed: int):
+            # closure factory: a 2-param lambda would be read as (element, index)
+            return F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+
+        sig = docs.select(
+            "doc_id",
+            "shingles",
+            F.array(*[min_hash(i) for i in range(self.n_hashes)]).alias("signature"),
+        )
+        n_bands = self.n_hashes // self.band_size
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i]
+                                for i in range(
+                                    b * self.band_size, (b + 1) * self.band_size
+                                )
+                            ]
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_id", "band_hash"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        candidates = (
+            a.join(b, on=["band_id", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # verify candidates with exact Jaccard (deterministic output)
+        da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            candidates.join(da, "doc_a")
+            .join(db, "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double")
+                ).cast("decimal(18,6)"),
+            )
+            .filter(F.col("jaccard") >= F.lit(self.threshold))
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        return verified
+
+
+class SimHashDedup(Pipe):
+    """64-bit SimHash near-dup: signature bit j = sign of sum over distinct
+    tokens of (+1 if bit j of xxhash64(token) else -1). Candidate pairs share
+    at least one of ``n_bands`` signature bands (bucketed join), then are
+    filtered by Hamming distance <= ``max_hamming``."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        bits: int = 64,
+        n_bands: int = 8,
+        max_hamming: int = 3,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bits = bits
+        self.n_bands = n_bands
+        self.max_hamming = max_hamming
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        toks = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.array_distinct(tokens_expr(F.col(self.text_col))).alias("tokens"),
+        ).filter(F.size("tokens") > 0)
+        hashed = toks.select(
+            "doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hashes")
+        )
+        # per-bit vote: count of hashes with bit j set, vs half the total
+        def bit_vote(j: int):
+            # closure factory: a 2-param lambda would be read as (element, index)
+            return (
+                F.size(
+                    F.filter(
+                        F.col("hashes"),
+                        lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                    )
+                )
+                * 2
+                > F.size(F.col("hashes"))
+            ).cast("long")
+
+        sig_expr = F.lit(0).cast("long")
+        for j in range(self.bits):
+            sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit_vote(j), j))
+        sig = hashed.select("doc_id", sig_expr.alias("simhash"))
+        band_bits = self.bits // self.n_bands
+        mask = (1 << band_bits) - 1
+        bands = sig.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(self.n_bands)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(b, on=["band_id", "band_val"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+        xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        hamming = F.bit_count(xor).cast("long")
+        return (
+            cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= self.max_hamming)
+            .select("doc_a", "doc_b", "hamming")
+        )
