@@ -3,7 +3,16 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Spark python workers must be able to import test modules (functions defined
+# in tests are cloudpickled by reference); extend PYTHONPATH before the JVM
+# and worker daemons start.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_TESTS_DIR, _REPO_DIR, os.environ.get("PYTHONPATH", "")] if p
+)
 
 from warp_pipes_spark.session import get_spark
 

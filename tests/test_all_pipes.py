@@ -1,0 +1,118 @@
+"""Registry-wide property sweep (mirrors reference tests/pipes/test_all_pipes.py:
+every operator instantiates, reflects to a JSON struct, and has a
+deterministic fingerprint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.condition import In
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.pipes.basics import (
+    AddPrefix,
+    Apply,
+    ApplyToAll,
+    CopyBatch,
+    DropKeys,
+    FilterKeys,
+    GetKey,
+    Identity,
+    Lambda,
+    Partial,
+    RenameKeys,
+    ReplaceInKeys,
+)
+from warp_pipes_spark.pipes.collate import FirstEg, Padding
+from warp_pipes_spark.pipes.nesting import (
+    ApplyAsFlatten,
+    Expand,
+    Flatten,
+    Nest,
+    Nested,
+    NestedLevel1,
+)
+from warp_pipes_spark.pipes.passages import GeneratePassages
+from warp_pipes_spark.pipes.pipelines import (
+    BlockSequential,
+    Gate,
+    Parallel,
+    ParallelbyField,
+    Sequential,
+)
+from warp_pipes_spark.pipes.tokenizer import RegexTokenizer
+from warp_pipes_spark.search.topk import TopkSearch
+from warp_pipes_spark.text.analysis import DocFingerprint, LangId, QualityScore, TokenCount
+from warp_pipes_spark.text.dedup import (
+    ExactDedup,
+    MinHashDedup,
+    NgramJaccardDedup,
+    SimHashDedup,
+)
+
+
+def instantiate_all():
+    """One representative instance per operator (the reference requires an
+    ``instantiate_test`` classmethod on every pipe; we centralize it)."""
+    return [
+        Identity(),
+        Lambda(lambda df: df),
+        GetKey("a"),
+        FilterKeys(In(["a"])),
+        DropKeys(["a"]),
+        AddPrefix("p."),
+        ReplaceInKeys("p.", ""),
+        RenameKeys({"a": "b"}),
+        Apply({"a": F.col("a") + 1}),
+        ApplyToAll(lambda c: c),
+        CopyBatch(),
+        Partial(Identity()),
+        Sequential(Identity(), Identity()),
+        Parallel(Identity()),
+        Gate(True, Identity()),
+        BlockSequential([("b1", Identity())]),
+        ParallelbyField({"doc": Identity()}),
+        Flatten("a"),
+        Nest("a", group_cols=["row_id"], order_col="pos"),
+        ApplyAsFlatten("a", lambda c: c),
+        NestedLevel1("a", lambda c: c),
+        Nested("a", lambda c: c),
+        Expand("a", 2),
+        FirstEg(),
+        Padding(["ids"], 8),
+        RegexTokenizer(),
+        GeneratePassages(token_col="ids", size=10, stride=7),
+        TokenCount(),
+        QualityScore(),
+        LangId(),
+        DocFingerprint(),
+        ExactDedup(),
+        NgramJaccardDedup(),
+        MinHashDedup(),
+        SimHashDedup(),
+        TopkSearch(k=5),
+    ]
+
+
+def test_fingerprint_deterministic(spark):
+    # F.col(...) needs an active session in classic mode -> instantiate lazily
+    for pipe in instantiate_all():
+        assert isinstance(pipe, Pipe)
+        struct = pipe.to_json_struct()
+        assert struct.get("__pipe__") or "__pipe__" in str(struct)
+        fp1 = pipe.fingerprint
+        fp2 = pipe.fingerprint
+        assert fp1 == fp2, type(pipe).__name__
+        assert len(fp1) == 16
+
+
+def test_fingerprint_stable_across_instantiations(spark):
+    fps1 = [p.fingerprint for p in instantiate_all()]
+    fps2 = [p.fingerprint for p in instantiate_all()]
+    assert fps1 == fps2
+
+
+def test_fingerprints_distinguish_configs(spark):
+    pipes = instantiate_all()
+    fps = {p.fingerprint for p in pipes}
+    assert len(fps) == len(pipes), "fingerprint collision across operators"
+    assert TopkSearch(k=5).fingerprint != TopkSearch(k=10).fingerprint
+    assert AddPrefix("x.").fingerprint != AddPrefix("y.").fingerprint

@@ -1,0 +1,132 @@
+"""Per-operator tests for column ops + combinators (mirrors the reference's
+test matrix in tests/core/test_pipe.py and tests/pipes/test_pipelines.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.condition import Contains, HasPrefix, In, Not, Static
+from warp_pipes_spark.pipes.basics import (
+    AddPrefix,
+    Apply,
+    ApplyToAll,
+    DropKeys,
+    FilterKeys,
+    GetKey,
+    Identity,
+    Lambda,
+    RenameKeys,
+    ReplaceInKeys,
+)
+from warp_pipes_spark.pipes.pipelines import Gate, Parallel, PipeProcessError, Sequential
+
+
+@pytest.fixture(scope="module")
+def ab(spark):
+    return spark.createDataFrame([(1, 4), (2, 5), (3, 6)], "a long, b long")
+
+
+def rows(df, *cols):
+    out = df
+    if cols:
+        out = df.select(*cols)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_identity(ab):
+    assert rows(Identity()(ab)) == rows(ab)
+
+
+def test_get_key(ab):
+    assert GetKey("a")(ab).columns == ["a"]
+
+
+def test_filter_keys(ab):
+    assert FilterKeys(In(["b"]))(ab).columns == ["b"]
+    assert FilterKeys(Contains("a"))(ab).columns == ["a"]
+
+
+def test_drop_keys(ab):
+    assert DropKeys(["a"])(ab).columns == ["b"]
+    assert DropKeys(Not(In(["a"])))(ab).columns == ["a"]
+
+
+def test_add_prefix_and_replace(ab):
+    out = AddPrefix("doc.")(ab)
+    assert out.columns == ["doc.a", "doc.b"]
+    back = ReplaceInKeys("doc.", "")(out)
+    assert back.columns == ["a", "b"]
+
+
+def test_rename_drops_unmapped(ab):
+    out = RenameKeys({"a": "x"})(ab)
+    assert out.columns == ["x"]  # reference drops unmapped columns
+
+
+def test_apply_update_semantics(ab):
+    out = Apply({"a": F.col("a") * 10})(ab)
+    assert rows(out) == [(10, 4), (20, 5), (30, 6)]
+    # update=False -> only the op outputs remain
+    out2 = Apply({"a": F.col("a") * 10}, update=False)(ab)
+    assert out2.columns == ["a"]
+
+
+def test_apply_new_column(ab):
+    out = Apply({"c": F.col("a") + F.col("b")})(ab)
+    assert rows(out, "c") == [(5,), (7,), (9,)]
+
+
+def test_apply_to_all(ab):
+    out = ApplyToAll(lambda c: c * 2, update=False)(ab)
+    assert rows(out) == [(2, 8), (4, 10), (6, 12)]
+
+
+def test_lambda(ab):
+    out = Lambda(lambda df: df.filter(F.col("a") > 1))(ab)
+    assert rows(out) == [(2, 5), (3, 6)]
+
+
+def test_input_filter_prunes(ab):
+    p = Lambda(lambda df: df, input_filter=In(["a"]))
+    assert p(ab).columns == ["a"]
+
+
+def test_sequential(ab):
+    pipe = Sequential(
+        Apply({"c": F.col("a") + F.col("b")}),
+        FilterKeys(In(["c"])),
+    )
+    assert rows(pipe(ab)) == [(5,), (7,), (9,)]
+
+
+def test_sequential_error_context(ab):
+    bad = Lambda(lambda df: df.select("nope"), id="bad_stage")
+    with pytest.raises(PipeProcessError, match="bad_stage"):
+        Sequential(Identity(), bad)(ab).collect()
+
+
+def test_gate_truth_table(ab):
+    take_a = FilterKeys(In(["a"]))
+    take_b = FilterKeys(In(["b"]))
+    assert Gate(True, take_a)(ab).columns == ["a"]
+    assert Gate(False, take_a)(ab).columns == []
+    assert Gate(False, take_a, alt=take_b)(ab).columns == ["b"]
+    # schema-dependent condition resolves at plan time
+    assert Gate(Contains("a"), take_a)(ab).columns == ["a"]
+    assert Gate(Static(False), take_a, alt=take_b)(ab).columns == ["b"]
+
+
+def test_parallel_conflict_detection(ab):
+    p1 = Apply({"c": F.col("a") + 1}, update=False)
+    p2 = Apply({"c": F.col("b") + 1}, update=False)
+    with pytest.raises(ValueError, match="conflict|produced by both"):
+        Parallel(p1, p2)(ab)
+
+
+def test_parallel_merges_disjoint_columns(spark):
+    df = spark.createDataFrame([(0, 1, 4), (1, 2, 5)], "row_id long, a long, b long")
+    p1 = Apply({"c": F.col("a") + 1}, update=True)
+    p2 = Apply({"d": F.col("b") + 1}, update=True)
+    out = Parallel(p1, p2, update=True)(df)
+    assert sorted(out.columns) == ["a", "b", "c", "d", "row_id"]
+    got = sorted(tuple(r) for r in out.select("row_id", "c", "d").collect())
+    assert got == [(0, 2, 5), (1, 3, 6)]

@@ -1,0 +1,79 @@
+"""Cache-manager + Predict tests (mirrors reference cache correctness:
+cached vectors == direct outputs; idempotent re-runs hit the cache)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.fingerprint import (
+    combine_fingerprints,
+    fingerprint_path,
+    fingerprint_struct,
+)
+from warp_pipes_spark.pipes.basics import Apply
+from warp_pipes_spark.pipes.cache import CachedPipe, CacheManager
+from warp_pipes_spark.pipes.predict import Predict, PredictWithoutCache
+
+
+def fake_model(texts):
+    """Deterministic fake embedding model (hash -> 4-dim vector)."""
+    out = []
+    for t in texts:
+        h = abs(hash(str(t))) % 1000
+        out.append([float(h), float(h % 7), float(h % 13), 1.0])
+    return np.array(out)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], "row_id long, text string"
+    )
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint_struct({"x": 1, "y": [1, 2, {"z": "s"}]})
+    b = fingerprint_struct({"y": [1, 2, {"z": "s"}], "x": 1})
+    assert a == b
+    assert a != fingerprint_struct({"x": 2})
+    assert combine_fingerprints(a, b) == combine_fingerprints(a, b)
+
+
+def test_fingerprint_path_changes_with_content(tmp_path):
+    p = tmp_path / "data.txt"
+    p.write_text("hello")
+    fp1 = fingerprint_path(str(p))
+    import os, time
+
+    time.sleep(0.01)
+    p.write_text("hello world")
+    os.utime(p, (1e9, 2e9))
+    assert fingerprint_path(str(p)) != fp1
+
+
+def test_cached_pipe_idempotent(spark, docs, tmp_path):
+    mgr = CacheManager(str(tmp_path / "cache"))
+    pipe = Apply({"n": F.length("text")})
+    cached = CachedPipe(pipe, mgr, input_fingerprint="docs-v1")
+    out1 = sorted(tuple(r) for r in cached(docs).collect())
+    fp = combine_fingerprints("docs-v1", pipe.fingerprint)
+    assert mgr.exists(fp)
+    # second run must serve from cache (drop a marker to prove no recompute)
+    out2 = sorted(tuple(r) for r in cached(docs).collect())
+    assert out1 == out2
+
+
+def test_predict_cache_equals_direct(spark, docs, tmp_path):
+    mgr = CacheManager(str(tmp_path / "cache"))
+    direct = PredictWithoutCache(fake_model)(docs)
+    cached = Predict(fake_model, mgr, model_fingerprint="fake-v1", input_fingerprint="docs-v1")
+    out1 = cached(docs)
+    d = {r["row_id"]: r["vector"] for r in direct.collect()}
+    c = {r["row_id"]: r["vector"] for r in out1.collect()}
+    assert d == c
+    # cache hit on re-run returns identical vectors
+    out2 = cached(docs)
+    c2 = {r["row_id"]: r["vector"] for r in out2.collect()}
+    assert c2 == c
+    fp = cached.cache_fingerprint(docs)
+    assert mgr.exists(fp)

@@ -1,0 +1,106 @@
+"""Nesting algebra tests (mirrors reference tests/pipes/test_nesting.py:
+flatten/nest round trip, within-group sort/filter, Expand shapes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.pipes.nesting import (
+    ApplyAsFlatten,
+    Expand,
+    Flatten,
+    Nest,
+    Nested,
+    NestedLevel1,
+    infer_missing_dims,
+    nesting_level,
+)
+
+
+@pytest.fixture(scope="module")
+def nested1(spark):
+    return spark.createDataFrame(
+        [(0, 100, ["a", "b", "c"]), (1, 101, ["d", "e", "f"])],
+        "row_id long, question long, document_text array<string>",
+    )
+
+
+@pytest.fixture(scope="module")
+def nested_num(spark):
+    return spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, [4, 5, 6])], "row_id long, a array<long>"
+    )
+
+
+def test_nesting_level(nested1):
+    assert nesting_level(nested1.schema["document_text"].dataType) == 1
+    assert nesting_level(nested1.schema["question"].dataType) == 0
+
+
+def test_infer_missing_dims():
+    assert infer_missing_dims(12, [-1, 3]) == [4, 3]
+    assert infer_missing_dims(12, [2, -1, 3]) == [2, 2, 3]
+
+
+def test_flatten_multiplies_rows(nested1):
+    out = Flatten("document_text")(nested1)
+    assert out.count() == 6
+    assert sorted(r["document_text"] for r in out.collect()) == list("abcdef")
+
+
+def test_flatten_nest_round_trip(nested1):
+    flat = Flatten("document_text", keep_positions=True)(nested1)
+    back = Nest(
+        "document_text", group_cols=["row_id", "question"], order_col="document_text__pos_0"
+    )(flat)
+    got = {r["row_id"]: r["document_text"] for r in back.collect()}
+    assert got == {0: ["a", "b", "c"], 1: ["d", "e", "f"]}
+
+
+def test_apply_as_flatten_identity(nested1):
+    out = ApplyAsFlatten("document_text", lambda c: c)(nested1)
+    got = {r["row_id"]: r["document_text"] for r in out.collect()}
+    assert got == {0: ["a", "b", "c"], 1: ["d", "e", "f"]}
+
+
+def test_apply_as_flatten_elementwise(nested1):
+    out = ApplyAsFlatten("document_text", F.upper)(nested1)
+    got = {r["row_id"]: r["document_text"] for r in out.collect()}
+    assert got == {0: ["A", "B", "C"], 1: ["D", "E", "F"]}
+
+
+def test_apply_as_flatten_level_check(nested1):
+    with pytest.raises(ValueError, match="nesting level"):
+        ApplyAsFlatten("question", lambda c: c, level=1)._columns(nested1)
+
+
+def test_nested_level1_sort_desc(nested_num):
+    # reference test: a=[1,2,3] -> [3,2,1] (sort within group)
+    out = NestedLevel1("a", lambda c: F.reverse(F.array_sort(c)))(nested_num)
+    got = {r["row_id"]: r["a"] for r in out.collect()}
+    assert got == {0: [3, 2, 1], 1: [6, 5, 4]}
+
+
+def test_nested_level1_filter(nested_num):
+    # reference test: drop values >= 3 within each group
+    out = NestedLevel1("a", lambda c: F.filter(c, lambda x: x < 3))(nested_num)
+    got = {r["row_id"]: r["a"] for r in out.collect()}
+    assert got == {0: [1, 2], 1: []}
+
+
+def test_nested_level2(spark):
+    df = spark.createDataFrame(
+        [(0, [[3, 1], [2, 4]])], "row_id long, a array<array<long>>"
+    )
+    out = Nested("a", F.array_sort, level=2)(df)
+    assert out.collect()[0]["a"] == [[1, 3], [2, 4]]
+
+
+def test_expand_in_place(nested_num):
+    out = Expand("a", 2)(nested_num)
+    got = out.filter(F.col("row_id") == 0).collect()[0]["a"]
+    assert got == [[1, 2, 3], [1, 2, 3]]
+
+
+def test_expand_as_rows(nested_num):
+    out = Expand("a", 3, as_rows=True)(nested_num)
+    assert out.count() == 6

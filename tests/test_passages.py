@@ -1,0 +1,81 @@
+"""Passage-generation invariants (ports the reference's property tests,
+tests/pipes/test_passages.py:63-86): over a config sweep, every input token
+is owned by exactly one window's mask; windows/masks have equal lengths;
+padded windows have length == size."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.pipes.passages import GeneratePassages
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    rows = [(i, list(range(n))) for i, n in enumerate([99, 100, 7, 1, 0, 25])]
+    return spark.createDataFrame(rows, "doc_id long, input_ids array<long>")
+
+
+@pytest.mark.parametrize("size,stride", [(10, 7), (10, 8), (10, 10), (8, 5)])
+@pytest.mark.parametrize("pad", [None, -1])
+def test_ownership_invariant(spark, token_df, size, stride, pad):
+    pipe = GeneratePassages(
+        token_col="input_ids",
+        size=size,
+        stride=stride,
+        global_cols=["doc_id"],
+        pad_value=pad,
+        pad_values={"passage_mask": 0},
+    )
+    out = pipe(token_df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: r["input_ids"] for r in token_df.collect()}
+
+    for doc_id, toks in originals.items():
+        passages = sorted(by_doc.get(doc_id, []), key=lambda r: r["passage_idx"])
+        if len(toks) == 0:
+            assert passages == []
+            continue
+        owned = []
+        for r in passages:
+            ids, mask = r["input_ids"], r["passage_mask"]
+            assert len(ids) == len(mask)
+            if pad is not None:
+                assert len(ids) == size
+            else:
+                assert len(ids) <= size
+            owned += [t for t, m in zip(ids, mask) if m == 1]
+        # every token owned exactly once, in order
+        assert owned == toks, (
+            f"doc {doc_id} size={size} stride={stride} pad={pad}: "
+            f"owned {owned} != {toks}"
+        )
+
+
+def test_field_cols_windowed_coherently(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3, 4, 5], [10, 20, 30, 40, 50])],
+        "doc_id long, input_ids array<long>, attention array<long>",
+    )
+    pipe = GeneratePassages(
+        token_col="input_ids",
+        size=3,
+        stride=2,
+        field_cols=["attention"],
+        global_cols=["doc_id"],
+        pad_value=0,
+        pad_values={"attention": 0},
+    )
+    out = sorted(pipe(df).collect(), key=lambda r: r["passage_idx"])
+    for r in out:
+        assert len(r["input_ids"]) == len(r["attention"]) == 3
+        # aligned windows: attention = 10 * input_ids where unpadded
+        for a, b in zip(r["input_ids"], r["attention"]):
+            if b != 0:
+                assert b == 10 * a
+
+
+def test_stride_must_tile():
+    with pytest.raises(ValueError, match="stride"):
+        GeneratePassages(token_col="x", size=5, stride=6)

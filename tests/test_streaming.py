@@ -1,0 +1,138 @@
+"""Structured Streaming tests: the streaming plan over a file source equals
+the batch plan over the same rows; watermark drops late rows."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.streaming.events import (
+    read_events_stream,
+    session_windows,
+    tumbling_window_agg,
+)
+
+ROWS_ON_TIME = [
+    # user 1: two events in hour 10, one in hour 11
+    (1, "2024-01-01T10:05:00", 1, "click", 1.0),
+    (2, "2024-01-01T10:45:00", 1, "click", 2.0),
+    (3, "2024-01-01T11:10:00", 1, "view", 3.0),
+    # user 2: one event in hour 10
+    (4, "2024-01-01T10:30:00", 2, "view", 4.0),
+]
+LATE_ROW = (5, "2024-01-01T08:00:00", 2, "click", 9.0)  # > watermark behind
+MID_ROW = (6, "2024-01-01T11:20:00", 1, "view", 1.0)  # on-time filler batch
+
+
+def _write_batch(path, rows, name):
+    with open(os.path.join(path, name), "w") as f:
+        for eid, ts, uid, etype, val in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": ts,
+                        "user_id": uid,
+                        "event_type": etype,
+                        "value": val,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+
+
+def _run_stream(spark, src_dir, transform, timeout_s=60):
+    stream = read_events_stream(spark, src_dir)
+    out = transform(stream)
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[tuple(r[k] for k in ("window_start", "event_type"))] = (
+                r["n"],
+                r["v"],
+            )
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    q.awaitTermination(10)
+    return results
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME, "batch0.json")
+
+    stream_results = _run_stream(spark, src, lambda s: tumbling_window_agg(s, "1 hour", "30 minutes"))
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in ROWS_ON_TIME],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch_results = {
+        (r["window_start"], r["event_type"]): (r["n"], r["v"])
+        for r in tumbling_window_agg(batch_df).collect()
+    }
+    assert stream_results == batch_results
+    assert len(batch_results) == 3
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "events_late")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME, "batch0.json")
+
+    stream = read_events_stream(spark, src)
+    out = tumbling_window_agg(stream, "1 hour", "30 minutes")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append({tuple(r) for r in batch_df.collect()})
+        # Spark applies a watermark computed from batch N's data starting at
+        # batch N+2 (the operator watermark is advanced after each batch from
+        # the *previous* batch's max event time). So: batch 0 = on-time rows,
+        # batch 1 = on-time filler (watermark 10:40 now committed), batch 2 =
+        # very late row — it must NOT create/extend an 08:00 window.
+        if batch_id == 0:
+            _write_batch(src, [MID_ROW], "batch1.json")
+        elif batch_id == 1:
+            _write_batch(src, [LATE_ROW], "batch2.json")
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    deadline = time.time() + 90
+    while time.time() < deadline and len(seen) < 3:
+        time.sleep(1.0)
+    # allow one more microbatch to flush
+    time.sleep(3)
+    q.stop()
+    q.awaitTermination(10)
+
+    all_rows = set().union(*seen) if seen else set()
+    late_windows = [r for r in all_rows if str(r[0]).startswith("2024-01-01 08")]
+    assert not late_windows, f"late row leaked past watermark: {late_windows}"
+
+
+def test_session_window_batch(spark):
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01T10:10:00", 1, "click", 1.0),  # same session (gap 10m)
+        (3, "2024-01-01T11:30:00", 1, "click", 1.0),  # new session (gap 80m)
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = session_windows(df, gap="30 minutes").collect()
+    assert len(out) == 2
+    sizes = sorted(r["n_events"] for r in out)
+    assert sizes == [1, 2]

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
+STUBBED (this container ships no image/audio libraries): set
+``fake_decode=True`` for a deterministic fake (hash-seeded feature vector)
+— the Spark-side plumbing (schema, batch shape, partitioning, UDF
+signatures) is real and tested; swapping the kernel for PIL/torchaudio is a
+one-function change.
+
+Scale notes: binary payloads dominate partition size — the loaders
+repartition by byte budget, not row count (``target_partition_bytes``), so
+Arrow batches stay within executor memory at 100 TB."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int, "
+    "duration_ms int, source string"
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata struct next to the opaque payload."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(F.col(payload_col)).alias("n_bytes"),
+            F.sha2(F.col(payload_col).cast("binary"), 256).alias("sha256"),
+        ),
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, payload_col: str, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions by payload bytes, not rows — binary columns make row
+    counts a useless proxy for memory."""
+    total = df.select(F.sum(F.length(payload_col))).first()[0] or 0
+    n_parts = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n_parts)
+
+
+def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake decoder: hash-seeded feature vector. Stands in for
+    a real image/audio model so the full pipeline is testable without the
+    media libraries."""
+    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.randn(dim).astype(np.float64)
+
+
+class DecodeMedia(Pipe):
+    """payload binary -> feature vector (array<double>). ``fake_decode``
+    uses the deterministic stub; otherwise raises until a real decoder is
+    plugged in (no media libs in this environment)."""
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+        out_col: str = "features",
+        dim: int = 16,
+        fake_decode: bool = True,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.out_col = out_col
+        self.dim = dim
+        self.fake_decode = fake_decode
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import pandas as pd
+
+        if not self.fake_decode:
+            raise NotImplementedError(
+                "real media decoding requires PIL/torchaudio/ffmpeg — not "
+                "available in this environment; use fake_decode=True for the "
+                "deterministic stub"
+            )
+        dim, pcol, icol, ocol = self.dim, self.payload_col, self.id_col, self.out_col
+
+        def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                feats = [list(_fake_feature(p, dim)) for p in pdf[pcol]]
+                yield pd.DataFrame({icol: pdf[icol], ocol: feats})
+
+        out = df.mapInPandas(decode, schema=f"{icol} long, {ocol} array<double>")
+        return df.join(out, on=icol, how="inner")
+
+
+class SampleFrames(Pipe):
+    """Frame sampling plumbing for video payloads: emit ``n_frames`` rows
+    per media row (frame_idx + stub frame payload slice) — 1->N explode
+    semantics with deterministic frame positions."""
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "media_id",
+        n_frames: int = 4,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.n_frames = n_frames
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        n = F.greatest(F.length(self.payload_col), F.lit(1))
+        positions = F.transform(
+            F.sequence(F.lit(0), F.lit(self.n_frames - 1)),
+            lambda i: (i * n / F.lit(self.n_frames)).cast("int"),
+        )
+        return df.select(
+            self.id_col,
+            F.posexplode(positions).alias("frame_idx", "byte_offset"),
+        )

@@ -1,0 +1,13 @@
+from warp_pipes_spark.streaming.events import (
+    read_events_stream,
+    session_windows,
+    sliding_window_counts,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_window_agg",
+    "sliding_window_counts",
+    "session_windows",
+]

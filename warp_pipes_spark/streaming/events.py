@@ -1,0 +1,88 @@
+"""Structured Streaming ingestion + windowed aggregation (north-star extension).
+
+The reference is batch-only (SURVEY §2.10); streaming is an extension
+required for 100 TB-scale pipelines: event streams with watermarks, late
+data, tumbling/sliding/session windows.
+
+All aggregations here work identically on a batch DataFrame and a streaming
+one — the batch forms are oracled in the query catalog (q21/q22), and the
+streaming tests drive the same functions through a file-source readStream +
+foreachBatch sink, including late-row handling under a watermark."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events directory (json or parquet files
+    dropped into ``path``); the production analogue is Kafka/Kinesis with
+    the same downstream plan."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-window per-type counts and value sums. With a watermark, rows
+    later than ``watermark`` behind the max event time are dropped and
+    windows finalize — bounded state at any scale."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "v")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    closed after ``gap`` of inactivity. The batch-equivalent lag/cumsum
+    formulation is q21 in the catalog."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("v"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "v",
+        )
+    )
