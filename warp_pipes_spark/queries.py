@@ -42,7 +42,16 @@ from warp_pipes_spark.text.dedup import (
     SimHashDedup,
     ngram_jaccard_sql,
 )
-from warp_pipes_spark.ml.similarity import BruteForceCosineTopK, CosinePairs
+from warp_pipes_spark.ml.multimodal import (
+    DecodeMedia,
+    SampleFrames,
+    attach_media_metadata,
+)
+from warp_pipes_spark.ml.similarity import (
+    BruteForceCosineTopK,
+    CosinePairs,
+    LshCosineTopK,
+)
 from warp_pipes_spark.search.bm25 import Bm25Search, bm25_oracle_sql
 from warp_pipes_spark.search.group_lookup import GroupLookupSearch
 from warp_pipes_spark.search.index import Index
@@ -409,17 +418,26 @@ def q26_doc_fingerprint(spark, sf):
 
 
 def q27_ngram_jaccard(spark, sf):
-    return NgramJaccardDedup(n=2, threshold=0.2)(T(spark, sf, "documents"))
+    """Exact trigram-Jaccard near-dup pairs. n=3 + threshold=0.5 is the
+    realistic near-dup setting (bigrams at low thresholds make the inverted
+    index quadratic on common shingles); max_df caps worst-case join fan-out
+    at scale and is mirrored in the oracle."""
+    return NgramJaccardDedup(n=3, threshold=0.5, max_df=500)(
+        T(spark, sf, "documents")
+    )
 
 
 def q28_minhash_dedup(spark, sf):
-    return MinHashDedup(n=2, n_hashes=32, band_size=4, threshold=0.2)(
+    return MinHashDedup(n=3, n_hashes=32, band_size=4, threshold=0.5)(
         T(spark, sf, "documents")
     )
 
 
 def q29_simhash_dedup(spark, sf):
-    return SimHashDedup(n_bands=8, max_hamming=12)(T(spark, sf, "documents"))
+    """64-bit SimHash near-dup: hamming <= 3 (the standard web-dedup radius);
+    4 bands of 16 bits guarantee recall for that radius (pigeonhole: any pair
+    within hamming 3 agrees on at least one band)."""
+    return SimHashDedup(n_bands=4, max_hamming=3)(T(spark, sf, "documents"))
 
 
 def q30_cosine_topk(spark, sf):
@@ -554,6 +572,63 @@ def q38_merge_scores(spark, sf):
     )
 
 
+def q39_lsh_topk(spark, sf):
+    """Approximate ANN: random-hyperplane LSH bucketing (seeded) + exact
+    cosine re-rank of candidates — the sub-quadratic scale path for q30.
+    Recall vs the exact engine is asserted in tests; the driver records a
+    rows-only check (bucketing uses seeded numpy hyperplanes, not SQL)."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return LshCosineTopK(
+        corpus=emb, k=5, dim=64, n_planes=8, n_tables=6, exclude_self=True
+    )(queries)
+
+
+def _media_payloads(spark, sf):
+    """Documents' text re-encoded as opaque binary payloads: the multimodal
+    column convention (payload binary + typed metadata) exercised on driver
+    testdata without shipping media files."""
+    return T(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+def q40_media_meta(spark, sf):
+    """Multimodal metadata plumbing: opaque binary payload -> typed metadata
+    struct (byte length + sha256), computed JVM-side (no Python decode)."""
+    out = attach_media_metadata(_media_payloads(spark, sf))
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+def q41_frame_sample(spark, sf):
+    """Frame-sampling plumbing: 1 media row -> n_frames rows with
+    deterministic byte offsets (explode semantics over binary payloads)."""
+    out = SampleFrames(id_col="doc_id", n_frames=4)(_media_payloads(spark, sf))
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+    )
+
+
+def q42_decode_features(spark, sf):
+    """Stubbed media decode: payload -> deterministic fake feature vector via
+    Arrow-batched mapInPandas (the real-decoder slot), reduced to a per-row
+    checksum. Rows-only driver check (numpy RNG is not SQL-expressible)."""
+    docs = _media_payloads(spark, sf).select(
+        F.col("doc_id").alias("media_id"), "payload"
+    )
+    out = DecodeMedia(fake_decode=True, dim=8)(docs)
+    feat_sum = F.aggregate(
+        "features", F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    return out.select("media_id", F.round(feat_sum, 6).alias("feat_sum"))
+
+
 def _jaccard_oracle(threshold, n):
     return ngram_jaccard_sql(n=n, threshold=threshold)
 
@@ -585,7 +660,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q26_doc_fingerprint": (
         f"SELECT doc_id, {doc_fingerprint_sql()} AS doc_fp FROM documents ORDER BY doc_id"
     ),
-    "q27_ngram_jaccard": _jaccard_oracle(0.2, 2),
+    "q27_ngram_jaccard": ngram_jaccard_sql(n=3, threshold=0.5, max_df=500),
     "q28_minhash_dedup": None,  # LSH recall is probabilistic; verified in tests
     "q29_simhash_dedup": None,  # sketch-based; verified in tests
     "q30_cosine_topk": (
@@ -657,6 +732,18 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "SELECT query_id, rank, idx, CAST(score AS DECIMAL(18,6)) AS score "
         "FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
     ),
+    "q39_lsh_topk": None,  # seeded-numpy LSH buckets; recall asserted in tests
+    "q40_media_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha256 FROM documents ORDER BY doc_id"
+    ),
+    "q41_frame_sample": (
+        "SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx, "
+        "CAST(floor(f.i * greatest(octet_length(encode(text)), 1) / 4) AS INTEGER) AS byte_offset "
+        "FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) f "
+        "ORDER BY doc_id, frame_idx"
+    ),
+    "q42_decode_features": None,  # mapInPandas fake-decode; not SQL-expressible
 }
 
 
@@ -703,6 +790,10 @@ def _register():
         "q36_group_nest": q36_group_nest,
         "q37_index_rerank": q37_index_rerank,
         "q38_merge_scores": q38_merge_scores,
+        "q39_lsh_topk": q39_lsh_topk,
+        "q40_media_meta": q40_media_meta,
+        "q41_frame_sample": q41_frame_sample,
+        "q42_decode_features": q42_decode_features,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -26,6 +26,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
@@ -96,6 +97,7 @@ class NgramJaccardDedup(Pipe):
         n: int = 3,
         threshold: float = 0.5,
         max_df: Optional[int] = None,
+        persist: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -104,6 +106,7 @@ class NgramJaccardDedup(Pipe):
         self.n = n
         self.threshold = threshold
         self.max_df = max_df
+        self.persist = persist
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         docs = df.select(
@@ -112,6 +115,11 @@ class NgramJaccardDedup(Pipe):
         )
         sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
         inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+        if self.persist:
+            # the inverted index feeds both sides of the self-join; without a
+            # materialization point Spark recomputes tokenize+shingle per
+            # branch (at scale: checkpoint/write this table instead)
+            inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
         if self.max_df is not None:
             df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             inv = (
@@ -150,15 +158,25 @@ def ngram_jaccard_sql(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: Optional[int] = None,
 ) -> str:
     sh = shingles_sql(text, n)
+    inv_cte = (
+        "SELECT doc_id, unnest(shingles) AS shingle FROM docs"
+        if max_df is None
+        else (
+            "SELECT doc_id, shingle FROM ("
+            "SELECT doc_id, unnest(shingles) AS shingle FROM docs) "
+            "QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= " + str(max_df)
+        )
+    )
     return f"""
 WITH docs AS (
   SELECT {id_col} AS doc_id, {sh} AS shingles FROM {table}
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_shingles FROM docs
 ), inv AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM docs
+  {inv_cte}
 ), pair_inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -194,6 +212,7 @@ class MinHashDedup(Pipe):
         n_hashes: int = 32,
         band_size: int = 4,
         threshold: float = 0.5,
+        persist: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -203,6 +222,7 @@ class MinHashDedup(Pipe):
         self.n_hashes = n_hashes
         self.band_size = band_size
         self.threshold = threshold
+        self.persist = persist
         assert n_hashes % band_size == 0, "n_hashes must divide into bands"
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
@@ -210,6 +230,10 @@ class MinHashDedup(Pipe):
             F.col(self.id_col).alias("doc_id"),
             shingles_expr(F.col(self.text_col), self.n).alias("shingles"),
         ).filter(F.size("shingles") > 0)
+        if self.persist:
+            # shingle arrays feed the signature AND both verification-join
+            # sides; materialize once (at scale: checkpoint/write instead)
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         # signature: for each seed, min xxhash64 over the doc's shingles.
         # Computed per-row with array expressions — no explode, no shuffle.
         def min_hash(seed: int):
@@ -242,6 +266,8 @@ class MinHashDedup(Pipe):
                 )
             ).alias("band_id", "band_hash"),
         )
+        if self.persist:
+            bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
         a = bands.alias("a")
         b = bands.alias("b")
         candidates = (
@@ -285,6 +311,7 @@ class SimHashDedup(Pipe):
         bits: int = 64,
         n_bands: int = 8,
         max_hamming: int = 3,
+        persist: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -293,6 +320,7 @@ class SimHashDedup(Pipe):
         self.bits = bits
         self.n_bands = n_bands
         self.max_hamming = max_hamming
+        self.persist = persist
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         toks = df.select(
@@ -320,6 +348,10 @@ class SimHashDedup(Pipe):
         for j in range(self.bits):
             sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit_vote(j), j))
         sig = hashed.select("doc_id", sig_expr.alias("simhash"))
+        if self.persist:
+            # the 64-bit-vote signature is expensive; both self-join sides
+            # need it — materialize once
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         band_bits = self.bits // self.n_bands
         mask = (1 << band_bits) - 1
         bands = sig.select(
