@@ -473,6 +473,41 @@ def q32_bm25(spark, sf):
     return Bm25Search(corpus=docs, k=10)(_bm25_queries(spark, sf))
 
 
+BM25F_QUERIES_CTE = (
+    "SELECT doc_id AS query_id, "
+    f"array_to_string(({tokens_sql('text')})[1:5], ' ') AS qtext, "
+    f"array_to_string(({tokens_sql('text')})[6:8], ' ') AS qaux, "
+    "lang AS qfilter FROM documents WHERE doc_id % 25 = 0"
+)
+
+
+def q43_bm25_filtered(spark, sf):
+    """BM25 with the reference's two distinctive ES features: an
+    auxiliary-query boost (second weighted query text,
+    ``support/elasticsearch.py:189-248``) and a term filter (query's lang
+    must equal the doc's lang, ``support/elasticsearch.py:227-231``) —
+    both expressed as scored/equi joins, no external server."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+        F.array_join(F.slice(toks, 6, 3), " ").alias("aux"),
+        F.col("lang").alias("qlang"),
+    )
+    engine = Bm25Search(
+        corpus=docs,
+        k=10,
+        aux_text_col="aux",
+        aux_weight=0.5,
+        filter_key="qlang",
+        corpus_filter_key="lang",
+    )
+    return engine(queries)
+
+
 def q33_group_lookup(spark, sf):
     c = T(spark, sf, "customer")
     n = T(spark, sf, "nation")
@@ -744,6 +779,9 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ORDER BY doc_id, frame_idx"
     ),
     "q42_decode_features": None,  # mapInPandas fake-decode; not SQL-expressible
+    "q43_bm25_filtered": bm25_oracle_sql(
+        "documents", BM25F_QUERIES_CTE, k=10, aux_weight=0.5, filter_col="lang"
+    ),
 }
 
 
@@ -794,6 +832,7 @@ def _register():
         "q40_media_meta": q40_media_meta,
         "q41_frame_sample": q41_frame_sample,
         "q42_decode_features": q42_decode_features,
+        "q43_bm25_filtered": q43_bm25_filtered,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

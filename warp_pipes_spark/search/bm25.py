@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
@@ -64,6 +65,8 @@ class Bm25Search(Pipe):
         corpus_filter_key: str | None = None,
         k1: float = K1,
         b: float = B,
+        broadcast_queries: bool = True,
+        persist: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -79,22 +82,23 @@ class Bm25Search(Pipe):
         self.corpus_filter_key = corpus_filter_key or filter_key
         self.k1 = k1
         self.b = b
+        self.broadcast_queries = broadcast_queries
+        self.persist = persist
 
     _no_fingerprint = ("corpus",)
 
     def _postings(self) -> DataFrame:
         return build_inverted_index(self.corpus, self.corpus_id, self.corpus_text)
 
-    def _scored(self, queries: DataFrame, query_text_col: str, weight: float) -> DataFrame:
-        postings = self._postings()
-        n_docs = self.corpus.count()
-        # avgdl from exact integer sum -> single division (deterministic)
-        dls = postings.select("doc_id", "dl").distinct()
-        sum_dl, cnt = dls.agg(F.sum("dl"), F.count(F.lit(1))).first()
-        avgdl = float(sum_dl) / float(cnt)
-        df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        postings = postings.join(df_counts, "term")
-
+    def _scored(
+        self,
+        queries: DataFrame,
+        query_text_col: str,
+        weight: float,
+        postings: DataFrame,
+        n_docs: int,
+        avgdl: float,
+    ) -> DataFrame:
         q_terms = queries.select(
             F.col(self.query_id).alias("query_id"),
             *( [F.col(self.filter_key).alias("__qfilter")] if self.filter_key else [] ),
@@ -102,6 +106,10 @@ class Bm25Search(Pipe):
                 F.array_distinct(tokens_expr(F.col(query_text_col)))
             ).alias("term"),
         )
+        # with a bounded query batch over a huge corpus, broadcasting the
+        # exploded query terms keeps the postings side shuffle-free
+        if self.broadcast_queries:
+            q_terms = F.broadcast(q_terms)
         joined = q_terms.join(postings, on="term")
         if self.filter_key:
             doc_filters = self.corpus.select(
@@ -125,9 +133,27 @@ class Bm25Search(Pipe):
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        parts = [self._scored(df, self.query_text, 1.0)]
+        # corpus statistics in ONE pass over sizes only (column-pruned scan:
+        # n_docs and avgdl over all docs, empty ones included, matching the
+        # oracle); postings materialized once and reused by the df join and
+        # both query branches
+        sizes = self.corpus.select(
+            F.size(tokens_expr(F.col(self.corpus_text))).alias("dl")
+        )
+        sum_dl, n_docs = sizes.agg(F.sum("dl"), F.count(F.lit(1))).first()
+        avgdl = float(sum_dl) / float(n_docs)
+        postings = self._postings()
+        if self.persist:
+            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(df_counts, "term")
+        parts = [self._scored(df, self.query_text, 1.0, postings, n_docs, avgdl)]
         if self.aux_text_col:
-            parts.append(self._scored(df, self.aux_text_col, self.aux_weight))
+            parts.append(
+                self._scored(
+                    df, self.aux_text_col, self.aux_weight, postings, n_docs, avgdl
+                )
+            )
         all_terms = parts[0]
         for p in parts[1:]:
             all_terms = all_terms.unionByName(p)
@@ -153,20 +179,49 @@ def bm25_oracle_sql(
     b: float = B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    aux_weight: float | None = None,
+    filter_col: str | None = None,
 ) -> str:
     """DuckDB oracle implementing the identical formula over the identical
-    tokenization. ``queries_cte`` must yield (query_id, qtext)."""
+    tokenization. ``queries_cte`` must yield (query_id, qtext[, qaux when
+    aux_weight is set][, qfilter when filter_col is set]); ``filter_col``
+    names the corpus column a query's qfilter must equal (the reference's ES
+    term filter); ``aux_weight`` scores the qaux terms as a second weighted
+    query (the reference's auxiliary-query boost)."""
     toks = tokens_sql(text_col)
+    fcol_sel = f", {filter_col} AS fval" if filter_col else ""
+    fcol_carry = ", fval" if filter_col else ""
+    q_fcol = ", qfilter" if filter_col else ""
+    fjoin = " AND q.qfilter = t.fval" if filter_col else ""
+
+    def _branch(qtext_expr: str, weight: float) -> str:
+        return f"""
+  SELECT q.query_id, t.doc_id AS idx,
+         CAST(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * CAST(t.tf AS DOUBLE) * {k1 + 1.0}
+           / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))
+           * {weight}
+         AS DECIMAL(18,6)) AS ts
+  FROM (SELECT query_id{q_fcol}, unnest(list_distinct({tokens_sql(qtext_expr)})) AS term FROM queries) q
+  JOIN tf t ON q.term = t.term{fjoin}
+  JOIN dfreq d ON t.term = d.term
+  CROSS JOIN stats s"""
+
+    branches = [_branch("qtext", 1.0)]
+    if aux_weight is not None:
+        branches.append(_branch("qaux", aux_weight))
+    term_scores = "\n  UNION ALL\n".join(branches)
     return f"""
 WITH queries AS ({queries_cte}),
 doc_tokens AS (
-  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {corpus_table}
+  SELECT {id_col} AS doc_id, {toks} AS tokens{fcol_sel} FROM {corpus_table}
 ),
 postings AS (
-  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM doc_tokens
+  SELECT doc_id, len(tokens) AS dl{fcol_carry}, unnest(tokens) AS term FROM doc_tokens
 ),
 tf AS (
-  SELECT term, doc_id, dl, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3
+  SELECT term, doc_id, dl{fcol_carry}, COUNT(*) AS tf FROM postings GROUP BY ALL
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs,
@@ -174,22 +229,9 @@ stats AS (
   FROM doc_tokens
 ),
 dfreq AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
 ),
-q_terms AS (
-  SELECT query_id, unnest(list_distinct({tokens_sql('qtext')})) AS term FROM queries
-),
-term_scores AS (
-  SELECT q.query_id, t.doc_id AS idx,
-         CAST(
-           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * CAST(t.tf AS DOUBLE) * {k1 + 1.0}
-           / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))
-         AS DECIMAL(18,6)) AS ts
-  FROM q_terms q
-  JOIN tf t ON q.term = t.term
-  JOIN dfreq d ON t.term = d.term
-  CROSS JOIN stats s
+term_scores AS ({term_scores}
 ),
 scores AS (
   SELECT query_id, idx, SUM(ts) AS score FROM term_scores GROUP BY 1, 2
