@@ -13,6 +13,7 @@ from warp_pipes_spark.streaming.events import (
     session_windows,
     tumbling_window_agg,
 )
+from warp_pipes_spark.streaming.stateful import stateful_sessions
 
 ROWS_ON_TIME = [
     # user 1: two events in hour 10, one in hour 11
@@ -120,6 +121,53 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     all_rows = set().union(*seen) if seen else set()
     late_windows = [r for r in all_rows if str(r[0]).startswith("2024-01-01 08")]
     assert not late_windows, f"late row leaked past watermark: {late_windows}"
+
+
+def test_stateful_sessions_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: intra-batch gaps close sessions
+    immediately; open sessions flush via event-time timeout once the
+    watermark passes last+gap. Expect exactly the 4 sessions the batch
+    session_window computes on the same rows."""
+    src = str(tmp_path / "events_stateful")
+    os.makedirs(src)
+    # user 1: session (10:00,10:10) then gap 80m then (11:30); user 2: one
+    batch0 = [
+        (1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01T10:10:00", 1, "click", 2.0),
+        (3, "2024-01-01T11:30:00", 1, "view", 3.0),
+        (4, "2024-01-01T10:30:00", 2, "view", 4.0),
+    ]
+    batch1 = [(5, "2024-01-01T14:00:00", 3, "click", 1.0)]
+    batch2 = [(6, "2024-01-01T16:00:00", 3, "click", 1.0)]
+    _write_batch(src, batch0, "b0.json")
+
+    out = stateful_sessions(
+        read_events_stream(spark, src), gap="30 minutes", watermark="10 minutes"
+    )
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append([tuple(r) for r in batch_df.collect()])
+        if batch_id == 0:
+            _write_batch(src, batch1, "b1.json")
+        elif batch_id == 1:
+            _write_batch(src, batch2, "b2.json")
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(len(b) for b in seen) < 4:
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(10)
+
+    rows = sorted(r for b in seen for r in b)
+    got = [(r[0], str(r[1]), str(r[2]), r[3], r[4]) for r in rows]
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
+        (1, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1, 3.0),
+        (2, "2024-01-01 10:30:00", "2024-01-01 10:30:00", 1, 4.0),
+        (3, "2024-01-01 14:00:00", "2024-01-01 14:00:00", 1, 1.0),
+    ]
 
 
 def test_session_window_batch(spark):

@@ -4,10 +4,12 @@ from warp_pipes_spark.streaming.events import (
     sliding_window_counts,
     tumbling_window_agg,
 )
+from warp_pipes_spark.streaming.stateful import stateful_sessions
 
 __all__ = [
     "read_events_stream",
     "tumbling_window_agg",
     "sliding_window_counts",
     "session_windows",
+    "stateful_sessions",
 ]
