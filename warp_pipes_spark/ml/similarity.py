@@ -85,21 +85,25 @@ class BruteForceCosineTopK(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         if self.strategy == "pandas":
             return self._transform_pandas(df)
+        # norms precomputed per ROW, not per pair — numerically identical
+        # (same fold order / sqrt / multiply / divide) but 1/3 of the
+        # join-side flops
         q = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.query_vec).cast("array<double>").alias("qv"),
-        )
+        ).withColumn("qn", _norm(F.col("qv")))
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
-        )
+        ).withColumn("cn", _norm(F.col("cv")))
         pairs = q.crossJoin(F.broadcast(c))
         if self.exclude_self:
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+        score = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         scored = pairs.select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).cast("decimal(18,6)").alias("score"),
+            score.cast("decimal(18,6)").alias("score"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("neighbor_id")
@@ -194,6 +198,7 @@ class LshCosineTopK(Pipe):
         corpus_id: str = "vec_id",
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
+        broadcast_queries: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -203,6 +208,7 @@ class LshCosineTopK(Pipe):
         self.n_tables = n_tables
         self.dim = dim
         self.seed = seed
+        self.broadcast_queries = broadcast_queries
         self.query_id = query_id
         self.query_vec = query_vec
         self.corpus_id = corpus_id
@@ -211,53 +217,74 @@ class LshCosineTopK(Pipe):
 
     _no_fingerprint = ("corpus",)
 
-    def _bucket_expr(self, vec):
+    def _planes(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed)
-        planes = rng.randn(self.n_tables, self.n_planes, self.dim)
-        buckets = []
-        for t in range(self.n_tables):
-            code = F.lit(0).cast("long")
-            for p in range(self.n_planes):
-                w = planes[t, p]
-                proj = F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in w]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-                code = code + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            buckets.append(code)
-        return F.array(*buckets)
+        return rng.randn(self.n_tables, self.n_planes, self.dim)
+
+    def _bucket_udf(self):
+        """Vectorized bucket codes: numpy matmul over Arrow batches. Spark's
+        higher-order array functions are interpreted (no codegen), so the
+        n_tables*n_planes fold-dot-products per row are ~100x slower than one
+        BLAS matmul; sign-of-projection semantics are identical up to
+        measure-zero boundary cases (proj == 0.0 exactly)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        planes = self._planes()  # [tables, planes, dim]
+        shifts = 1 << np.arange(planes.shape[1], dtype=np.int64)
+
+        def buckets(vecs):
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack(vecs.to_numpy()).astype(np.float64)  # [n, dim]
+            codes = np.stack(
+                [((V @ p.T) > 0) @ shifts for p in planes], axis=1
+            )  # [n, tables]
+            return pd.Series(list(codes))
+
+        # real annotation objects: `from __future__ import annotations` would
+        # stringify inline hints, which pandas_udf cannot resolve here
+        buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        return pandas_udf(buckets, "array<long>")
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # candidate generation shuffles ONLY (id, table, bucket) — vectors
+        # are attached after the distinct, so the bucket join stays narrow
+        # no matter the embedding dimension
         q = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.query_vec).cast("array<double>").alias("qv"),
-        ).withColumn("qb", self._bucket_expr(F.col("qv")))
+        ).withColumn("qn", _norm(F.col("qv")))
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
-        ).withColumn("cb", self._bucket_expr(F.col("cv")))
+        ).withColumn("cn", _norm(F.col("cv")))
+        bucket_udf = self._bucket_udf()
         qe = q.select(
-            "query_id", "qv", F.posexplode("qb").alias("table_id", "bucket")
+            "query_id", F.posexplode(bucket_udf(F.col("qv"))).alias("table_id", "bucket")
         )
         ce = c.select(
-            "neighbor_id", "cv", F.posexplode("cb").alias("table_id", "bucket")
+            "neighbor_id", F.posexplode(bucket_udf(F.col("cv"))).alias("table_id", "bucket")
         )
+        if self.broadcast_queries:
+            qe = F.broadcast(qe)
         cand = (
             qe.join(ce, on=["table_id", "bucket"])
-            .select("query_id", "qv", "neighbor_id", "cv")
+            .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
         if self.exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-        scored = cand.select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).cast("decimal(18,6)").alias("score"),
+        scored = (
+            cand.join(F.broadcast(q), "query_id")
+            .join(c, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+                .cast("decimal(18,6)")
+                .alias("score"),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
         return (
@@ -288,15 +315,20 @@ class CosinePairs(Pipe):
         base = df.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vec_col).cast("array<double>").alias("v"),
+        ).withColumn("n", _norm(F.col("v")))
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
         )
-        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
         pairs = a.crossJoin(F.broadcast(b)).where(F.col("id_a") < F.col("id_b"))
+        cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
             pairs.select(
                 "id_a",
                 "id_b",
-                cosine_expr(F.col("va"), F.col("vb")).cast("decimal(18,6)").alias("cosine"),
+                cosine.cast("decimal(18,6)").alias("cosine"),
             )
             .filter(F.col("cosine") >= F.lit(self.threshold))
         )
