@@ -34,13 +34,47 @@ B = 0.75
 def build_inverted_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """corpus -> postings (term, doc_id, tf, dl). Materialize (e.g. write
-    partitioned by term bucket) to amortize across query batches."""
-    toks = corpus.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("tokens")
+    """corpus -> postings (term, doc_id, tf, dl), built entirely map-side:
+    per-doc term frequencies are counted inside one Arrow-batched
+    mapInPandas pass, so the full exploded token stream is never shuffled
+    (the explode+groupBy formulation shuffles every token occurrence).
+    Materialize (e.g. write partitioned by term bucket) to amortize across
+    query batches."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, terms, tfs, dls = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in tok_re.split(t.lower()) if x]
+                if not toks:
+                    # sentinel so corpus stats (n_docs, avgdl) can be derived
+                    # from postings alone; a NULL term never matches a query
+                    # term join, so scoring is unaffected
+                    ids.append(i)
+                    terms.append(None)
+                    tfs.append(0)
+                    dls.append(0)
+                    continue
+                for term, tf in Counter(toks).items():
+                    ids.append(i)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(len(toks))
+            yield pd.DataFrame(
+                {"term": terms, "doc_id": ids, "dl": dls, "tf": tfs}
+            )
+
+    return corpus.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel, "term string, doc_id long, dl int, tf long"
     )
-    exploded = toks.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
-    return exploded.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
 
 
 class Bm25Search(Pipe):
@@ -133,19 +167,22 @@ class Bm25Search(Pipe):
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        # corpus statistics in ONE pass over sizes only (column-pruned scan:
-        # n_docs and avgdl over all docs, empty ones included, matching the
-        # oracle); postings materialized once and reused by the df join and
-        # both query branches
-        sizes = self.corpus.select(
-            F.size(tokens_expr(F.col(self.corpus_text))).alias("dl")
-        )
-        sum_dl, n_docs = sizes.agg(F.sum("dl"), F.count(F.lit(1))).first()
-        avgdl = float(sum_dl) / float(n_docs)
+        # ONE corpus pass: postings are materialized once (tokenless docs
+        # carry a NULL-term sentinel row) and serve the corpus stats, the
+        # document-frequency join, and both query branches
         postings = self._postings()
         if self.persist:
             postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        df_counts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        sum_dl, n_docs = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(F.sum("dl"), F.count(F.lit(1)))
+            .first()
+        )
+        avgdl = float(sum_dl) / float(n_docs)
+        df_counts = postings.where(F.col("term").isNotNull()).groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
         postings = postings.join(df_counts, "term")
         parts = [self._scored(df, self.query_text, 1.0, postings, n_docs, avgdl)]
         if self.aux_text_col:
