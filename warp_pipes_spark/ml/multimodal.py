@@ -84,6 +84,7 @@ class DecodeMedia(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
         if not self.fake_decode:
             raise NotImplementedError(
@@ -91,15 +92,20 @@ class DecodeMedia(Pipe):
                 "available in this environment; use fake_decode=True for the "
                 "deterministic stub"
             )
-        dim, pcol, icol, ocol = self.dim, self.payload_col, self.id_col, self.out_col
+        dim = self.dim
 
-        def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            for pdf in batches:
-                feats = [list(_fake_feature(p, dim)) for p in pdf[pcol]]
-                yield pd.DataFrame({icol: pdf[icol], ocol: feats})
+        # iterator-form scalar UDF: decoder init once per partition, output
+        # via withColumn — no join-back, payload column scanned once
+        def decode(batches):
+            for payloads in batches:
+                yield pd.Series([list(_fake_feature(p, dim)) for p in payloads])
 
-        out = df.mapInPandas(decode, schema=f"{icol} long, {ocol} array<double>")
-        return df.join(out, on=icol, how="inner")
+        decode.__annotations__ = {
+            "batches": Iterator[pd.Series],
+            "return": Iterator[pd.Series],
+        }
+        udf = pandas_udf(decode, "array<double>")
+        return df.withColumn(self.out_col, udf(F.col(self.payload_col)))
 
 
 class SampleFrames(Pipe):

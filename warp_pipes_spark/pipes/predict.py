@@ -48,21 +48,24 @@ class PredictWithoutCache(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
         model_fn = self.model_fn
-        in_col, out_col, id_col = self.input_col, self.output_col, self.id_col
 
-        def infer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            for pdf in batches:
-                vecs = model_fn(pdf[in_col].to_numpy())
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], out_col: [list(map(float, v)) for v in vecs]}
-                )
+        # iterator-form scalar UDF: per-executor setup (model load) happens
+        # once per partition, output is a plain withColumn — no join-back,
+        # the input is scanned exactly once
+        def infer(batches):
+            for series in batches:
+                vecs = model_fn(series.to_numpy())
+                yield pd.Series([list(map(float, v)) for v in vecs])
 
-        out = df.mapInPandas(
-            infer, schema=f"{id_col} long, {out_col} array<double>"
-        )
-        return df.join(out, on=id_col, how="inner")
+        infer.__annotations__ = {
+            "batches": Iterator[pd.Series],
+            "return": Iterator[pd.Series],
+        }
+        udf = pandas_udf(infer, "array<double>")
+        return df.withColumn(self.output_col, udf(F.col(self.input_col)))
 
 
 class Predict(Pipe):

@@ -22,7 +22,7 @@ Four families, all expressed as DataFrame plans designed for 100 TB:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -352,31 +352,40 @@ class SimHashDedup(Pipe):
         self.persist = persist
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        import numpy as np
+
         toks = df.select(
             F.col(self.id_col).alias("doc_id"),
             F.array_distinct(tokens_expr(F.col(self.text_col))).alias("tokens"),
         ).filter(F.size("tokens") > 0)
+        # token hashes stay JVM-side (xxhash64); the 64 per-bit majority
+        # votes run vectorized in numpy — as Catalyst expressions they are
+        # 64 interpreted array passes per row (higher-order fns don't codegen)
         hashed = toks.select(
             "doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hashes")
         )
-        # per-bit vote: count of hashes with bit j set, vs half the total
-        def bit_vote(j: int):
-            # closure factory: a 2-param lambda would be read as (element, index)
-            return (
-                F.size(
-                    F.filter(
-                        F.col("hashes"),
-                        lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                    )
-                )
-                * 2
-                > F.size(F.col("hashes"))
-            ).cast("long")
+        bits = self.bits
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
 
-        sig_expr = F.lit(0).cast("long")
-        for j in range(self.bits):
-            sig_expr = sig_expr.bitwiseOR(F.shiftleft(bit_vote(j), j))
-        sig = hashed.select("doc_id", sig_expr.alias("simhash"))
+        def sig_kernel(batches):
+            for series in batches:
+                out = []
+                for hs in series:
+                    H = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                    bitmat = (H[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+                    votes = bitmat.sum(axis=0) * 2 > len(H)
+                    out.append(int((weights[votes].sum(dtype=np.uint64)).astype(np.int64)))
+                yield pd.Series(out, dtype="int64")
+
+        sig_kernel.__annotations__ = {
+            "batches": Iterator[pd.Series],
+            "return": Iterator[pd.Series],
+        }
+        sig_udf = pandas_udf(sig_kernel, "long")
+        sig = hashed.select("doc_id", sig_udf(F.col("hashes")).alias("simhash"))
         if self.persist:
             # the 64-bit-vote signature is expensive; both self-join sides
             # need it — materialize once
