@@ -664,6 +664,44 @@ def q42_decode_features(spark, sf):
     return out.select("media_id", F.round(feat_sum, 6).alias("feat_sum"))
 
 
+def q44_except(spark, sf):
+    """Set difference (EXCEPT): customers with only finished orders."""
+    o = T(spark, sf, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("x"))
+    no = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("x"))
+    # subtract = EXCEPT DISTINCT (set semantics, matching SQL EXCEPT);
+    # exceptAll would keep multiset multiplicity differences
+    return f.subtract(no)
+
+
+def q45_part_stats(spark, sf):
+    """LIKE predicate + avg aggregation over the part table."""
+    p = T(spark, sf, "part")
+    return (
+        p.filter(F.col("p_type").like("%M%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("p_retailprice").cast(D184)).cast(D184).alias("avg_price"),
+        )
+    )
+
+
+def q46_supplier_revenue(spark, sf):
+    """Fact-dim chain through the supplier side: lineitem -> supplier ->
+    nation, revenue per supplier nation (broadcast dims)."""
+    li = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D184)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(net).cast(D184).alias("rev"))
+    )
+
+
 def _jaccard_oracle(threshold, n):
     return ngram_jaccard_sql(n=n, threshold=threshold)
 
@@ -782,6 +820,24 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q43_bm25_filtered": bm25_oracle_sql(
         "documents", BM25F_QUERIES_CTE, k=10, aux_weight=0.5, filter_col="lang"
     ),
+    "q44_except": (
+        "SELECT x FROM ("
+        "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
+        "EXCEPT "
+        "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'O') t ORDER BY x"
+    ),
+    "q45_part_stats": (
+        "SELECT p_brand, COUNT(*) AS n, "
+        "CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_price "
+        "FROM part WHERE p_type LIKE '%M%' GROUP BY p_brand ORDER BY p_brand"
+    ),
+    "q46_supplier_revenue": (
+        "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DECIMAL(18,4)) AS rev "
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
 }
 
 
@@ -833,6 +889,9 @@ def _register():
         "q41_frame_sample": q41_frame_sample,
         "q42_decode_features": q42_decode_features,
         "q43_bm25_filtered": q43_bm25_filtered,
+        "q44_except": q44_except,
+        "q45_part_stats": q45_part_stats,
+        "q46_supplier_revenue": q46_supplier_revenue,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
