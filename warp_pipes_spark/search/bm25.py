@@ -130,8 +130,7 @@ class Bm25Search(Pipe):
         query_text_col: str,
         weight: float,
         postings: DataFrame,
-        n_docs: int,
-        avgdl: float,
+        stats: DataFrame,
     ) -> DataFrame:
         q_terms = queries.select(
             F.col(self.query_id).alias("query_id"),
@@ -144,7 +143,7 @@ class Bm25Search(Pipe):
         # exploded query terms keeps the postings side shuffle-free
         if self.broadcast_queries:
             q_terms = F.broadcast(q_terms)
-        joined = q_terms.join(postings, on="term")
+        joined = q_terms.join(postings, on="term").crossJoin(F.broadcast(stats))
         if self.filter_key:
             doc_filters = self.corpus.select(
                 F.col(self.corpus_id).alias("doc_id"),
@@ -155,11 +154,12 @@ class Bm25Search(Pipe):
             )
         idf = F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
         )
         tf = F.col("tf").cast("double")
         norm = tf + F.lit(self.k1) * (
-            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.lit(avgdl)
+            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.col("avgdl")
         )
         term_score = (idf * tf * F.lit(self.k1 + 1.0) / norm * F.lit(weight)).cast(
             "decimal(18,6)"
@@ -167,29 +167,30 @@ class Bm25Search(Pipe):
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        # ONE corpus pass: postings are materialized once (tokenless docs
-        # carry a NULL-term sentinel row) and serve the corpus stats, the
-        # document-frequency join, and both query branches
+        # ONE job, one logical corpus pass: postings (tokenless docs carry a
+        # NULL-term sentinel row) feed the corpus stats, the
+        # document-frequency aggregation, and the scoring join; stats ride
+        # along as a broadcast 1-row DataFrame (the oracle's CROSS JOIN
+        # stats) instead of a separate driver action
         postings = self._postings()
         if self.persist:
             postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        sum_dl, n_docs = (
+        stats = (
             postings.select("doc_id", "dl")
             .distinct()
-            .agg(F.sum("dl"), F.count(F.lit(1)))
-            .first()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            )
         )
-        avgdl = float(sum_dl) / float(n_docs)
         df_counts = postings.where(F.col("term").isNotNull()).groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         )
         postings = postings.join(df_counts, "term")
-        parts = [self._scored(df, self.query_text, 1.0, postings, n_docs, avgdl)]
+        parts = [self._scored(df, self.query_text, 1.0, postings, stats)]
         if self.aux_text_col:
             parts.append(
-                self._scored(
-                    df, self.aux_text_col, self.aux_weight, postings, n_docs, avgdl
-                )
+                self._scored(df, self.aux_text_col, self.aux_weight, postings, stats)
             )
         all_terms = parts[0]
         for p in parts[1:]:
