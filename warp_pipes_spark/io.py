@@ -90,3 +90,43 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source. Pass an explicit schema at scale — inferSchema requires
+    an extra full scan of the input."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: Optional[str] = None, **options
+) -> DataFrame:
+    """JSON-lines source. Explicit schema avoids the inference scan and
+    keeps corrupt records in ``_corrupt_record`` deterministic."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,3 @@
+from warp_pipes_spark.plans.skew import salted_join, salted_collect_list
+
+__all__ = ["salted_join", "salted_collect_list"]
