@@ -130,3 +130,20 @@ def test_parallel_merges_disjoint_columns(spark):
     assert sorted(out.columns) == ["a", "b", "c", "d", "row_id"]
     got = sorted(tuple(r) for r in out.select("row_id", "c", "d").collect())
     assert got == [(0, 2, 5), (1, 3, 6)]
+
+
+def test_print_pipes_pass_through(spark):
+    import io as _io
+
+    from warp_pipes_spark.pipes.pprint import PrintBatch, PrintContent
+
+    df = spark.createDataFrame([(1, [1, 2]), (2, [3])], "a long, b array<long>")
+    buf = _io.StringIO()
+    out = PrintBatch(header="probe", count_rows=True, file=buf)(df)
+    assert out is df  # identity transform
+    report = buf.getvalue()
+    assert "rows: 2" in report and "nesting=1" in report
+    buf2 = _io.StringIO()
+    out2 = PrintContent(n=1, file=buf2)(df)
+    assert out2 is df
+    assert "a: 1" in buf2.getvalue()

@@ -55,6 +55,10 @@ class Index(Pipe):
                 prev = engine.transform(prev)
                 continue
             out = engine.transform(queries)
+            if "idx" not in out.columns and "neighbor_id" in out.columns:
+                # dense engines emit the reference's neighbor_id naming;
+                # normalize to the (query_id, idx, score) result convention
+                out = out.withColumnRenamed("neighbor_id", "idx")
             if prev is not None and self.merge_previous_results and getattr(
                 engine, "merge_previous_results", True
             ):
