@@ -147,3 +147,14 @@ def test_print_pipes_pass_through(spark):
     out2 = PrintContent(n=1, file=buf2)(df)
     assert out2 is df
     assert "a: 1" in buf2.getvalue()
+
+
+def test_all_values_of_type_condition(spark):
+    from warp_pipes_spark.core.condition import AllValuesOfType
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a bigint, b string, c double")
+    assert AllValuesOfType("bigint", ["a"])(df.schema)
+    assert AllValuesOfType("string", ["b"])(df.schema)
+    assert not AllValuesOfType("bigint", ["a", "b"])(df.schema)
+    assert not AllValuesOfType("bigint")(df.schema)
+    assert AllValuesOfType("double", ["missing"])(df.schema) is False

@@ -176,6 +176,26 @@ class HasKeyWithPrefix(Condition):
         return {"prefix": self.prefix}
 
 
+class AllValuesOfType(Condition):
+    """Schema-level predicate (reference ``condition.py:173``): every listed
+    column (or every column, if none listed) has the given Spark SQL type.
+    Evaluate against a ``StructType`` (pass ``df.schema``) — the reference
+    inspected batch values at runtime; here the static schema answers the
+    same question at plan time."""
+
+    def __init__(self, type_name: str, keys: Optional[Sequence[str]] = None):
+        self.type_name = type_name
+        self.keys = list(keys) if keys is not None else None
+
+    def __call__(self, schema) -> bool:
+        fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        names = self.keys if self.keys is not None else list(fields)
+        return all(fields.get(n) == self.type_name for n in names)
+
+    def _params(self) -> dict:
+        return {"type_name": self.type_name, "keys": self.keys}
+
+
 def select_columns(columns: Sequence[str], cond: Optional[Condition]) -> list:
     """Apply a name condition to a column list (None = keep all)."""
     if cond is None:
