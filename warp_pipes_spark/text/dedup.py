@@ -81,6 +81,19 @@ def shingles_sql(text: str = "text", n: int = 3) -> str:
     )
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Repartition only when the input is drastically narrower than the
+    session's parallelism (e.g. a single-row-group parquet file read on a
+    32-core local session, which would run every Python kernel on one
+    core). A cluster reading many files/row-groups already has wide inputs
+    and skips the shuffle entirely."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 class ExactDedup(Pipe):
     """Exact duplicate groups by content column: ``groupBy(text)`` with
     count + min(doc_id) as the canonical representative. One shuffle; at
@@ -137,8 +150,10 @@ class NgramJaccardDedup(Pipe):
         self.persist = persist
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        docs = df.select(
-            F.col(self.id_col).alias("doc_id"),
+        docs = widen_partitions(
+            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
+        ).select(
+            "doc_id",
             shingles_udf(self.n)(F.col(self.text_col)).alias("shingles"),
         )
         if self.persist:
@@ -255,8 +270,10 @@ class MinHashDedup(Pipe):
         assert n_hashes % band_size == 0, "n_hashes must divide into bands"
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        docs = df.select(
-            F.col(self.id_col).alias("doc_id"),
+        docs = widen_partitions(
+            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
+        ).select(
+            "doc_id",
             shingles_udf(self.n)(F.col(self.text_col)).alias("shingles"),
         ).filter(F.size("shingles") > 0)
         if self.persist:
@@ -357,8 +374,10 @@ class SimHashDedup(Pipe):
 
         import numpy as np
 
-        toks = df.select(
-            F.col(self.id_col).alias("doc_id"),
+        toks = widen_partitions(
+            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
+        ).select(
+            "doc_id",
             F.array_distinct(tokens_expr(F.col(self.text_col))).alias("tokens"),
         ).filter(F.size("tokens") > 0)
         # token hashes stay JVM-side (xxhash64); the 64 per-bit majority
