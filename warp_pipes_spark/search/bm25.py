@@ -48,6 +48,7 @@ def build_inverted_index(
     from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
 
     tok_re = re.compile(TOKEN_SPLIT_RE)
+    from warp_pipes_spark.text.dedup import widen_partitions
 
     def kernel(batches):
         for pdf in batches:
@@ -72,7 +73,11 @@ def build_inverted_index(
                 {"term": terms, "doc_id": ids, "dl": dls, "tf": tfs}
             )
 
-    return corpus.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+    # widen single-row-group local reads so the Python kernel and every
+    # downstream stage (persist, df join, scoring) parallelize; no-op on
+    # cluster reads that are already wide
+    narrow = corpus.select(F.col(id_col).alias(id_col), text_col)
+    return widen_partitions(narrow).mapInPandas(
         kernel, "term string, doc_id long, dl int, tf long"
     )
 
