@@ -118,3 +118,21 @@ def test_group_lookup_round_trip(spark):
     assert all(r["score"] == 0.0 for r in by_q[100])
     # missing group -> single (-1, -inf) row
     assert [(r["idx"], r["score"]) for r in by_q[102]] == [(-1, float("-inf"))]
+
+
+def test_ivf_recall_against_exact(spark, vectors):
+    from warp_pipes_spark.ml.similarity import IvfCosineTopK
+
+    _, df = vectors
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = BruteForceCosineTopK(corpus=df, k=1, exclude_self=True)(queries)
+    approx = IvfCosineTopK(
+        corpus=df, k=5, n_centroids=8, n_probe=3, exclude_self=True
+    )(queries)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    cand = {}
+    for r in approx.collect():
+        cand.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in top1.items() if n in cand.get(q, set()))
+    # probing 3/8 cells must catch most true nearest neighbors
+    assert hits >= 0.6 * len(top1), f"IVF recall too low: {hits}/{len(top1)}"

@@ -294,6 +294,133 @@ class LshCosineTopK(Pipe):
         )
 
 
+class IvfCosineTopK(Pipe):
+    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    corpus into ``n_centroids`` cells; each query probes its ``n_probe``
+    nearest cells and exact-reranks only those candidates — the classic
+    faiss-IVF structure (reference ``warp_pipes/search/vector_base/faiss.py``)
+    re-expressed relationally:
+
+    - **train** (driver): seeded k-means over a deterministic hash-sampled
+      subset of corpus vectors (bounded; the standard IVF train path).
+    - **assign** (executors): one BLAS matmul per Arrow batch maps each row
+      to its nearest centroid -> an integer ``cell`` column.
+    - **search**: queries explode to their n_probe cells, broadcast-join
+      against the cell-partitioned corpus, exact cosine re-rank, window
+      top-k. The only wide operation is the candidate join on ``cell``.
+
+    Deterministic given ``seed`` (sampling uses xxhash64 of ids, k-means is
+    pure numpy)."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        k: int = 10,
+        n_centroids: int = 16,
+        n_probe: int = 4,
+        train_sample: int = 4096,
+        kmeans_iters: int = 10,
+        seed: int = 42,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        exclude_self: bool = True,
+        broadcast_queries: bool = True,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.k = k
+        self.n_centroids = n_centroids
+        self.n_probe = min(n_probe, n_centroids)
+        self.train_sample = train_sample
+        self.kmeans_iters = kmeans_iters
+        self.seed = seed
+        self.query_id = query_id
+        self.query_vec = query_vec
+        self.corpus_id = corpus_id
+        self.corpus_vec = corpus_vec
+        self.exclude_self = exclude_self
+        self.broadcast_queries = broadcast_queries
+
+    _no_fingerprint = ("corpus",)
+
+    def _train_centroids(self) -> np.ndarray:
+        """Seeded spherical k-means on a deterministic sample (driver-side;
+        sample is bounded by train_sample regardless of corpus size)."""
+        n = self.corpus.count()
+        step = max(1, n // self.train_sample)
+        sample = (
+            self.corpus.select(
+                F.col(self.corpus_id).alias("id"),
+                F.col(self.corpus_vec).cast("array<double>").alias("v"),
+            )
+            .filter(F.xxhash64(F.col("id")) % step == 0)
+            .limit(self.train_sample)
+            .collect()
+        )
+        X = np.array([r["v"] for r in sample], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.RandomState(self.seed)
+        C = X[rng.choice(len(X), size=min(self.n_centroids, len(X)), replace=False)]
+        for _ in range(self.kmeans_iters):
+            sims = X @ C.T
+            assign = sims.argmax(axis=1)
+            for j in range(len(C)):
+                members = X[assign == j]
+                if len(members):
+                    m = members.sum(axis=0)
+                    C[j] = m / (np.linalg.norm(m) or 1.0)
+        return C
+
+    def _cell_udf(self, centroids: np.ndarray, n_cells: int):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def cells(vecs):
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack(vecs.to_numpy()).astype(np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = V @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :n_cells]
+            return pd.Series(list(top.astype(np.int64)))
+
+        cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        return pandas_udf(cells, "array<long>")
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        centroids = self._train_centroids()
+        assign1 = self._cell_udf(centroids, 1)
+        probe = self._cell_udf(centroids, self.n_probe)
+        c = self.corpus.select(
+            F.col(self.corpus_id).alias("neighbor_id"),
+            F.col(self.corpus_vec).cast("array<double>").alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv")))
+        ce = c.withColumn("cell", assign1(F.col("cv"))[0])
+        q = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.col(self.query_vec).cast("array<double>").alias("qv"),
+        ).withColumn("qn", _norm(F.col("qv")))
+        qe = q.select("query_id", "qv", "qn", F.explode(probe(F.col("qv"))).alias("cell"))
+        if self.broadcast_queries:
+            qe = F.broadcast(qe)
+        cand = qe.join(ce, on="cell")
+        if self.exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        score = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        scored = cand.select(
+            "query_id", "neighbor_id", score.cast("decimal(18,6)").alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("query_id", "rank", "neighbor_id", "score")
+        )
+
+
 class CosinePairs(Pipe):
     """Embedding near-duplicate pairs: cosine(a, b) >= threshold, a < b.
     Exact O(n²) pair scan — bounded input or pre-bucketed input only; the

@@ -50,6 +50,7 @@ from warp_pipes_spark.ml.multimodal import (
 from warp_pipes_spark.ml.similarity import (
     BruteForceCosineTopK,
     CosinePairs,
+    IvfCosineTopK,
     LshCosineTopK,
 )
 from warp_pipes_spark.search.bm25 import Bm25Search, bm25_oracle_sql
@@ -619,6 +620,18 @@ def q39_lsh_topk(spark, sf):
     )(queries)
 
 
+def q47_ivf_topk(spark, sf):
+    """IVF ANN: seeded coarse k-means cells + n_probe cell join + exact
+    re-rank — the second scale path next to q39's LSH (faiss-IVF structure,
+    relational execution). Rows-only driver check (k-means training is not
+    SQL-expressible); recall vs exact is asserted in tests."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return IvfCosineTopK(
+        corpus=emb, k=5, n_centroids=16, n_probe=4, exclude_self=True
+    )(queries)
+
+
 def _media_payloads(spark, sf):
     """Documents' text re-encoded as opaque binary payloads: the multimodal
     column convention (payload binary + typed metadata) exercised on driver
@@ -838,6 +851,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n_name ORDER BY n_name"
     ),
+    "q47_ivf_topk": None,  # k-means cells; recall asserted in tests
 }
 
 
@@ -892,6 +906,7 @@ def _register():
         "q44_except": q44_except,
         "q45_part_stats": q45_part_stats,
         "q46_supplier_revenue": q46_supplier_revenue,
+        "q47_ivf_topk": q47_ivf_topk,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
