@@ -1,0 +1,45 @@
+"""Temporal join operators: edge semantics (equal-ts ties, no-match nulls,
+band boundaries). Catalog parity vs DuckDB ASOF/interval joins is covered
+by test_oracle_parity (q48/q49)."""
+
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin
+
+
+def _ts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_ties_and_missing(spark):
+    left = _ts_df(
+        spark,
+        [(1, 1, "2024-01-01T10:00:00"), (2, 1, "2024-01-01T09:00:00"), (3, 2, "2024-01-01T10:00:00")],
+        "eid long, user_id long, ts string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01T10:00:00", 7.0), (1, "2024-01-01T08:00:00", 5.0)],
+        "user_id long, ts string, v double",
+    )
+    out = {r["eid"]: r["v"] for r in AsOfJoin(right=right, on=["user_id"], right_cols=["v"])(left).collect()}
+    assert out[1] == 7.0  # equal ts matches (ts <= semantics)
+    assert out[2] == 5.0  # earlier left row sees only the earlier right row
+    assert out[3] is None  # user 2 has no right rows -> null
+
+
+def test_range_join_band_boundaries(spark):
+    left = _ts_df(spark, [(1, 1, "2024-01-01T10:00:00")], "lid long, user_id long, ts string")
+    right = _ts_df(
+        spark,
+        [
+            (10, 1, "2024-01-01T10:00:00"),  # at lo boundary -> in
+            (11, 1, "2024-01-01T11:00:00"),  # at hi boundary -> in
+            (12, 1, "2024-01-01T11:00:01"),  # past hi -> out
+            (13, 1, "2024-01-01T09:59:59"),  # before lo -> out
+            (14, 2, "2024-01-01T10:30:00"),  # other key -> out
+        ],
+        "rid long, user_id long, ts string",
+    )
+    out = RangeJoin(right=right, on=["user_id"], lo_seconds=0, hi_seconds=3600)(left)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11]

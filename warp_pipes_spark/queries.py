@@ -620,6 +620,48 @@ def q39_lsh_topk(spark, sf):
     )(queries)
 
 
+def q48_asof_join(spark, sf):
+    """As-of join: each click event picks up the value of the same user's
+    most recent view event (ts <= click ts). Union + carry-forward window:
+    one shuffle on user_id, no nested-loop. Oracle = DuckDB native ASOF
+    LEFT JOIN."""
+    from warp_pipes_spark.pipes.temporal import AsOfJoin
+
+    ev = T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vval"))
+    )
+    out = AsOfJoin(right=views, on=["user_id"], right_cols=["vval"])(clicks)
+    return out.select("event_id", "user_id", "ts", "vval")
+
+
+def q49_range_join(spark, sf):
+    """Banded range join: (click, view) pairs of the same user with the view
+    in the hour after the click. Time-bucketed equi-join + residual filter
+    (the interval-bucketing trick), not a non-equi nested loop."""
+    from warp_pipes_spark.pipes.temporal import RangeJoin
+
+    ev = T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = RangeJoin(
+        right=views, on=["user_id"], lo_seconds=0, hi_seconds=3600
+    )(clicks)
+    return out.select(
+        "click_id", "user_id", F.col("left_ts").alias("click_ts"), "view_id",
+        F.col("right_ts").alias("view_ts"),
+    )
+
+
 def q47_ivf_topk(spark, sf):
     """IVF ANN: seeded coarse k-means cells + n_probe cell join + exact
     re-rank — the second scale path next to q39's LSH (faiss-IVF structure,
@@ -852,6 +894,23 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "GROUP BY n_name ORDER BY n_name"
     ),
     "q47_ivf_topk": None,  # k-means cells; recall asserted in tests
+    "q48_asof_join": (
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "views AS (SELECT user_id, ts, MAX(value) AS vval FROM events "
+        "WHERE event_type = 'view' GROUP BY 1, 2) "
+        "SELECT c.event_id, c.user_id, c.ts, v.vval "
+        "FROM clicks c ASOF LEFT JOIN views v "
+        "ON c.user_id = v.user_id AND v.ts <= c.ts "
+        "ORDER BY c.event_id"
+    ),
+    "q49_range_join": (
+        "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, "
+        "v.event_id AS view_id, v.ts AS view_ts "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v "
+        "ON c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 3600 SECOND "
+        "ORDER BY click_id, view_id"
+    ),
 }
 
 
@@ -907,6 +966,8 @@ def _register():
         "q45_part_stats": q45_part_stats,
         "q46_supplier_revenue": q46_supplier_revenue,
         "q47_ivf_topk": q47_ivf_topk,
+        "q48_asof_join": q48_asof_join,
+        "q49_range_join": q49_range_join,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
