@@ -662,6 +662,28 @@ def q49_range_join(spark, sf):
     )
 
 
+def q50_cube(spark, sf):
+    """CUBE grouping sets (all subtotal combinations) over orders."""
+    o = T(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(D184)).cast(D184).alias("total"),
+    )
+
+
+def q51_sliding_window(spark, sf):
+    """Sliding event-time windows (1h window, 15m slide): each event lands
+    in 4 windows — the batch form of the streaming sliding aggregation
+    (F.window explodes to the overlapping windows; the oracle enumerates
+    the same 4 offsets)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def q47_ivf_topk(spark, sf):
     """IVF ANN: seeded coarse k-means cells + n_probe cell join + exact
     re-rank — the second scale path next to q39's LSH (faiss-IVF structure,
@@ -911,6 +933,22 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ON c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 3600 SECOND "
         "ORDER BY click_id, view_id"
     ),
+    "q50_cube": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+    "q51_sliding_window": (
+        "WITH offs AS (SELECT unnest(generate_series(0, 3)) AS k), "
+        "win AS (SELECT e.event_type, "
+        "  date_trunc('hour', e.ts - o.k * INTERVAL 15 MINUTE) "
+        "    + CAST(floor(extract(minute FROM e.ts - o.k * INTERVAL 15 MINUTE) / 15) AS INT) * INTERVAL 15 MINUTE "
+        "    AS window_start "
+        "FROM events e CROSS JOIN offs o) "
+        "SELECT window_start, event_type, COUNT(*) AS n FROM win "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
 }
 
 
@@ -968,6 +1006,8 @@ def _register():
         "q47_ivf_topk": q47_ivf_topk,
         "q48_asof_join": q48_asof_join,
         "q49_range_join": q49_range_join,
+        "q50_cube": q50_cube,
+        "q51_sliding_window": q51_sliding_window,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
