@@ -40,6 +40,11 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"
+        finally:
+            # operators persist intermediates (postings, shingle tables);
+            # release them between queries so later timings aren't skewed by
+            # accumulated storage-memory pressure
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "catalog_total_wall",
