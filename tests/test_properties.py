@@ -1,0 +1,94 @@
+"""Hypothesis property tests: random data/configs against independent
+oracles (the reference's test strategy, SURVEY §5, generalized beyond fixed
+parameter sweeps). max_examples is kept small — every example is a real
+Spark job."""
+
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.pipes.nesting import Flatten, Nest
+from warp_pipes_spark.pipes.passages import GeneratePassages
+from warp_pipes_spark.search.result import merge_results
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+ragged = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**SETTINGS)
+@given(data=ragged)
+def test_flatten_nest_round_trip(spark, data):
+    rows = [(i, arr) for i, arr in enumerate(data)]
+    df = spark.createDataFrame(rows, "row_id long, xs array<long>")
+    flat = Flatten("xs", level=1, keep_positions=True)(df)
+    back = Nest("xs", group_cols=["row_id"], order_col="xs__pos_0")(flat)
+    got = {r["row_id"]: r["xs"] for r in back.collect()}
+    # rows whose array was empty vanish on explode — the documented
+    # difference from the reference's dense layout
+    expected = {i: arr for i, arr in enumerate(data) if arr}
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=4),
+    size=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+def test_passage_ownership_random(spark, lengths, size, overlap):
+    stride = max(1, size - min(overlap, size - 1))
+    rows = [(i, list(range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<long>")
+    out = GeneratePassages(
+        token_col="input_ids", size=size, stride=stride, global_cols=["doc_id"]
+    )(df).collect()
+    owned = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["passage_idx"])):
+        owned[r["doc_id"]] += [
+            t for t, m in zip(r["input_ids"], r["passage_mask"]) if m == 1
+        ]
+    for i, n in enumerate(lengths):
+        assert owned[i] == list(range(n)), (
+            f"size={size} stride={stride} len={n}: {owned[i]}"
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-1, max_value=6),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+        ),
+        max_size=12,
+    ),
+    b=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-1, max_value=6),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+        ),
+        max_size=12,
+    ),
+)
+def test_merge_results_random_vs_dict_oracle(spark, a, b):
+    schema = "query_id long, idx long, score double"
+    da = spark.createDataFrame(a, schema) if a else spark.createDataFrame([], schema)
+    db = spark.createDataFrame(b, schema) if b else spark.createDataFrame([], schema)
+    got = {
+        (r["query_id"], r["idx"]): r["score"]
+        for r in merge_results(da, db).collect()
+    }
+    acc = defaultdict(float)
+    for q, i, s in [*a, *b]:
+        if i >= 0:  # -1 sentinels never acquire mass
+            acc[(q, i)] += s
+    assert got.keys() == acc.keys()
+    assert all(abs(got[k] - acc[k]) < 1e-9 for k in acc)
