@@ -184,3 +184,30 @@ def test_session_window_batch(spark):
     assert len(out) == 2
     sizes = sorted(r["n_events"] for r in out)
     assert sizes == [1, 2]
+
+
+def test_stream_parquet_sink_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once file sink: run to completion, stop, add data, restart
+    against the SAME checkpoint -> all rows exactly once, no duplicates."""
+    from warp_pipes_spark.streaming.events import write_stream_parquet
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME[:2], "b0.json")
+
+    def run_once():
+        stream = read_events_stream(spark, src).select("event_id", "user_id", "value")
+        q = write_stream_parquet(stream, sink, ckpt, trigger_once=True)
+        q.awaitTermination(60)
+
+    run_once()
+    got1 = {r["event_id"] for r in spark.read.parquet(sink).collect()}
+    assert got1 == {1, 2}
+
+    _write_batch(src, ROWS_ON_TIME[2:], "b1.json")
+    run_once()  # restart from the same checkpoint
+    rows = spark.read.parquet(sink).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4], f"duplicate or lost rows: {ids}"

@@ -3,6 +3,7 @@ from warp_pipes_spark.streaming.events import (
     session_windows,
     sliding_window_counts,
     tumbling_window_agg,
+    write_stream_parquet,
 )
 from warp_pipes_spark.streaming.stateful import stateful_sessions
 
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_window_counts",
     "session_windows",
     "stateful_sessions",
+    "write_stream_parquet",
 ]

@@ -35,6 +35,28 @@ def read_events_stream(
     )
 
 
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+    output_mode: str = "append",
+):
+    """Exactly-once parquet sink: the checkpoint directory tracks committed
+    source offsets + sink file manifest, so a crashed/restarted query
+    resumes without duplicating or losing data (the recovery test restarts
+    the query against the same checkpoint). Returns the StreamingQuery."""
+    w = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def tumbling_window_agg(
     events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
 ) -> DataFrame:
