@@ -79,3 +79,33 @@ def test_field_cols_windowed_coherently(spark):
 def test_stride_must_tile():
     with pytest.raises(ValueError, match="stride"):
         GeneratePassages(token_col="x", size=5, stride=6)
+
+
+def test_offsets_slice_text_back(spark):
+    """offset_mapping parity: token spans index the ORIGINAL text, and
+    carried through passages they recover each passage's source span
+    (reference GeneratePassages text slicing, passages.py:273-278)."""
+    from warp_pipes_spark.pipes.tokenizer import RegexTokenizer
+
+    rows = [(0, "Hello, world! This is a Test."), (1, "one two  three")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = RegexTokenizer(emit_offsets=True)(df)
+    for r in tok.collect():
+        text = r["text"]
+        assert len(r["offset_mapping"]) == len(r["tokens"])
+        for t, o in zip(r["tokens"], r["offset_mapping"]):
+            assert text[o["start"]:o["end"]].lower() == t
+
+    passages = GeneratePassages(
+        token_col="tokens",
+        size=3,
+        stride=2,
+        field_cols=["offset_mapping"],
+        global_cols=["doc_id", "text"],
+    )(tok.select("doc_id", "text", "tokens", "offset_mapping"))
+    for r in passages.collect():
+        span = r["text"][r["offset_mapping"][0]["start"]:r["offset_mapping"][-1]["end"]]
+        # the recovered span contains exactly this passage's tokens in order
+        import re
+        toks = [x for x in re.split("[^a-z]+", span.lower()) if x]
+        assert toks == list(r["tokens"])

@@ -35,6 +35,7 @@ class RegexTokenizer(Pipe):
         prefix: str = "",
         pattern: str = TOKEN_SPLIT_RE,
         lowercase: bool = True,
+        emit_offsets: bool = False,
         **kwargs,
     ):
         kwargs.setdefault("update", True)
@@ -43,17 +44,53 @@ class RegexTokenizer(Pipe):
         self.prefix = prefix
         self.pattern = pattern
         self.lowercase = lowercase
+        self.emit_offsets = emit_offsets
+
+    def _offsets_udf(self):
+        """Character [start, end) spans of each token in the ORIGINAL text
+        (the reference's ``offset_mapping``, which GeneratePassages uses to
+        slice source text back out of token windows)."""
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        pattern = re.compile(self.pattern)
+        lowercase = self.lowercase
+
+        def offsets(texts):
+            out = []
+            for t in texts:
+                s = t.lower() if lowercase else t
+                spans = []
+                pos = 0
+                for m in pattern.finditer(s):
+                    if m.start() > pos:
+                        spans.append((pos, m.start()))
+                    pos = m.end()
+                if pos < len(s):
+                    spans.append((pos, len(s)))
+                out.append([{"start": a, "end": b} for a, b in spans])
+            return pd.Series(out)
+
+        offsets.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        return pandas_udf(offsets, "array<struct<start:int,end:int>>")
 
     def _columns(self, df: DataFrame, **kwargs):
         text = F.col(self.text_col)
         if self.lowercase:
             text = F.lower(text)
         toks = F.filter(F.split(text, self.pattern), lambda t: F.length(t) > 0)
-        return {
+        cols = {
             f"{self.prefix}tokens": toks,
             f"{self.prefix}input_ids": F.transform(toks, lambda t: F.xxhash64(t)),
             f"{self.prefix}attention_mask": F.transform(toks, lambda t: F.lit(1)),
         }
+        if self.emit_offsets:
+            cols[f"{self.prefix}offset_mapping"] = self._offsets_udf()(
+                F.col(self.text_col)
+            )
+        return cols
 
 
 class HFTokenizer(Pipe):
