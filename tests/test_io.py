@@ -50,3 +50,41 @@ def test_row_id_natural_key(spark):
 def test_row_id_assigned_unique(spark):
     df = with_row_id(spark.range(1000).select(F.col("id").alias("x")))
     assert df.select("row_id").distinct().count() == 1000
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join without an Exchange (shuffle) on either side."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from warp_pipes_spark.io import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    write_bucketed(orders, "wps_orders_b", "o_custkey", n_buckets=8)
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "wps_cust_b",
+        "o_custkey", n_buckets=8,
+    )
+    o = spark.table("wps_orders_b")
+    c = spark.table("wps_cust_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(c, on="o_custkey")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it actually computes the right thing
+        expected = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS wps_orders_b")
+        spark.sql("DROP TABLE IF EXISTS wps_cust_b")

@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse (bucketed tables) kept out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/wps-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/wps-derby"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
