@@ -662,6 +662,16 @@ def q49_range_join(spark, sf):
     )
 
 
+def q52_fingerprint_dedup(spark, sf):
+    """Exact dedup keyed on the 64-bit rolling-hash fingerprint instead of
+    the raw text — at 100 TB this cuts the dedup shuffle width from
+    document size to 8 bytes (the scale path noted on ExactDedup; collision
+    probability is negligible at these cardinalities and a candidate
+    verification join restores exactness when required)."""
+    docs = DocFingerprint()(T(spark, sf, "documents"))
+    return ExactDedup(key_col="doc_fp", min_copies=2)(docs)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -933,6 +943,11 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ON c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 3600 SECOND "
         "ORDER BY click_id, view_id"
     ),
+    "q52_fingerprint_dedup": (
+        f"WITH fp AS (SELECT doc_id, {doc_fingerprint_sql()} AS doc_fp FROM documents) "
+        "SELECT doc_fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id "
+        "FROM fp GROUP BY doc_fp HAVING COUNT(*) >= 2 ORDER BY doc_fp"
+    ),
     "q50_cube": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total "
@@ -1008,6 +1023,7 @@ def _register():
         "q49_range_join": q49_range_join,
         "q50_cube": q50_cube,
         "q51_sliding_window": q51_sliding_window,
+        "q52_fingerprint_dedup": q52_fingerprint_dedup,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
