@@ -20,7 +20,9 @@ from warp_pipes_spark.pipes.pipelines import (
     PipeProcessError,
     Sequential,
 )
+from warp_pipes_spark.pipes.grouped import GroupedApply
 from warp_pipes_spark.pipes.pprint import PrintBatch, PrintContent
+from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin
 
 __all__ = [
     "Identity",
@@ -43,4 +45,7 @@ __all__ = [
     "PipeProcessError",
     "PrintBatch",
     "PrintContent",
+    "GroupedApply",
+    "AsOfJoin",
+    "RangeJoin",
 ]
