@@ -85,12 +85,18 @@ class BruteForceCosineTopK(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         if self.strategy == "pandas":
             return self._transform_pandas(df)
+        from warp_pipes_spark.text.dedup import widen_partitions
+
         # norms precomputed per ROW, not per pair — numerically identical
         # (same fold order / sqrt / multiply / divide) but 1/3 of the
-        # join-side flops
-        q = df.select(
-            F.col(self.query_id).alias("query_id"),
-            F.col(self.query_vec).cast("array<double>").alias("qv"),
+        # join-side flops; the query side is widened because the cross-join
+        # inherits its partitioning (a single-row-group local read would
+        # score every pair on one core)
+        q = widen_partitions(
+            df.select(
+                F.col(self.query_id).alias("query_id"),
+                F.col(self.query_vec).cast("array<double>").alias("qv"),
+            )
         ).withColumn("qn", _norm(F.col("qv")))
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
@@ -439,9 +445,13 @@ class CosinePairs(Pipe):
         self.threshold = threshold
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        base = df.select(
-            F.col(self.id_col).alias("id"),
-            F.col(self.vec_col).cast("array<double>").alias("v"),
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        base = widen_partitions(
+            df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vec_col).cast("array<double>").alias("v"),
+            )
         ).withColumn("n", _norm(F.col("v")))
         a = base.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
