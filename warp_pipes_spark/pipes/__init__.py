@@ -20,6 +20,7 @@ from warp_pipes_spark.pipes.pipelines import (
     PipeProcessError,
     Sequential,
 )
+from warp_pipes_spark.pipes.datasets import TakeSubset, concat_columns, concat_rows
 from warp_pipes_spark.pipes.grouped import GroupedApply
 from warp_pipes_spark.pipes.pprint import PrintBatch, PrintContent
 from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin
@@ -48,4 +49,7 @@ __all__ = [
     "GroupedApply",
     "AsOfJoin",
     "RangeJoin",
+    "TakeSubset",
+    "concat_rows",
+    "concat_columns",
 ]
