@@ -789,10 +789,6 @@ def q46_supplier_revenue(spark, sf):
     )
 
 
-def _jaccard_oracle(threshold, n):
-    return ngram_jaccard_sql(n=n, threshold=threshold)
-
-
 ORACLES_EXT: Dict[str, Optional[str]] = {
     "q21_sessionize": (
         "WITH g AS (SELECT user_id, ts, "
