@@ -136,3 +136,21 @@ def test_ivf_recall_against_exact(spark, vectors):
     hits = sum(1 for q, n in top1.items() if n in cand.get(q, set()))
     # probing 3/8 cells must catch most true nearest neighbors
     assert hits >= 0.6 * len(top1), f"IVF recall too low: {hits}/{len(top1)}"
+
+
+def test_bm25_temperature_scales_scores(spark):
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana cherry"), (1, "apple apple pie"), (2, "dog cat")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    base = {r["idx"]: float(r["score"]) for r in Bm25Search(corpus=docs, k=3)(q).collect()}
+    halved = {
+        r["idx"]: float(r["score"])
+        for r in Bm25Search(corpus=docs, k=3, temperature=2.0)(q).collect()
+    }
+    assert base.keys() == halved.keys()
+    for i in base:
+        assert abs(halved[i] - base[i] / 2.0) < 1e-5

@@ -104,6 +104,7 @@ class Bm25Search(Pipe):
         corpus_filter_key: str | None = None,
         k1: float = K1,
         b: float = B,
+        temperature: float = 1.0,
         broadcast_queries: bool = True,
         persist: bool = True,
         **kwargs,
@@ -121,6 +122,9 @@ class Bm25Search(Pipe):
         self.corpus_filter_key = corpus_filter_key or filter_key
         self.k1 = k1
         self.b = b
+        # reference parity: ES scores divided by temperature
+        # (warp_pipes/search/elasticsearch.py:289-292)
+        self.temperature = temperature
         self.broadcast_queries = broadcast_queries
         self.persist = persist
 
@@ -201,6 +205,11 @@ class Bm25Search(Pipe):
         for p in parts[1:]:
             all_terms = all_terms.unionByName(p)
         scores = all_terms.groupBy("query_id", "idx").agg(F.sum("ts").alias("score"))
+        if self.temperature != 1.0:
+            scores = scores.withColumn(
+                "score",
+                (F.col("score") / F.lit(self.temperature)).cast("decimal(18,6)"),
+            )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
         return (
             scores.withColumn("rank", F.row_number().over(w))
