@@ -92,3 +92,28 @@ def test_merge_results_random_vs_dict_oracle(spark, a, b):
             acc[(q, i)] += s
     assert got.keys() == acc.keys()
     assert all(abs(got[k] - acc[k]) < 1e-9 for k in acc)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Zs", "Po")),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_shingle_udf_equals_expression(spark, texts):
+    """The vectorized shingle kernel must be byte-identical to the Catalyst
+    expression form (same regex, same first-occurrence dedup order)."""
+    from warp_pipes_spark.text.dedup import shingles_expr, shingles_udf
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("sh")).collect()}
+    udf = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", shingles_udf(3)(F.col("text")).alias("sh")).collect()}
+    assert expr == udf
