@@ -158,3 +158,21 @@ def test_all_values_of_type_condition(spark):
     assert not AllValuesOfType("bigint", ["a", "b"])(df.schema)
     assert not AllValuesOfType("bigint")(df.schema)
     assert AllValuesOfType("double", ["missing"])(df.schema) is False
+
+
+def test_ngram_jaccard_prefix_filter_equals_full_join(spark):
+    """AllPairs prefix filtering must produce exactly the full self-join's
+    result set (it is a lossless candidate pruning, not an approximation)."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.text.dedup import NgramJaccardDedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = sorted(
+        tuple(r)
+        for r in NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=False)(docs).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=True)(docs).collect()
+    )
+    assert full == pref

@@ -138,6 +138,7 @@ class NgramJaccardDedup(Pipe):
         n: int = 3,
         threshold: float = 0.5,
         max_df: Optional[int] = None,
+        prefix_filter: bool = True,
         persist: bool = True,
         **kwargs,
     ):
@@ -147,6 +148,7 @@ class NgramJaccardDedup(Pipe):
         self.n = n
         self.threshold = threshold
         self.max_df = max_df
+        self.prefix_filter = prefix_filter
         self.persist = persist
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
@@ -170,6 +172,9 @@ class NgramJaccardDedup(Pipe):
                 inv.join(df_counts.filter(F.col("df") <= self.max_df), "shingle")
                 .select("doc_id", "shingle")
             )
+        if self.prefix_filter:
+            pairs = self._candidates_prefix(inv, sizes)
+            return self._verify_pairs(pairs, docs)
         a = inv.alias("a")
         b = inv.alias("b")
         pair_inter = (
@@ -194,6 +199,60 @@ class NgramJaccardDedup(Pipe):
             .select("doc_a", "doc_b", "n_common", "jaccard")
         )
         return out
+
+    def _candidates_prefix(self, inv: DataFrame, sizes: DataFrame) -> DataFrame:
+        """AllPairs/PPJoin prefix filtering (exact): under a global
+        (df, shingle) order, any pair with jaccard >= t shares a shingle
+        within each doc's first ``|d| - ceil(t*|d|) + 1`` shingles (because
+        J >= t implies overlap >= ceil(t*|d|) for both docs). Joining
+        prefix x prefix therefore loses no qualifying pair while shrinking
+        the self-join quadratically — rare shingles sort first, so prefixes
+        land in low-df postings."""
+        from pyspark.sql import Window
+
+        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            inv.join(df_counts, "shingle")
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "shingle")
+                ),
+            )
+            .join(sizes, "doc_id")
+        )
+        prefix_len = (
+            F.col("n_shingles")
+            - F.ceil(F.lit(self.threshold) * F.col("n_shingles"))
+            + 1
+        )
+        prefix = ranked.where(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        return (
+            a.join(b, on="shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    def _verify_pairs(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
+        da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        return (
+            pairs.join(da, "doc_a")
+            .join(db, "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double")
+                ).cast("decimal(18,6)"),
+            )
+            .filter(F.col("jaccard") >= F.lit(self.threshold))
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
 
 
 def ngram_jaccard_sql(
