@@ -674,6 +674,20 @@ def q52_fingerprint_dedup(spark, sf):
     return ExactDedup(key_col="doc_fp", min_copies=2)(docs)
 
 
+def q53_sketches(spark, sf):
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
+    counts and approximate percentiles in one pass over lineitem — constant
+    memory per group vs exact distinct/sort. Rows-only driver check
+    (sketch internals differ across engines); accuracy vs exact values is
+    tolerance-tested in the suite."""
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -902,6 +916,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ORDER BY doc_id, frame_idx"
     ),
     "q42_decode_features": None,  # mapInPandas fake-decode; not SQL-expressible
+    "q53_sketches": None,  # sketch internals are engine-specific; tolerance-tested
     "q43_bm25_filtered": bm25_oracle_sql(
         "documents", BM25F_QUERIES_CTE, k=10, aux_weight=0.5, filter_col="lang"
     ),
@@ -1022,6 +1037,7 @@ def _register():
         "q50_cube": q50_cube,
         "q51_sliding_window": q51_sliding_window,
         "q52_fingerprint_dedup": q52_fingerprint_dedup,
+        "q53_sketches": q53_sketches,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
