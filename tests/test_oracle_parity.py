@@ -31,8 +31,11 @@ def _duck(sf_dir: str, sql: str):
 
 
 def _norm_cell(v):
+    # Decimals are tagged, NOT collapsed to float: the driver's value hash
+    # distinguishes Decimal from float, so the local harness must too —
+    # catalog queries emit DOUBLE for every fractional output column.
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return f"dec:{v.normalize()}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -74,3 +77,15 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_decimal_output_columns(spark, sf_dir, name):
+    """The driver's value hash canonicalizes Decimal and float differently
+    across engines; every fractional output column must be DOUBLE (decimal
+    rounding is allowed internally, never in the final schema)."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name].fn(spark, sf_dir).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)]
+    assert not bad, f"{name}: DECIMAL output columns {bad} (cast to double)"

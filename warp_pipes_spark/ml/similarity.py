@@ -114,10 +114,17 @@ class BruteForceCosineTopK(Pipe):
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("neighbor_id")
         )
+        # rank on the DECIMAL-rounded score (engine-agnostic order), emit
+        # DOUBLE so both engines hand the driver the same float64
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
-            .select("query_id", "rank", "neighbor_id", "score")
+            .select(
+                "query_id",
+                "rank",
+                "neighbor_id",
+                F.col("score").cast("double").alias("score"),
+            )
         )
 
     def _transform_pandas(self, df: DataFrame) -> DataFrame:
@@ -296,7 +303,12 @@ class LshCosineTopK(Pipe):
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
-            .select("query_id", "rank", "neighbor_id", "score")
+            .select(
+                "query_id",
+                "rank",
+                "neighbor_id",
+                F.col("score").cast("double").alias("score"),
+            )
         )
 
 
@@ -423,7 +435,12 @@ class IvfCosineTopK(Pipe):
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
-            .select("query_id", "rank", "neighbor_id", "score")
+            .select(
+                "query_id",
+                "rank",
+                "neighbor_id",
+                F.col("score").cast("double").alias("score"),
+            )
         )
 
 
@@ -468,4 +485,5 @@ class CosinePairs(Pipe):
                 cosine.cast("decimal(18,6)").alias("cosine"),
             )
             .filter(F.col("cosine") >= F.lit(self.threshold))
+            .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
         )

@@ -5,8 +5,12 @@ operator library) with an ANSI-SQL DuckDB oracle over the same parquet
 tables. Column names and types are aligned on both sides so the driver's
 order-insensitive value-hash comparison passes bit-for-bit: monetary/float
 aggregates are cast to DECIMAL **before** summation (order-independent),
-counts/lengths are cast to matching integer widths, and every computed
-column is aliased identically.
+then the FINAL output column is cast to DOUBLE on both sides — the decimal
+step pins the value regardless of aggregation order, the double step makes
+both engines hand the driver the same float64 (decimal renderings differ
+between engines; doubles do not, because decimal->double is correctly
+rounded in both). Counts/lengths are cast to matching integer widths, and
+every computed column is aliased identically.
 
 The catalog is the engine's public regression surface: each query exercises
 one operator-inventory row (scan/project/filter/agg/join/window/set-op/
@@ -94,7 +98,11 @@ def q02_rename(spark, sf):
 def q03_filter_math(spark, sf):
     li = T(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
     pipe = Apply(
-        {"net": (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D184)}
+        {
+            "net": (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(D184)
+            .cast("double")
+        }
     )
     return pipe(li).select("l_orderkey", "l_linenumber", "net")
 
@@ -105,7 +113,10 @@ def q04_group_agg(spark, sf):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_extendedprice").cast(D184)).cast(D184).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast(D184))
+            .cast(D184)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -138,7 +149,12 @@ def q07_multijoin(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(F.col("o_totalprice").cast(D184)).cast(D184).alias("rev"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(D184))
+            .cast(D184)
+            .cast("double")
+            .alias("rev")
+        )
     )
 
 
@@ -172,7 +188,10 @@ def q11_window_running(spark, sf):
     )
     return (
         T(spark, sf, "events")
-        .withColumn("cum_value", F.sum(F.col("value").cast(D184)).over(w).cast(D184))
+        .withColumn(
+            "cum_value",
+            F.sum(F.col("value").cast(D184)).over(w).cast(D184).cast("double"),
+        )
         .select("user_id", "event_id", "cum_value")
     )
 
@@ -234,7 +253,7 @@ def q17_date_trunc(spark, sf):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(D184)).cast(D184).alias("v"),
+            F.sum(F.col("value").cast(D184)).cast(D184).cast("double").alias("v"),
         )
     )
 
@@ -274,12 +293,12 @@ ORACLES_RELATIONAL: Dict[str, str] = {
     "q02_rename": 'SELECT c_custkey AS "customer.id", c_mktsegment AS "customer.segment" FROM customer ORDER BY 1',
     "q03_filter_math": (
         "SELECT l_orderkey, l_linenumber, "
-        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net "
+        "CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS net "
         "FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber"
     ),
     "q04_group_agg": (
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price "
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price "
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "q05_distinct_agg": (
@@ -291,7 +310,7 @@ ORACLES_RELATIONAL: Dict[str, str] = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1 ORDER BY 1"
     ),
     "q07_multijoin": (
-        "SELECT r.r_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev "
+        "SELECT r.r_name, CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS rev "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1"
@@ -311,9 +330,9 @@ ORACLES_RELATIONAL: Dict[str, str] = {
         "FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk"
     ),
     "q11_window_running": (
-        "SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+        "SELECT user_id, event_id, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cum_value "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cum_value "
         "FROM events ORDER BY user_id, event_id"
     ),
     "q12_lag": (
@@ -340,7 +359,7 @@ ORACLES_RELATIONAL: Dict[str, str] = {
     ),
     "q17_date_trunc": (
         "SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, event_type, COUNT(*) AS n, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS v "
         "FROM events GROUP BY 1, 2 ORDER BY d, event_type"
     ),
     "q18_case_agg": (
@@ -390,7 +409,7 @@ def q22_tumbling_window(spark, sf):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(D184)).cast(D184).alias("v"),
+            F.sum(F.col("value").cast(D184)).cast(D184).cast("double").alias("v"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "v")
     )
@@ -581,9 +600,7 @@ def q37_index_rerank(spark, sf):
         k=5,
     )
     out = idx(_bm25_queries(spark, sf))
-    return out.select(
-        "query_id", "rank", "idx", F.col("score").cast(D186).alias("score")
-    )
+    return out.select("query_id", "rank", "idx", "score")
 
 
 def q38_merge_scores(spark, sf):
@@ -606,7 +623,7 @@ def q38_merge_scores(spark, sf):
     merged = merge_results(cos, bonus)
     out = topk_results(merged, 3)
     return out.select(
-        "query_id", "rank", "idx", F.col("score").cast(D186).alias("score")
+        "query_id", "rank", "idx", F.col("score").cast(D186).cast("double").alias("score")
     )
 
 
@@ -693,7 +710,7 @@ def q50_cube(spark, sf):
     o = T(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast(D184)).cast(D184).alias("total"),
+        F.sum(F.col("o_totalprice").cast(D184)).cast(D184).cast("double").alias("total"),
     )
 
 
@@ -785,7 +802,10 @@ def q45_part_stats(spark, sf):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.col("p_retailprice").cast(D184)).cast(D184).alias("avg_price"),
+            F.avg(F.col("p_retailprice").cast(D184))
+            .cast(D184)
+            .cast("double")
+            .alias("avg_price"),
         )
     )
 
@@ -801,7 +821,7 @@ def q46_supplier_revenue(spark, sf):
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(net).cast(D184).alias("rev"))
+        .agg(F.sum(net).cast(D184).cast("double").alias("rev"))
     )
 
 
@@ -815,7 +835,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     ),
     "q22_tumbling_window": (
         "SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, COUNT(*) AS n, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS v "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "q23_token_count": (
@@ -845,14 +865,14 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ranked AS (SELECT query_id, neighbor_id, score, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank "
         "FROM scored) "
-        "SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5 "
-        "ORDER BY query_id, rank"
+        "SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score "
+        "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"
     ),
     "q31_cosine_pairs": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "CAST(list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(18,6)) AS cosine "
+        "CAST(CAST(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(18,6)) AS DOUBLE) AS cosine "
         "FROM e a JOIN e b ON a.vec_id < b.vec_id "
         "WHERE CAST(list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(18,6)) >= 0.30 "
@@ -901,7 +921,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "merged AS (SELECT query_id, idx, SUM(score) AS score FROM unioned GROUP BY 1, 2), "
         "ranked AS (SELECT query_id, idx, score, "
         "  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS INTEGER) AS rank FROM merged) "
-        "SELECT query_id, rank, idx, CAST(score AS DECIMAL(18,6)) AS score "
+        "SELECT query_id, rank, idx, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score "
         "FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"
     ),
     "q39_lsh_topk": None,  # seeded-numpy LSH buckets; recall asserted in tests
@@ -928,12 +948,12 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     ),
     "q45_part_stats": (
         "SELECT p_brand, COUNT(*) AS n, "
-        "CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_price "
+        "CAST(CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price "
         "FROM part WHERE p_type LIKE '%M%' GROUP BY p_brand ORDER BY p_brand"
     ),
     "q46_supplier_revenue": (
-        "SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
-        "AS DECIMAL(18,4)) AS rev "
+        "SELECT n_name, CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DECIMAL(18,4)) AS DOUBLE) AS rev "
         "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n_name ORDER BY n_name"
@@ -963,7 +983,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     ),
     "q50_cube": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total "
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total "
         "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
         "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
     ),

@@ -211,6 +211,8 @@ class Bm25Search(Pipe):
                 (F.col("score") / F.lit(self.temperature)).cast("decimal(18,6)"),
             )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
+        # rank on the DECIMAL score (order-stable), emit DOUBLE (identical
+        # float64 across engines — the decimal rendering is not)
         return (
             scores.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
@@ -218,7 +220,7 @@ class Bm25Search(Pipe):
                 "query_id",
                 "rank",
                 "idx",
-                F.col("score").cast("decimal(18,6)").alias("score"),
+                F.col("score").cast("decimal(18,6)").cast("double").alias("score"),
             )
         )
 
@@ -293,7 +295,8 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS rank
   FROM scores
 )
-SELECT query_id, CAST(rank AS INTEGER) AS rank, idx, CAST(score AS DECIMAL(18,6)) AS score
+SELECT query_id, CAST(rank AS INTEGER) AS rank, idx,
+       CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """

@@ -81,8 +81,9 @@ def token_count_sql(text: str = "text") -> str:
 
 class QualityScore(Pipe):
     """Deterministic quality features: char count, token count, mean token
-    length, punctuation ratio. Ratios are cast to DECIMAL(18,6) so the
-    DuckDB differential oracle matches exactly (no float-order ambiguity)."""
+    length, punctuation ratio. Ratios are rounded through DECIMAL(18,6)
+    (engine-agnostic value) then emitted as DOUBLE so the driver's value
+    hash canonicalizes identically across engines."""
 
     def __init__(self, text_col: str = "text", **kwargs):
         kwargs.setdefault("update", True)
@@ -105,11 +106,13 @@ class QualityScore(Pipe):
             )
             .otherwise(F.lit(0.0))
             .cast("decimal(18,6)")
+            .cast("double")
         )
         punct_ratio = (
             F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double"))
             .otherwise(F.lit(0.0))
             .cast("decimal(18,6)")
+            .cast("double")
         )
         return {
             "q_chars": n_chars.cast("int"),
@@ -125,14 +128,14 @@ def quality_sql(text: str = "text") -> Dict[str, str]:
         "q_chars": f"CAST(length({text}) AS INTEGER)",
         "q_tokens": f"CAST(len({toks}) AS INTEGER)",
         "q_mean_tok_len": (
-            f"CAST(CASE WHEN len({toks}) > 0 THEN "
+            f"CAST(CAST(CASE WHEN len({toks}) > 0 THEN "
             f"list_sum(list_transform({toks}, t -> length(t))) / CAST(len({toks}) AS DOUBLE) "
-            f"ELSE 0.0 END AS DECIMAL(18,6))"
+            f"ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE)"
         ),
         "q_punct_ratio": (
-            f"CAST(CASE WHEN length({text}) > 0 THEN "
+            f"CAST(CAST(CASE WHEN length({text}) > 0 THEN "
             f"CAST(length({text}) - length(translate({text}, '{PUNCT_CHARS}', '')) AS DOUBLE)"
-            f" / CAST(length({text}) AS DOUBLE) ELSE 0.0 END AS DECIMAL(18,6))"
+            f" / CAST(length({text}) AS DOUBLE) ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE)"
         ),
     }
 

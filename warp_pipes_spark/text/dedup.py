@@ -196,7 +196,12 @@ class NgramJaccardDedup(Pipe):
                 ).cast("decimal(18,6)"),
             )
             .filter(F.col("jaccard") >= F.lit(self.threshold))
-            .select("doc_a", "doc_b", "n_common", "jaccard")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                F.col("jaccard").cast("double").alias("jaccard"),
+            )
         )
         return out
 
@@ -251,7 +256,12 @@ class NgramJaccardDedup(Pipe):
                 ).cast("decimal(18,6)"),
             )
             .filter(F.col("jaccard") >= F.lit(self.threshold))
-            .select("doc_a", "doc_b", "n_common", "jaccard")
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                F.col("jaccard").cast("double").alias("jaccard"),
+            )
         )
 
 
@@ -286,8 +296,8 @@ WITH docs AS (
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b, p.n_common,
-       CAST(p.n_common / CAST(sa.n_shingles + sb.n_shingles - p.n_common AS DOUBLE)
-            AS DECIMAL(18,6)) AS jaccard
+       CAST(CAST(p.n_common / CAST(sa.n_shingles + sb.n_shingles - p.n_common AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
 FROM pair_inter p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
@@ -398,7 +408,7 @@ class MinHashDedup(Pipe):
                 ).cast("decimal(18,6)"),
             )
             .filter(F.col("jaccard") >= F.lit(self.threshold))
-            .select("doc_a", "doc_b", "jaccard")
+            .select("doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard"))
         )
         return verified
 
