@@ -75,17 +75,54 @@ def fingerprint_path(path: str) -> str:
     inputs; O(#files), never scans data (100 TB-safe)."""
     entries = []
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # os.walk yields directories in filesystem order, which varies
+            # across machines; sort in place so traversal (and therefore the
+            # hash) is deterministic for identical snapshots
+            dirs.sort()
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 entries.append((os.path.relpath(p, path), st.st_size, int(st.st_mtime)))
+        entries.sort()
     elif os.path.exists(path):
         st = os.stat(path)
         entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
     else:
         entries.append(("__missing__", path, 0))
     return fingerprint_struct(entries)
+
+
+def fingerprint_dataframe(df: Any) -> str:
+    """Cross-session-stable fingerprint of a DataFrame's *contents as
+    declared by its plan*: the canonicalized analyzed-plan string (exprIds
+    stripped — they are session-assigned) plus per-file (path, size, mtime)
+    stats of the plan's inputs (part filenames change on rewrite, so an
+    overwritten source changes the key). ``DataFrame.semanticHash()`` is NOT
+    stable across JVMs (observed: same read, different hash), so it is used
+    only for in-memory relations, which cannot outlive the session anyway."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        import re
+
+        canon = re.sub(r"#\d+L?", "#", plan)
+    except Exception:  # Spark Connect or API change: session-scoped fallback
+        canon = None
+    files = sorted(df.inputFiles())
+    stats = []
+    for f in files:
+        local = f[len("file://"):] if f.startswith("file://") else f
+        try:
+            st = os.stat(local)
+            stats.append((f, st.st_size, int(st.st_mtime)))
+        except OSError:  # non-local FS: the name alone still keys rewrites
+            stats.append((f, -1, -1))
+    struct: dict = {"plan": canon, "files": stats}
+    if not files or canon is None:
+        # in-memory relation (plan strings may truncate local data): fall
+        # back to the plan-identity hash, valid within this session only
+        struct["semantic"] = df.semanticHash()
+    return fingerprint_struct(struct)
 
 
 def combine_fingerprints(*fps: str) -> str:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from warp_pipes_spark.core.fingerprint import (
     combine_fingerprints,
+    fingerprint_dataframe,
     fingerprint_path,
     get_fingerprint,
 )
@@ -73,8 +74,9 @@ class CachedPipe(Pipe):
     (mirrors ``Pipe._call_dataset``'s new_fingerprint machinery).
 
     ``input_fingerprint``: pass the source snapshot fingerprint
-    (``fingerprint_path(dir)``) when known; defaults to a plan-based hash of
-    the input DataFrame (valid within a session)."""
+    (``fingerprint_path(dir)``) when known; defaults to
+    ``fingerprint_dataframe`` (canonicalized plan + source file stats —
+    cross-session stable for file-backed inputs)."""
 
     def __init__(self, pipe: Pipe, manager: CacheManager, input_fingerprint: Optional[str] = None, **kwargs):
         super().__init__(**kwargs)
@@ -85,7 +87,7 @@ class CachedPipe(Pipe):
     _no_fingerprint = ("manager",)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        input_fp = self.input_fingerprint or str(df.semanticHash())
+        input_fp = self.input_fingerprint or fingerprint_dataframe(df)
         fp = combine_fingerprints(input_fp, self.pipe.fingerprint)
         return self.manager.get_or_compute(
             df.sparkSession,

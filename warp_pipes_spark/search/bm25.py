@@ -20,15 +20,23 @@ deterministic re-runs at any parallelism).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from warp_pipes_spark.core.fingerprint import get_fingerprint
 from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
 
 K1 = 1.2
 B = 0.75
+
+
+def _default_index_cache_dir() -> str:
+    return os.path.join(tempfile.gettempdir(), "warp_pipes_spark_bm25_index")
 
 
 def build_inverted_index(
@@ -107,6 +115,8 @@ class Bm25Search(Pipe):
         temperature: float = 1.0,
         broadcast_queries: bool = True,
         persist: bool = True,
+        index_cache_dir: str | None = None,
+        materialize_index: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -127,11 +137,98 @@ class Bm25Search(Pipe):
         self.temperature = temperature
         self.broadcast_queries = broadcast_queries
         self.persist = persist
+        self.materialize_index = materialize_index
+        self.index_cache_dir = index_cache_dir or _default_index_cache_dir()
 
-    _no_fingerprint = ("corpus",)
+    _no_fingerprint = ("corpus", "index_cache_dir")
 
     def _postings(self) -> DataFrame:
         return build_inverted_index(self.corpus, self.corpus_id, self.corpus_text)
+
+    def _index_fingerprint(self) -> str:
+        """Content key for the materialized index: the corpus plan + source
+        file stats (``fingerprint_dataframe``, cross-session stable) plus the
+        tokenization-relevant constructor args. Index-once-query-many is the
+        reference's core ES capability (``warp_pipes/search/index.py:148-156``:
+        build once, every query batch reuses it)."""
+        from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
+        return get_fingerprint(
+            {
+                "op": "bm25_index_v2",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "text": self.corpus_text,
+                # per-posting scores are baked at build time, so the ranking
+                # constants are part of the index identity
+                "k1": self.k1,
+                "b": self.b,
+            }
+        )
+
+    def _index(self) -> DataFrame:
+        """Scored postings ``(term, doc_id, score_d)`` — the per-posting BM25
+        term score is baked at BUILD time (idf, length norm and the k1/b
+        constants are all per-corpus), so a query batch is only
+        broadcast-join → weight-multiply → sum → window: no stats join, no
+        per-candidate idf/norm math at query time. Served from a
+        fingerprint-keyed Parquet cache so repeated query batches (and other
+        ``Bm25Search`` instances over the same corpus) never re-tokenize the
+        corpus. At cluster scale point ``index_cache_dir`` at shared storage
+        and the postings become the written, term-partitioned artifact every
+        executor reads locally."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        spark = self.corpus.sparkSession
+        if not self.materialize_index:
+            postings = self._postings()
+            if self.persist:
+                postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+            return self._score_postings(postings)
+
+        manager = CacheManager(self.index_cache_dir)
+        fp_post = self._index_fingerprint() + "_postings"
+        if not manager.exists(fp_post):
+            postings = self._postings().persist(StorageLevel.MEMORY_AND_DISK)
+            scored = self._score_postings(postings)
+            # no repartition on write: the query join broadcasts the query
+            # terms and STREAMS the postings, so postings-side co-location
+            # buys nothing — writing map-side output avoids a full shuffle
+            manager.store(scored, fp_post)
+            postings.unpersist()
+        return manager.load(spark, fp_post)
+
+    def _score_postings(self, postings: DataFrame) -> DataFrame:
+        """postings (term, doc_id, dl, tf) -> (term, doc_id, score_d DOUBLE).
+        The arithmetic is the oracle's expression tree verbatim (ln / mul /
+        div over exact ints + corpus stats), so the double is bit-identical
+        across engines. NULL-term sentinel rows (token-less docs) feed the
+        stats, then drop out in the df inner join."""
+        stats = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            )
+        )
+        df_counts = (
+            postings.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        enriched = postings.join(df_counts, "term").crossJoin(F.broadcast(stats))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        norm = tf + F.lit(self.k1) * (
+            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.col("avgdl")
+        )
+        score_d = idf * tf * F.lit(self.k1 + 1.0) / norm
+        return enriched.select("term", "doc_id", score_d.alias("score_d"))
 
     def _scored(
         self,
@@ -139,7 +236,6 @@ class Bm25Search(Pipe):
         query_text_col: str,
         weight: float,
         postings: DataFrame,
-        stats: DataFrame,
     ) -> DataFrame:
         q_terms = queries.select(
             F.col(self.query_id).alias("query_id"),
@@ -152,7 +248,7 @@ class Bm25Search(Pipe):
         # exploded query terms keeps the postings side shuffle-free
         if self.broadcast_queries:
             q_terms = F.broadcast(q_terms)
-        joined = q_terms.join(postings, on="term").crossJoin(F.broadcast(stats))
+        joined = q_terms.join(postings, on="term")
         if self.filter_key:
             doc_filters = self.corpus.select(
                 F.col(self.corpus_id).alias("doc_id"),
@@ -161,45 +257,20 @@ class Bm25Search(Pipe):
             joined = joined.join(doc_filters, "doc_id").where(
                 F.col("__qfilter") == F.col("__dfilter")
             )
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        tf = F.col("tf").cast("double")
-        norm = tf + F.lit(self.k1) * (
-            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.col("avgdl")
-        )
-        term_score = (idf * tf * F.lit(self.k1 + 1.0) / norm * F.lit(weight)).cast(
-            "decimal(18,6)"
-        )
+        # per-posting score precomputed at build; decimal-round per TERM
+        # contribution (the oracle's CAST point) so the sum stays order-free
+        term_score = (F.col("score_d") * F.lit(weight)).cast("decimal(18,6)")
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        # ONE job, one logical corpus pass: postings (tokenless docs carry a
-        # NULL-term sentinel row) feed the corpus stats, the
-        # document-frequency aggregation, and the scoring join; stats ride
-        # along as a broadcast 1-row DataFrame (the oracle's CROSS JOIN
-        # stats) instead of a separate driver action
-        postings = self._postings()
-        if self.persist:
-            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        stats = (
-            postings.select("doc_id", "dl")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-            )
-        )
-        df_counts = postings.where(F.col("term").isNotNull()).groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
-        )
-        postings = postings.join(df_counts, "term")
-        parts = [self._scored(df, self.query_text, 1.0, postings, stats)]
+        # the scored postings come from the fingerprint-keyed Parquet index
+        # (built once per corpus); a query batch is then just broadcast-join
+        # + weight + sum + window — no corpus pass at all
+        postings = self._index()
+        parts = [self._scored(df, self.query_text, 1.0, postings)]
         if self.aux_text_col:
             parts.append(
-                self._scored(df, self.aux_text_col, self.aux_weight, postings, stats)
+                self._scored(df, self.aux_text_col, self.aux_weight, postings)
             )
         all_terms = parts[0]
         for p in parts[1:]:

@@ -48,12 +48,19 @@ class Index(Pipe):
 
     def _transform(self, queries: DataFrame, **kwargs) -> DataFrame:
         prev: Optional[DataFrame] = None
+        # k of the trailing TopkSearch (if any): when the chain already ends
+        # in a re-rank to <= self.k, the final window would re-sort an
+        # already-ranked set — skip it (one shuffle+sort saved per query
+        # batch; the driver-visible result is identical)
+        ranked_k: Optional[int] = None
         for engine in self.engines:
             if isinstance(engine, TopkSearch):
                 if prev is None:
                     raise ValueError("re-ranker engine requires previous results")
                 prev = engine.transform(prev)
+                ranked_k = engine.k
                 continue
+            ranked_k = None
             out = engine.transform(queries)
             if "idx" not in out.columns and "neighbor_id" in out.columns:
                 # dense engines emit the reference's neighbor_id naming;
@@ -65,4 +72,6 @@ class Index(Pipe):
                 prev = merge_results(prev, out.select("query_id", "idx", "score"))
             else:
                 prev = out.select("query_id", "idx", "score")
+        if ranked_k is not None and ranked_k <= self.k:
+            return prev
         return topk_results(prev, self.k)
