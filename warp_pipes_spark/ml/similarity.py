@@ -7,11 +7,12 @@ North-star extension operators:
   (a) ``strategy='join'``: query⨝corpus cross-join + window top-k, pure
       DataFrame — Catalyst broadcasts the small side; right shape for
       moderate corpus × query products and the DuckDB oracle.
-  (b) ``strategy='pandas'``: Arrow-batched BLAS — broadcast the corpus
-      matrix (numpy) to executors, `mapInPandas` computes Q @ V.T per batch
-      and emits per-partition top-k; the scale path when the corpus fits in
-      executor memory (the reference's torch engine is this exact shape,
-      ``warp_pipes/search/vector_base/torch.py:42-50``).
+  (b) ``strategy='pandas'``: Arrow-batched BLAS — the corpus STREAMS
+      through executors (never collected/broadcast), the bounded query
+      batch is the broadcast side; per-batch top-k partials merge through
+      one global window (the reference's torch engine chunks its index the
+      same way, ``warp_pipes/search/vector_base/torch.py:42-50``). Scales
+      to any corpus size.
 - **LshCosineTopK** — random-hyperplane LSH bucketing: only pairs sharing a
   hyperplane-sign bucket are scored, then exact re-rank. Sub-quadratic; the
   100 TB path where brute force is impossible.
@@ -128,67 +129,77 @@ class BruteForceCosineTopK(Pipe):
         )
 
     def _transform_pandas(self, df: DataFrame) -> DataFrame:
-        """BLAS path: broadcast corpus matrix, Arrow-batched matmul + top-k.
-        Same results as the join path (modulo float summation order), ~10-100×
-        faster per query batch; use when corpus fits in executor memory."""
+        """BLAS path: the CORPUS streams through executors partition by
+        partition (never collected — the reference's torch engine shape,
+        ``warp_pipes/search/vector_base/torch.py:42-50``, chunks the index
+        the same way); the bounded QUERY batch is the broadcast side. Each
+        Arrow batch computes Q @ C_batch.T and emits its local top-k per
+        query; a global window merges the partials — exact, because
+        per-batch selection uses the same (score desc, id asc) order as the
+        merge. Scales to any corpus size: executor memory holds one corpus
+        batch + the query matrix, shuffle carries <= k rows per (query,
+        batch)."""
         import pandas as pd
 
-        corpus_rows = (
-            self.corpus.select(
-                F.col(self.corpus_id).alias("neighbor_id"),
-                F.col(self.corpus_vec).cast("array<double>").alias("cv"),
-            )
-            .collect()
-        )
-        ids = np.array([r["neighbor_id"] for r in corpus_rows], dtype=np.int64)
-        mat = np.array([r["cv"] for r in corpus_rows], dtype=np.float64)
-        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q_rows = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.col(self.query_vec).cast("array<double>").alias("qv"),
+        ).collect()  # bounded by contract: the query batch is the small side
+        qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
         spark = df.sparkSession
-        b_ids = spark.sparkContext.broadcast(ids)
-        b_mat = spark.sparkContext.broadcast(mat_n)
+        b_qids = spark.sparkContext.broadcast(qids)
+        b_qmat = spark.sparkContext.broadcast(qmat)
         k = self.k
         exclude_self = self.exclude_self
 
-        q = df.select(
-            F.col(self.query_id).alias("query_id"),
-            F.col(self.query_vec).cast("array<double>").alias("qv"),
+        c = self.corpus.select(
+            F.col(self.corpus_id).alias("neighbor_id"),
+            F.col(self.corpus_vec).cast("array<double>").alias("cv"),
         )
 
         def topk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            cids = b_ids.value
-            cmat = b_mat.value
+            qi = b_qids.value
+            qm = b_qmat.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                qm = np.stack(pdf["qv"].to_numpy())
-                qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-                scores = qm @ cmat.T  # [nq, nc]
-                qids = pdf["query_id"].to_numpy()
+                cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                cmat = np.stack(pdf["cv"].to_numpy())
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                scores = qm @ cmat.T  # [nq, nc_batch]
                 if exclude_self:
-                    for i, qid in enumerate(qids):
-                        scores[i, cids == qid] = -np.inf
+                    scores[qi[:, None] == cids[None, :]] = -np.inf
                 kk = min(k, scores.shape[1])
                 part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
                 out = []
-                for i, qid in enumerate(qids):
+                for i in range(len(qi)):
                     cand = part[i]
                     order = np.lexsort((cids[cand], -scores[i, cand]))
                     sel = cand[order]
+                    keep = scores[i, sel] > -np.inf
                     out.append(
                         pd.DataFrame(
                             {
-                                "query_id": qid,
-                                "rank": np.arange(1, len(sel) + 1),
-                                "neighbor_id": cids[sel],
-                                "score": scores[i, sel],
+                                "query_id": qi[i],
+                                "neighbor_id": cids[sel][keep],
+                                "score": scores[i, sel][keep],
                             }
                         )
                     )
                 yield pd.concat(out, ignore_index=True)
 
-        return q.mapInPandas(
-            topk_batches,
-            schema="query_id long, rank int, neighbor_id long, score double",
+        partials = c.mapInPandas(
+            topk_batches, schema="query_id long, neighbor_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("query_id", "rank", "neighbor_id", "score")
         )
 
 
@@ -366,15 +377,16 @@ class IvfCosineTopK(Pipe):
 
     def _train_centroids(self) -> np.ndarray:
         """Seeded spherical k-means on a deterministic sample (driver-side;
-        sample is bounded by train_sample regardless of corpus size)."""
-        n = self.corpus.count()
-        step = max(1, n // self.train_sample)
+        sample is bounded by train_sample regardless of corpus size).
+        Sampling = the ``train_sample`` smallest ``xxhash64(id)`` values:
+        a uniform pseudo-random subset picked by TakeOrderedAndProject
+        (per-partition k-sized heaps, one pass, no count/sort/extra scan)."""
         sample = (
             self.corpus.select(
                 F.col(self.corpus_id).alias("id"),
                 F.col(self.corpus_vec).cast("array<double>").alias("v"),
             )
-            .filter(F.xxhash64(F.col("id")) % step == 0)
+            .orderBy(F.xxhash64(F.col("id"), F.lit(self.seed)))
             .limit(self.train_sample)
             .collect()
         )
