@@ -176,3 +176,23 @@ def test_ngram_jaccard_prefix_filter_equals_full_join(spark):
         for r in NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=True)(docs).collect()
     )
     assert full == pref
+
+
+def test_gate_branches_on_data(spark):
+    """Row-value gating (reference BatchCondition, condition.py:119-143):
+    the Gate inspects DATA via a bounded probe, not just the schema."""
+    from warp_pipes_spark.core.condition import AllRowsMatch, AnyRowMatches, NonEmpty
+    from warp_pipes_spark.pipes.basics import FilterKeys
+
+    df = spark.createDataFrame([(1, "en"), (2, "fr")], "id long, lang string")
+    take_id = FilterKeys(["id"])
+    take_lang = FilterKeys(["lang"])
+
+    assert Gate(NonEmpty(), take_id)(df).columns == ["id"]
+    assert Gate(NonEmpty(), take_id, alt=take_lang)(df.limit(0)).columns == ["lang"]
+    assert Gate(AnyRowMatches("lang = 'fr'"), take_id)(df).columns == ["id"]
+    assert Gate(AnyRowMatches("lang = 'de'"), take_id, alt=take_lang)(df).columns == ["lang"]
+    assert Gate(AllRowsMatch("id > 0"), take_id)(df).columns == ["id"]
+    assert Gate(AllRowsMatch("id > 1"), take_id, alt=take_lang)(df).columns == ["lang"]
+    # vacuous truth on empty input (reference all() semantics)
+    assert Gate(AllRowsMatch("id > 99"), take_id)(df.limit(0)).columns == ["id"]

@@ -104,3 +104,72 @@ def test_expand_in_place(nested_num):
 def test_expand_as_rows(nested_num):
     out = Expand("a", 3, as_rows=True)(nested_num)
     assert out.count() == 6
+
+
+def test_apply_as_flatten_pipe_level1(spark):
+    """General mode: an arbitrary row-level Pipe (not element-wise) over the
+    flattened rows — reference nesting.py:253-331's dataset path."""
+    from warp_pipes_spark.pipes.basics import Apply
+
+    df = spark.createDataFrame(
+        [(0, "keep", ["ab", "cde", ""]), (1, "also", []), (2, "x", ["z"])],
+        "row_id long, tag string, words array<string>",
+    )
+    inner = Apply({"words": F.upper(F.col("words")), "wlen": F.length("words")}, update=True)
+    out = ApplyAsFlatten("words", pipe=inner, id_col="row_id")(df)
+    got = {r["row_id"]: r for r in out.collect()}
+    assert got[0]["words"] == ["AB", "CDE", ""]
+    assert got[0]["wlen"] == [2, 3, 0]
+    assert got[0]["tag"] == "keep"
+    assert got[1]["words"] == [] and got[1]["wlen"] == []
+    assert got[2]["words"] == ["Z"]
+
+
+def test_apply_as_flatten_pipe_level2(spark):
+    from warp_pipes_spark.pipes.basics import Apply
+
+    df = spark.createDataFrame(
+        [(0, [["a", "bb"], [], ["ccc"]])], "row_id long, w array<array<string>>"
+    )
+    inner = Apply({"w": F.concat(F.col("w"), F.lit("!"))}, update=True)
+    out = ApplyAsFlatten("w", pipe=inner, level=2, id_col="row_id")(df)
+    assert out.collect()[0]["w"] == [["a!", "bb!"], [], ["ccc!"]]
+
+
+def test_apply_as_flatten_pipe_extra_cols_lockstep(spark):
+    """Co-flattened token-aligned columns explode in lockstep and re-nest
+    aligned (e.g. tokens + per-token scores)."""
+    from warp_pipes_spark.pipes.basics import Apply
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b"], [1, 2])],
+        "row_id long, toks array<string>, scores array<long>",
+    )
+    inner = Apply({"scores": F.col("scores") * 10}, update=True)
+    out = ApplyAsFlatten(
+        "toks", pipe=inner, extra_cols=["scores"], id_col="row_id"
+    )(df)
+    row = out.collect()[0]
+    assert row["toks"] == ["a", "b"]
+    assert row["scores"] == [10, 20]
+
+
+def test_apply_as_flatten_pipe_shape_assert(spark):
+    """The reference's shape assertion: an inner pipe that drops rows makes
+    the re-nest fail loudly, not silently mis-nest."""
+    from warp_pipes_spark.core.pipe import AsPipe
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c"])], "row_id long, words array<string>"
+    )
+    dropper = AsPipe(lambda d: d.filter(F.col("words") != "b"))
+    bad = ApplyAsFlatten("words", pipe=dropper, id_col="row_id", update=False)
+    with pytest.raises(Exception, match="changed the flattened shape"):
+        bad(df).collect()
+
+
+def test_apply_as_flatten_requires_exactly_one_mode():
+    with pytest.raises(ValueError, match="exactly one"):
+        ApplyAsFlatten("x")
+    with pytest.raises(ValueError, match="exactly one"):
+        ApplyAsFlatten("x", fn=lambda c: c, pipe=ApplyAsFlatten("y", fn=lambda c: c))

@@ -109,3 +109,110 @@ def test_offsets_slice_text_back(spark):
         import re
         toks = [x for x in re.split("[^a-z]+", span.lower()) if x]
         assert toks == list(r["tokens"])
+
+
+def _ref_gen_passages(seq, size, stride, start_tokens, end_tokens, pad_token):
+    """Reference-semantics generator (clean-room restatement of
+    warp_pipes/pipes/passages.py:292-368 observed behavior) used as the
+    oracle for injection/skip parity."""
+    start_tokens = start_tokens or []
+    end_tokens = end_tokens or []
+    eff_size = size - len(start_tokens) - len(end_tokens)
+    eff_stride = stride - len(start_tokens) - len(end_tokens)
+    margin = eff_size - eff_stride
+    out = []
+    for i in range(0, len(seq), eff_stride):
+        left_pad = margin // 2 + margin % 2 if i else 0
+        right_pad = margin // 2
+        center = eff_size - left_pad - right_pad
+        chunk = seq[i : i + eff_size]
+        padding = max(0, eff_size - len(chunk)) if pad_token is not None else 0
+        if len(chunk) > left_pad:
+            passage = start_tokens + chunk + end_tokens + padding * [pad_token]
+            mask = (
+                (len(start_tokens) + left_pad) * [0]
+                + center * [1]
+                + [0] * (len(end_tokens) + right_pad)
+            )
+            if padding > 0:
+                mask[-padding:] = padding * [0]
+            out.append((passage, mask[: len(passage)]))
+    return out
+
+
+@pytest.mark.parametrize("size,stride", [(10, 7), (8, 6), (8, 8)])
+@pytest.mark.parametrize("pad", [None, -1])
+@pytest.mark.parametrize("inject", [([101], [102]), ([101, 103], []), ([], [])])
+def test_start_end_token_reference_parity(spark, token_df, size, stride, pad, inject):
+    """Window contents, masks AND the skip rule match the reference's
+    gen_passages for every (size, stride, pad, start/end) combination."""
+    start, end = inject
+    pipe = GeneratePassages(
+        token_col="input_ids",
+        size=size,
+        stride=stride,
+        global_cols=["doc_id"],
+        pad_value=pad,
+        start_tokens=start or None,
+        end_tokens=end or None,
+    )
+    got = {}
+    for r in pipe(token_df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["passage_idx"], list(r["input_ids"]), list(r["passage_mask"]))
+        )
+    for r in token_df.collect():
+        expected = _ref_gen_passages(
+            list(r["input_ids"]), size, stride, start, end, pad
+        )
+        actual = sorted(got.get(r["doc_id"], []))
+        assert len(actual) == len(expected), (r["doc_id"], actual, expected)
+        for (idx, ids, mask), (eids, emask) in zip(actual, expected):
+            assert ids == eids, (r["doc_id"], idx, ids, eids)
+            assert mask == emask, (r["doc_id"], idx, mask, emask)
+
+
+@pytest.mark.parametrize("size,stride", [(10, 7), (8, 6)])
+def test_ownership_invariant_with_injected_tokens(spark, token_df, size, stride):
+    """Each SOURCE token is mask-owned exactly once even when windows are
+    wrapped in [CLS]/[SEP]-style injected tokens (which are never source
+    tokens)."""
+    pipe = GeneratePassages(
+        token_col="input_ids",
+        size=size,
+        stride=stride,
+        global_cols=["doc_id"],
+        start_tokens=[-101],
+        end_tokens=[-102],
+    )
+    by_doc = {}
+    for r in pipe(token_df).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for src in token_df.collect():
+        toks = list(src["input_ids"])
+        rows = sorted(by_doc.get(src["doc_id"], []), key=lambda r: r["passage_idx"])
+        owned = []
+        for r in rows:
+            assert r["input_ids"][0] == -101 and r["input_ids"][-1] == -102
+            owned += [
+                t for t, m in zip(r["input_ids"], r["passage_mask"])
+                if m == 1 and t >= 0
+            ]
+        assert owned == toks
+
+
+def test_skip_rule_drops_fully_owned_tail(spark):
+    """A tail window whose tokens all belong to its predecessor is not
+    emitted (reference 'only return if there are unmasked tokens')."""
+    df = spark.createDataFrame([(0, list(range(11)))], "doc_id long, input_ids array<long>")
+    out = GeneratePassages(
+        token_col="input_ids", size=10, stride=7, global_cols=["doc_id"]
+    )(df).collect()
+    # starts 0 and 7: window@7 has len 4 > left_pad 2 -> emitted; but with
+    # 9 tokens the window@7 would have len 2 <= left_pad 2 -> skipped
+    assert len(out) == 2
+    df2 = spark.createDataFrame([(0, list(range(9)))], "doc_id long, input_ids array<long>")
+    out2 = GeneratePassages(
+        token_col="input_ids", size=10, stride=7, global_cols=["doc_id"]
+    )(df2).collect()
+    assert len(out2) == 1

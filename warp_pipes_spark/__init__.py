@@ -16,10 +16,14 @@ Catalyst plans instead).
 
 from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.core.condition import (
+    AllRowsMatch,
+    AnyRowMatches,
+    BatchCondition,
     Condition,
     Contains,
     HasPrefix,
     In,
+    NonEmpty,
     Not,
     Reduce,
     Static,

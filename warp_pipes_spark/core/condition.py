@@ -196,6 +196,62 @@ class AllValuesOfType(Condition):
         return {"type_name": self.type_name, "keys": self.keys}
 
 
+class BatchCondition(Condition):
+    """Row-VALUE predicate (reference ``condition.py:119-143``): unlike name
+    predicates, evaluated against the DataFrame itself via a BOUNDED action
+    (``limit(1)`` probe or a 1-row aggregate) when the plan is built. This is
+    plan-time data inspection: the probe runs once, driver-side, and costs
+    one short job — use for routing decisions, not per-row logic (which is an
+    ordinary ``Column`` expression)."""
+
+    def evaluate(self, df) -> bool:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, df) -> bool:
+        return self.evaluate(df)
+
+
+class NonEmpty(BatchCondition):
+    """True if the DataFrame has at least one row (bounded ``limit(1)``)."""
+
+    def evaluate(self, df) -> bool:
+        return df.limit(1).count() > 0
+
+
+class AnyRowMatches(BatchCondition):
+    """True if any row satisfies ``predicate`` (a SQL string or Column).
+    Bounded: filter + ``limit(1)`` — Spark stops scanning at the first hit."""
+
+    def __init__(self, predicate):
+        self.predicate = predicate
+
+    def evaluate(self, df) -> bool:
+        return df.filter(self.predicate).limit(1).count() > 0
+
+    def _params(self) -> dict:
+        return {"predicate": str(self.predicate)}
+
+
+class AllRowsMatch(BatchCondition):
+    """True if every row satisfies ``predicate`` (vacuously true on empty
+    input, matching the reference's ``all()`` semantics). Bounded: probe for
+    one counterexample."""
+
+    def __init__(self, predicate):
+        self.predicate = predicate
+
+    def evaluate(self, df) -> bool:
+        from pyspark.sql import functions as F
+
+        pred = self.predicate
+        if isinstance(pred, str):
+            pred = F.expr(pred)
+        return df.filter(~pred).limit(1).count() == 0
+
+    def _params(self) -> dict:
+        return {"predicate": str(self.predicate)}
+
+
 def select_columns(columns: Sequence[str], cond: Optional[Condition]) -> list:
     """Apply a name condition to a column list (None = keep all)."""
     if cond is None:

@@ -115,22 +115,49 @@ class Nest(Pipe):
 
 
 class ApplyAsFlatten(Pipe):
-    """Flatten → apply an element-wise function → re-nest, preserving shape
-    (reference: ``nesting.py:118-335``, which asserts output shape == input
-    shape at ``nesting.py:222-234``).
+    """Flatten → apply → re-nest, preserving shape (reference:
+    ``nesting.py:118-335``, which asserts output shape == input shape at
+    ``nesting.py:222-234``). Two modes:
 
-    For element-wise ``fn`` this is fused into nested ``F.transform`` calls
-    — zero explode, zero shuffle, shape preservation by construction (the
-    schema assertion the reference does at runtime holds statically)."""
+    - ``fn`` = element-wise Column function: fused into nested
+      ``F.transform`` calls — zero explode, zero shuffle, shape preservation
+      by construction (the schema assertion holds statically).
+    - ``pipe`` = an arbitrary row-level ``Pipe`` (the reference's dataset
+      path, ``nesting.py:253-331``): the nested column(s) posexplode to rows
+      (positions kept), the inner pipe runs over the flat rows, and the
+      outputs re-nest order-pinned under the original shape — with the
+      reference's runtime shape assertion (``F.assert_true`` on the rebuilt
+      array sizes). One shuffle per nesting level on the (row, position)
+      keys. ``extra_cols`` are co-flattened token-aligned columns (lockstep
+      explode via ``arrays_zip``); every column the pipe ADDS is re-nested
+      alongside. The inner pipe must be row-preserving (assert catches
+      violations) and must keep the ``__aaf_*`` bookkeeping columns (any
+      ``update=True`` pipe does)."""
 
-    def __init__(self, column: str, fn: Callable[[Column], Column], level: int = 1, **kwargs):
+    def __init__(
+        self,
+        column: str,
+        fn: Optional[Callable[[Column], Column]] = None,
+        level: int = 1,
+        pipe: Optional[Pipe] = None,
+        extra_cols: Optional[List[str]] = None,
+        id_col: Optional[str] = None,
+        check_shape: bool = True,
+        **kwargs,
+    ):
         kwargs.setdefault("update", True)
         super().__init__(**kwargs)
+        if (fn is None) == (pipe is None):
+            raise ValueError("ApplyAsFlatten: pass exactly one of fn= or pipe=")
         self.column = column
         self.fn = fn
+        self.pipe = pipe
         self.level = level
+        self.extra_cols = list(extra_cols or [])
+        self.id_col = id_col
+        self.check_shape = check_shape
 
-    def _columns(self, df: DataFrame, **kwargs):
+    def _check_level(self, df: DataFrame) -> None:
         col_level = nesting_level(df.schema[self.column].dataType)
         if col_level < self.level:
             raise ValueError(
@@ -138,12 +165,117 @@ class ApplyAsFlatten(Pipe):
                 f"{col_level}, need >= {self.level}"
             )
 
+    def _columns(self, df: DataFrame, **kwargs):
+        if self.pipe is not None:
+            return None
+        self._check_level(df)
+
         def rec(col: Column, depth: int) -> Column:
             if depth == 0:
                 return self.fn(col)
             return F.transform(col, lambda x: rec(x, depth - 1))
 
         return {self.column: rec(F.col(self.column), self.level)}
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        self._check_level(df)
+        cols = [self.column, *self.extra_cols]
+        work = df
+        idc = self.id_col
+        if idc is None:
+            idc = "__aaf_id"
+            work = work.withColumn(idc, F.monotonically_increasing_id())
+        carried = [c for c in work.columns if c not in cols]
+        pos_cols: List[str] = []
+        size_cols: List[str] = []
+        for lv in range(self.level):
+            pc, szc = f"__aaf_pos{lv}", f"__aaf_n{lv}"
+            zipped = (
+                F.arrays_zip(*[F.col(c).alias(c) for c in cols])
+                if len(cols) > 1
+                else F.col(cols[0])
+            )
+            # posexplode_outer keeps empty/null-array rows as a (null, null)
+            # sentinel so the row (and its carried columns) survives the
+            # round-trip; sentinels are dropped again at re-nest
+            work = work.select(
+                *carried,
+                *pos_cols,
+                *size_cols,
+                F.size(zipped).alias(szc),
+                F.posexplode_outer(zipped).alias(pc, "__aaf_v"),
+            )
+            if len(cols) > 1:
+                work = work.select(
+                    "*", *[F.col(f"__aaf_v.{c}").alias(c) for c in cols]
+                ).drop("__aaf_v")
+            else:
+                work = work.withColumnRenamed("__aaf_v", cols[0])
+            pos_cols.append(pc)
+            size_cols.append(szc)
+
+        out = self.pipe.transform(work, **kwargs)
+        missing = [c for c in [idc, *pos_cols, *size_cols] if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"ApplyAsFlatten: inner pipe dropped bookkeeping columns "
+                f"{missing}; it must preserve non-target columns (update=True)"
+            )
+
+        helper = {idc, *pos_cols, *size_cols} if self.id_col is None else {*pos_cols, *size_cols}
+        new_cols = [
+            c
+            for c in out.columns
+            if c not in carried and c not in pos_cols and c not in size_cols
+        ]
+        for lv in reversed(range(self.level)):
+            pc, szc = pos_cols[lv], size_cols[lv]
+            keys = [idc, *pos_cols[:lv]]
+            other = [
+                c
+                for c in out.columns
+                if c not in new_cols and c not in keys and c not in (pc, szc)
+            ]
+            packed = (
+                out.groupBy(*keys)
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(pc).alias("__p"),
+                                *[F.col(c).alias(c) for c in new_cols],
+                            )
+                        )
+                    ).alias("__aaf_packed"),
+                    F.first(szc).alias(szc),
+                    *[F.first(c).alias(c) for c in other],
+                )
+            )
+            elems = F.filter(F.col("__aaf_packed"), lambda s: s["__p"].isNotNull())
+
+            def _field(name):
+                # closure factory, NOT a default-arg lambda: a 2-param lambda
+                # would be read by F.transform as (element, index)
+                return lambda s: s[name]
+
+            for c in new_cols:
+                base = F.transform(elems, _field(c))
+                # NULL source arrays (size() == -1) round-trip to NULL
+                arr = F.when(F.col(szc) >= 0, base)
+                if self.check_shape:
+                    # the reference's runtime shape assertion
+                    # (nesting.py:222-234): the rebuilt array must have
+                    # exactly the source length at this level
+                    ok = (F.col(szc) < 0) | (F.size(base) == F.col(szc))
+                    arr = F.when(
+                        F.assert_true(
+                            ok, "ApplyAsFlatten: inner pipe changed the flattened shape"
+                        ).isNull(),
+                        arr,
+                    )
+                packed = packed.withColumn(c, arr)
+            out = packed.drop("__aaf_packed", szc)
+        return out.drop(*[c for c in helper if c in out.columns])
 
 
 class NestedLevel1(Pipe):

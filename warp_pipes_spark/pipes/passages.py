@@ -3,37 +3,61 @@
 Capability parity with ``warp_pipes/pipes/passages.py`` (``gen_passages``
 ``:292-368`` and ``GeneratePassages`` ``:16-289``): split each document's
 token sequence into windows of ``size`` with step ``stride``, optionally
-padded to full size, and emit for every window an **ownership mask** that
-assigns every input token to exactly one window (the reference's core
-invariant, tested at ``tests/pipes/test_passages.py:63-86``): overlapping
-margins are split midway between neighboring windows.
+padded to full size, optionally wrapped in per-key start/end tokens
+([CLS]/[SEP]-style, ``passages.py:219-241``), and emit for every window an
+**ownership mask** that assigns every input token to exactly one window
+(the reference's core invariant, tested at
+``tests/pipes/test_passages.py:63-86``): overlapping margins are split
+midway between neighboring windows.
 
 This is a 1-row -> N-rows operator, i.e. ``explode`` semantics. Everything
 is built from array expressions (sequence/slice/transform/posexplode) —
 JVM-side, no Python in the hot path — so passage generation runs at scan
 speed over 100 TB of token arrays.
 
-Window algebra for window starting at ``s`` (0-based), ending at
-``e = min(s + size, n)``:
+Window algebra (mirroring ``gen_passages``): with ``ns``/``ne`` start/end
+tokens per window, the *effective* window over the source sequence is
+``eff_size = size - ns - ne`` advancing by ``eff_stride = stride - ns - ne``;
+``margin = eff_size - eff_stride``; window ``i`` starting at source offset
+``s = i * eff_stride``:
 
-- ownership start ``os = s + ceil((size - stride) / 2)`` for every window
-  except the first (``os = 0``);
-- ownership end ``oe = e`` for the last window, else
-  ``oe = next_os`` (the next window's ownership start);
-
-which partitions ``[0, n)`` exactly like the reference's margin split
-(``passages.py:340-344``: left margin = floor(margin/2) kept by previous,
-right margin = margin - floor(margin/2) taken by next).
+- ``left_pad  = ceil(margin/2)`` for every window except the first (0);
+- ``right_pad = floor(margin/2)``;
+- a window is emitted only when it owns at least one token
+  (``win_len > left_pad``, the reference's "only return if there are
+  unmasked tokens" rule);
+- mask position ``p`` (over the emitted passage incl. injected tokens) is 1
+  iff ``ns + left_pad <= p < ns + eff_size - right_pad`` and ``p`` lies
+  before the pad region — the reference's fixed-array mask reproduced as a
+  closed form (including its behavior on ragged tails).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
+
+
+def hf_field_tokens(start_tokens: List, end_tokens: List) -> Dict[str, Dict[str, List]]:
+    """Per-key start/end values for the standard HF column triple, mirroring
+    the reference's ``get_passage_args`` (``passages.py:219-241``):
+    input_ids get the real tokens, attention_mask gets 1s, offset_mapping
+    gets (-1, -1) sentinel spans."""
+    return {
+        "input_ids": {"start": list(start_tokens), "end": list(end_tokens)},
+        "attention_mask": {
+            "start": [1 for _ in start_tokens],
+            "end": [1 for _ in end_tokens],
+        },
+        "offset_mapping": {
+            "start": [[-1, -1] for _ in start_tokens],
+            "end": [[-1, -1] for _ in end_tokens],
+        },
+    }
 
 
 class GeneratePassages(Pipe):
@@ -43,11 +67,16 @@ class GeneratePassages(Pipe):
     (None = keep ragged tails), ``field_cols`` = token-aligned array columns
     windowed coherently (e.g. input_ids + attention_mask + offsets),
     ``global_cols`` = per-document scalars carried onto every passage
-    (reference ``global_keys``, ``passages.py:219-241``).
+    (reference ``global_keys``), ``start_tokens``/``end_tokens`` = per-key
+    injected window prefix/suffix (reference ``passages.py:219-241``; pass a
+    plain list to apply to ``token_col`` only, or a ``{col: list}`` dict
+    covering ``field_cols`` too — every key must inject the SAME count so
+    columns stay token-aligned).
 
     Output: one row per passage with ``passage_idx``, windowed arrays, the
-    ownership mask ``passage_mask`` (array<int> aligned with the window:
-    1 = this passage owns the token), and the originals of ``global_cols``."""
+    ownership mask ``passage_mask`` (array<int> aligned with the emitted
+    passage incl. injected tokens: 1 = this passage owns the token), and the
+    originals of ``global_cols``."""
 
     def __init__(
         self,
@@ -58,6 +87,8 @@ class GeneratePassages(Pipe):
         global_cols: Optional[List[str]] = None,
         pad_value=None,
         pad_values: Optional[dict] = None,
+        start_tokens: Union[List, Dict[str, List], None] = None,
+        end_tokens: Union[List, Dict[str, List], None] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -70,70 +101,113 @@ class GeneratePassages(Pipe):
         self.global_cols = list(global_cols or [])
         self.pad_value = pad_value
         self.pad_values = dict(pad_values or {})
+        self.start_tokens = self._norm_tokens(start_tokens, "start_tokens")
+        self.end_tokens = self._norm_tokens(end_tokens, "end_tokens")
+        self.n_start = len(next(iter(self.start_tokens.values()), []))
+        self.n_end = len(next(iter(self.end_tokens.values()), []))
+        self.eff_size = size - self.n_start - self.n_end
+        self.eff_stride = self.stride - self.n_start - self.n_end
+        if self.eff_size <= 0 or self.eff_stride <= 0:
+            raise ValueError(
+                "start/end tokens leave no effective window "
+                f"(eff_size={self.eff_size}, eff_stride={self.eff_stride})"
+            )
 
-    def _window(self, col: Column, start: Column, fill) -> Column:
-        w = F.slice(col, start + 1, self.size)  # slice() is 1-based
-        if fill is None:
-            return w
-        pad = F.array_repeat(
-            F.lit(fill), F.greatest(F.lit(0), F.lit(self.size) - F.size(w))
-        )
-        return F.concat(w, pad)
+    def _norm_tokens(self, tokens, what: str) -> Dict[str, List]:
+        if tokens is None:
+            return {}
+        if isinstance(tokens, dict):
+            lens = {len(v) for v in tokens.values()}
+            if len(lens) > 1:
+                raise ValueError(f"{what}: all keys must inject the same count")
+            return {k: list(v) for k, v in tokens.items()}
+        if self.field_cols:
+            raise ValueError(
+                f"{what}: pass a {{col: tokens}} dict when field_cols are "
+                "windowed too (each column needs its own injected values)"
+            )
+        return {self.token_col: list(tokens)}
+
+    def _window(self, name: str, start: Column, win_len: Column) -> Column:
+        """Windowed array for one column: start tokens + source slice +
+        end tokens + optional padding to full ``size``."""
+        col = F.col(name)
+        parts = []
+        if self.n_start:
+            parts.append(F.array(*[F.lit(v) for v in self.start_tokens[name]]))
+        parts.append(F.slice(col, start + 1, self.eff_size))  # slice() is 1-based
+        if self.n_end:
+            parts.append(F.array(*[F.lit(v) for v in self.end_tokens[name]]))
+        fill = self.pad_values.get(name, self.pad_value)
+        if self.pad_value is not None:
+            parts.append(
+                F.array_repeat(
+                    F.lit(fill), F.greatest(F.lit(0), F.lit(self.eff_size) - win_len)
+                )
+            )
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        size, stride = self.size, self.stride
+        ns, ne = self.n_start, self.n_end
+        eff_size, eff_stride = self.eff_size, self.eff_stride
+        margin = eff_size - eff_stride
+        left_pad = margin // 2 + margin % 2  # reference: ceil for i > 0
+        right_pad = margin // 2
+
+        if ns and self.field_cols:
+            missing = [
+                c
+                for c in [self.token_col, *self.field_cols]
+                if c not in self.start_tokens
+            ]
+            if missing:
+                raise ValueError(f"start_tokens missing for columns {missing}")
+        if ne and self.field_cols:
+            missing = [
+                c for c in [self.token_col, *self.field_cols] if c not in self.end_tokens
+            ]
+            if missing:
+                raise ValueError(f"end_tokens missing for columns {missing}")
+
         n = F.size(F.col(self.token_col))
-        # 0-based window starts: 0, stride, 2*stride, ... while start < n
-        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-        n_windows = F.size(starts)
-        overlap = size - stride
-        left_keep = overlap // 2  # tokens of the overlap kept by the previous window
+        # 0-based window starts: 0, eff_stride, ... while start < n
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(eff_stride))
 
         exploded = df.select(
             *[c for c in df.columns],
             F.posexplode(starts).alias("passage_idx", "__start"),
         ).filter((n > 0) & (F.col("__start") < n))
 
-        own_start = F.when(
-            F.col("passage_idx") == 0, F.lit(0)
-        ).otherwise(F.col("__start") + F.lit(overlap - left_keep))
-        is_last = F.col("passage_idx") == F.size(
-            F.sequence(F.lit(0), F.greatest(F.size(F.col(self.token_col)) - 1, F.lit(0)), F.lit(stride))
-        ) - 1
-        win_end = F.least(F.col("__start") + F.lit(size), F.size(F.col(self.token_col)))
-        next_own_start = F.col("__start") + F.lit(stride) + F.lit(overlap - left_keep)
-        own_end = F.when(is_last, win_end).otherwise(F.least(next_own_start, win_end))
+        src_n = F.size(F.col(self.token_col))
+        win_len = F.least(F.col("__start") + F.lit(eff_size), src_n) - F.col("__start")
+        lp_w = F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(F.lit(left_pad))
+        # the reference's skip rule (gen_passages: "only return if there are
+        # unmasked tokens"): a window whose tokens are all owned by its
+        # predecessor is not emitted
+        exploded = exploded.filter(win_len > lp_w)
 
-        # ownership mask aligned with the (unpadded) window
-        token_positions = F.sequence(
-            F.col("__start"),
-            win_end - 1,
+        padding = (
+            F.greatest(F.lit(0), F.lit(eff_size) - win_len)
+            if self.pad_value is not None
+            else F.lit(0)
         )
+        out_len = F.lit(ns) + win_len + F.lit(ne) + padding
+        ones_lo = F.lit(ns) + lp_w
+        ones_hi = F.lit(ns + eff_size - right_pad)
+        unpadded = out_len - padding
         mask = F.transform(
-            token_positions,
-            lambda p: ((p >= own_start) & (p < own_end)).cast("int"),
+            F.sequence(F.lit(0), out_len - 1),
+            lambda p: ((p >= ones_lo) & (p < ones_hi) & (p < unpadded)).cast("int"),
         )
-        mask_fill = self.pad_values.get("passage_mask", 0)
-        if self.pad_value is not None:
-            mask = F.concat(
-                mask,
-                F.array_repeat(
-                    F.lit(mask_fill), F.greatest(F.lit(0), F.lit(size) - F.size(mask))
-                ),
-            )
 
         windowed = {
-            self.token_col: self._window(
-                F.col(self.token_col), F.col("__start"), self.pad_value
-            )
+            name: self._window(name, F.col("__start"), win_len)
+            for name in [self.token_col, *self.field_cols]
         }
-        for c in self.field_cols:
-            fill = self.pad_values.get(c, self.pad_value)
-            windowed[c] = self._window(F.col(c), F.col("__start"), fill)
         # Alias windowed arrays to temp names first: re-using the source column
         # name in the same projection would let Spark's lateral-column-alias
         # resolution bind the mask lambda's references to the *windowed* array
-        # instead of the original, corrupting win_end/own_end.
+        # instead of the original, corrupting win_len/ones_hi.
         out_cols = [
             *[F.col(c) for c in self.global_cols],
             F.col("passage_idx"),

@@ -144,7 +144,9 @@ class Gate(Pipe):
     """If ``condition`` holds, run ``pipe``, else ``alt`` (or select no
     columns). Reference: ``pipelines.py:145-196``; static/bool conditions
     resolve at plan-build time (mirroring ``pipelines.py:158-166``).
-    The condition is evaluated against ``df.columns`` (schema-static)."""
+    Name conditions are evaluated against ``df.columns`` (schema-static);
+    a ``BatchCondition`` (reference ``condition.py:119-143``) branches on
+    DATA via a bounded plan-time probe (``limit(1)``-style action)."""
 
     def __init__(self, condition, pipe: Optional[Pipe], alt: Optional[Pipe] = None, **kwargs):
         super().__init__(**kwargs)
@@ -153,8 +155,12 @@ class Gate(Pipe):
         self.alt = _as_pipe(alt) if alt is not None else None
 
     def _resolve(self, df: DataFrame) -> bool:
+        from warp_pipes_spark.core.condition import BatchCondition
+
         if isinstance(self.condition, bool):
             return self.condition
+        if isinstance(self.condition, BatchCondition):
+            return bool(self.condition.evaluate(df))
         try:
             return bool(self.condition(df.columns))
         except TypeError:

@@ -104,6 +104,8 @@ class HFTokenizer(Pipe):
         text_col: str = "text",
         prefix: str = "",
         max_length: Optional[int] = None,
+        return_offsets_mapping: bool = False,
+        add_special_tokens: bool = True,
         **kwargs,
     ):
         kwargs.setdefault("update", True)
@@ -112,6 +114,11 @@ class HFTokenizer(Pipe):
         self.text_col = text_col
         self.prefix = prefix
         self.max_length = max_length
+        # reference parity (warp_pipes/pipes/tokenizer.py:43-51): fast
+        # tokenizers emit per-token [start, end) character spans so passage
+        # windows can slice source text back out
+        self.return_offsets_mapping = return_offsets_mapping
+        self.add_special_tokens = add_special_tokens
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         try:
@@ -133,14 +140,29 @@ class HFTokenizer(Pipe):
         name = self.tokenizer_name
         max_length = self.max_length
         text_col = self.text_col
-        out_schema = StructType(
-            list(df.schema.fields)
-            + [
-                StructField(f"{self.prefix}input_ids", ArrayType(LongType()), True),
-                StructField(f"{self.prefix}attention_mask", ArrayType(IntegerType()), True),
-            ]
-        )
+        extra = [
+            StructField(f"{self.prefix}input_ids", ArrayType(LongType()), True),
+            StructField(f"{self.prefix}attention_mask", ArrayType(IntegerType()), True),
+        ]
+        if self.return_offsets_mapping:
+            extra.append(
+                StructField(
+                    f"{self.prefix}offset_mapping",
+                    ArrayType(
+                        StructType(
+                            [
+                                StructField("start", IntegerType(), True),
+                                StructField("end", IntegerType(), True),
+                            ]
+                        )
+                    ),
+                    True,
+                )
+            )
+        out_schema = StructType(list(df.schema.fields) + extra)
         prefix = self.prefix
+        want_offsets = self.return_offsets_mapping
+        add_special = self.add_special_tokens
 
         def tokenize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             from transformers import AutoTokenizer
@@ -158,9 +180,16 @@ class HFTokenizer(Pipe):
                     pdf[text_col].tolist(),
                     truncation=max_length is not None,
                     max_length=max_length,
+                    add_special_tokens=add_special,
+                    return_offsets_mapping=want_offsets,
                 )
                 pdf[f"{prefix}input_ids"] = enc["input_ids"]
                 pdf[f"{prefix}attention_mask"] = enc["attention_mask"]
+                if want_offsets:
+                    pdf[f"{prefix}offset_mapping"] = [
+                        [{"start": int(a), "end": int(b)} for a, b in spans]
+                        for spans in enc["offset_mapping"]
+                    ]
                 yield pdf
 
         return df.mapInPandas(tokenize, schema=out_schema)
