@@ -196,3 +196,56 @@ def test_gate_branches_on_data(spark):
     assert Gate(AllRowsMatch("id > 1"), take_id, alt=take_lang)(df).columns == ["lang"]
     # vacuous truth on empty input (reference all() semantics)
     assert Gate(AllRowsMatch("id > 99"), take_id)(df.limit(0)).columns == ["id"]
+
+
+def test_ngram_jaccard_max_df_paths_agree(spark):
+    """With a df cap both paths must score the same capped-Jaccard measure
+    (capped intersection over FULL set sizes) and return identical pairs."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.text.dedup import NgramJaccardDedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(n=3, threshold=0.4, max_df=5)
+    full = sorted(
+        tuple(r)
+        for r in NgramJaccardDedup(prefix_filter=False, **kw)(docs).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in NgramJaccardDedup(prefix_filter=True, **kw)(docs).collect()
+    )
+    assert full == pref
+    assert len(full) > 0  # the cap must not empty the result on this corpus
+
+
+def test_simhash_banding_guard():
+    from warp_pipes_spark.text.dedup import SimHashDedup
+
+    with pytest.raises(AssertionError, match="max_hamming"):
+        SimHashDedup(n_bands=4, max_hamming=4)
+
+
+def test_auto_engine_registry(spark):
+    """Config-driven engine construction (reference AutoSearchEngine /
+    AutoVectorBase): an Index built from a plain config list matches the
+    hand-built chain."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search import Bm25Search, Index, TopkSearch, auto_engine, auto_index
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    idx = auto_index(docs, [{"name": "bm25", "k": 20}, {"name": "topk", "k": 5}], k=5)
+    manual = Index(corpus=docs, engines=[Bm25Search(corpus=docs, k=20), TopkSearch(k=5)], k=5)
+    got = sorted(tuple(r) for r in idx(queries).collect())
+    want = sorted(tuple(r) for r in manual(queries).collect())
+    assert got == want and len(got) > 0
+
+    with pytest.raises(KeyError, match="unknown engine"):
+        auto_engine("nope")
+    with pytest.raises(ValueError, match="requires a corpus"):
+        auto_engine("bm25")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lsh = auto_engine("lsh", corpus=emb, k=3, dim=64, n_planes=6, n_tables=4)
+    assert lsh(emb.filter(F.col("vec_id") % 100 == 0)).count() > 0

@@ -530,6 +530,37 @@ def q43_bm25_filtered(spark, sf):
     return engine(queries)
 
 
+def q54_bm25_scaled_aux(spark, sf):
+    """BM25 with the reference's per-query LOG LENGTH-RATIO scaling of the
+    auxiliary-query weight (``support/elasticsearch.py:384-398``):
+    w = 1 + max(aux_weight * ln(max(|q|/|aux|, 1)), 0), 0 when aux empty."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+        F.array_join(F.slice(toks, 6, 2), " ").alias("aux"),
+    )
+    engine = Bm25Search(
+        corpus=docs,
+        k=10,
+        aux_text_col="aux",
+        aux_weight=0.75,
+        scale_aux_weight=True,
+    )
+    return engine(queries)
+
+
+BM25S_QUERIES_CTE = (
+    "SELECT doc_id AS query_id, "
+    f"array_to_string(({tokens_sql('text')})[1:5], ' ') AS qtext, "
+    f"array_to_string(({tokens_sql('text')})[6:7], ' ') AS qaux "
+    "FROM documents WHERE doc_id % 25 = 0"
+)
+
+
 def q33_group_lookup(spark, sf):
     c = T(spark, sf, "customer")
     n = T(spark, sf, "nation")
@@ -940,6 +971,9 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q43_bm25_filtered": bm25_oracle_sql(
         "documents", BM25F_QUERIES_CTE, k=10, aux_weight=0.5, filter_col="lang"
     ),
+    "q54_bm25_scaled_aux": bm25_oracle_sql(
+        "documents", BM25S_QUERIES_CTE, k=10, aux_weight=0.75, scale_aux=True
+    ),
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1058,6 +1092,7 @@ def _register():
         "q51_sliding_window": q51_sliding_window,
         "q52_fingerprint_dedup": q52_fingerprint_dedup,
         "q53_sketches": q53_sketches,
+        "q54_bm25_scaled_aux": q54_bm25_scaled_aux,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -4,8 +4,12 @@ from warp_pipes_spark.search.group_lookup import GroupLookupSearch
 from warp_pipes_spark.search.bm25 import Bm25Search
 from warp_pipes_spark.search.dense import DenseSearch
 from warp_pipes_spark.search.index import Index
+from warp_pipes_spark.search.auto import ENGINES, auto_engine, auto_index
 
 __all__ = [
+    "ENGINES",
+    "auto_engine",
+    "auto_index",
     "merge_results",
     "pad_results",
     "topk_results",

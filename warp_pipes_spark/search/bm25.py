@@ -108,6 +108,7 @@ class Bm25Search(Pipe):
         query_text: str = "text",
         aux_text_col: str | None = None,
         aux_weight: float = 1.0,
+        scale_aux_weight: bool = False,
         filter_key: str | None = None,
         corpus_filter_key: str | None = None,
         k1: float = K1,
@@ -128,6 +129,11 @@ class Bm25Search(Pipe):
         self.query_text = query_text
         self.aux_text_col = aux_text_col
         self.aux_weight = aux_weight
+        # reference parity (support/elasticsearch.py:384-398): scale the
+        # auxiliary weight per query by the log of the query/aux length
+        # ratio — w = 1 + max(aux_weight * ln(max(|q|/|aux|, 1)), 0), or 0
+        # when the aux query is empty
+        self.scale_aux_weight = scale_aux_weight
         self.filter_key = filter_key
         self.corpus_filter_key = corpus_filter_key or filter_key
         self.k1 = k1
@@ -230,16 +236,33 @@ class Bm25Search(Pipe):
         score_d = idf * tf * F.lit(self.k1 + 1.0) / norm
         return enriched.select("term", "doc_id", score_d.alias("score_d"))
 
+    def _aux_weight_expr(self):
+        """Per-query scaled aux weight (reference
+        ``support/elasticsearch.py:384-398``), as a column over the query
+        row: lengths use the engine's tokenizer (the reference tokenizes
+        with its ES analyzer — same spirit, documented deviation)."""
+        qlen = F.size(tokens_expr(F.col(self.query_text))).cast("double")
+        alen = F.size(tokens_expr(F.col(self.aux_text_col))).cast("double")
+        scaled = F.lit(1.0) + F.greatest(
+            F.lit(self.aux_weight) * F.log(F.greatest(qlen / alen, F.lit(1.0))),
+            F.lit(0.0),
+        )
+        return F.when((F.lit(self.aux_weight) > 0) & (alen > 0), scaled).otherwise(
+            F.lit(0.0)
+        )
+
     def _scored(
         self,
         queries: DataFrame,
         query_text_col: str,
-        weight: float,
+        weight,
         postings: DataFrame,
     ) -> DataFrame:
+        weight_col = F.lit(weight) if isinstance(weight, (int, float)) else weight
         q_terms = queries.select(
             F.col(self.query_id).alias("query_id"),
             *( [F.col(self.filter_key).alias("__qfilter")] if self.filter_key else [] ),
+            weight_col.alias("__w"),
             F.explode(
                 F.array_distinct(tokens_expr(F.col(query_text_col)))
             ).alias("term"),
@@ -259,7 +282,7 @@ class Bm25Search(Pipe):
             )
         # per-posting score precomputed at build; decimal-round per TERM
         # contribution (the oracle's CAST point) so the sum stays order-free
-        term_score = (F.col("score_d") * F.lit(weight)).cast("decimal(18,6)")
+        term_score = (F.col("score_d") * F.col("__w")).cast("decimal(18,6)")
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
@@ -269,9 +292,12 @@ class Bm25Search(Pipe):
         postings = self._index()
         parts = [self._scored(df, self.query_text, 1.0, postings)]
         if self.aux_text_col:
-            parts.append(
-                self._scored(df, self.aux_text_col, self.aux_weight, postings)
+            aux_w = (
+                self._aux_weight_expr()
+                if self.scale_aux_weight
+                else self.aux_weight
             )
+            parts.append(self._scored(df, self.aux_text_col, aux_w, postings))
         all_terms = parts[0]
         for p in parts[1:]:
             all_terms = all_terms.unionByName(p)
@@ -306,36 +332,49 @@ def bm25_oracle_sql(
     text_col: str = "text",
     aux_weight: float | None = None,
     filter_col: str | None = None,
+    scale_aux: bool = False,
 ) -> str:
     """DuckDB oracle implementing the identical formula over the identical
     tokenization. ``queries_cte`` must yield (query_id, qtext[, qaux when
     aux_weight is set][, qfilter when filter_col is set]); ``filter_col``
     names the corpus column a query's qfilter must equal (the reference's ES
     term filter); ``aux_weight`` scores the qaux terms as a second weighted
-    query (the reference's auxiliary-query boost)."""
+    query (the reference's auxiliary-query boost); ``scale_aux`` applies the
+    reference's per-query log length-ratio scaling to that weight."""
     toks = tokens_sql(text_col)
     fcol_sel = f", {filter_col} AS fval" if filter_col else ""
     fcol_carry = ", fval" if filter_col else ""
     q_fcol = ", qfilter" if filter_col else ""
     fjoin = " AND q.qfilter = t.fval" if filter_col else ""
 
-    def _branch(qtext_expr: str, weight: float) -> str:
+    def _branch(qtext_expr: str, weight_sql: str) -> str:
         return f"""
   SELECT q.query_id, t.doc_id AS idx,
          CAST(
            ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
            * CAST(t.tf AS DOUBLE) * {k1 + 1.0}
            / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))
-           * {weight}
+           * q.w
          AS DECIMAL(18,6)) AS ts
-  FROM (SELECT query_id{q_fcol}, unnest(list_distinct({tokens_sql(qtext_expr)})) AS term FROM queries) q
+  FROM (SELECT query_id{q_fcol}, {weight_sql} AS w,
+        unnest(list_distinct({tokens_sql(qtext_expr)})) AS term FROM queries) q
   JOIN tf t ON q.term = t.term{fjoin}
   JOIN dfreq d ON t.term = d.term
   CROSS JOIN stats s"""
 
-    branches = [_branch("qtext", 1.0)]
+    branches = [_branch("qtext", "1.0")]
     if aux_weight is not None:
-        branches.append(_branch("qaux", aux_weight))
+        if scale_aux:
+            qlen = f"CAST(len({tokens_sql('qtext')}) AS DOUBLE)"
+            alen = f"CAST(len({tokens_sql('qaux')}) AS DOUBLE)"
+            aux_w_sql = (
+                f"CASE WHEN {aux_weight} > 0 AND {alen} > 0 THEN "
+                f"1.0 + greatest({aux_weight} * ln(greatest({qlen} / {alen}, 1.0)), 0.0) "
+                f"ELSE 0.0 END"
+            )
+        else:
+            aux_w_sql = str(aux_weight)
+        branches.append(_branch("qaux", aux_w_sql))
     term_scores = "\n  UNION ALL\n".join(branches)
     return f"""
 WITH queries AS ({queries_cte}),

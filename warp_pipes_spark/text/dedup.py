@@ -129,7 +129,15 @@ class NgramJaccardDedup(Pipe):
     Plan shape: docs → (doc_id, shingle) exploded distinct → self-join on
     shingle (doc_a < doc_b) → groupBy pair count = |A∩B| → join doc sizes →
     Jaccard filter. Common-shingle cap (``max_df``) bounds worst-case
-    fan-out, which is what keeps this viable at scale."""
+    fan-out, which is what keeps this viable at scale.
+
+    ``max_df`` CHANGES THE MEASURE: with a cap, the score is the *capped*
+    Jaccard — |A'∩B'| / (|A|+|B|-|A'∩B'|) where A'/B' drop shingles with
+    df > max_df but the denominator keeps FULL set sizes. Both the direct
+    join and the prefix-filter path implement this same capped measure (the
+    prefix guarantee survives: capped overlap o <= |B'| <= |B| still forces
+    o >= ceil(t*|d|) for qualifying pairs, so prefixes over the capped,
+    (df, shingle)-ordered sets lose no qualifying pair)."""
 
     def __init__(
         self,
@@ -166,15 +174,22 @@ class NgramJaccardDedup(Pipe):
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
         inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+        verify_docs = docs
         if self.max_df is not None:
             df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             inv = (
                 inv.join(df_counts.filter(F.col("df") <= self.max_df), "shingle")
                 .select("doc_id", "shingle")
             )
+            # verification must intersect the CAPPED shingle sets so both
+            # paths score the same capped-Jaccard measure (denominator keeps
+            # full sizes via the `sizes` join below)
+            verify_docs = inv.groupBy("doc_id").agg(
+                F.collect_list("shingle").alias("shingles")
+            )
         if self.prefix_filter:
             pairs = self._candidates_prefix(inv, sizes)
-            return self._verify_pairs(pairs, docs)
+            return self._verify_pairs(pairs, verify_docs, sizes)
         a = inv.alias("a")
         b = inv.alias("b")
         pair_inter = (
@@ -241,18 +256,31 @@ class NgramJaccardDedup(Pipe):
             .distinct()
         )
 
-    def _verify_pairs(self, pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    def _verify_pairs(
+        self, pairs: DataFrame, docs: DataFrame, sizes: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Exact verification of candidate pairs. ``docs`` carries the
+        shingle arrays to intersect (the df-capped sets when max_df is on);
+        ``sizes`` supplies the FULL set sizes for the denominator (defaults
+        to the sizes of ``docs`` itself)."""
         da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
         db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        joined = pairs.join(da, "doc_a").join(db, "doc_b")
+        if sizes is not None:
+            sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("__na"))
+            sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("__nb"))
+            joined = joined.join(sa, "doc_a").join(sb, "doc_b")
+            size_sum = F.col("__na") + F.col("__nb")
+        else:
+            size_sum = F.size("sh_a") + F.size("sh_b")
         return (
-            pairs.join(da, "doc_a")
-            .join(db, "doc_b")
+            joined
             .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn(
                 "jaccard",
                 (
                     F.col("n_common")
-                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double")
+                    / (size_sum - F.col("n_common")).cast("double")
                 ).cast("decimal(18,6)"),
             )
             .filter(F.col("jaccard") >= F.lit(self.threshold))
@@ -436,6 +464,13 @@ class SimHashDedup(Pipe):
         self.n_bands = n_bands
         self.max_hamming = max_hamming
         self.persist = persist
+        # pigeonhole: a pair within max_hamming differs in <= max_hamming
+        # bands, so it SHARES a band only if max_hamming < n_bands — beyond
+        # that the candidate-completeness guarantee silently breaks
+        assert max_hamming < n_bands, (
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}) for "
+            "the banding recall guarantee"
+        )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         import pandas as pd
