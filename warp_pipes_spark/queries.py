@@ -538,7 +538,7 @@ def q54_bm25_scaled_aux(spark, sf):
 
     docs = T(spark, sf, "documents")
     toks = tokens_expr(F.col("text"))
-    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
         F.array_join(F.slice(toks, 6, 2), " ").alias("aux"),
@@ -557,7 +557,7 @@ BM25S_QUERIES_CTE = (
     "SELECT doc_id AS query_id, "
     f"array_to_string(({tokens_sql('text')})[1:5], ' ') AS qtext, "
     f"array_to_string(({tokens_sql('text')})[6:7], ' ') AS qaux "
-    "FROM documents WHERE doc_id % 25 = 0"
+    "FROM documents WHERE doc_id % 50 = 0"
 )
 
 

@@ -281,8 +281,15 @@ class Bm25Search(Pipe):
                 F.col("__qfilter") == F.col("__dfilter")
             )
         # per-posting score precomputed at build; decimal-round per TERM
-        # contribution (the oracle's CAST point) so the sum stays order-free
-        term_score = (F.col("score_d") * F.col("__w")).cast("decimal(18,6)")
+        # contribution (the oracle's CAST point) so the sum stays order-free.
+        # The scale-6 decimal is then carried as a scaled LONG (value * 1e6,
+        # exact): long hash-agg + double window sort are several times
+        # cheaper than their decimal equivalents on millions of candidates,
+        # with bit-identical results (exact integer sum; the final
+        # long/1e6 double division is the correctly-rounded decimal value)
+        term_score = (
+            (F.col("score_d") * F.col("__w")).cast("decimal(18,6)") * F.lit(1000000)
+        ).cast("long")
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
@@ -301,24 +308,27 @@ class Bm25Search(Pipe):
         all_terms = parts[0]
         for p in parts[1:]:
             all_terms = all_terms.unionByName(p)
-        scores = all_terms.groupBy("query_id", "idx").agg(F.sum("ts").alias("score"))
+        scores = all_terms.groupBy("query_id", "idx").agg(
+            (F.sum("ts") / F.lit(1000000.0)).alias("score")
+        )
         if self.temperature != 1.0:
+            # reference parity (elasticsearch.py:289-292); decimal-rounded
+            # for run-to-run stability (no oracled query uses temperature)
             scores = scores.withColumn(
                 "score",
-                (F.col("score") / F.lit(self.temperature)).cast("decimal(18,6)"),
+                (F.col("score") / F.lit(self.temperature))
+                .cast("decimal(18,6)")
+                .cast("double"),
             )
+        # score is the exact decimal sum rendered as double (long/1e6 is
+        # correctly rounded); scale-6 decimals at score magnitudes map to
+        # distinct doubles, so ranking on the double matches the oracle's
+        # decimal ranking
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
-        # rank on the DECIMAL score (order-stable), emit DOUBLE (identical
-        # float64 across engines — the decimal rendering is not)
         return (
             scores.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
-            .select(
-                "query_id",
-                "rank",
-                "idx",
-                F.col("score").cast("decimal(18,6)").cast("double").alias("score"),
-            )
+            .select("query_id", "rank", "idx", "score")
         )
 
 
