@@ -117,3 +117,49 @@ def test_shingle_udf_equals_expression(spark, texts):
     udf = {r["doc_id"]: r["sh"] for r in df.select(
         "doc_id", shingles_udf(3)(F.col("text")).alias("sh")).collect()}
     assert expr == udf
+
+
+@settings(**SETTINGS)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=4),
+    size=st.integers(min_value=3, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    n_start=st.integers(min_value=0, max_value=2),
+    n_end=st.integers(min_value=0, max_value=1),
+    pad=st.sampled_from([None, -1]),
+)
+def test_passages_match_reference_generator(
+    spark, lens, size, overlap_frac, n_start, n_end, pad
+):
+    """Random sequences × window configs: passages, masks and the skip rule
+    agree with the reference-semantics generator (incl. injected tokens and
+    ragged tails)."""
+    from tests.test_passages import _ref_gen_passages
+
+    stride = max(1 + n_start + n_end, int(size - (size - 1) * overlap_frac))
+    eff_size = size - n_start - n_end
+    eff_stride = stride - n_start - n_end
+    if eff_size <= 0 or eff_stride <= 0 or eff_stride > eff_size:
+        return
+    start = list(range(-100, -100 + n_start))
+    end = list(range(-200, -200 + n_end))
+    rows = [(i, list(range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<long>")
+    pipe = GeneratePassages(
+        token_col="input_ids",
+        size=size,
+        stride=stride,
+        global_cols=["doc_id"],
+        pad_value=pad,
+        start_tokens=start or None,
+        end_tokens=end or None,
+    )
+    got = defaultdict(list)
+    for r in pipe(df).collect():
+        got[r["doc_id"]].append(
+            (r["passage_idx"], list(r["input_ids"]), list(r["passage_mask"]))
+        )
+    for i, n in enumerate(lens):
+        expected = _ref_gen_passages(list(range(n)), size, stride, start, end, pad)
+        actual = sorted(got.get(i, []))
+        assert [(ids, m) for _, ids, m in actual] == expected

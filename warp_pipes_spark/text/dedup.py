@@ -22,6 +22,7 @@ Four families, all expressed as DataFrame plans designed for 100 TB:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
@@ -86,9 +87,38 @@ def widen_partitions(df: DataFrame) -> DataFrame:
     session's parallelism (e.g. a single-row-group parquet file read on a
     32-core local session, which would run every Python kernel on one
     core). A cluster reading many files/row-groups already has wide inputs
-    and skips the shuffle entirely."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    and skips the shuffle entirely.
+
+    Width is estimated from the scan's file metadata (count + local byte
+    sizes vs ``spark.sql.files.maxPartitionBytes``) — never by converting
+    the plan to an RDD, which costs a driver-side partition-planning pass
+    per call. Non-file inputs (in-memory relations) fall back to the RDD
+    partition count, which is cheap for local relations."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        try:
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            max_pb = int(str(raw).lower().rstrip("b")) or 1
+        except ValueError:
+            max_pb = 128 * 1024 * 1024
+        total = 0
+        for f in files:
+            local = f[len("file://"):] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(local)
+            except OSError:
+                # remote FS: many files => already wide; few files => the
+                # file count itself bounds the scan width
+                total = None
+                break
+        est = (
+            max(len(files), -(-total // max_pb)) if total is not None else len(files)
+        )
+        if est * 4 <= target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() * 4 <= target:
         return df.repartition(target)
     return df
