@@ -1,0 +1,110 @@
+"""Physical-plan quality guards: the 100 TB design invariants, asserted.
+
+A query that is value-correct but reads every column, misses a filter
+pushdown, or degrades a broadcast join into a cartesian product would still
+pass the differential harness — these tests pin the PLAN, so a regression in
+scan pruning / join strategy / codegen surfaces as a test failure, not as a
+10x slowdown at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from warp_pipes_spark.queries import QUERIES
+
+# relational/catalog queries whose plan builds without bounded driver
+# actions (engine queries may train/probe/build indexes at plan time)
+PLAN_ONLY = [
+    "q01_select", "q02_rename", "q03_filter_math", "q04_group_agg",
+    "q05_distinct_agg", "q06_join", "q07_multijoin", "q08_semijoin",
+    "q09_antijoin", "q10_window_topk", "q11_window_running", "q12_lag",
+    "q13_sort_limit", "q14_intersect", "q15_rollup", "q16_string_funcs",
+    "q17_date_trunc", "q18_case_agg", "q19_group_collect", "q20_exact_dedup",
+    "q21_sessionize", "q22_tumbling_window", "q23_token_count", "q24_quality",
+    "q25_langid", "q26_doc_fingerprint", "q33_group_lookup",
+    "q34_json_extract", "q35_passages", "q36_group_nest", "q44_except",
+    "q45_part_stats", "q46_supplier_revenue", "q48_asof_join",
+    "q49_range_join", "q50_cube", "q51_sliding_window",
+    "q52_fingerprint_dedup", "q53_sketches",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q01 projects 2 of customer's 8 columns; the parquet ReadSchema must
+    contain exactly those two (pruning reached storage)."""
+    plan = _plan(QUERIES["q01_select"].fn(spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan, plan
+    rs = scan[0].split("ReadSchema:")[-1]
+    assert "c_custkey" in rs and "c_name" in rs
+    assert "c_acctbal" not in rs and "c_address" not in rs
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q03's l_quantity > 45 must appear in PushedFilters, not only as a
+    post-scan Filter."""
+    plan = _plan(QUERIES["q03_filter_math"].fn(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[-1].splitlines()[0]
+    assert "l_quantity" in pushed, plan
+
+
+@pytest.mark.parametrize("name", ["q06_join", "q07_multijoin", "q46_supplier_revenue"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """Fact-dim joins must be broadcast-hash, never shuffle both sides."""
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_cosine_is_broadcast_nested_loop_not_cartesian(spark, sf_dir):
+    """The exact-oracle cross joins (q30/q31) must broadcast the small side;
+    a CartesianProduct would shuffle-materialize the full pair space."""
+    for name in ["q30_cosine_topk", "q31_cosine_pairs"]:
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+@pytest.mark.parametrize("name", PLAN_ONLY)
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_aggregations_stay_in_codegen(spark, sf_dir):
+    """q04's scan → partial agg → final agg pipeline must be inside
+    WholeStageCodegen spans (JVM-compiled, no interpreted rows). AQE only
+    inserts codegen wrappers into the FINAL plan, so execute first."""
+    df = QUERIES["q04_group_agg"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed(df)
+    # codegen stages print as "*(n) Operator" in the final AQE plan
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: q04 must have two HashAggregate nodes (partial +
+    final) around the exchange, halving shuffle traffic."""
+    plan = _plan(QUERIES["q04_group_agg"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
+    for name, kind in [("q08_semijoin", "LeftSemi"), ("q09_antijoin", "LeftAnti")]:
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert kind in plan, f"{name}: {plan}"
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """q49's interval-bucketing trick must produce an equi-join on the
+    bucketed key (hash-joinable), not a non-equi nested loop."""
+    plan = _plan(QUERIES["q49_range_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
