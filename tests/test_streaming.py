@@ -211,3 +211,54 @@ def test_stream_parquet_sink_checkpoint_recovery(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3, 4], f"duplicate or lost rows: {ids}"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream keeps the first occurrence per key and drops re-arrivals
+    within the watermark; state is bounded by the watermark horizon. Batch
+    fallback = plain dropDuplicates."""
+    from warp_pipes_spark.streaming.events import dedup_stream, read_events_stream
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    # re-use the events schema: event_type plays the content-fingerprint role
+    _write_batch(src, [
+        (1, "2024-01-01T10:00:00", 1, "fpA", 1.0),
+        (2, "2024-01-01T10:01:00", 1, "fpA", 1.0),   # dup within watermark
+        (3, "2024-01-01T10:02:00", 2, "fpB", 1.0),
+    ], "b0.json")
+    _write_batch(src, [
+        (4, "2024-01-01T10:30:00", 3, "fpA", 1.0),   # still within watermark
+        (5, "2024-01-01T10:31:00", 4, "fpC", 1.0),
+    ], "b1.json")
+
+    stream = read_events_stream(spark, src)
+    out = dedup_stream(stream, key_cols=("event_type",), ts_col="ts", watermark="1 hour")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.extend((r["event_id"], r["event_type"]) for r in batch_df.collect())
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    q.awaitTermination(10)
+
+    # exactly one row survives per key ("first" = micro-batch arrival
+    # order, which across files is not event-time order — standard
+    # streaming-dedup semantics)
+    kept = sorted(fp for _, fp in seen)
+    assert kept == ["fpA", "fpB", "fpC"], seen
+    assert (2, "fpA") not in seen  # same-batch dup always dropped
+
+    # batch degradation: plain exact dedup
+    batch = spark.createDataFrame(
+        [(1, "fpA"), (2, "fpA"), (3, "fpB")], "event_id long, event_type string"
+    )
+    got = dedup_stream(batch, key_cols=("event_type",)).count()
+    assert got == 2

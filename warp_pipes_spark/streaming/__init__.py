@@ -1,4 +1,5 @@
 from warp_pipes_spark.streaming.events import (
+    dedup_stream,
     read_events_stream,
     session_windows,
     sliding_window_counts,
@@ -8,6 +9,7 @@ from warp_pipes_spark.streaming.events import (
 from warp_pipes_spark.streaming.stateful import stateful_sessions
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
     "tumbling_window_agg",
     "sliding_window_counts",

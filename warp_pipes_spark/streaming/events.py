@@ -90,6 +90,25 @@ def sliding_window_counts(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    key_cols=("doc_fp",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first row per key,
+    dropping re-occurrences that arrive within ``watermark`` of event time
+    (``dropDuplicatesWithinWatermark``— seen-key state is evicted once the
+    watermark passes, so state size is rate x watermark, not corpus size).
+    The streaming form of ``ExactDedup``: at 100 TB ingest, key on the
+    8-byte ``DocFingerprint`` instead of raw text. On a batch frame it
+    degrades to plain ``dropDuplicates`` (exact, unbounded window)."""
+    keys = list(key_cols)
+    if not docs.isStreaming:
+        return docs.dropDuplicates(keys)
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
