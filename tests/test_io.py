@@ -88,3 +88,43 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS wps_orders_b")
         spark.sql("DROP TABLE IF EXISTS wps_cust_b")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from warp_pipes_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_text_source_lines_and_whole(spark, tmp_path):
+    from warp_pipes_spark.io import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "shard0.txt").write_text("line one\nline two\n")
+    lines = read_text(spark, str(p))
+    assert lines.count() == 2 and lines.columns == ["value"]
+    whole = read_text(spark, str(p), whole_text=True)
+    assert whole.count() == 1
+    assert "line one" in whole.collect()[0]["value"]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must show up
+    as PartitionFilters on the scan (whole directories skipped), not as a
+    row filter — the difference between reading 1/25th and all of 100 TB."""
+    from warp_pipes_spark.io import load_table, write_parquet
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().sparkPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[-1].splitlines()[0]
+    assert "lang" in pf, plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()

@@ -148,5 +148,28 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (columnar, predicate-pushdown-capable like Parquet)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """Raw text source: one row per line (``value string``), or one row per
+    FILE with ``whole_text`` — the ingest shape for unstructured LLM corpus
+    shards before tokenization/dedup."""
+    return spark.read.text(path, wholetext=whole_text)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
