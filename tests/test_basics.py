@@ -249,3 +249,20 @@ def test_auto_engine_registry(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     lsh = auto_engine("lsh", corpus=emb, k=3, dim=64, n_planes=6, n_tables=4)
     assert lsh(emb.filter(F.col("vec_id") % 100 == 0)).count() > 0
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components over chains, cliques and isolated edges: every
+    node labeled with the min id of its component; convergence needs
+    O(diameter) rounds (the chain here exercises multi-round propagation)."""
+    from warp_pipes_spark.text.dedup import DedupClusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),   # chain: component 1
+        (10, 11), (11, 12), (10, 12),     # triangle: component 10
+        (20, 21),                          # isolated pair: component 20
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in DedupClusters()(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

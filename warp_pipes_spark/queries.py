@@ -40,10 +40,12 @@ from warp_pipes_spark.text.analysis import (
     tokens_sql,
 )
 from warp_pipes_spark.text.dedup import (
+    DedupClusters,
     ExactDedup,
     MinHashDedup,
     NgramJaccardDedup,
     SimHashDedup,
+    dedup_clusters_sql,
     ngram_jaccard_sql,
 )
 from warp_pipes_spark.ml.multimodal import (
@@ -530,6 +532,18 @@ def q43_bm25_filtered(spark, sf):
     return engine(queries)
 
 
+def q55_dedup_clusters(spark, sf):
+    """Duplicate-cluster formation: trigram-Jaccard near-dup pairs ->
+    connected components (iterative min-label propagation) -> per-doc
+    cluster id = smallest doc id in the component (the keep-min survivor
+    rule). Oracle = DuckDB recursive-CTE transitive closure over the SAME
+    pair set."""
+    pairs = NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=False)(
+        T(spark, sf, "documents")
+    ).select("doc_a", "doc_b")
+    return DedupClusters()(pairs)
+
+
 def q54_bm25_scaled_aux(spark, sf):
     """BM25 with the reference's per-query LOG LENGTH-RATIO scaling of the
     auxiliary-query weight (``support/elasticsearch.py:384-398``):
@@ -974,6 +988,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q54_bm25_scaled_aux": bm25_oracle_sql(
         "documents", BM25S_QUERIES_CTE, k=10, aux_weight=0.75, scale_aux=True
     ),
+    "q55_dedup_clusters": dedup_clusters_sql(ngram_jaccard_sql(n=3, threshold=0.5)),
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1093,6 +1108,7 @@ def _register():
         "q52_fingerprint_dedup": q52_fingerprint_dedup,
         "q53_sketches": q53_sketches,
         "q54_bm25_scaled_aux": q54_bm25_scaled_aux,
+        "q55_dedup_clusters": q55_dedup_clusters,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -579,3 +579,122 @@ class SimHashDedup(Pipe):
             .filter(F.col("hamming") <= self.max_hamming)
             .select("doc_a", "doc_b", "hamming")
         )
+
+
+class DedupClusters(Pipe):
+    """Duplicate-CLUSTER formation: connected components over a pair edge
+    list — the step after any pair-finding dedup (exact/Jaccard/MinHash/
+    SimHash) that turns pairs into keep/drop groups. Input: a DataFrame of
+    undirected edges ``(doc_a, doc_b)``; output: ``(doc_id, cluster_id)``
+    for every endpoint, where ``cluster_id`` is the smallest doc id in the
+    component (the canonical survivor under a keep-min policy).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Labels start at the one-hop minimum (node vs
+    its neighbors), so star/clique components finish in the first check.
+    Per round: one join + one groupBy (both on the node key) and a 1-row
+    aggregate convergence probe (labels only ever DECREASE, so an unchanged
+    label sum is exactly the fixpoint — no join-based diff needed);
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing lineage. Duplicate graphs are overwhelmingly tiny cliques/
+    chains (diameter 1-3), so rounds stay in single digits even at 100 TB;
+    for adversarially long chains switch to the large-star/small-star
+    variant (same relational kernel, O(log n) rounds)."""
+
+    def __init__(
+        self,
+        src_col: str = "doc_a",
+        dst_col: str = "doc_b",
+        max_iters: int = 20,
+        checkpoint_every: int = 5,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.src_col = src_col
+        self.dst_col = dst_col
+        self.max_iters = max_iters
+        self.checkpoint_every = checkpoint_every
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        a, b = F.col(self.src_col), F.col(self.dst_col)
+        # both edge directions from ONE scan of the (possibly expensive)
+        # upstream pair-finding plan — a union of two selects would
+        # re-execute that plan per branch
+        edges = (
+            df.select(
+                F.explode(
+                    F.array(
+                        F.struct(a.alias("src"), b.alias("dst")),
+                        F.struct(b.alias("src"), a.alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # initialize at the one-hop minimum: label(node) = min(node, min
+        # neighbor) — one groupBy, and cliques/stars are already converged
+        labels = (
+            edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("__nmin"))
+            .select("node", F.least(F.col("node"), F.col("__nmin")).alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        try:
+            for it in range(self.max_iters):
+                neighbor_min = (
+                    edges.join(labels, edges.src == labels.node)
+                    .groupBy(F.col("dst").alias("node2"))
+                    .agg(F.min("label").alias("nmin"))
+                )
+                new_labels = (
+                    labels.join(
+                        neighbor_min, labels.node == neighbor_min.node2, "left"
+                    )
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                        ).alias("label"),
+                    )
+                )
+                if (it + 1) % self.checkpoint_every == 0:
+                    new_labels = new_labels.localCheckpoint(eager=False)
+                new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+                # labels are monotonically non-increasing, so the sum is a
+                # strictly decreasing potential: unchanged sum == fixpoint
+                new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+                labels.unpersist()
+                labels = new_labels
+                if new_sum == prev_sum:
+                    break
+                prev_sum = new_sum
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        finally:
+            edges.unpersist()
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive reachability via a recursive CTE, component
+    id = min node that reaches each node. ``pairs_sql`` must yield
+    (doc_a, doc_b)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) t
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) s
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
