@@ -25,7 +25,9 @@ PLAN_ONLY = [
     "q34_json_extract", "q35_passages", "q36_group_nest", "q44_except",
     "q45_part_stats", "q46_supplier_revenue", "q48_asof_join",
     "q49_range_join", "q50_cube", "q51_sliding_window",
-    "q52_fingerprint_dedup", "q53_sketches",
+    "q52_fingerprint_dedup", "q53_sketches", "q56_stratified_sample",
+    "q57_weighted_mixture", "q58_pack_sequences", "q59_epoch_shuffle",
+    "q60_term_stats",
 ]
 
 
@@ -108,3 +110,22 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     bucketed key (hash-joinable), not a non-equi nested loop."""
     plan = _plan(QUERIES["q49_range_join"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q56_stratified_sample", "q57_weighted_mixture"])
+def test_sampling_is_shuffle_free(spark, sf_dir, name):
+    """Keyed sampling / mixture fan-out are scan-level row ops: the plan
+    must contain NO Exchange — at 100 TB these run at full scan speed."""
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_epoch_shuffle_rank_is_range_partitioned(spark, sf_dir):
+    """The global rank must come from a range-partitioned parallel sort
+    (two-phase rank), never a bare ORDER BY window that collapses the row
+    data into a single partition. The only SinglePartition exchange allowed
+    is the tiny per-partition offsets side (#partitions rows)."""
+    plan = _plan(QUERIES["q59_epoch_shuffle"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    row_side = plan.split("BroadcastHashJoin")[0]
+    assert "SinglePartition" not in row_side, plan

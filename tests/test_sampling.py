@@ -1,0 +1,125 @@
+"""Sampling / mixture / shuffle / packing operators: determinism and
+semantic invariants beyond the oracle-parity harness."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.io import load_table
+from warp_pipes_spark.pipes.sampling import (
+    DeterministicSample,
+    EpochShuffle,
+    StratifiedSample,
+    WeightedMixture,
+)
+from warp_pipes_spark.text.analysis import TokenCount
+from warp_pipes_spark.text.packing import PackSequences
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_deterministic_sample_is_stable_and_nested(spark, sf_dir):
+    """Same (key, seed) -> same sample on rerun; and because the gate is a
+    threshold on one hash, samples are NESTED: sample(0.2) is a subset of
+    sample(0.5) at the same seed — the property that makes keyed sampling
+    usable for reproducible scaling-law subsets."""
+    docs = _docs(spark, sf_dir)
+    half = {r["doc_id"] for r in DeterministicSample(0.5)(docs).select("doc_id").collect()}
+    half2 = {r["doc_id"] for r in DeterministicSample(0.5)(docs).select("doc_id").collect()}
+    fifth = {r["doc_id"] for r in DeterministicSample(0.2)(docs).select("doc_id").collect()}
+    assert half == half2
+    assert fifth <= half
+    n = docs.count()
+    assert abs(len(half) / n - 0.5) < 0.1
+    other_seed = {
+        r["doc_id"]
+        for r in DeterministicSample(0.5, seed=9)(docs).select("doc_id").collect()
+    }
+    assert other_seed != half  # independent across seeds
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    fractions = {"src0": 1.0, "src1": 0.0}
+    out = StratifiedSample(fractions, default=0.5)(docs)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["src0"] == totals["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in by_src  # rate 0.0 drops everything
+    rest_kept = sum(n for s, n in by_src.items() if s not in fractions)
+    rest_total = sum(n for s, n in totals.items() if s not in fractions)
+    assert abs(rest_kept / rest_total - 0.5) < 0.15
+
+
+def test_weighted_mixture_copy_semantics(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = WeightedMixture({"src0": 2.5, "src1": 0.0}, default=1.0)(docs).collect()
+    copies = collections.Counter()
+    for r in out:
+        copies[(r["source"], r["doc_id"])] += 1
+    src0_counts = [c for (s, _), c in copies.items() if s == "src0"]
+    assert src0_counts and all(c in (2, 3) for c in src0_counts)  # 2 + Bern(0.5)
+    assert not any(s == "src1" for s, _ in copies)  # weight 0 drops
+    default_counts = [c for (s, _), c in copies.items() if s not in ("src0", "src1")]
+    assert default_counts and all(c == 1 for c in default_counts)
+    # fractional third copies ~half of src0 docs
+    frac = sum(1 for c in src0_counts if c == 3) / len(src0_counts)
+    assert 0.2 < frac < 0.8
+    # copy_idx distinguishes replicas
+    idx = collections.Counter((r["source"], r["doc_id"], r["copy_idx"]) for r in out)
+    assert max(idx.values()) == 1
+
+
+def test_weighted_mixture_rejects_negative(spark):
+    with pytest.raises(ValueError):
+        WeightedMixture({"a": -1.0})
+
+
+def test_epoch_shuffle_is_total_permutation(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    out = EpochShuffle(seed=3)(docs).collect()
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(1, n + 1))
+    again = EpochShuffle(seed=3)(docs).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in out} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in again
+    }
+    other = EpochShuffle(seed=4)(docs).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in out} != {
+        (r["doc_id"], r["shuffle_pos"]) for r in other
+    }
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = TokenCount()(_docs(spark, sf_dir))
+    cap = 128
+    rows = PackSequences(capacity=cap)(docs).collect()
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["source"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        stream = 0
+        for r in rs:
+            # placement = running token stream cut every `cap`
+            assert r["start_pack"] == stream // cap, (shard, r)
+            assert r["pack_offset"] == stream % cap, (shard, r)
+            end = stream + r["n_tokens"] - 1 if r["n_tokens"] > 0 else stream
+            assert r["end_pack"] == end // cap, (shard, r)
+            stream += r["n_tokens"]
+
+
+def test_pack_sequences_rejects_bad_capacity(spark):
+    with pytest.raises(ValueError):
+        PackSequences(capacity=0)

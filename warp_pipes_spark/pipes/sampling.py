@@ -1,0 +1,328 @@
+"""Deterministic sampling / corpus-mixing operators for training-data
+pipelines.
+
+All operators here gate rows on a *content hash* (md5 of the row key + a
+seed), never on an RNG: the sample is a pure function of (key, seed), so it
+is reproducible across engines (identical in DuckDB — the oracle SQL uses
+the same md5 gate), across cluster sizes, across partitionings, and across
+reruns — properties Bernoulli ``df.sample`` cannot give. At 100 TB the
+gate is a codegen'd filter on the scan (no shuffle, no state); the hash
+costs one md5 per row.
+
+Gate construction: take the first 12 hex chars of
+``md5(concat(key, ':', seed))`` and compare lexicographically against the
+threshold ``hex(floor(fraction * 16^12))``. Lowercase-hex string ordering
+equals numeric ordering (both engines compare byte-wise), and 16^-12 rate
+granularity (~4e-15) is far below any sampling tolerance.
+
+- ``DeterministicSample`` — uniform keyed sample at ``fraction``.
+- ``StratifiedSample`` — per-stratum fractions (e.g. per ``source`` /
+  ``lang`` quality-tier rates), one CASE-gated filter, no shuffle.
+- ``WeightedMixture`` — corpus mixing with weights that may EXCEED 1
+  (epoch-style oversampling: weight 2.5 = every row twice + a 0.5 keyed
+  sample of a third copy). Replication via ``explode(sequence(...))``
+  (rows stay executor-local; no shuffle), each copy re-hashed with its
+  copy index so the fractional copy is an independent sample.
+- ``EpochShuffle`` — deterministic global reorder for training epochs:
+  ``shuffle_pos`` = rank in md5-order. A global sort (range-partitioned
+  exchange in Spark — parallel, but a full shuffle by nature); at 100 TB
+  prefer writing the sort output sharded once per epoch seed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+
+_HEX_DIGITS = 12
+_HEX_SPACE = 16 ** _HEX_DIGITS
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Lowercase zero-padded hex threshold for a [0,1] fraction. For
+    fraction >= 1 the threshold must exceed EVERY 12-hex-char gate — hex
+    ``10^12`` would be 13 chars and lexicographically compare by its first
+    char ('1' < '2'..'f'), silently dropping ~15/16 of rows — so a 'g'
+    sentinel (greater than all of [0-9a-f]) is used instead."""
+    f = min(max(float(fraction), 0.0), 1.0)
+    if f >= 1.0:
+        return "g"
+    return format(int(f * _HEX_SPACE), "0" + str(_HEX_DIGITS) + "x")
+
+
+def _gate_col(key: Column, seed: int, salt: Optional[Column] = None) -> Column:
+    """First 12 md5 hex chars of ``key:seed[:salt]`` (Spark side)."""
+    parts = [key.cast("string"), F.lit(str(seed))]
+    if salt is not None:
+        parts.append(salt.cast("string"))
+    return F.substring(F.md5(F.concat_ws(":", *parts)), 1, _HEX_DIGITS)
+
+
+def _gate_sql(key: str, seed: int, salt: Optional[str] = None) -> str:
+    """The identical gate in ANSI/DuckDB SQL."""
+    parts = [f"CAST({key} AS VARCHAR)", f"':{seed}'"]
+    if salt is not None:
+        parts.append(f"':' || CAST({salt} AS VARCHAR)")
+    return f"substring(md5({' || '.join(parts)}), 1, {_HEX_DIGITS})"
+
+
+class DeterministicSample(Pipe):
+    """Uniform keyed sample: keep rows whose content-hash gate falls below
+    ``fraction``. Reproducible across engines/partitionings/reruns (see
+    module docstring); the filter is a pure scan-level predicate.
+
+    Replaces RNG paths of the reference's subset utility
+    (``warp_pipes/support/datasets_utils.py:22-62``) where cross-run
+    determinism matters more than statistical independence per call."""
+
+    def __init__(self, fraction: float, key_col: str = "doc_id", seed: int = 0, **kwargs):
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction must be in [0,1], got {fraction}")
+        super().__init__(**kwargs)
+        self.fraction = fraction
+        self.key_col = key_col
+        self.seed = seed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        gate = _gate_col(F.col(self.key_col), self.seed)
+        return df.filter(gate < F.lit(_threshold_hex(self.fraction)))
+
+
+class StratifiedSample(Pipe):
+    """Per-stratum keyed sampling: ``fractions`` maps stratum values (of
+    ``stratum_col``) to keep-rates; strata not listed get ``default``.
+    One CASE-gated filter — no shuffle, no per-stratum scans, unlike
+    ``df.stat.sampleBy`` which is also RNG-based and thus not reproducible
+    across engines."""
+
+    def __init__(
+        self,
+        fractions: Dict[str, float],
+        stratum_col: str = "source",
+        key_col: str = "doc_id",
+        seed: int = 0,
+        default: float = 0.0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.fractions = dict(fractions)
+        self.stratum_col = stratum_col
+        self.key_col = key_col
+        self.seed = seed
+        self.default = default
+
+    def _threshold(self) -> Column:
+        expr: Optional[Column] = None
+        col = F.col(self.stratum_col)
+        for value, frac in sorted(self.fractions.items()):
+            cond = col == F.lit(value)
+            branch = F.lit(_threshold_hex(frac))
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        assert expr is not None, "StratifiedSample needs at least one stratum"
+        return expr.otherwise(F.lit(_threshold_hex(self.default)))
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        gate = _gate_col(F.col(self.key_col), self.seed)
+        return df.filter(gate < self._threshold())
+
+
+class WeightedMixture(Pipe):
+    """Corpus mixing with per-stratum weights that may exceed 1 —
+    the epoch-oversampling primitive of LLM pretraining data recipes
+    (e.g. wiki x2.5, web x0.3): weight w emits floor(w) full copies of
+    every row plus an independent frac(w) keyed sample of one more copy.
+
+    Replication is ``explode(sequence(0, n_copies-1))`` — executor-local
+    row fan-out, no shuffle; the per-copy gate re-hashes with the copy
+    index so fractional copies are independent samples. Output carries
+    ``copy_idx`` so downstream epoch shuffles can separate copies."""
+
+    def __init__(
+        self,
+        weights: Dict[str, float],
+        stratum_col: str = "source",
+        key_col: str = "doc_id",
+        seed: int = 0,
+        default: float = 1.0,
+        **kwargs,
+    ):
+        if any(w < 0 for w in weights.values()) or default < 0:
+            raise ValueError("mixture weights must be >= 0")
+        super().__init__(**kwargs)
+        self.weights = dict(weights)
+        self.stratum_col = stratum_col
+        self.key_col = key_col
+        self.seed = seed
+        self.default = default
+
+    def _weight(self) -> Column:
+        expr: Optional[Column] = None
+        col = F.col(self.stratum_col)
+        for value, w in sorted(self.weights.items()):
+            branch = F.lit(float(w))
+            cond = col == F.lit(value)
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        if expr is None:
+            return F.lit(float(self.default))
+        return expr.otherwise(F.lit(float(self.default)))
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        w = self._weight()
+        out = (
+            df.withColumn("__w", w)
+            .filter(F.col("__w") > 0)
+            .withColumn(
+                "copy_idx",
+                F.explode(F.sequence(F.lit(0), F.ceil(F.col("__w")).cast("int") - 1)),
+            )
+        )
+        # full copies always pass; the LAST copy passes at rate frac(w)
+        # (when w is integral, frac = 0 and ceil adds no extra copy)
+        frac = F.col("__w") - F.floor(F.col("__w"))
+        is_partial = F.col("copy_idx") >= F.floor(F.col("__w"))
+        gate = _gate_col(F.col(self.key_col), self.seed, salt=F.col("copy_idx"))
+        # threshold hex for an arbitrary per-row fraction, computed in-plan:
+        # lpad(hex(floor(frac * 16^12))) — identical formula to _threshold_hex
+        thr = F.lpad(
+            F.lower(F.hex(F.floor(frac * F.lit(float(_HEX_SPACE))).cast("long"))),
+            _HEX_DIGITS,
+            "0",
+        )
+        return out.filter(~is_partial | (gate < thr)).drop("__w")
+
+
+class EpochShuffle(Pipe):
+    """Deterministic global training-order shuffle: ``shuffle_pos`` =
+    row_number in md5(key:seed) order. Different seeds give independent
+    epoch orders; the same seed always gives the same order, on any
+    engine. Ties on the 12-hex gate are broken by the key itself so the
+    order is total.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` would collapse to ONE
+    partition; instead the global rank is computed distributed: range-
+    partition on the gate (parallel sort), rank locally per partition,
+    then add per-partition offsets via a broadcast join against the tiny
+    partition-counts table (#partitions rows). Same shape as RDD
+    ``zipWithIndex``, kept in the DataFrame API."""
+
+    def __init__(
+        self, key_col: str = "doc_id", seed: int = 0,
+        num_partitions: Optional[int] = None, **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.key_col = key_col
+        self.seed = seed
+        self.num_partitions = num_partitions
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        gate = _gate_col(F.col(self.key_col), self.seed).alias("__gate")
+        n = self.num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        parted = (
+            df.select("*", gate)
+            .repartitionByRange(n, F.col("__gate"), F.col(self.key_col))
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        local = F.row_number().over(
+            Window.partitionBy("__pid").orderBy("__gate", self.key_col)
+        )
+        ranked = parted.withColumn("__local", local)
+        # offsets: one row per partition — cumulative counts in pid order
+        # (a single-partition window over ~#partitions rows, not row data)
+        counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        offsets = counts.select(
+            "__pid",
+            (
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("__off"),
+        ).fillna(0, subset=["__off"])
+        out = ranked.join(F.broadcast(offsets), "__pid")
+        return out.withColumn(
+            "shuffle_pos", (F.col("__off") + F.col("__local")).cast("int")
+        ).drop("__gate", "__pid", "__local", "__off")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB) — same gates, same thresholds
+# ---------------------------------------------------------------------------
+
+
+def deterministic_sample_sql(
+    table: str, fraction: float, key: str = "doc_id", seed: int = 0,
+    columns: str = "*",
+) -> str:
+    gate = _gate_sql(key, seed)
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"WHERE {gate} < '{_threshold_hex(fraction)}'"
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    fractions: Dict[str, float],
+    stratum: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    default: float = 0.0,
+    columns: str = "*",
+) -> str:
+    gate = _gate_sql(key, seed)
+    cases = " ".join(
+        f"WHEN {stratum} = '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in sorted(fractions.items())
+    )
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"WHERE {gate} < CASE {cases} ELSE '{_threshold_hex(default)}' END"
+    )
+
+
+def weighted_mixture_sql(
+    table: str,
+    weights: Dict[str, float],
+    stratum: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    default: float = 1.0,
+    columns: str = "*",
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum} = '{v}' THEN CAST({float(w)} AS DOUBLE)"
+        for v, w in sorted(weights.items())
+    )
+    w_expr = f"CASE {cases} ELSE CAST({float(default)} AS DOUBLE) END"
+    gate = _gate_sql(key, seed, salt="copy_idx")
+    return f"""
+WITH weighted AS (
+  SELECT *, {w_expr} AS __w FROM {table}
+), fanned AS (
+  SELECT weighted.*, gs.copy_idx
+  FROM weighted, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(__w) AS BIGINT))) AS copy_idx
+  ) gs
+  WHERE __w > 0
+)
+SELECT {columns}, copy_idx FROM fanned
+WHERE copy_idx < floor(__w)
+   OR {gate} < lpad(lower(hex(CAST(floor((__w - floor(__w)) * {float(_HEX_SPACE)}) AS BIGINT))), {_HEX_DIGITS}, '0')
+"""
+
+
+def epoch_shuffle_sql(
+    table: str, key: str = "doc_id", seed: int = 0, columns: str = "*"
+) -> str:
+    gate = _gate_sql(key, seed)
+    return (
+        f"SELECT {columns}, CAST(ROW_NUMBER() OVER (ORDER BY {gate}, {key}) AS INT)"
+        f" AS shuffle_pos FROM {table}"
+    )

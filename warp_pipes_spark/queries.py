@@ -28,14 +28,25 @@ from pyspark.sql import functions as F
 from warp_pipes_spark.io import load_table
 from warp_pipes_spark.pipes.basics import Apply, FilterKeys, RenameKeys
 from warp_pipes_spark.pipes.pipelines import Sequential
+from warp_pipes_spark.pipes.sampling import (
+    EpochShuffle,
+    StratifiedSample,
+    WeightedMixture,
+    epoch_shuffle_sql,
+    stratified_sample_sql,
+    weighted_mixture_sql,
+)
+from warp_pipes_spark.text.packing import PackSequences, pack_sequences_sql
 from warp_pipes_spark.text.analysis import (
     DocFingerprint,
     LangId,
     QualityScore,
+    TermStats,
     TokenCount,
     doc_fingerprint_sql,
     langid_sql,
     quality_sql,
+    term_stats_sql,
     token_count_sql,
     tokens_sql,
 )
@@ -750,6 +761,51 @@ def q53_sketches(spark, sf):
     )
 
 
+_STRATA_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+
+
+def q56_stratified_sample(spark, sf):
+    """Deterministic stratified sampling: per-source keep-rates via a
+    content-hash (md5) gate — reproducible across engines, partitionings
+    and reruns (unlike RNG sampleBy), and a pure scan-level filter (no
+    shuffle, pushes below everything)."""
+    return StratifiedSample(_STRATA_FRACTIONS, default=0.1)(
+        T(spark, sf, "documents")
+    )
+
+
+def q57_weighted_mixture(spark, sf):
+    """Epoch-weighted corpus mixing (pretraining data recipes): weight 2.5
+    = two full copies + an independent 0.5 keyed sample; 0.4 = one 0.4
+    sample; 0 drops the source. Replication is executor-local explode —
+    no shuffle; each copy re-hashed with its copy index."""
+    docs = T(spark, sf, "documents").select("doc_id", "source")
+    return WeightedMixture(_MIXTURE_WEIGHTS, default=1.0)(docs)
+
+
+def q58_pack_sequences(spark, sf):
+    """Sequence packing (concat-and-chunk): per-source token streams cut
+    every 256 tokens; each doc mapped to (start_pack, pack_offset,
+    end_pack) by a running-sum window — shard-parallel, zero Python."""
+    docs = TokenCount()(T(spark, sf, "documents"))
+    return PackSequences(capacity=256)(docs)
+
+
+def q59_epoch_shuffle(spark, sf):
+    """Deterministic global training-order shuffle: rank in md5(key:seed)
+    order, computed distributed (range partition -> local rank -> tiny
+    offset join) — never a single-partition global window."""
+    return EpochShuffle(seed=1)(T(spark, sf, "documents").select("doc_id"))
+
+
+def q60_term_stats(spark, sf):
+    """Corpus heavy hitters: exact top-20 terms by document frequency —
+    the exact companion to q53's sketches; vocabulary-sized shuffle via
+    map-side partial aggregation."""
+    return TermStats(k=20)(T(spark, sf, "documents"))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -989,6 +1045,18 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "documents", BM25S_QUERIES_CTE, k=10, aux_weight=0.75, scale_aux=True
     ),
     "q55_dedup_clusters": dedup_clusters_sql(ngram_jaccard_sql(n=3, threshold=0.5)),
+    "q56_stratified_sample": stratified_sample_sql(
+        "documents", _STRATA_FRACTIONS, default=0.1
+    ),
+    "q57_weighted_mixture": weighted_mixture_sql(
+        "documents", _MIXTURE_WEIGHTS, default=1.0, columns="doc_id, source"
+    ),
+    "q58_pack_sequences": pack_sequences_sql(
+        f"SELECT source, doc_id, {token_count_sql('text')} AS n_tokens FROM documents",
+        capacity=256,
+    ),
+    "q59_epoch_shuffle": epoch_shuffle_sql("documents", seed=1, columns="doc_id"),
+    "q60_term_stats": term_stats_sql("documents", k=20),
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1109,6 +1177,11 @@ def _register():
         "q53_sketches": q53_sketches,
         "q54_bm25_scaled_aux": q54_bm25_scaled_aux,
         "q55_dedup_clusters": q55_dedup_clusters,
+        "q56_stratified_sample": q56_stratified_sample,
+        "q57_weighted_mixture": q57_weighted_mixture,
+        "q58_pack_sequences": q58_pack_sequences,
+        "q59_epoch_shuffle": q59_epoch_shuffle,
+        "q60_term_stats": q60_term_stats,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -229,3 +229,56 @@ def doc_fingerprint_sql(text: str = "text") -> str:
         f"c -> CAST(ord(c) AS BIGINT)))"
     )
     return f"list_reduce({codes}, (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+
+
+# ---------------------------------------------------------------------------
+# corpus term statistics (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+class TermStats(Pipe):
+    """Corpus-level heavy hitters: top-``k`` terms by document frequency
+    (+ total term frequency). The exact companion to the sketch path
+    (``q53``'s approximate aggregates): explode tokens -> distinct per doc
+    -> groupBy term. Map-side partial aggregation keeps the shuffle at
+    one (term, partial-count) row per term per partition — at 100 TB the
+    shuffle width is vocabulary-, not corpus-, sized. Ties on count are
+    broken by term so top-k is total and engine-independent."""
+
+    def __init__(self, k: int = 20, text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.k = k
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        stats = (
+            df.select("doc_id", F.explode(tokens_expr(F.col(self.text_col))).alias("term"))
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("doc_freq"),
+                F.count(F.lit(1)).alias("term_freq"),
+            )
+        )
+        return (
+            stats.orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
+            .limit(self.k)
+            .select(
+                "term",
+                F.col("doc_freq").cast("long").alias("doc_freq"),
+                F.col("term_freq").cast("long").alias("term_freq"),
+            )
+        )
+
+
+def term_stats_sql(table: str = "documents", k: int = 20, text: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql(text)}) AS term FROM {table}
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS term_freq
+FROM toks GROUP BY term
+ORDER BY doc_freq DESC, term_freq DESC, term ASC
+LIMIT {k}
+"""
