@@ -308,7 +308,13 @@ class Bm25Search(Pipe):
         all_terms = parts[0]
         for p in parts[1:]:
             all_terms = all_terms.unionByName(p)
-        scores = all_terms.groupBy("query_id", "idx").agg(
+        # ONE exchange for agg + window: hash-partitioning on query_id alone
+        # satisfies both the (query_id, idx) grouping (subset-key clustered
+        # distribution) and the window's partitionBy(query_id) — without it
+        # Spark plans two back-to-back shuffles. Partial aggregation loses
+        # nothing: input arrives term-partitioned, so a (query_id, idx) pair
+        # almost never repeats within a map partition anyway.
+        scores = all_terms.repartition("query_id").groupBy("query_id", "idx").agg(
             (F.sum("ts") / F.lit(1000000.0)).alias("score")
         )
         if self.temperature != 1.0:
