@@ -27,7 +27,7 @@ PLAN_ONLY = [
     "q49_range_join", "q50_cube", "q51_sliding_window",
     "q52_fingerprint_dedup", "q53_sketches", "q56_stratified_sample",
     "q57_weighted_mixture", "q58_pack_sequences", "q59_epoch_shuffle",
-    "q60_term_stats",
+    "q60_term_stats", "q61_contamination", "q62_repetition",
 ]
 
 

@@ -123,3 +123,45 @@ def test_pack_sequences_invariants(spark, sf_dir):
 def test_pack_sequences_rejects_bad_capacity(spark):
     with pytest.raises(ValueError):
         PackSequences(capacity=0)
+
+
+def test_cross_corpus_overlap_containment(spark):
+    """Containment is asymmetric: a benchmark doc fully quoted inside a
+    longer train doc scores 1.0; partial overlap scores |∩|/|bench|."""
+    from warp_pipes_spark.text.dedup import CrossCorpusOverlap
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )  # trigrams: {alpha beta gamma, beta gamma delta}
+    train = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta suffix words here"),
+            (11, "alpha beta gamma unrelated tail of text"),
+            (12, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["train_id"]: r["containment"]
+        for r in CrossCorpusOverlap(benchmark=bench, n=3, threshold=0.4)(train).collect()
+    }
+    assert rows[10] == 1.0       # both bench trigrams present
+    assert rows[11] == 0.5       # one of two
+    assert 12 not in rows        # zero overlap
+
+
+def test_repetition_score_known_values(spark):
+    from warp_pipes_spark.text.analysis import RepetitionScore
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),       # 4 bigrams, 1 distinct
+            (2, "all words here are unique ones"), # no repeated bigram
+            (3, "x"),                              # too short: 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_frac"] for r in RepetitionScore(n=2)(df).collect()}
+    assert got[1] == 0.75
+    assert got[2] == 0.0
+    assert got[3] == 0.0

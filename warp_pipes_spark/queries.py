@@ -41,21 +41,25 @@ from warp_pipes_spark.text.analysis import (
     DocFingerprint,
     LangId,
     QualityScore,
+    RepetitionScore,
     TermStats,
     TokenCount,
     doc_fingerprint_sql,
     langid_sql,
     quality_sql,
+    repetition_sql,
     term_stats_sql,
     token_count_sql,
     tokens_sql,
 )
 from warp_pipes_spark.text.dedup import (
+    CrossCorpusOverlap,
     DedupClusters,
     ExactDedup,
     MinHashDedup,
     NgramJaccardDedup,
     SimHashDedup,
+    cross_corpus_overlap_sql,
     dedup_clusters_sql,
     ngram_jaccard_sql,
 )
@@ -806,6 +810,27 @@ def q60_term_stats(spark, sf):
     return TermStats(k=20)(T(spark, sf, "documents"))
 
 
+def q61_contamination(spark, sf):
+    """Benchmark-contamination check: training docs (sources != src0)
+    containing >= 30% of a benchmark doc's (source = src0) trigram
+    shingles — asymmetric CONTAINMENT, the standard decontamination
+    measure. The bounded benchmark side is broadcast; the train side
+    streams map-side (the only shuffle is candidate pair counts)."""
+    docs = T(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return CrossCorpusOverlap(benchmark=bench, n=3, threshold=0.3)(train)
+
+
+def q62_repetition(spark, sf):
+    """Intra-document repetition fraction (Gopher-style quality signal):
+    1 - distinct/total over word bigrams — codegen'd array expressions,
+    scan speed, no shuffle."""
+    return RepetitionScore(n=2)(T(spark, sf, "documents")).select(
+        "doc_id", "rep_frac"
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1057,6 +1082,15 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     ),
     "q59_epoch_shuffle": epoch_shuffle_sql("documents", seed=1, columns="doc_id"),
     "q60_term_stats": term_stats_sql("documents", k=20),
+    "q61_contamination": cross_corpus_overlap_sql(
+        "SELECT doc_id, text FROM documents WHERE source <> 'src0'",
+        "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+        n=3,
+        threshold=0.3,
+    ),
+    "q62_repetition": (
+        f"SELECT doc_id, {repetition_sql(n=2)} AS rep_frac FROM documents"
+    ),
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1182,6 +1216,8 @@ def _register():
         "q58_pack_sequences": q58_pack_sequences,
         "q59_epoch_shuffle": q59_epoch_shuffle,
         "q60_term_stats": q60_term_stats,
+        "q61_contamination": q61_contamination,
+        "q62_repetition": q62_repetition,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

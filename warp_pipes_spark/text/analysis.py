@@ -282,3 +282,55 @@ FROM toks GROUP BY term
 ORDER BY doc_freq DESC, term_freq DESC, term ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition scoring (quality filtering)
+# ---------------------------------------------------------------------------
+
+
+class RepetitionScore(Pipe):
+    """Intra-document repetition fraction — the Gopher-style quality
+    signal for generated/boilerplate text: 1 - distinct/total over the
+    document's word n-grams (0 = no repetition, -> 1 = the same phrase
+    over and over). Pure codegen'd array expressions, scan-speed; rounded
+    through DECIMAL(18,6) then emitted DOUBLE (engine-identical)."""
+
+    def __init__(self, n: int = 2, text_col: str = "text", out_col: str = "rep_frac", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.n = n
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        toks = tokens_expr(F.col(self.text_col))
+        n_sh = F.greatest(F.size(toks) - F.lit(self.n - 1), F.lit(0))
+        idx = F.sequence(F.lit(1), n_sh)
+        grams = F.when(
+            n_sh > 0,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, self.n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        rep = F.when(
+            n_sh > 0,
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast("double") / n_sh.cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        return {self.out_col: rep.cast("decimal(18,6)").cast("double")}
+
+
+def repetition_sql(n: int = 2, text: str = "text") -> str:
+    toks = tokens_sql(text)
+    grams = (
+        f"CASE WHEN len({toks}) >= {n} THEN list_transform("
+        f"generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+    return (
+        f"CAST(CAST(CASE WHEN len({toks}) >= {n} "
+        f"THEN 1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / CAST(len({grams}) AS DOUBLE) "
+        f"ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE)"
+    )

@@ -698,3 +698,103 @@ WITH RECURSIVE pairs AS (
 SELECT node AS doc_id, MIN(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+class CrossCorpusOverlap(Pipe):
+    """Benchmark-contamination detection: find (train_doc, bench_doc) pairs
+    whose n-gram shingle CONTAINMENT |train ∩ bench| / |bench| meets a
+    threshold — the standard train/eval decontamination check (the measure
+    is asymmetric on purpose: a benchmark item fully quoted inside a long
+    training document scores 1.0 regardless of the train doc's length,
+    where Jaccard would dilute it).
+
+    Input: the training corpus. ``benchmark``: the (small) eval corpus.
+    Plan: explode the benchmark's distinct shingles and BROADCAST them
+    (eval suites are bounded — thousands of items — while the train side
+    is the 100 TB one); the train side streams map-side through the join,
+    so the only shuffle is the candidate (train_id, bench_id) pair count.
+    """
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        n: int = 3,
+        threshold: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bench_id_col: str = "doc_id",
+        bench_text_col: str = "text",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.benchmark = benchmark
+        self.n = n
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text_col = text_col
+        self.bench_id_col = bench_id_col
+        self.bench_text_col = bench_text_col
+
+    _no_fingerprint = ("benchmark",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        bench = self.benchmark.select(
+            F.col(self.bench_id_col).alias("bench_id"),
+            shingles_expr(F.col(self.bench_text_col), self.n).alias("shingles"),
+        )
+        bench_sizes = bench.select(
+            "bench_id", F.size("shingles").alias("n_bench")
+        ).filter(F.col("n_bench") > 0)
+        bench_inv = bench.select(
+            "bench_id", F.explode("shingles").alias("shingle")
+        )
+        train_inv = df.select(
+            F.col(self.id_col).alias("train_id"),
+            F.explode(shingles_expr(F.col(self.text_col), self.n)).alias("shingle"),
+        )
+        pairs = (
+            train_inv.join(F.broadcast(bench_inv), "shingle")
+            .groupBy("train_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(F.broadcast(bench_sizes), "bench_id")
+            .withColumn(
+                "containment",
+                (F.col("n_common") / F.col("n_bench"))
+                .cast("decimal(18,6)")
+                .cast("double"),
+            )
+            .filter(F.col("containment") >= F.lit(self.threshold))
+        )
+        return pairs.select("train_id", "bench_id", "n_common", "containment")
+
+
+def cross_corpus_overlap_sql(
+    train_sql: str,
+    bench_sql: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :class:`CrossCorpusOverlap`. ``train_sql`` /
+    ``bench_sql`` must yield (doc_id, text)."""
+    sh = shingles_sql("text", n)
+    return f"""
+WITH train AS (
+  SELECT doc_id AS train_id, {sh} AS shingles FROM ({train_sql}) t
+), bench AS (
+  SELECT doc_id AS bench_id, {sh} AS shingles FROM ({bench_sql}) b
+), bench_sizes AS (
+  SELECT bench_id, len(shingles) AS n_bench FROM bench WHERE len(shingles) > 0
+), train_inv AS (
+  SELECT train_id, unnest(shingles) AS shingle FROM train
+), bench_inv AS (
+  SELECT bench_id, unnest(shingles) AS shingle FROM bench
+), pairs AS (
+  SELECT train_id, bench_id, COUNT(*) AS n_common
+  FROM train_inv JOIN bench_inv USING (shingle)
+  GROUP BY train_id, bench_id
+)
+SELECT train_id, bench_id, n_common,
+       CAST(CAST(n_common / n_bench AS DECIMAL(18,6)) AS DOUBLE) AS containment
+FROM pairs JOIN bench_sizes USING (bench_id)
+WHERE CAST(CAST(n_common / n_bench AS DECIMAL(18,6)) AS DOUBLE) >= {threshold}
+"""
