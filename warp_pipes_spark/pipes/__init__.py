@@ -23,6 +23,12 @@ from warp_pipes_spark.pipes.pipelines import (
 from warp_pipes_spark.pipes.datasets import TakeSubset, concat_columns, concat_rows
 from warp_pipes_spark.pipes.grouped import GroupedApply
 from warp_pipes_spark.pipes.pprint import PrintBatch, PrintContent
+from warp_pipes_spark.pipes.sampling import (
+    DeterministicSample,
+    EpochShuffle,
+    StratifiedSample,
+    WeightedMixture,
+)
 from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin
 
 __all__ = [
@@ -52,4 +58,8 @@ __all__ = [
     "TakeSubset",
     "concat_rows",
     "concat_columns",
+    "DeterministicSample",
+    "StratifiedSample",
+    "WeightedMixture",
+    "EpochShuffle",
 ]

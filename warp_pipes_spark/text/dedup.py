@@ -124,6 +124,57 @@ def widen_partitions(df: DataFrame) -> DataFrame:
     return df
 
 
+def _default_shingle_cache_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "warp_pipes_spark_shingles")
+
+
+def shingle_table(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+    cache_dir: Optional[str] = None,
+) -> DataFrame:
+    """The ``(doc_id, shingles)`` table every shingle-based dedup consumes,
+    served from a fingerprint-keyed Parquet cache: the tokenize+shingle
+    pass (the dominant cost — a full corpus scan through the Python kernel)
+    runs ONCE per (corpus, n) and is shared across operators — Jaccard
+    pair-finding, MinHash signatures, and cluster formation over either's
+    pairs all reuse the same artifact, mirroring the BM25 index-once-
+    query-many design. At cluster scale point ``cache_dir`` at shared
+    storage. ``materialize=False`` returns the raw plan (callers persist)."""
+    built = widen_partitions(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
+        shingles_udf(n)(F.col(text_col)).alias("shingles"),
+    )
+    if not materialize:
+        return built
+    from warp_pipes_spark.core.fingerprint import (
+        fingerprint_dataframe,
+        get_fingerprint,
+    )
+    from warp_pipes_spark.pipes.cache import CacheManager
+
+    manager = CacheManager(cache_dir or _default_shingle_cache_dir())
+    fp = get_fingerprint(
+        {
+            "op": "shingles_v1",
+            "corpus": fingerprint_dataframe(df),
+            "id": id_col,
+            "text": text_col,
+            "n": n,
+        }
+    )
+    if not manager.exists(fp):
+        manager.store(built, fp)
+    return manager.load(df.sparkSession, fp)
+
+
 class ExactDedup(Pipe):
     """Exact duplicate groups by content column: ``groupBy(text)`` with
     count + min(doc_id) as the canonical representative. One shuffle; at
@@ -178,6 +229,8 @@ class NgramJaccardDedup(Pipe):
         max_df: Optional[int] = None,
         prefix_filter: bool = True,
         persist: bool = True,
+        materialize_shingles: bool = True,
+        shingle_cache_dir: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -188,19 +241,25 @@ class NgramJaccardDedup(Pipe):
         self.max_df = max_df
         self.prefix_filter = prefix_filter
         self.persist = persist
+        self.materialize_shingles = materialize_shingles
+        self.shingle_cache_dir = shingle_cache_dir
+
+    _no_fingerprint = ("shingle_cache_dir",)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        docs = widen_partitions(
-            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
-        ).select(
-            "doc_id",
-            shingles_udf(self.n)(F.col(self.text_col)).alias("shingles"),
+        docs = shingle_table(
+            df,
+            self.n,
+            self.id_col,
+            self.text_col,
+            materialize=self.materialize_shingles,
+            cache_dir=self.shingle_cache_dir,
         )
-        if self.persist:
+        if self.persist and not self.materialize_shingles:
             # the shingle table feeds the sizes branch and both sides of the
             # inverted-index self-join; without a materialization point Spark
-            # recomputes tokenize+shingle per branch (at scale:
-            # checkpoint/write this table instead)
+            # recomputes tokenize+shingle per branch (the materialized path
+            # is already Parquet-backed — re-scans are cheap and parallel)
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
         inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -384,6 +443,8 @@ class MinHashDedup(Pipe):
         band_size: int = 4,
         threshold: float = 0.5,
         persist: bool = True,
+        materialize_shingles: bool = True,
+        shingle_cache_dir: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -394,18 +455,25 @@ class MinHashDedup(Pipe):
         self.band_size = band_size
         self.threshold = threshold
         self.persist = persist
+        self.materialize_shingles = materialize_shingles
+        self.shingle_cache_dir = shingle_cache_dir
         assert n_hashes % band_size == 0, "n_hashes must divide into bands"
 
+    _no_fingerprint = ("shingle_cache_dir",)
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        docs = widen_partitions(
-            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
-        ).select(
-            "doc_id",
-            shingles_udf(self.n)(F.col(self.text_col)).alias("shingles"),
+        docs = shingle_table(
+            df,
+            self.n,
+            self.id_col,
+            self.text_col,
+            materialize=self.materialize_shingles,
+            cache_dir=self.shingle_cache_dir,
         ).filter(F.size("shingles") > 0)
-        if self.persist:
+        if self.persist and not self.materialize_shingles:
             # shingle arrays feed the signature AND both verification-join
-            # sides; materialize once (at scale: checkpoint/write instead)
+            # sides; materialize once (the materialized path is already
+            # Parquet-backed — re-scans are cheap and parallel)
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         # signature: for each seed, min xxhash64 over the doc's shingles.
         # Computed per-row with array expressions — no explode, no shuffle.
@@ -724,6 +792,8 @@ class CrossCorpusOverlap(Pipe):
         text_col: str = "text",
         bench_id_col: str = "doc_id",
         bench_text_col: str = "text",
+        materialize_shingles: bool = True,
+        shingle_cache_dir: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -734,23 +804,34 @@ class CrossCorpusOverlap(Pipe):
         self.text_col = text_col
         self.bench_id_col = bench_id_col
         self.bench_text_col = bench_text_col
+        self.materialize_shingles = materialize_shingles
+        self.shingle_cache_dir = shingle_cache_dir
 
-    _no_fingerprint = ("benchmark",)
+    _no_fingerprint = ("benchmark", "shingle_cache_dir")
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # benchmark side: small by contract — vectorized kernel, in-plan
         bench = self.benchmark.select(
             F.col(self.bench_id_col).alias("bench_id"),
-            shingles_expr(F.col(self.bench_text_col), self.n).alias("shingles"),
-        )
+            shingles_udf(self.n)(F.col(self.bench_text_col)).alias("shingles"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         bench_sizes = bench.select(
             "bench_id", F.size("shingles").alias("n_bench")
         ).filter(F.col("n_bench") > 0)
         bench_inv = bench.select(
             "bench_id", F.explode("shingles").alias("shingle")
         )
-        train_inv = df.select(
-            F.col(self.id_col).alias("train_id"),
-            F.explode(shingles_expr(F.col(self.text_col), self.n)).alias("shingle"),
+        # train side: the 100 TB side — served from the shared shingle cache
+        train_inv = shingle_table(
+            df,
+            self.n,
+            self.id_col,
+            self.text_col,
+            materialize=self.materialize_shingles,
+            cache_dir=self.shingle_cache_dir,
+        ).select(
+            F.col("doc_id").alias("train_id"),
+            F.explode("shingles").alias("shingle"),
         )
         pairs = (
             train_inv.join(F.broadcast(bench_inv), "shingle")
