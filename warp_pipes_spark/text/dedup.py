@@ -553,6 +553,8 @@ class SimHashDedup(Pipe):
         n_bands: int = 8,
         max_hamming: int = 3,
         persist: bool = True,
+        materialize_signatures: bool = True,
+        signature_cache_dir: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -562,6 +564,8 @@ class SimHashDedup(Pipe):
         self.n_bands = n_bands
         self.max_hamming = max_hamming
         self.persist = persist
+        self.materialize_signatures = materialize_signatures
+        self.signature_cache_dir = signature_cache_dir
         # pigeonhole: a pair within max_hamming differs in <= max_hamming
         # bands, so it SHARES a band only if max_hamming < n_bands — beyond
         # that the candidate-completeness guarantee silently breaks
@@ -570,7 +574,9 @@ class SimHashDedup(Pipe):
             "the banding recall guarantee"
         )
 
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+    _no_fingerprint = ("signature_cache_dir",)
+
+    def _signatures(self, df: DataFrame) -> DataFrame:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
@@ -606,11 +612,41 @@ class SimHashDedup(Pipe):
             "return": Iterator[pd.Series],
         }
         sig_udf = pandas_udf(sig_kernel, "long")
-        sig = hashed.select("doc_id", sig_udf(F.col("hashes")).alias("simhash"))
-        if self.persist:
-            # the 64-bit-vote signature is expensive; both self-join sides
-            # need it — materialize once
-            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        return hashed.select("doc_id", sig_udf(F.col("hashes")).alias("simhash"))
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # the 64-bit-vote signature is the expensive pass and both self-join
+        # sides need it: serve it from the fingerprint-keyed Parquet cache
+        # (one corpus pass ever, same index-once design as BM25/shingles)
+        if self.materialize_signatures:
+            import tempfile
+
+            from warp_pipes_spark.core.fingerprint import (
+                fingerprint_dataframe,
+                get_fingerprint,
+            )
+            from warp_pipes_spark.pipes.cache import CacheManager
+
+            manager = CacheManager(
+                self.signature_cache_dir
+                or os.path.join(tempfile.gettempdir(), "warp_pipes_spark_simhash")
+            )
+            fp = get_fingerprint(
+                {
+                    "op": "simhash_sig_v1",
+                    "corpus": fingerprint_dataframe(df),
+                    "id": self.id_col,
+                    "text": self.text_col,
+                    "bits": self.bits,
+                }
+            )
+            if not manager.exists(fp):
+                manager.store(self._signatures(df), fp)
+            sig = manager.load(df.sparkSession, fp)
+        else:
+            sig = self._signatures(df)
+            if self.persist:
+                sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         band_bits = self.bits // self.n_bands
         mask = (1 << band_bits) - 1
         bands = sig.select(
