@@ -262,3 +262,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     got = dedup_stream(batch, key_cols=("event_type",)).count()
     assert got == 2
+
+
+def test_sampling_gate_is_streaming_safe(spark, tmp_path):
+    """The md5 sampling gate is a stateless row filter, so the SAME operator
+    works unchanged on a stream — and selects exactly the rows the batch
+    plan selects (keyed determinism; an RNG sample could not promise this)."""
+    from warp_pipes_spark.pipes.sampling import DeterministicSample
+
+    src = str(tmp_path / "sample_stream")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME + [MID_ROW], "batch0.json")
+
+    sampler = DeterministicSample(0.5, key_col="event_id", seed=3)
+    stream = read_events_stream(spark, src)
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r["event_id"] for r in batch_df.collect())
+
+    q = sampler(stream).writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    q.awaitTermination(10)
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in ROWS_ON_TIME + [MID_ROW]],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    want = [r["event_id"] for r in sampler(batch_df).collect()]
+    assert sorted(got) == sorted(want)
+    assert 0 < len(want) < 5  # the gate actually split the batch

@@ -831,6 +831,31 @@ def q62_repetition(spark, sf):
     )
 
 
+def q63_salted_join(spark, sf):
+    """Skew-robust fact-dim join through the salting utility: orders
+    salted across 8 buckets, customer replicated per salt, join on
+    (custkey, salt) — identical result multiset to the plain join (each
+    dim copy matches exactly the fact rows assigned its salt), but a hot
+    customer's rows spread over 8 reducers instead of one. Oracle = the
+    plain join, proving semantic transparency."""
+    from warp_pipes_spark.plans.skew import salted_join
+
+    o = T(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, on=["custkey"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D184)).cast(D184).cast("double").alias("rev"),
+        )
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1091,6 +1116,12 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q62_repetition": (
         f"SELECT doc_id, {repetition_sql(n=2)} AS rep_frac FROM documents"
     ),
+    "q63_salted_join": (
+        "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS rev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1218,6 +1249,7 @@ def _register():
         "q60_term_stats": q60_term_stats,
         "q61_contamination": q61_contamination,
         "q62_repetition": q62_repetition,
+        "q63_salted_join": q63_salted_join,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
