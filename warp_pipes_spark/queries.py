@@ -856,6 +856,31 @@ def q63_salted_join(spark, sf):
     )
 
 
+def q64_clean_corpus(spark, sf):
+    """The flagship end-to-end training-data pipeline, composed from the
+    operator library via ``Sequential``: language-ID -> quality features ->
+    repetition score -> rule filter (predicted English, sane length, low
+    repetition, low punctuation) -> exact-dedup survivor join (keep only
+    each text's canonical minimum doc_id). Every stage is a pure Catalyst
+    plan; the only shuffle is the dedup groupBy."""
+    pipeline = Sequential(
+        LangId(),
+        QualityScore(),
+        RepetitionScore(n=2),
+    )
+    scored = pipeline(T(spark, sf, "documents"))
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("q_tokens") >= 5)
+        & (F.col("rep_frac") < F.lit(0.5))
+        & (F.col("q_punct_ratio") < F.lit(0.2))
+    )
+    canon = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(canon, ["text", "doc_id"]).select(
+        "doc_id", "pred_lang", "q_tokens", "rep_frac"
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1122,6 +1147,24 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
+    "q64_clean_corpus": f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {langid_sql()} AS pred_lang,
+         {quality_sql()['q_tokens']} AS q_tokens,
+         {quality_sql()['q_punct_ratio']} AS q_punct_ratio,
+         {repetition_sql(n=2)} AS rep_frac
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE pred_lang = 'en' AND q_tokens >= 5 AND rep_frac < 0.5
+    AND q_punct_ratio < 0.2
+), canon AS (
+  SELECT text, MIN(doc_id) AS doc_id FROM kept GROUP BY text
+)
+SELECT k.doc_id, k.pred_lang, k.q_tokens, k.rep_frac
+FROM kept k JOIN canon c ON k.text = c.text AND k.doc_id = c.doc_id
+""",
     "q44_except": (
         "SELECT x FROM ("
         "SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'F' "
@@ -1250,6 +1293,7 @@ def _register():
         "q61_contamination": q61_contamination,
         "q62_repetition": q62_repetition,
         "q63_salted_join": q63_salted_join,
+        "q64_clean_corpus": q64_clean_corpus,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
