@@ -28,7 +28,7 @@ PLAN_ONLY = [
     "q52_fingerprint_dedup", "q53_sketches", "q56_stratified_sample",
     "q57_weighted_mixture", "q58_pack_sequences", "q59_epoch_shuffle",
     "q60_term_stats", "q61_contamination", "q62_repetition",
-    "q63_salted_join", "q64_clean_corpus",
+    "q63_salted_join", "q64_clean_corpus", "q65_full_outer", "q66_rank_suite",
 ]
 
 

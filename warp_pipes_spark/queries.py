@@ -881,6 +881,46 @@ def q64_clean_corpus(spark, sf):
     )
 
 
+def q65_full_outer(spark, sf):
+    """Full outer join with unmatched rows on BOTH sides (high-balance
+    customers vs high-value order totals), null-indicator flags preserved."""
+    c = (
+        T(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    j = c.join(o, "custkey", "full_outer")
+    return j.select(
+        "custkey",
+        "c_name",
+        F.coalesce(F.col("n_big_orders"), F.lit(0)).alias("n_big_orders"),
+        F.col("c_name").isNull().alias("customer_missing"),
+    )
+
+
+def q66_rank_suite(spark, sf):
+    """Ranking-function suite over a window: ntile quartiles, percent_rank
+    and cume_dist per order priority, ordered by (totalprice, orderkey) —
+    the key tie-break makes every rank deterministic across engines."""
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("decimal(18,6)").cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("decimal(18,6)").cast("double").alias("cdist"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1147,6 +1187,23 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
+    "q65_full_outer": (
+        "WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_acctbal > 9000), "
+        "o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_big_orders FROM orders "
+        "WHERE o_totalprice > 300000 GROUP BY o_custkey) "
+        "SELECT COALESCE(c.custkey, o.custkey) AS custkey, c.c_name, "
+        "COALESCE(o.n_big_orders, 0) AS n_big_orders, "
+        "c.c_name IS NULL AS customer_missing "
+        "FROM c FULL OUTER JOIN o ON c.custkey = o.custkey"
+    ),
+    "q66_rank_suite": (
+        "SELECT o_orderkey, o_orderpriority, "
+        "ntile(4) OVER w AS quartile, "
+        "CAST(CAST(percent_rank() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank, "
+        "CAST(CAST(cume_dist() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cdist "
+        "FROM orders WHERE o_orderstatus = 'F' "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)"
+    ),
     "q64_clean_corpus": f"""
 WITH scored AS (
   SELECT doc_id, text,
@@ -1294,6 +1351,8 @@ def _register():
         "q62_repetition": q62_repetition,
         "q63_salted_join": q63_salted_join,
         "q64_clean_corpus": q64_clean_corpus,
+        "q65_full_outer": q65_full_outer,
+        "q66_rank_suite": q66_rank_suite,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
