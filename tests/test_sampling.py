@@ -165,3 +165,30 @@ def test_repetition_score_known_values(spark):
     assert got[1] == 0.75
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_threshold_hex_properties():
+    """Pure math of the gate threshold: 12 lowercase hex chars (or the 'g'
+    sentinel at 1.0), monotone in the fraction, lexicographic order =
+    numeric order — the property the whole md5-gate family rests on."""
+    import string
+    from hypothesis import given, strategies as st
+
+    from warp_pipes_spark.pipes.sampling import _threshold_hex
+
+    assert _threshold_hex(0.0) == "0" * 12
+    assert _threshold_hex(1.0) == "g"  # above every hex gate
+    assert _threshold_hex(1.5) == "g"
+    assert _threshold_hex(-0.5) == "0" * 12
+
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+           st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def monotone(f1, f2):
+        t1, t2 = _threshold_hex(f1), _threshold_hex(f2)
+        if f1 <= f2:
+            assert t1 <= t2
+        for t, f in ((t1, f1), (t2, f2)):
+            if f < 1.0:
+                assert len(t) == 12 and all(c in string.hexdigits.lower() for c in t)
+
+    monotone()

@@ -298,3 +298,56 @@ def test_sampling_gate_is_streaming_safe(spark, tmp_path):
     want = [r["event_id"] for r in sampler(batch_df).collect()]
     assert sorted(got) == sorted(want)
     assert 0 < len(want) < 5  # the gate actually split the batch
+
+
+def test_streaming_term_counts_match_batch(spark, tmp_path):
+    """Heavy-hitter term counts accumulate across stream batches (update
+    mode) and converge to exactly the batch answer over the same docs."""
+    from warp_pipes_spark.streaming.events import streaming_term_counts
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    docs = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma"),
+        (3, "alpha delta delta"),
+    ]
+    # two files -> two micro-batches
+    for i, chunk in enumerate([docs[:2], docs[2:]]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for did, text in chunk:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    counts = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            counts[r["term"]] = r["doc_freq"]
+
+    q = (
+        streaming_term_counts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    q.awaitTermination(10)
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["term"]: r["doc_freq"]
+        for r in streaming_term_counts(batch_df).collect()
+    }
+    assert counts == want
+    assert want == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}

@@ -127,3 +127,18 @@ def session_windows(
             "v",
         )
     )
+
+
+def streaming_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Incremental corpus heavy hitters: per-term document counts over a
+    document stream, maintained in update mode — the streaming form of
+    ``TermStats`` (the batch form is oracled as q60). Distinct-per-doc
+    explode then count: state is one long per term (vocabulary-sized, not
+    corpus-sized), so the query runs indefinitely at bounded memory. On a
+    batch DataFrame the same function computes the same counts one-shot."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    terms = docs.select(
+        F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("term")
+    )
+    return terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
