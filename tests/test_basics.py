@@ -266,3 +266,33 @@ def test_dedup_clusters_components(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in DedupClusters()(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_run_batch_dict_roundtrip(spark):
+    """Eager dict-batch convenience (reference pipe(batch) parity): dict in,
+    dict out, order preserved for row-preserving pipes; update-merge keeps
+    input columns; pipelines thread the batch."""
+    from warp_pipes_spark.pipes.basics import AddPrefix, FilterKeys
+    from warp_pipes_spark.pipes.pipelines import Sequential
+    from warp_pipes_spark.text.analysis import TokenCount
+
+    batch = {"doc_id": [1, 2, 3], "text": ["one two", "three", "four five six"]}
+    out = TokenCount()(  # __call__ builds plans; run_batch is the eager path
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    assert "n_tokens" in out.columns  # plan path still works
+
+    got = TokenCount().run_batch(batch, spark=spark)
+    assert got["doc_id"] == [1, 2, 3]
+    assert got["n_tokens"] == [2, 1, 3]
+
+    piped = Sequential(TokenCount(), AddPrefix("d_")).run_batch(batch, spark=spark)
+    assert piped["d_n_tokens"] == [2, 1, 3]
+
+    only = FilterKeys(["doc_id"]).run_batch(batch, spark=spark)
+    assert only == {"doc_id": [1, 2, 3]}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TokenCount().run_batch({"doc_id": [1], "text": ["a", "b"]}, spark=spark)

@@ -81,6 +81,33 @@ class Pipe:
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         raise NotImplementedError(f"{type(self).__name__} implements neither _columns nor _transform")
 
+    # -- eager dict-batch convenience --------------------------------------
+
+    def run_batch(self, batch: Dict[str, list], spark=None, **kwargs) -> Dict[str, list]:
+        """Eager columnar-dict convenience mirroring the reference's
+        ``pipe(batch)`` overload (``warp_pipes/core/pipe.py:95-118``):
+        build a local DataFrame from ``{column: [values]}``, run this
+        pipe's (lazy) plan on it, collect back to a columnar dict — the
+        interactive/debug workflow. Row order is preserved for
+        row-preserving pipes (single local partition, no exchange); pipes
+        that aggregate/join define their own output order. The distributed
+        path is ``transform(df)``."""
+        from pyspark.sql import Row, SparkSession
+
+        if not batch:
+            raise ValueError("run_batch needs a non-empty columnar dict")
+        sizes = {k: len(v) for k, v in batch.items()}
+        if len(set(sizes.values())) > 1:
+            raise ValueError(f"ragged batch columns: {sizes}")
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession; pass spark=")
+        cols = list(batch)
+        rows = [Row(**dict(zip(cols, vals))) for vals in zip(*batch.values())]
+        out = self.transform(spark.createDataFrame(rows), **kwargs)
+        collected = out.collect()
+        return {c: [r[c] for r in collected] for c in out.columns}
+
     # -- fingerprinting ----------------------------------------------------
 
     _no_fingerprint: tuple = ()
