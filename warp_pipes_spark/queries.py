@@ -921,6 +921,21 @@ def q66_rank_suite(spark, sf):
     )
 
 
+def q67_quantized_topk(spark, sf):
+    """SQ8 scalar-quantized ANN: corpus stored as uint8 codes (4x smaller
+    — the 100 TB memory lever), dequantized inside the scan projection,
+    exact cosine top-k over the reconstruction. Rows-only driver check
+    (quantizer training is not SQL-expressible); reconstruction error and
+    recall-vs-exact are asserted in tests."""
+    from warp_pipes_spark.ml.quantize import quantized_corpus
+
+    emb = T(spark, sf, "embeddings")
+    codes, sq = quantized_corpus(emb.select("vec_id", "embedding"), dim=64)
+    approx = sq.decode(codes).drop("codes")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return BruteForceCosineTopK(corpus=approx, k=5, exclude_self=True)(queries)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1353,6 +1368,7 @@ def _register():
         "q64_clean_corpus": q64_clean_corpus,
         "q65_full_outer": q65_full_outer,
         "q66_rank_suite": q66_rank_suite,
+        "q67_quantized_topk": q67_quantized_topk,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
