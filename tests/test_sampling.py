@@ -192,3 +192,27 @@ def test_threshold_hex_properties():
                 assert len(t) == 12 and all(c in string.hexdigits.lower() for c in t)
 
     monotone()
+
+
+def test_text_features_equals_expression_operators(spark, sf_dir):
+    """The fused Arrow kernel must be bit-identical to the three column-
+    expression operators it replaces (same tokenization, same tie-breaks,
+    same decimal-6 rounding) on every document."""
+    from warp_pipes_spark.text.analysis import (
+        LangId,
+        QualityScore,
+        RepetitionScore,
+        TextFeatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cols = ["doc_id", "pred_lang", "q_tokens", "q_punct_ratio", "rep_frac"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in LangId()(QualityScore()(RepetitionScore(n=2)(docs))).select(*cols).collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in TextFeatures(rep_n=2)(docs).select(*cols).collect()
+    )
+    assert got == want

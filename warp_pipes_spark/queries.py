@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from warp_pipes_spark.io import load_table
 from warp_pipes_spark.pipes.basics import Apply, FilterKeys, RenameKeys
-from warp_pipes_spark.pipes.pipelines import Sequential
 from warp_pipes_spark.pipes.sampling import (
     EpochShuffle,
     StratifiedSample,
@@ -43,6 +42,7 @@ from warp_pipes_spark.text.analysis import (
     QualityScore,
     RepetitionScore,
     TermStats,
+    TextFeatures,
     TokenCount,
     doc_fingerprint_sql,
     langid_sql,
@@ -857,27 +857,26 @@ def q63_salted_join(spark, sf):
 
 
 def q64_clean_corpus(spark, sf):
-    """The flagship end-to-end training-data pipeline, composed from the
-    operator library via ``Sequential``: language-ID -> quality features ->
-    repetition score -> rule filter (predicted English, sane length, low
-    repetition, low punctuation) -> exact-dedup survivor join (keep only
-    each text's canonical minimum doc_id). Every stage is a pure Catalyst
-    plan; the only shuffle is the dedup groupBy."""
-    pipeline = Sequential(
-        LangId(),
-        QualityScore(),
-        RepetitionScore(n=2),
-    )
-    scored = pipeline(T(spark, sf, "documents"))
+    """The flagship end-to-end training-data pipeline: fused one-pass text
+    features (language-ID, token count, punctuation ratio, repetition — one
+    Arrow kernel, bit-identical to the expression operators) -> rule filter
+    (predicted English, sane length, low repetition, low punctuation) ->
+    exact-dedup keep-min survivor via one window pass. One corpus scan, one
+    shuffle (the dedup window exchange)."""
+    scored = TextFeatures(rep_n=2)(T(spark, sf, "documents"))
     kept = scored.filter(
         (F.col("pred_lang") == "en")
         & (F.col("q_tokens") >= 5)
         & (F.col("rep_frac") < F.lit(0.5))
         & (F.col("q_punct_ratio") < F.lit(0.2))
     )
-    canon = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    return kept.join(canon, ["text", "doc_id"]).select(
-        "doc_id", "pred_lang", "q_tokens", "rep_frac"
+    # keep-min survivor via ONE window pass (a groupBy+self-join would
+    # recompute the whole scoring plan on both join sides)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "pred_lang", "q_tokens", "rep_frac")
     )
 
 
@@ -1231,11 +1230,9 @@ WITH scored AS (
   SELECT * FROM scored
   WHERE pred_lang = 'en' AND q_tokens >= 5 AND rep_frac < 0.5
     AND q_punct_ratio < 0.2
-), canon AS (
-  SELECT text, MIN(doc_id) AS doc_id FROM kept GROUP BY text
 )
-SELECT k.doc_id, k.pred_lang, k.q_tokens, k.rep_frac
-FROM kept k JOIN canon c ON k.text = c.text AND k.doc_id = c.doc_id
+SELECT doc_id, pred_lang, q_tokens, rep_frac FROM kept
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """,
     "q44_except": (
         "SELECT x FROM ("

@@ -334,3 +334,93 @@ def repetition_sql(n: int = 2, text: str = "text") -> str:
         f"THEN 1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / CAST(len({grams}) AS DOUBLE) "
         f"ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE)"
     )
+
+
+# ---------------------------------------------------------------------------
+# fused one-pass text features (Arrow kernel)
+# ---------------------------------------------------------------------------
+
+
+class TextFeatures(Pipe):
+    """One Arrow pass computing (pred_lang, q_tokens, q_punct_ratio,
+    rep_frac) — byte-identical semantics to the LangId / QualityScore /
+    RepetitionScore column expressions (equivalence is asserted in tests),
+    but ONE tokenization per document. The expression forms re-tokenize at
+    every expression occurrence (Spark's higher-order array functions are
+    interpreted and excluded from subexpression elimination, and filter
+    pushdown through a projection re-substitutes them), so a fused kernel
+    is the fast path for multi-feature pipelines; identical Python-UDF
+    calls are deduplicated into a single ArrowEvalPython node, so the four
+    struct-field projections cost one kernel invocation."""
+
+    def __init__(self, text_col: str = "text", rep_n: int = 2, **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.rep_n = rep_n
+
+    def _kernel(self):
+        import decimal
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+        stop = {lang: frozenset(ws) for lang, ws in sorted(LANG_STOPWORDS.items())}
+        langs = sorted(stop)
+        punct = set(PUNCT_CHARS)
+        n = self.rep_n
+        q6 = decimal.Decimal("1e-6")
+
+        def dec6(x: float) -> float:
+            # Spark's double -> DECIMAL(18,6) cast: BigDecimal(shortest
+            # repr).setScale(6, HALF_UP); Python repr is the same shortest
+            # round-trip string, so this is bit-identical
+            return float(
+                decimal.Decimal(repr(x)).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+            )
+
+        def kernel(texts):
+            preds, qtoks, qpuncts, reps = [], [], [], []
+            for t in texts:
+                toks = [x for x in tok_re.split(t.lower()) if x]
+                counts = [sum(1 for x in toks if x in stop[l]) for l in langs]
+                best = max(counts) if counts else 0
+                if best == 0:
+                    preds.append("und")
+                else:
+                    preds.append(langs[counts.index(best)])
+                qtoks.append(len(toks))
+                n_chars = len(t)
+                p = sum(1 for c in t if c in punct)
+                qpuncts.append(dec6(p / n_chars) if n_chars > 0 else 0.0)
+                n_g = len(toks) - n + 1
+                if n_g > 0:
+                    grams = [" ".join(toks[i : i + n]) for i in range(n_g)]
+                    reps.append(dec6(1.0 - len(set(grams)) / n_g))
+                else:
+                    reps.append(0.0)
+            return pd.DataFrame(
+                {
+                    "pred_lang": preds,
+                    "q_tokens": pd.Series(qtoks, dtype="int32"),
+                    "q_punct_ratio": qpuncts,
+                    "rep_frac": reps,
+                }
+            )
+
+        kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+        return pandas_udf(
+            kernel,
+            "pred_lang string, q_tokens int, q_punct_ratio double, rep_frac double",
+        )
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        feats = self._kernel()(F.col(self.text_col))
+        return {
+            "pred_lang": feats["pred_lang"],
+            "q_tokens": feats["q_tokens"],
+            "q_punct_ratio": feats["q_punct_ratio"],
+            "rep_frac": feats["rep_frac"],
+        }
