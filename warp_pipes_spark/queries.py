@@ -935,6 +935,39 @@ def q67_quantized_topk(spark, sf):
     return BruteForceCosineTopK(corpus=approx, k=5, exclude_self=True)(queries)
 
 
+def q68_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (a chosen subset of rollup/cube combos) with
+    grouping_id to disambiguate subtotal rows from genuine NULL groups."""
+    o = T(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        o=o,
+    )
+
+
+def q69_pivot(spark, sf):
+    """Pivot: order counts + decimal-stable revenue per status, one column
+    set per priority bucket (the classic reshape; the oracle spells it as
+    portable conditional aggregation)."""
+    o = T(spark, sf, "orders").withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(D184)).cast(D184).cast("double").alias("rev"),
+        )
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1201,6 +1234,23 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
+    "q68_grouping_sets": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid "
+        "FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+    ),
+    "q69_pivot": (
+        "WITH o AS (SELECT *, substring(o_orderpriority, 1, 1) AS prio FROM orders) "
+        "SELECT o_orderstatus, "
+        + ", ".join(
+            f"COUNT(*) FILTER (prio = '{p}') AS \"{p}_n\", "
+            f"CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (prio = '{p}') "
+            f"AS DECIMAL(18,4)) AS DOUBLE) AS \"{p}_rev\""
+            for p in "12345"
+        )
+        + " FROM o GROUP BY o_orderstatus"
+    ),
     "q65_full_outer": (
         "WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_acctbal > 9000), "
         "o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_big_orders FROM orders "
@@ -1366,6 +1416,8 @@ def _register():
         "q65_full_outer": q65_full_outer,
         "q66_rank_suite": q66_rank_suite,
         "q67_quantized_topk": q67_quantized_topk,
+        "q68_grouping_sets": q68_grouping_sets,
+        "q69_pivot": q69_pivot,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
