@@ -29,7 +29,7 @@ PLAN_ONLY = [
     "q57_weighted_mixture", "q58_pack_sequences", "q59_epoch_shuffle",
     "q60_term_stats", "q61_contamination", "q62_repetition",
     "q63_salted_join", "q64_clean_corpus", "q65_full_outer", "q66_rank_suite",
-    "q68_grouping_sets", "q69_pivot",
+    "q68_grouping_sets", "q69_pivot", "q70_resample",
 ]
 
 

@@ -43,3 +43,31 @@ def test_range_join_band_boundaries(spark):
     )
     out = RangeJoin(right=right, on=["user_id"], lo_seconds=0, hi_seconds=3600)(left)
     assert sorted(r["rid"] for r in out.collect()) == [10, 11]
+
+
+def test_resample_locf_semantics(spark):
+    """Grid covers [floor(min), floor(max)] inclusive per key; grid points
+    before any observation are NULL; later points carry the most recent
+    value forward across gaps."""
+    from warp_pipes_spark.pipes.temporal import Resample
+
+    rows = [
+        (1, "2024-01-01T00:30:00", 10.0),
+        (1, "2024-01-01T03:10:00", 20.0),   # next obs after a 1h gap
+        (2, "2024-01-01T05:59:00", 7.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts string, value double")
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    )
+    got = {
+        (r["user_id"], str(r["grid_ts"])): r["value"]
+        for r in Resample(step_seconds=3600)(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): None,   # grid point precedes first obs
+        (1, "2024-01-01 01:00:00"): 10.0,
+        (1, "2024-01-01 02:00:00"): 10.0,   # gap carried forward
+        (1, "2024-01-01 03:00:00"): 10.0,   # obs at 03:10 is after this point
+        (2, "2024-01-01 05:00:00"): None,
+    }

@@ -29,7 +29,7 @@ from warp_pipes_spark.pipes.sampling import (
     StratifiedSample,
     WeightedMixture,
 )
-from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin
+from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin, Resample
 
 __all__ = [
     "Identity",
@@ -55,6 +55,7 @@ __all__ = [
     "GroupedApply",
     "AsOfJoin",
     "RangeJoin",
+    "Resample",
     "TakeSubset",
     "concat_rows",
     "concat_columns",

@@ -161,3 +161,104 @@ class RangeJoin(Pipe):
         return out.withColumnRenamed("__lts", "left_ts").withColumnRenamed(
             "__rts", "right_ts"
         )
+
+
+class Resample(Pipe):
+    """Per-key regular time grid with last-observation-carried-forward —
+    the gap-filling/resampling companion to AsOfJoin (same union +
+    carry-forward window kernel): for every key, emit one row per
+    ``step_seconds`` bucket between the key's first and last observation,
+    valued with the most recent observation at-or-before the grid point.
+
+    Scale shape: one groupBy for per-key bounds (tiny result), grid rows
+    generated with ``sequence``/``explode`` (executor-local fan-out), then
+    ONE shuffle on the key for the carry-forward window — never a
+    per-grid-point subquery or a non-equi join. Grid buckets are
+    epoch-aligned so both engines agree on boundaries."""
+
+    def __init__(
+        self,
+        step_seconds: int,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        **kwargs,
+    ):
+        if step_seconds <= 0:
+            raise ValueError("step_seconds must be positive")
+        super().__init__(**kwargs)
+        self.step_seconds = step_seconds
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def _bucket(self, c: Column) -> Column:
+        step = self.step_seconds
+        return F.timestamp_seconds(
+            (F.floor(F.unix_timestamp(c) / step) * step).cast("long")
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        key, ts, val = self.key_col, self.ts_col, self.value_col
+        step = self.step_seconds
+        bounds = df.groupBy(key).agg(
+            F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
+        )
+        grid = bounds.select(
+            key,
+            F.explode(
+                F.sequence(
+                    self._bucket(F.col("__mn")),
+                    self._bucket(F.col("__mx")),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias("__t"),
+        ).select(key, "__t", F.lit(1).alias("__side"), F.lit(None).cast("double").alias("__v"))
+        obs = df.select(
+            key,
+            F.col(ts).alias("__t"),
+            F.lit(0).alias("__side"),
+            F.col(val).cast("double").alias("__v"),
+        )
+        w = (
+            Window.partitionBy(key)
+            .orderBy("__t", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = obs.unionByName(grid).withColumn(
+            "__filled", F.last("__v", ignorenulls=True).over(w)
+        )
+        return (
+            filled.filter(F.col("__side") == 1)
+            .select(
+                key,
+                F.col("__t").alias("grid_ts"),
+                F.col("__filled").alias(val),
+            )
+        )
+
+
+def resample_sql(
+    table: str = "events",
+    step_seconds: int = 21600,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> str:
+    """DuckDB oracle for :class:`Resample` via native ASOF LEFT JOIN over
+    the identical epoch-aligned grid."""
+    bucket = (
+        lambda c: f"CAST(to_timestamp(floor(epoch({c}) / {step_seconds}) * {step_seconds}) AS TIMESTAMP)"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT {key}, {bucket(f'min({ts})')} AS t0, {bucket(f'max({ts})')} AS t1
+  FROM {table} GROUP BY {key}
+), grid AS (
+  SELECT {key}, unnest(generate_series(t0, t1, INTERVAL {step_seconds} SECOND)) AS grid_ts
+  FROM bounds
+)
+SELECT g.{key}, g.grid_ts, e.{value} AS {value}
+FROM grid g ASOF LEFT JOIN {table} e
+  ON g.{key} = e.{key} AND e.{ts} <= g.grid_ts
+"""

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from warp_pipes_spark.io import load_table
 from warp_pipes_spark.pipes.basics import Apply, FilterKeys, RenameKeys
+from warp_pipes_spark.pipes.temporal import resample_sql
 from warp_pipes_spark.pipes.sampling import (
     EpochShuffle,
     StratifiedSample,
@@ -968,6 +969,17 @@ def q69_pivot(spark, sf):
     )
 
 
+def q70_resample(spark, sf):
+    """Time-series resampling with gap fill: per-user 6-hour grid between
+    first and last event, valued by last-observation-carried-forward —
+    bounds agg + executor-local grid fan-out + one carry-forward window
+    shuffle (never per-point subqueries). Oracle = DuckDB native ASOF
+    LEFT JOIN over the identical epoch-aligned grid."""
+    from warp_pipes_spark.pipes.temporal import Resample
+
+    return Resample(step_seconds=6 * 3600)(T(spark, sf, "events"))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1234,6 +1246,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
+    "q70_resample": resample_sql("events", step_seconds=6 * 3600),
     "q68_grouping_sets": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
         "CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid "
@@ -1418,6 +1431,7 @@ def _register():
         "q67_quantized_topk": q67_quantized_topk,
         "q68_grouping_sets": q68_grouping_sets,
         "q69_pivot": q69_pivot,
+        "q70_resample": q70_resample,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
