@@ -296,3 +296,16 @@ def test_run_batch_dict_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         TokenCount().run_batch({"doc_id": [1], "text": ["a", "b"]}, spark=spark)
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A 200-node path graph (diameter 199): pointer jumping must converge
+    well inside 12 rounds (one-hop propagation alone would need ~100);
+    every node labels to the chain head."""
+    from warp_pipes_spark.text.dedup import DedupClusters
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in DedupClusters(max_iters=12)(df).collect()}
+    assert got == {i: 0 for i in range(201)}

@@ -693,18 +693,20 @@ class DedupClusters(Pipe):
     for every endpoint, where ``cluster_id`` is the smallest doc id in the
     component (the canonical survivor under a keep-min policy).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds. Labels start at the one-hop minimum (node vs
-    its neighbors), so star/clique components finish in the first check.
-    Per round: one join + one groupBy (both on the node key) and a 1-row
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes the min of its own label, its neighbors'
+    labels, AND its current label's label (path doubling), so label
+    distance to the component min roughly halves-then-propagates per
+    round: O(log diameter) rounds even on adversarially long chains
+    (``shortcut=False`` reverts to plain one-hop propagation =
+    O(diameter)). Labels start at the one-hop minimum (node vs its
+    neighbors), so star/clique components finish in the first check.
+    Per round: two joins + one groupBy (all on the node key) and a 1-row
     aggregate convergence probe (labels only ever DECREASE, so an unchanged
     label sum is exactly the fixpoint — no join-based diff needed);
     ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
     growing lineage. Duplicate graphs are overwhelmingly tiny cliques/
-    chains (diameter 1-3), so rounds stay in single digits even at 100 TB;
-    for adversarially long chains switch to the large-star/small-star
-    variant (same relational kernel, O(log n) rounds)."""
+    chains (diameter 1-3), so rounds stay in single digits even at 100 TB."""
 
     def __init__(
         self,
@@ -712,6 +714,7 @@ class DedupClusters(Pipe):
         dst_col: str = "doc_b",
         max_iters: int = 20,
         checkpoint_every: int = 5,
+        shortcut: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -719,6 +722,7 @@ class DedupClusters(Pipe):
         self.dst_col = dst_col
         self.max_iters = max_iters
         self.checkpoint_every = checkpoint_every
+        self.shortcut = shortcut
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         a, b = F.col(self.src_col), F.col(self.dst_col)
@@ -765,6 +769,23 @@ class DedupClusters(Pipe):
                         ).alias("label"),
                     )
                 )
+                if self.shortcut:
+                    # pointer jumping: label(u) <- label(label(u)); labels
+                    # are nodes, so one self-join doubles the hop distance
+                    # covered per round (O(log diameter) total)
+                    hops = new_labels.select(
+                        F.col("node").alias("p"), F.col("label").alias("plabel")
+                    )
+                    new_labels = (
+                        new_labels.join(hops, new_labels.label == hops.p, "left")
+                        .select(
+                            "node",
+                            F.least(
+                                F.col("label"),
+                                F.coalesce(F.col("plabel"), F.col("label")),
+                            ).alias("label"),
+                        )
+                    )
                 if (it + 1) % self.checkpoint_every == 0:
                     new_labels = new_labels.localCheckpoint(eager=False)
                 new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
