@@ -33,7 +33,14 @@ from warp_pipes_spark.core.pipe import Pipe
 
 
 class CacheManager:
-    """Content-addressed Parquet cache: ``cache_dir/<fingerprint>/``."""
+    """Content-addressed Parquet cache: ``cache_dir/<fingerprint>/``.
+
+    ``store`` is ATOMIC at the directory level: the dataset is written to a
+    private staging dir and published with one ``os.rename``, so a
+    concurrent reader either sees the complete published artifact (with
+    ``_SUCCESS``) or nothing — never a half-written cache entry. If two
+    writers race, the loser keeps the winner's (content-identical)
+    artifact and discards its own staging dir."""
 
     def __init__(self, cache_dir: str):
         self.cache_dir = cache_dir
@@ -49,10 +56,20 @@ class CacheManager:
         return spark.read.parquet(self.path_for(fingerprint))
 
     def store(self, df: DataFrame, fingerprint: str, meta: Optional[dict] = None) -> DataFrame:
+        import shutil
+        import uuid
+
         path = self.path_for(fingerprint)
-        df.write.mode("overwrite").parquet(path)
-        with open(os.path.join(path, "_wps_meta.json"), "w") as f:
+        staging = f"{path}.staging-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_wps_meta.json"), "w") as f:
             json.dump({"fingerprint": fingerprint, "written_at": time.time(), **(meta or {})}, f)
+        try:
+            os.rename(staging, path)  # atomic publish
+        except OSError:
+            # a concurrent writer published first: same fingerprint = same
+            # content — use theirs, drop ours
+            shutil.rmtree(staging, ignore_errors=True)
         return df.sparkSession.read.parquet(path)
 
     def get_or_compute(

@@ -55,15 +55,20 @@ def _threshold_hex(fraction: float) -> str:
 
 
 def _gate_col(key: Column, seed: int, salt: Optional[Column] = None) -> Column:
-    """First 12 md5 hex chars of ``key:seed[:salt]`` (Spark side)."""
-    parts = [key.cast("string"), F.lit(str(seed))]
+    """First 12 md5 hex chars of ``key:seed[:salt]`` (Spark side).
+    NULL keys yield a NULL gate (``F.concat`` propagates NULL, matching the
+    SQL ``||``), so a NULL-keyed row is dropped by every gate comparison in
+    BOTH engines — ``concat_ws`` would instead silently hash the row into
+    the sample on the Spark side only."""
+    parts = [key.cast("string"), F.lit(f":{seed}")]
     if salt is not None:
-        parts.append(salt.cast("string"))
-    return F.substring(F.md5(F.concat_ws(":", *parts)), 1, _HEX_DIGITS)
+        parts.extend([F.lit(":"), salt.cast("string")])
+    return F.substring(F.md5(F.concat(*parts)), 1, _HEX_DIGITS)
 
 
 def _gate_sql(key: str, seed: int, salt: Optional[str] = None) -> str:
-    """The identical gate in ANSI/DuckDB SQL."""
+    """The identical gate in ANSI/DuckDB SQL (NULL keys propagate through
+    ``||`` to a NULL gate, same as the Spark side)."""
     parts = [f"CAST({key} AS VARCHAR)", f"':{seed}'"]
     if salt is not None:
         parts.append(f"':' || CAST({salt} AS VARCHAR)")
@@ -122,7 +127,9 @@ class StratifiedSample(Pipe):
             cond = col == F.lit(value)
             branch = F.lit(_threshold_hex(frac))
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
-        assert expr is not None, "StratifiedSample needs at least one stratum"
+        if expr is None:
+            # no explicit strata: uniform sample at the default rate
+            return F.lit(_threshold_hex(self.default))
         return expr.otherwise(F.lit(_threshold_hex(self.default)))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
@@ -246,8 +253,10 @@ class EpochShuffle(Pipe):
             ).alias("__off"),
         ).fillna(0, subset=["__off"])
         out = ranked.join(F.broadcast(offsets), "__pid")
+        # long, not int: at the 100 TB scale this module targets, > 2^31
+        # rows would silently wrap a 32-bit position
         return out.withColumn(
-            "shuffle_pos", (F.col("__off") + F.col("__local")).cast("int")
+            "shuffle_pos", (F.col("__off") + F.col("__local")).cast("long")
         ).drop("__gate", "__pid", "__local", "__off")
 
 
@@ -323,6 +332,6 @@ def epoch_shuffle_sql(
 ) -> str:
     gate = _gate_sql(key, seed)
     return (
-        f"SELECT {columns}, CAST(ROW_NUMBER() OVER (ORDER BY {gate}, {key}) AS INT)"
+        f"SELECT {columns}, CAST(ROW_NUMBER() OVER (ORDER BY {gate}, {key}) AS BIGINT)"
         f" AS shuffle_pos FROM {table}"
     )

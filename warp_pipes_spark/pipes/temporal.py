@@ -204,6 +204,7 @@ class Resample(Pipe):
         bounds = df.groupBy(key).agg(
             F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
         )
+        payload = "__obs"
         grid = bounds.select(
             key,
             F.explode(
@@ -213,12 +214,23 @@ class Resample(Pipe):
                     F.expr(f"interval {step} seconds"),
                 )
             ).alias("__t"),
-        ).select(key, "__t", F.lit(1).alias("__side"), F.lit(None).cast("double").alias("__v"))
+        ).select(
+            key,
+            "__t",
+            F.lit(1).alias("__side"),
+            F.lit(None)
+            .cast("struct<v:double>")
+            .alias(payload),
+        )
+        # carry the most recent OBSERVATION (a non-null struct even when its
+        # VALUE is null) — carrying the bare value would skip null-valued
+        # observations, which is as-of-join semantics' divergence point:
+        # the grid point must see the matched row's value, null included
         obs = df.select(
             key,
             F.col(ts).alias("__t"),
             F.lit(0).alias("__side"),
-            F.col(val).cast("double").alias("__v"),
+            F.struct(F.col(val).cast("double").alias("v")).alias(payload),
         )
         w = (
             Window.partitionBy(key)
@@ -226,14 +238,14 @@ class Resample(Pipe):
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = obs.unionByName(grid).withColumn(
-            "__filled", F.last("__v", ignorenulls=True).over(w)
+            "__filled", F.last(payload, ignorenulls=True).over(w)
         )
         return (
             filled.filter(F.col("__side") == 1)
             .select(
                 key,
                 F.col("__t").alias("grid_ts"),
-                F.col("__filled").alias(val),
+                F.col("__filled")["v"].alias(val),
             )
         )
 

@@ -959,13 +959,24 @@ def q69_pivot(spark, sf):
     o = T(spark, sf, "orders").withColumn(
         "prio", F.substring("o_orderpriority", 1, 1)
     )
-    return (
+    pivoted = (
         o.groupBy("o_orderstatus")
         .pivot("prio", ["1", "2", "3", "4", "5"])
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast(D184)).cast(D184).cast("double").alias("rev"),
         )
+    )
+    # a (status, prio) combo with zero rows pivots to a NULL count; the
+    # count of an empty group is 0 (and that is what conditional-agg
+    # oracles produce), so coalesce the count columns
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            c if not c.endswith("_n") else F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c)
+            for c in pivoted.columns
+            if c != "o_orderstatus"
+        ],
     )
 
 

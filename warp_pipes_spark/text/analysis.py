@@ -239,11 +239,15 @@ def doc_fingerprint_sql(text: str = "text") -> str:
 class TermStats(Pipe):
     """Corpus-level heavy hitters: top-``k`` terms by document frequency
     (+ total term frequency). The exact companion to the sketch path
-    (``q53``'s approximate aggregates): explode tokens -> distinct per doc
-    -> groupBy term. Map-side partial aggregation keeps the shuffle at
-    one (term, partial-count) row per term per partition — at 100 TB the
-    shuffle width is vocabulary-, not corpus-, sized. Ties on count are
-    broken by term so top-k is total and engine-independent."""
+    (``q53``'s approximate aggregates). Two-stage aggregation: exploded
+    tokens first collapse to per-(term, doc) counts — a doc's tokens are
+    partition-local, so map-side partial aggregation removes in-document
+    repeats before the first exchange (width = distinct (term, doc)
+    incidences, the minimum any exact doc-frequency needs) — then the
+    (term) rollup's exchange is vocabulary-sized. A ``countDistinct``
+    formulation would shuffle the same incidences WITHOUT the map-side
+    collapse of repeated tokens. Ties on count are broken by term so
+    top-k is total and engine-independent."""
 
     def __init__(self, k: int = 20, text_col: str = "text", **kwargs):
         super().__init__(**kwargs)
@@ -251,13 +255,14 @@ class TermStats(Pipe):
         self.text_col = text_col
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        stats = (
+        per_doc = (
             df.select("doc_id", F.explode(tokens_expr(F.col(self.text_col))).alias("term"))
-            .groupBy("term")
-            .agg(
-                F.countDistinct("doc_id").alias("doc_freq"),
-                F.count(F.lit(1)).alias("term_freq"),
-            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        stats = per_doc.groupBy("term").agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("__tf").alias("term_freq"),
         )
         return (
             stats.orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
@@ -384,6 +389,15 @@ class TextFeatures(Pipe):
         def kernel(texts):
             preds, qtoks, qpuncts, reps = [], [], [], []
             for t in texts:
+                if t is None:
+                    # expression-operator NULL semantics: pred 'und'
+                    # (no stopword hits), q_tokens NULL (size of NULL
+                    # array), ratios 0.0 (the otherwise() branches)
+                    preds.append("und")
+                    qtoks.append(None)
+                    qpuncts.append(0.0)
+                    reps.append(0.0)
+                    continue
                 toks = [x for x in tok_re.split(t.lower()) if x]
                 counts = [sum(1 for x in toks if x in stop[l]) for l in langs]
                 best = max(counts) if counts else 0
@@ -404,7 +418,8 @@ class TextFeatures(Pipe):
             return pd.DataFrame(
                 {
                     "pred_lang": preds,
-                    "q_tokens": pd.Series(qtoks, dtype="int32"),
+                    # nullable Int32: NULL text yields a NULL token count
+                    "q_tokens": pd.Series(qtoks, dtype="Int32"),
                     "q_punct_ratio": qpuncts,
                     "rep_frac": reps,
                 }
