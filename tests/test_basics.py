@@ -309,3 +309,54 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in DedupClusters(max_iters=12)(df).collect()}
     assert got == {i: 0 for i in range(201)}
+
+
+def test_pii_scrub(spark):
+    from warp_pipes_spark.text.analysis import PiiScrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@ex-a.co thanks"),
+            (2, "server 10.0.200.1 and backup 192.168.0.254"),
+            (3, "call +1 (415) 555-0133 today"),
+            (4, "nothing sensitive here"),
+            (5, "a@b.io or c.d@e-f.org from 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in PiiScrub()(df).collect()}
+    assert rows[1]["clean_text"] == "mail me at <EMAIL> thanks"
+    assert rows[1]["n_redactions"] == 1
+    assert rows[2]["clean_text"] == "server <IP> and backup <IP>"
+    assert rows[2]["n_redactions"] == 2
+    assert rows[3]["clean_text"] == "call <PHONE> today"
+    assert rows[3]["n_redactions"] == 1
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert rows[4]["n_redactions"] == 0
+    assert rows[5]["clean_text"] == "<EMAIL> or <EMAIL> from <IP>"
+    assert rows[5]["n_redactions"] == 3
+
+
+def test_sentence_split(spark):
+    from warp_pipes_spark.text.analysis import SentenceSplit
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four! Five six? Seven"),
+            (2, "No terminator at all"),
+            (3, "Trailing dot."),
+        ],
+        "doc_id long, text string",
+    )
+    out = SentenceSplit()(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert by_doc[1] == [
+        (0, "One two."),
+        (1, "Three four!"),
+        (2, "Five six?"),
+        (3, "Seven"),
+    ]
+    assert by_doc[2] == [(0, "No terminator at all")]
+    assert by_doc[3] == [(0, "Trailing dot.")]

@@ -991,6 +991,87 @@ def q70_resample(spark, sf):
     return Resample(step_seconds=6 * 3600)(T(spark, sf, "events"))
 
 
+def q71_pii_scrub(spark, sf):
+    """PII redaction: deterministic PII injection (emails always, IPv4 for
+    doc_id%3==0, phone for doc_id%2==0 — the synthetic corpus contains no
+    real PII) followed by the ordered regex scrub. Pure codegen'd
+    regexp_replace/regexp_count — scan-speed; validates both replacement
+    and per-row redaction counting against the oracle."""
+    from warp_pipes_spark.text.analysis import PiiScrub
+
+    d = T(spark, sf, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1 (415) 555-0"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return PiiScrub()(injected).select("doc_id", "clean_text", "n_redactions")
+
+
+def q72_sentences(spark, sf):
+    """Sentence splitting (document -> sentence unit change): terminal
+    punctuation is first injected every 5 words (the synthetic corpus has
+    none), then SentenceSplit explodes each document into (doc_id,
+    sent_idx, sentence) — narrow posexplode, sentences stay on their
+    document's partition."""
+    from warp_pipes_spark.text.analysis import SentenceSplit
+
+    d = T(spark, sf, "documents").filter(F.col("lang") == "en")
+    punct = d.withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    return SentenceSplit()(punct).withColumn(
+        "n_chars", F.length("sentence").cast("int")
+    )
+
+
+def q73_cluster_reps(spark, sf):
+    """Survivor selection — the step after duplicate-cluster formation in a
+    real dedup pipeline: per cluster keep the doc with the longest text
+    (tie-break: smallest doc_id) and report cluster size. One aggregation
+    over the cluster assignment (min-struct idiom, no window): at 100 TB
+    the shuffle key is cluster_id and each group reduces map-side."""
+    docs = T(spark, sf, "documents")
+    pairs = NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=False)(docs).select(
+        "doc_a", "doc_b"
+    )
+    clusters = DedupClusters()(pairs)
+    enriched = clusters.join(
+        docs.select("doc_id", F.length("text").alias("__len")), "doc_id"
+    )
+    best = F.min(
+        F.struct((-F.col("__len")).alias("neg_len"), F.col("doc_id").alias("d"))
+    )
+    return (
+        enriched.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("__s"))
+        .select(
+            "cluster_id",
+            F.col("__s.d").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1365,7 +1446,56 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
         "SELECT window_start, event_type, COUNT(*) AS n FROM win "
         "GROUP BY 1, 2 ORDER BY 1, 2"
     ),
+    "q71_pii_scrub": None,  # filled below (needs pii_scrub_sql exprs)
+    "q72_sentences": None,  # filled below
+    "q73_cluster_reps": (
+        "WITH clusters AS ("
+        + dedup_clusters_sql(ngram_jaccard_sql(n=3, threshold=0.5))
+        + "), m AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS len "
+        "FROM clusters c JOIN documents d USING (doc_id)) "
+        "SELECT cluster_id, rep_doc_id, n_members FROM ("
+        "SELECT cluster_id, doc_id AS rep_doc_id, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS n_members, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rk "
+        "FROM m) t WHERE rk = 1 ORDER BY cluster_id"
+    ),
 }
+
+_PII_INJECT_SQL = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call +1 (415) 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " ELSE '' END AS text FROM documents"
+)
+
+def _pii_oracle() -> str:
+    from warp_pipes_spark.text.analysis import pii_scrub_sql
+
+    exprs = pii_scrub_sql("text")
+    return (
+        f"WITH injected AS ({_PII_INJECT_SQL}) "
+        f"SELECT doc_id, {exprs['clean_text']} AS clean_text, "
+        f"{exprs['n_redactions']} AS n_redactions FROM injected ORDER BY doc_id"
+    )
+
+
+def _sentences_oracle() -> str:
+    from warp_pipes_spark.text.analysis import sentence_split_sql
+
+    injected = (
+        r"(SELECT doc_id, regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')"
+        r" AS text FROM documents WHERE lang = 'en')"
+    )
+    inner = sentence_split_sql(table=injected)
+    return (
+        f"SELECT doc_id, sent_idx, sentence, CAST(length(sentence) AS INTEGER) AS n_chars "
+        f"FROM ({inner}) t ORDER BY doc_id, sent_idx"
+    )
+
+
+ORACLES_EXT["q71_pii_scrub"] = _pii_oracle()
+ORACLES_EXT["q72_sentences"] = _sentences_oracle()
 
 
 QUERIES: Dict[str, QuerySpec] = {}
@@ -1443,6 +1573,9 @@ def _register():
         "q68_grouping_sets": q68_grouping_sets,
         "q69_pivot": q69_pivot,
         "q70_resample": q70_resample,
+        "q71_pii_scrub": q71_pii_scrub,
+        "q72_sentences": q72_sentences,
+        "q73_cluster_reps": q73_cluster_reps,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -439,3 +439,126 @@ class TextFeatures(Pipe):
             "q_punct_ratio": feats["q_punct_ratio"],
             "rep_frac": feats["rep_frac"],
         }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER — order is part of the
+# semantics (an IPv4 inside an already-redacted email can no longer match).
+# Patterns restricted to syntax with identical behavior in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+)
+
+
+class PiiScrub(Pipe):
+    """PII redaction for training corpora: replaces emails, IPv4 addresses
+    and phone-like digit runs with typed placeholder tags and counts the
+    redactions. Pure ``regexp_replace``/``regexp_count`` column expressions
+    — JVM-side, codegen'd, scan-speed at 100 TB (the scrub the reference
+    lacks but every LLM-data pipeline runs before tokenization).
+
+    Counting happens on the progressively-scrubbed text (pattern i counts
+    matches AFTER patterns < i replaced), so ``n_redactions`` is exactly
+    the number of replacements performed."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        out_col: str = "clean_text",
+        count_col: str = "n_redactions",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+        self.count_col = count_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        scrubbed = F.col(self.text_col)
+        total = F.lit(0)
+        for _, pattern, repl in PII_PATTERNS:
+            total = total + F.regexp_count(scrubbed, F.lit(pattern))
+            scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+        return {self.out_col: scrubbed, self.count_col: total.cast("int")}
+
+
+def pii_scrub_sql(text: str = "text") -> Dict[str, str]:
+    """DuckDB expressions for (clean_text, n_redactions) — same patterns,
+    same order, global replacement ('g' = Spark's default)."""
+    scrubbed = text
+    counts = []
+    for _, pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({scrubbed}, '{p}'))")
+        scrubbed = f"regexp_replace({scrubbed}, '{p}', '{repl}', 'g')"
+    return {
+        "clean_text": scrubbed,
+        "n_redactions": "CAST(" + " + ".join(counts) + " AS INTEGER)",
+    }
+
+
+# ---------------------------------------------------------------------------
+# sentence splitting (1 doc row -> N sentence rows)
+# ---------------------------------------------------------------------------
+
+# sentence boundary = terminal punctuation followed by one space. RE2 has no
+# lookbehind, so the split keeps the terminator by first marking boundaries
+# with an out-of-band separator (U+001E) and splitting on that — identical
+# mechanics on both engines.
+SENT_BOUNDARY_RE = "([.!?]) "
+_SENT_SEP = "\x1e"
+
+
+class SentenceSplit(Pipe):
+    """Explode documents into (doc_id, sent_idx, sentence) rows — the unit
+    change (document -> sentence) that sentence-level dedup, alignment and
+    quality filters run on. Boundary regex + explode are JVM expressions;
+    the row multiplication is ``posexplode`` semantics, so partitioning
+    stays narrow (no shuffle: sentences stay on their document's
+    partition)."""
+
+    def __init__(
+        self, id_col: str = "doc_id", text_col: str = "text", trim: bool = True, **kwargs
+    ):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.trim = trim
+
+    def sentences_expr(self, text: Column) -> Column:
+        marked = F.regexp_replace(text, SENT_BOUNDARY_RE, "$1" + _SENT_SEP)
+        parts = F.split(marked, _SENT_SEP)
+        if self.trim:
+            parts = F.transform(parts, lambda s: F.trim(s))
+        return F.filter(parts, lambda s: F.length(s) > 0)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        return df.select(
+            F.col(self.id_col),
+            F.posexplode(self.sentences_expr(F.col(self.text_col))).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+
+
+def sentence_split_sql(table: str = "documents", id_col: str = "doc_id",
+                       text: str = "text") -> str:
+    """DuckDB oracle: same marker trick (chr(30) = U+001E), 0-based index
+    via zipped generate_subscripts."""
+    marked = f"regexp_replace({text}, '([.!?]) ', '\\1' || chr(30), 'g')"
+    sents = (
+        f"list_filter(list_transform(string_split({marked}, chr(30)),"
+        f" s -> trim(s)), s -> length(s) > 0)"
+    )
+    return (
+        f"WITH s AS (SELECT {id_col}, {sents} AS sents FROM {table}) "
+        f"SELECT {id_col}, CAST(generate_subscripts(sents, 1) - 1 AS INTEGER)"
+        f" AS sent_idx, unnest(sents) AS sentence FROM s"
+    )
