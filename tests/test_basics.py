@@ -360,3 +360,25 @@ def test_sentence_split(spark):
     ]
     assert by_doc[2] == [(0, "No terminator at all")]
     assert by_doc[3] == [(0, "Trailing dot.")]
+
+
+def test_tfidf_ranks_rare_terms_highest(spark):
+    from warp_pipes_spark.text.analysis import TfIdf
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common unique"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TfIdf(m=2)(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # 'common' appears in every doc -> idf = ln(1) = 0; rare terms win
+    assert by_doc[1][0] == (1, "rare")
+    assert by_doc[2][0] == (1, "unique")
+    # doc 3 has only zero-idf terms; 'common' still emitted at rank 1
+    assert by_doc[3][0] == (1, "common")

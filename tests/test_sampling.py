@@ -216,3 +216,24 @@ def test_text_features_equals_expression_operators(spark, sf_dir):
         for r in TextFeatures(rep_n=2)(docs).select(*cols).collect()
     )
     assert got == want
+
+
+def test_group_cap_binds_and_is_deterministic(spark):
+    from warp_pipes_spark.pipes.sampling import GroupCap
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out1 = GroupCap(cap=5, group_col="source")(df)
+    rows1 = sorted((r["doc_id"], r["source"]) for r in out1.collect())
+    counts = {}
+    for _, g in rows1:
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # repartitioning the input must not change the selection (hash order,
+    # not partition order)
+    out2 = GroupCap(cap=5, group_col="source")(df.repartition(7))
+    assert rows1 == sorted((r["doc_id"], r["source"]) for r in out2.collect())
+    # a different seed picks a different subset
+    out3 = GroupCap(cap=5, group_col="source", seed=1)(df)
+    assert rows1 != sorted((r["doc_id"], r["source"]) for r in out3.collect())

@@ -351,3 +351,78 @@ def test_streaming_term_counts_match_batch(spark, tmp_path):
     }
     assert counts == want
     assert want == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from warp_pipes_spark.streaming.events import enrich_stream
+
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME, "batch0.json")
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "user_id long, cohort string"
+    )
+    rows = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            rows[r["event_id"]] = r["cohort"]
+
+    stream = read_events_stream(spark, src)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert rows == {1: "alpha", 2: "alpha", 3: "alpha", 4: "beta"}
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from warp_pipes_spark.streaming.events import stream_stream_join
+
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T10:20:00", 1, "click", 1.0),   # pairs with view 1
+        (3, "2024-01-01T11:40:00", 1, "click", 1.0),   # view 1 too old
+        (4, "2024-01-01T10:10:00", 2, "view", 1.0),
+        (5, "2024-01-01T10:15:00", 2, "click", 1.0),   # pairs with view 4
+    ]
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    _write_batch(src, rows, "batch0.json")
+
+    got = set()
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got.add((r["click_id"], r["view_id"]))
+
+    stream = read_events_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    q = (
+        stream_stream_join(clicks, views, within="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        (r["click_id"], r["view_id"])
+        for r in stream_stream_join(
+            batch_df.filter(F.col("event_type") == "click"),
+            batch_df.filter(F.col("event_type") == "view"),
+            within="1 hour",
+        ).collect()
+    }
+    assert got == expect
+    assert got == {(2, 1), (5, 4)}

@@ -335,3 +335,57 @@ def epoch_shuffle_sql(
         f"SELECT {columns}, CAST(ROW_NUMBER() OVER (ORDER BY {gate}, {key}) AS BIGINT)"
         f" AS shuffle_pos FROM {table}"
     )
+
+
+class GroupCap(Pipe):
+    """Deterministic per-group row cap: keep at most ``cap`` rows per value
+    of ``group_col``, chosen in md5(key:seed) hash order (a seeded uniform
+    draw, reproducible across engines/partitionings/reruns) — the
+    "at most N documents per domain/source" quota every pretraining mix
+    applies. One window over the group partitioning; at 100 TB the shuffle
+    key is the group column and hot groups are exactly the ones the cap
+    truncates, so output skew is bounded by ``cap`` no matter the input
+    skew."""
+
+    def __init__(
+        self,
+        cap: int,
+        group_col: str = "source",
+        key_col: str = "doc_id",
+        seed: int = 0,
+        **kwargs,
+    ):
+        if cap < 1:
+            raise ValueError(f"cap must be >= 1, got {cap}")
+        super().__init__(**kwargs)
+        self.cap = cap
+        self.group_col = group_col
+        self.key_col = key_col
+        self.seed = seed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        gate = _gate_col(F.col(self.key_col), self.seed)
+        w = Window.partitionBy(self.group_col).orderBy(gate, F.col(self.key_col))
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.cap)
+            .drop("__rk")
+        )
+
+
+def group_cap_sql(
+    table: str,
+    cap: int,
+    columns: str = "doc_id, source",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    gate = _gate_sql(key_col, seed)
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {gate}, {key_col}) <= {cap}"
+    )

@@ -1072,6 +1072,24 @@ def q73_cluster_reps(spark, sf):
     )
 
 
+def q74_tfidf(spark, sf):
+    """Per-document top-3 tf-idf terms: exploded tokens collapse map-side,
+    vocabulary-sized df rollup, per-doc window for the top-m — document
+    feature extraction next to q32's query-document ranking."""
+    from warp_pipes_spark.text.analysis import TfIdf
+
+    return TfIdf(m=3)(T(spark, sf, "documents"))
+
+
+def q75_group_cap(spark, sf):
+    """Per-source document quota (at most 15 per source) in seeded hash
+    order — deterministic across engines and partitionings; output skew is
+    bounded by the cap regardless of input skew."""
+    from warp_pipes_spark.pipes.sampling import GroupCap
+
+    return GroupCap(cap=15)(T(spark, sf, "documents")).select("doc_id", "source")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1498,6 +1516,17 @@ ORACLES_EXT["q71_pii_scrub"] = _pii_oracle()
 ORACLES_EXT["q72_sentences"] = _sentences_oracle()
 
 
+def _late_oracles():
+    from warp_pipes_spark.pipes.sampling import group_cap_sql
+    from warp_pipes_spark.text.analysis import tfidf_sql
+
+    ORACLES_EXT["q74_tfidf"] = tfidf_sql(m=3)
+    ORACLES_EXT["q75_group_cap"] = group_cap_sql("documents", cap=15)
+
+
+_late_oracles()
+
+
 QUERIES: Dict[str, QuerySpec] = {}
 
 
@@ -1576,6 +1605,8 @@ def _register():
         "q71_pii_scrub": q71_pii_scrub,
         "q72_sentences": q72_sentences,
         "q73_cluster_reps": q73_cluster_reps,
+        "q74_tfidf": q74_tfidf,
+        "q75_group_cap": q75_group_cap,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -142,3 +142,52 @@ def streaming_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("term")
     )
     return terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each event with a (slowly-changing)
+    dimension table — the standard streaming enrichment shape. The static
+    side is broadcast, so the stream never shuffles and each micro-batch
+    joins map-side; the static plan is re-evaluated per micro-batch, so a
+    dim refresh (new parquet snapshot) is picked up without restarting the
+    query. Works identically on a batch events frame."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    user_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each click with the same user's
+    views from the preceding ``within`` interval. Both sides carry
+    watermarks and the join condition bounds event-time distance, so each
+    side's buffered state is evicted once the other side's watermark
+    passes — bounded state, the requirement for an unbounded run. On batch
+    frames the same plan is the q49-style range join."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col(user_col).alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col(user_col).alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"interval {within}"))
+    )
+    return c.join(v, cond).select(
+        "click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts"
+    )

@@ -562,3 +562,91 @@ def sentence_split_sql(table: str = "documents", id_col: str = "doc_id",
         f"SELECT {id_col}, CAST(generate_subscripts(sents, 1) - 1 AS INTEGER)"
         f" AS sent_idx, unnest(sents) AS sentence FROM s"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF feature extraction
+# ---------------------------------------------------------------------------
+
+
+class TfIdf(Pipe):
+    """Per-document top-``m`` terms by tf-idf (idf = ln(N/df)) — the
+    feature-extraction companion to ``Bm25Search`` (which ranks documents
+    for a query; this summarizes each document). Same scale shape as
+    ``TermStats``: exploded tokens collapse map-side to per-(term, doc)
+    counts, the df rollup's exchange is vocabulary-sized, and the final
+    top-m is a per-document window over at most |doc vocabulary| rows.
+    Scores round through DECIMAL(18,6) then emit DOUBLE (engine-identical
+    ranking and rendering)."""
+
+    def __init__(
+        self, m: int = 3, id_col: str = "doc_id", text_col: str = "text", **kwargs
+    ):
+        super().__init__(**kwargs)
+        self.m = m
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        toks = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(tokens_expr(F.col(self.text_col))).alias("term"),
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = df.select(
+            F.countDistinct(F.col(self.id_col)).alias("n_docs")
+        )
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "doc_id",
+                "term",
+                (
+                    F.col("tf").cast("double")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                )
+                .cast("decimal(18,6)")
+                .alias("tfidf"),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.m)
+            .select(
+                "doc_id",
+                "rank",
+                "term",
+                F.col("tfidf").cast("double").alias("tfidf"),
+            )
+        )
+
+
+def tfidf_sql(table: str = "documents", m: int = 3, id_col: str = "doc_id",
+              text: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({tokens_sql(text)}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+              AS DECIMAL(18,6)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, CAST(tfidf AS DOUBLE) AS tfidf
+FROM ranked WHERE rank <= {m} ORDER BY doc_id, rank
+"""
