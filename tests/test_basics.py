@@ -382,3 +382,60 @@ def test_tfidf_ranks_rare_terms_highest(spark):
     assert by_doc[2][0] == (1, "unique")
     # doc 3 has only zero-idf terms; 'common' still emitted at rank 1
     assert by_doc[3][0] == (1, "common")
+
+
+def test_unigram_perplexity_uniform_vs_rare(spark):
+    import math
+
+    from warp_pipes_spark.text.analysis import UnigramPerplexity
+
+    # corpus: 'a' x6, 'b' x2 -> p(a)=0.75, p(b)=0.25
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a a"), (3, "b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in UnigramPerplexity()(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    # docs of the frequent token score LOWER (more likely) than rare-token docs
+    assert out[1]["avg_nll"] < out[3]["avg_nll"]
+    assert abs(out[1]["avg_nll"] - (-math.log(0.75))) < 1e-4
+    assert abs(out[3]["avg_nll"] - (-math.log(0.25))) < 1e-4
+
+
+def test_sentence_dedup_first_occurrence_wins(spark):
+    from warp_pipes_spark.text.dedup import SentenceDedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha beta. Gamma delta."),
+            (2, "Gamma delta. Unique here."),
+            (3, "Alpha beta. Gamma delta."),  # fully duplicated -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in SentenceDedup()(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "Alpha beta. Gamma delta."
+    assert out[1]["n_kept"] == 2
+    # doc 2 keeps only the sentence doc 1 didn't already claim
+    assert out[2]["text"] == "Unique here."
+    assert out[2]["n_kept"] == 1
+
+
+def test_domain_kl_identical_groups_are_zero(spark):
+    from warp_pipes_spark.text.analysis import DomainKL
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x y", "s1"),
+            (2, "x x y", "s2"),
+            (3, "z z z", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in DomainKL(group_col="source")(df).collect()}
+    # s1 and s2 have identical distributions -> identical KL; the divergent
+    # group scores strictly higher
+    assert out["s1"]["kl"] == out["s2"]["kl"]
+    assert out["s3"]["kl"] > out["s1"]["kl"]
+    assert out["s1"]["n_tokens"] == 3

@@ -1090,6 +1090,39 @@ def q75_group_cap(spark, sf):
     return GroupCap(cap=15)(T(spark, sf, "documents")).select("doc_id", "source")
 
 
+def q76_perplexity(spark, sf):
+    """Unigram-LM quality scoring (CCNet-style): train token log-probs on
+    the corpus itself, score each document by average negative
+    log-likelihood. Exploded-token agg collapses map-side; the model table
+    is vocabulary-sized and broadcast back."""
+    from warp_pipes_spark.text.analysis import UnigramPerplexity
+
+    return UnigramPerplexity()(T(spark, sf, "documents"))
+
+
+def q77_sentence_dedup(spark, sf):
+    """Corpus-level exact sentence dedup (CCNet recipe): first occurrence of
+    each distinct sentence survives, documents reassemble from their
+    surviving sentences. Punctuation is injected every 5 words first (the
+    synthetic corpus has none), same prep as q72."""
+    from warp_pipes_spark.text.dedup import SentenceDedup
+
+    d = T(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    return SentenceDedup()(d)
+
+
+def q78_domain_kl(spark, sf):
+    """Per-source KL(P_source || P_corpus) over unigram distributions — the
+    mixture diagnostic for pretraining blends: which domain deviates most
+    from the corpus it feeds. Only the (source, term) count shuffles at data
+    size; everything after is vocabulary-sized."""
+    from warp_pipes_spark.text.analysis import DomainKL
+
+    return DomainKL(group_col="source")(T(spark, sf, "documents"))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1518,10 +1551,22 @@ ORACLES_EXT["q72_sentences"] = _sentences_oracle()
 
 def _late_oracles():
     from warp_pipes_spark.pipes.sampling import group_cap_sql
-    from warp_pipes_spark.text.analysis import tfidf_sql
+    from warp_pipes_spark.text.analysis import (
+        domain_kl_sql,
+        tfidf_sql,
+        unigram_perplexity_sql,
+    )
+    from warp_pipes_spark.text.dedup import sentence_dedup_sql
 
     ORACLES_EXT["q74_tfidf"] = tfidf_sql(m=3)
     ORACLES_EXT["q75_group_cap"] = group_cap_sql("documents", cap=15)
+    ORACLES_EXT["q76_perplexity"] = unigram_perplexity_sql("documents")
+    _punct = (
+        r"(SELECT doc_id, regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')"
+        r" AS text FROM documents)"
+    )
+    ORACLES_EXT["q77_sentence_dedup"] = sentence_dedup_sql(table=_punct)
+    ORACLES_EXT["q78_domain_kl"] = domain_kl_sql("documents", group_col="source")
 
 
 _late_oracles()
@@ -1607,6 +1652,9 @@ def _register():
         "q73_cluster_reps": q73_cluster_reps,
         "q74_tfidf": q74_tfidf,
         "q75_group_cap": q75_group_cap,
+        "q76_perplexity": q76_perplexity,
+        "q77_sentence_dedup": q77_sentence_dedup,
+        "q78_domain_kl": q78_domain_kl,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -650,3 +650,158 @@ WITH toks AS (
 SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, CAST(tfidf AS DOUBLE) AS tfidf
 FROM ranked WHERE rank <= {m} ORDER BY doc_id, rank
 """
+
+
+class UnigramPerplexity(Pipe):
+    """Per-document average negative log-likelihood under a unigram language
+    model trained on the corpus itself — the classic CCNet-style quality
+    signal (documents whose token distribution diverges from the corpus read
+    as noise and score high).
+
+    Scale shape: the big shuffle is the per-(doc, term) count (map-side
+    partial agg over the exploded tokens); the model itself — per-term
+    ln p(term) — is a vocabulary-sized table that joins back via a broadcast
+    (AQE picks it from the agg's runtime stats). Per-term log-probs round
+    through DECIMAL(18,6) so the per-document sum (int tf x decimal) is
+    exact and order-independent; the final average divides as DOUBLE
+    (IEEE-exact given identical inputs) and re-rounds for rendering parity
+    with the oracle.
+
+    Documents with zero tokens carry no evidence and drop out (same group
+    domain as the oracle's).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        toks = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(tokens_expr(F.col(self.text_col))).alias("term"),
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+        total = vocab.agg(F.sum("cnt").alias("total"))
+        lnp = vocab.crossJoin(F.broadcast(total)).select(
+            "term",
+            F.log(F.col("cnt").cast("double") / F.col("total"))
+            .cast("decimal(18,6)")
+            .alias("lnp"),
+        )
+        agg = tf.join(lnp, "term").groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("lnp")).alias("s"),
+            F.sum("tf").alias("n"),
+        )
+        # no decimal re-round here: the decimal sum renders to double
+        # correctly-rounded in both engines and the IEEE division of two
+        # identical doubles is exactly rounded, so the quotient is already
+        # bit-identical — a further double->decimal round would reintroduce
+        # engine-specific boundary behavior
+        avg_nll = -F.col("s").cast("double") / F.col("n").cast("double")
+        return agg.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            avg_nll.alias("avg_nll"),
+        )
+
+
+def unigram_perplexity_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({tokens_sql(text)}) AS term FROM {table}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT SUM(cnt) AS total FROM vocab
+), lnp AS (
+  SELECT term, CAST(ln(CAST(cnt AS DOUBLE) / total) AS DECIMAL(18,6)) AS lnp
+  FROM vocab CROSS JOIN total
+), agg AS (
+  SELECT doc_id, SUM(tf * lnp) AS s, SUM(tf) AS n
+  FROM tf JOIN lnp USING (term) GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       -CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_nll
+FROM agg ORDER BY doc_id
+"""
+
+
+class DomainKL(Pipe):
+    """Per-group KL divergence KL(P_group || P_corpus) between a group's
+    unigram distribution and the whole corpus's — the mixture diagnostic
+    that tells a pretraining pipeline which source/domain deviates most
+    from the blend it is feeding the model.
+
+    Everything reduces map-side: per-(group, term) counts are the only
+    data-sized shuffle; group totals, the corpus distribution, and the
+    per-term contributions are all vocabulary-sized. Contributions
+    p_g * ln(p_g / p_c) round through DECIMAL(18,8) so the per-group sum is
+    exact and order-free.
+    """
+
+    def __init__(self, group_col: str = "source", text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.group_col = group_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        toks = df.select(
+            F.col(self.group_col).alias("grp"),
+            F.explode(tokens_expr(F.col(self.text_col))).alias("term"),
+        )
+        gt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+        g_tot = gt.groupBy("grp").agg(F.sum("cnt").alias("g_total"))
+        c_term = gt.groupBy("term").agg(F.sum("cnt").alias("c_cnt"))
+        c_tot = c_term.agg(F.sum("c_cnt").alias("c_total"))
+        p_g = F.col("cnt").cast("double") / F.col("g_total").cast("double")
+        p_c = F.col("c_cnt").cast("double") / F.col("c_total").cast("double")
+        contrib = (p_g * F.log(p_g / p_c)).cast("decimal(18,8)")
+        per_term = (
+            gt.join(g_tot, "grp")
+            .join(c_term, "term")
+            .crossJoin(F.broadcast(c_tot))
+            .select("grp", F.col("g_total"), contrib.alias("contrib"))
+        )
+        return (
+            per_term.groupBy("grp", "g_total")
+            .agg(F.sum("contrib").alias("kl_dec"))
+            .select(
+                F.col("grp").alias(self.group_col),
+                F.col("g_total").cast("long").alias("n_tokens"),
+                F.col("kl_dec").cast("double").alias("kl"),
+            )
+        )
+
+
+def domain_kl_sql(
+    table: str = "documents", group_col: str = "source", text: str = "text"
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp, unnest({tokens_sql(text)}) AS term FROM {table}
+), gt AS (
+  SELECT grp, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), g_tot AS (
+  SELECT grp, SUM(cnt) AS g_total FROM gt GROUP BY 1
+), c_term AS (
+  SELECT term, SUM(cnt) AS c_cnt FROM gt GROUP BY 1
+), c_tot AS (
+  SELECT SUM(c_cnt) AS c_total FROM c_term
+), per_term AS (
+  SELECT gt.grp, g_tot.g_total,
+         CAST((CAST(cnt AS DOUBLE) / CAST(g_total AS DOUBLE))
+              * ln((CAST(cnt AS DOUBLE) / CAST(g_total AS DOUBLE))
+                   / (CAST(c_cnt AS DOUBLE) / CAST(c_total AS DOUBLE)))
+           AS DECIMAL(18,8)) AS contrib
+  FROM gt JOIN g_tot USING (grp) JOIN c_term USING (term) CROSS JOIN c_tot
+)
+SELECT grp AS {group_col}, CAST(g_total AS BIGINT) AS n_tokens,
+       CAST(SUM(contrib) AS DOUBLE) AS kl
+FROM per_term GROUP BY grp, g_total ORDER BY grp
+"""

@@ -936,3 +936,77 @@ SELECT train_id, bench_id, n_common,
 FROM pairs JOIN bench_sizes USING (bench_id)
 WHERE CAST(CAST(n_common / n_bench AS DECIMAL(18,6)) AS DOUBLE) >= {threshold}
 """
+
+
+class SentenceDedup(Pipe):
+    """Corpus-level exact SENTENCE dedup (the CCNet recipe): split every
+    document into sentences, keep only the globally-first occurrence of each
+    distinct sentence (first = smallest (doc_id, sent_idx)), and reassemble
+    each document from its surviving sentences in original order.
+
+    Scale shape: one shuffle keyed on the sentence string with full map-side
+    partial aggregation (``groupBy(sentence).min(struct(doc_id, sent_idx))``
+    — the aggregated row IS the survivor, so there is no window over the
+    sentence partition and no join back to the exploded table), then one
+    shuffle on doc_id to reassemble. Duplicate-heavy corpora collapse
+    map-side before the exchange, which is exactly the workload's skew
+    profile (boilerplate sentences repeat millions of times at 100 TB).
+    Documents whose every sentence was claimed by an earlier document drop
+    out of the result (they deduplicate to nothing).
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        joiner: str = " ",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.joiner = joiner
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import SentenceSplit
+
+        sents = SentenceSplit(id_col=self.id_col, text_col=self.text_col)(df)
+        survivors = (
+            sents.groupBy("sentence")
+            .agg(F.min(F.struct(F.col("doc_id"), F.col("sent_idx"))).alias("m"))
+            .select(F.col("m.doc_id").alias("doc_id"), F.col("m.sent_idx").alias("sent_idx"), "sentence")
+        )
+        return (
+            survivors.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                        lambda s: s["sentence"],
+                    ),
+                    self.joiner,
+                ).alias("text"),
+            )
+        )
+
+
+def sentence_dedup_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text",
+    joiner: str = " ",
+) -> str:
+    """DuckDB oracle: identical split + first-occurrence rule, expressed with
+    a window (the oracle needs correctness, not the engine's agg shape)."""
+    from warp_pipes_spark.text.analysis import sentence_split_sql
+
+    inner = sentence_split_sql(table=table, id_col=id_col, text=text)
+    return f"""
+WITH sents AS ({inner}), kept AS (
+  SELECT {id_col} AS doc_id, sent_idx, sentence,
+         ROW_NUMBER() OVER (PARTITION BY sentence ORDER BY {id_col}, sent_idx) AS rn
+  FROM sents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(sentence, '{joiner}' ORDER BY sent_idx) AS text
+FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
