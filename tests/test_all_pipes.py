@@ -116,3 +116,23 @@ def test_fingerprints_distinguish_configs(spark):
     assert len(fps) == len(pipes), "fingerprint collision across operators"
     assert TopkSearch(k=5).fingerprint != TopkSearch(k=10).fingerprint
     assert AddPrefix("x.").fingerprint != AddPrefix("y.").fingerprint
+
+
+def test_incremental_dedup_drops_recrawls_keeps_edits(spark):
+    from warp_pipes_spark.text.dedup import IncrementalDedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),        # verbatim re-crawl -> drop
+            (11, "alpha beta gamma edited"),  # edited -> keep
+            (12, "brand new document"),       # new -> keep
+            (13, "brand new document"),       # within-batch dupe -> keep-min only
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in IncrementalDedup(corpus=corpus)(batch).collect())
+    assert out == [11, 12]

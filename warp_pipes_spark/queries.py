@@ -1123,6 +1123,28 @@ def q78_domain_kl(spark, sf):
     return DomainKL(group_col="source")(T(spark, sf, "documents"))
 
 
+def q79_incremental_dedup(spark, sf):
+    """Dedup an arriving batch against the existing corpus (the daily-crawl
+    increment): content-fingerprint LEFT ANTI join, 8 bytes per corpus doc
+    on the shuffle, runtime Bloom pushdown prunes batch rows at the scan.
+    The batch is synthesized as half verbatim re-crawls (must drop) and
+    half edited docs (must survive)."""
+    from warp_pipes_spark.text.dedup import IncrementalDedup
+
+    docs = T(spark, sf, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), *cols[1:]
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xqzt unseen tokens")).alias("text"),
+        *cols[2:],
+    )
+    batch = dup.unionByName(fresh)
+    return IncrementalDedup(corpus=docs)(batch).select(*cols)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1567,6 +1589,18 @@ def _late_oracles():
     )
     ORACLES_EXT["q77_sentence_dedup"] = sentence_dedup_sql(table=_punct)
     ORACLES_EXT["q78_domain_kl"] = domain_kl_sql("documents", group_col="source")
+    from warp_pipes_spark.text.dedup import incremental_dedup_sql
+
+    _batch = (
+        "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 10 = 0 "
+        "UNION ALL "
+        "SELECT doc_id + 200000 AS doc_id, text || ' xqzt unseen tokens' AS text, "
+        "lang, source, n_chars FROM documents WHERE doc_id % 10 = 5"
+    )
+    ORACLES_EXT["q79_incremental_dedup"] = incremental_dedup_sql(
+        corpus_sql="SELECT text FROM documents", batch_sql=_batch
+    )
 
 
 _late_oracles()
@@ -1655,6 +1689,7 @@ def _register():
         "q76_perplexity": q76_perplexity,
         "q77_sentence_dedup": q77_sentence_dedup,
         "q78_domain_kl": q78_domain_kl,
+        "q79_incremental_dedup": q79_incremental_dedup,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -29,6 +29,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level filtering: build a Bloom filter on the small
+        # (creation) side of a shuffle join and push it into the large
+        # side's scan — prunes most probe rows before the exchange on
+        # selective joins (e.g. incremental dedup's batch-vs-corpus anti
+        # join) with zero semantic change
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDF / mapInPandas hot paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

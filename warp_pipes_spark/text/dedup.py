@@ -1010,3 +1010,77 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
        string_agg(sentence, '{joiner}' ORDER BY sent_idx) AS text
 FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+class IncrementalDedup(Pipe):
+    """Dedup a NEW batch against an EXISTING corpus — the daily-increment
+    shape of a crawl pipeline: the corpus is already deduplicated; each
+    arriving batch keeps only documents whose content fingerprint does not
+    yet exist in the corpus.
+
+    Spark-first formulation: compute the rolling-hash content fingerprint
+    (``DocFingerprint``, a pure codegen'd expression) on both sides, then
+    LEFT ANTI join batch->corpus on the 8-byte fingerprint. At 100 TB the
+    anti join shuffles only (fp) pairs — 8 bytes per corpus doc, not the
+    text — and Spark's runtime Bloom-filter join pushdown (enabled in
+    ``session.get_spark``) prunes most batch rows at the scan when the
+    corpus side is large. Within-batch duplicates also collapse (keep-min
+    doc_id), so output is dedup-clean against corpus AND batch.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.id_col = id_col
+        self.text_col = text_col
+
+    _no_fingerprint = ("corpus",)
+
+    def _fp(self, df: DataFrame) -> DataFrame:
+        from warp_pipes_spark.text.analysis import DocFingerprint
+
+        return DocFingerprint(text_col=self.text_col, out_col="__fp")(df)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        batch = self._fp(df)
+        corpus_fps = self._fp(
+            self.corpus.select(F.col(self.text_col))
+        ).select("__fp").distinct()
+        fresh = batch.join(corpus_fps, "__fp", "left_anti")
+        w_min = (
+            fresh.groupBy("__fp")
+            .agg(F.min(F.col(self.id_col)).alias(self.id_col))
+        )
+        return (
+            fresh.join(w_min, ["__fp", self.id_col], "left_semi")
+            .drop("__fp")
+        )
+
+
+def incremental_dedup_sql(
+    corpus_sql: str, batch_sql: str, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle: NOT EXISTS on the same rolling-hash fingerprint, plus
+    the keep-min within-batch collapse."""
+    from warp_pipes_spark.text.analysis import doc_fingerprint_sql
+
+    fp = doc_fingerprint_sql(text)
+    return f"""
+WITH corpus_fp AS (
+  SELECT DISTINCT {fp} AS fp FROM ({corpus_sql}) c
+), batch_fp AS (
+  SELECT b.*, {fp} AS fp FROM ({batch_sql}) b
+), fresh AS (
+  SELECT * FROM batch_fp WHERE fp NOT IN (SELECT fp FROM corpus_fp)
+), keep AS (
+  SELECT fp, MIN({id_col}) AS {id_col} FROM fresh GROUP BY 1
+)
+SELECT fresh.* EXCLUDE (fp)
+FROM fresh JOIN keep USING (fp, {id_col})
+"""
