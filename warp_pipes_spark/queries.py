@@ -1145,6 +1145,89 @@ def q79_incremental_dedup(spark, sf):
     return IncrementalDedup(corpus=docs)(batch).select(*cols)
 
 
+def q80_unpivot(spark, sf):
+    """Wide->long reshape (unpivot/melt): part metrics become (key, metric,
+    value) rows — pure projection fan-out, no shuffle, the inverse of q69's
+    pivot."""
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+def q81_percentiles(spark, sf):
+    """Exact grouped quantiles by explicit rank selection: per order
+    priority pick the row whose row_number equals max(1, ceil(p*n)) for
+    each target p — the engine-agnostic DISC quantile (no interpolation,
+    no library-specific definition), deterministic via the orderkey
+    tie-break. One window shuffle on the group key."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("value", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("value"),
+        "o_orderkey",
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    targets = ranked.select(
+        "o_orderpriority",
+        "value",
+        "rn",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)])).alias("p"),
+    )
+    return targets.filter(
+        F.col("rn")
+        == F.greatest(F.lit(1).cast("long"), F.ceil(F.col("p") * F.col("n")))
+    ).select("o_orderpriority", "p", "value")
+
+
+def q82_moments(spark, sf):
+    """Order-independent moment statistics at scale: mean/stddev of the
+    event value and its correlation with hour-of-day, derived from EXACT
+    power sums (decimal/long addends -> associative, partitioning-proof)
+    and only then combined in double (every division/sqrt is correctly
+    rounded, so results are bit-stable at any parallelism — unlike naive
+    stddev/corr over doubles, whose merge order changes the bits)."""
+    ev = T(spark, sf, "events")
+    # scale-3 addends keep every power sum's unscaled integer below 2^53,
+    # so the decimal->double rendering is exact (not merely rounded) in
+    # both engines — at scale 6 the x^2 sum's unscaled value exceeds 2^53
+    # and the engines' correctly-vs-doubly-rounded casts differ in the ulp
+    x = F.col("value").cast("decimal(18,3)")
+    y = F.hour("ts").cast("long")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("sy2"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sy = F.col("sy").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    sxy = F.col("sxy").cast("double")
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0)))
+    corr = (n * sxy - s1 * sy) / (
+        F.sqrt(n * s2 - s1 * s1) * F.sqrt(n * sy2 - sy * sy)
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean_value"),
+        std.alias("std_value"),
+        corr.alias("corr_hour"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1601,6 +1684,47 @@ def _late_oracles():
     ORACLES_EXT["q79_incremental_dedup"] = incremental_dedup_sql(
         corpus_sql="SELECT text FROM documents", batch_sql=_batch
     )
+    ORACLES_EXT["q80_unpivot"] = (
+        "SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part "
+        "UNION ALL "
+        "SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part"
+    )
+    ORACLES_EXT["q81_percentiles"] = (
+        "WITH ranked AS ("
+        "  SELECT o_orderpriority, o_totalprice AS value, o_orderkey,"
+        "         ROW_NUMBER() OVER (PARTITION BY o_orderpriority"
+        "                            ORDER BY o_totalprice, o_orderkey) AS rn,"
+        "         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n"
+        "  FROM orders"
+        "), targets AS ("
+        "  SELECT o_orderpriority, value, rn, n,"
+        "         unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS p"
+        "  FROM ranked"
+        ") SELECT o_orderpriority, p, value FROM targets "
+        "WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(p * n) AS BIGINT)) "
+        "ORDER BY o_orderpriority, p"
+    )
+    ORACLES_EXT["q82_moments"] = (
+        "WITH sums AS ("
+        "  SELECT event_type, COUNT(*) AS n,"
+        "         SUM(CAST(value AS DECIMAL(18,3))) AS s1,"
+        "         SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS s2,"
+        "         SUM(CAST(hour(ts) AS BIGINT)) AS sy,"
+        "         SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sy2,"
+        "         SUM(CAST(value AS DECIMAL(18,3)) * CAST(hour(ts) AS BIGINT)) AS sxy"
+        "  FROM events GROUP BY 1"
+        ") SELECT event_type, CAST(n AS BIGINT) AS n,"
+        "  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,"
+        "  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std_value,"
+        "  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "   - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE))"
+        "  / (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        "     * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+        "            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_hour "
+        "FROM sums ORDER BY event_type"
+    )
 
 
 _late_oracles()
@@ -1690,6 +1814,9 @@ def _register():
         "q77_sentence_dedup": q77_sentence_dedup,
         "q78_domain_kl": q78_domain_kl,
         "q79_incremental_dedup": q79_incremental_dedup,
+        "q80_unpivot": q80_unpivot,
+        "q81_percentiles": q81_percentiles,
+        "q82_moments": q82_moments,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
