@@ -1228,6 +1228,36 @@ def q82_moments(spark, sf):
     )
 
 
+_PROFILE_NUM = ["o_custkey", "o_orderkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderpriority", "o_orderstatus"]
+_CONSTRAINT_RULES = {
+    "custkey_positive": "o_custkey > 0",
+    "priority_nonnull": "o_orderpriority IS NOT NULL",
+    "status_domain": "o_orderstatus IN ('F', 'O', 'P')",
+    "totalprice_positive": "o_totalprice > 0",
+}
+
+
+def q83_profile(spark, sf):
+    """Data-quality profile of orders (deequ-style): per-column completeness,
+    cardinality and extremes — N columns profiled in ONE codegen'd
+    aggregation pass (one scan, 1-row reduce), then exploded long-form."""
+    from warp_pipes_spark.pipes.validate import DataProfile
+
+    return DataProfile(numeric_cols=_PROFILE_NUM, string_cols=_PROFILE_STR)(
+        T(spark, sf, "orders")
+    )
+
+
+def q84_constraints(spark, sf):
+    """Declarative constraint checks (rule -> violation count, NULL counts
+    as violation) — all rules evaluate in one aggregation pass; the same
+    SQL rule strings drive both engines."""
+    from warp_pipes_spark.pipes.validate import CheckConstraints
+
+    return CheckConstraints(rules=_CONSTRAINT_RULES)(T(spark, sf, "orders"))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1684,6 +1714,17 @@ def _late_oracles():
     ORACLES_EXT["q79_incremental_dedup"] = incremental_dedup_sql(
         corpus_sql="SELECT text FROM documents", batch_sql=_batch
     )
+    from warp_pipes_spark.pipes.validate import (
+        check_constraints_sql,
+        data_profile_sql,
+    )
+
+    ORACLES_EXT["q83_profile"] = data_profile_sql(
+        "orders", numeric_cols=_PROFILE_NUM, string_cols=_PROFILE_STR
+    )
+    ORACLES_EXT["q84_constraints"] = check_constraints_sql(
+        "orders", _CONSTRAINT_RULES
+    )
     ORACLES_EXT["q80_unpivot"] = (
         "SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part "
         "UNION ALL "
@@ -1817,6 +1858,8 @@ def _register():
         "q80_unpivot": q80_unpivot,
         "q81_percentiles": q81_percentiles,
         "q82_moments": q82_moments,
+        "q83_profile": q83_profile,
+        "q84_constraints": q84_constraints,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
