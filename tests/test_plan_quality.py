@@ -131,3 +131,55 @@ def test_epoch_shuffle_rank_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning" in plan, plan
     row_side = plan.split("BroadcastHashJoin")[0]
     assert "SinglePartition" not in row_side, plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    """q80's wide->long melt is a projection fan-out; any Exchange means the
+    reshape picked up an accidental shuffle."""
+    plan = _plan(QUERIES["q80_unpivot"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_profile_is_one_aggregation_pass(spark, sf_dir):
+    """q83 profiles 5 columns; the plan must contain exactly ONE FileScan
+    (one pass over the data, not one scan per column like the naive
+    per-column loop / UNION-ALL oracle shape)."""
+    plan = _plan(QUERIES["q83_profile"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_constraints_one_scan_and_codegen(spark, sf_dir):
+    """q84 evaluates 4 rules in one scan; rule aggregation stays in
+    whole-stage codegen (executed plan is inspected AFTER an action — with
+    AQE the pre-execution plan is still `isFinalPlan=false` and shows no
+    codegen spans)."""
+    df = QUERIES["q84_constraints"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    df.collect()  # count() would execute a different (re-planned) query
+    # codegen spans render as `*(n)` stage markers in the executed-plan tree
+    assert "*(" in _executed(df), _executed(df)
+
+
+def test_incremental_dedup_is_anti_join_not_cartesian(spark, sf_dir):
+    """q79's batch-vs-corpus dedup must plan as LeftAnti on the fingerprint
+    (8-byte key), never a cartesian/nested-loop comparison."""
+    plan = _plan(QUERIES["q79_incremental_dedup"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sentence_dedup_aggregates_not_windows(spark, sf_dir):
+    """q77's survivor selection is the min-struct aggregation (map-side
+    partial combine on the sentence key), not a Window over the sentence
+    partition — windows sort whole partitions and cannot partially
+    aggregate."""
+    plan = _plan(QUERIES["q77_sentence_dedup"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+
+
+def test_perplexity_partial_aggregation(spark, sf_dir):
+    """q76's token counts must partially aggregate before the exchange
+    (HashAggregate appears both map- and reduce-side)."""
+    plan = _plan(QUERIES["q76_perplexity"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
