@@ -1,0 +1,103 @@
+"""Custom Python data sources: WARC reader + synthetic generator."""
+
+import os
+
+import pytest
+
+
+def _write_warc(path, records):
+    with open(path, "wb") as f:
+        for rid, rtype, uri, ctype, payload in records:
+            hdr = (
+                f"WARC/1.0\r\n"
+                f"WARC-Record-ID: {rid}\r\n"
+                f"WARC-Type: {rtype}\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            f.write(hdr + payload + b"\r\n\r\n")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from warp_pipes_spark.sources import register_sources
+
+    register_sources(spark)
+    return spark
+
+
+def test_warc_reader_parses_records(registered, tmp_path):
+    _write_warc(
+        tmp_path / "a.warc",
+        [
+            ("<urn:uuid:1>", "response", "http://x.test/1", "text/html", b"<html>one</html>"),
+            ("<urn:uuid:2>", "response", "http://x.test/2", "text/plain", b"two"),
+        ],
+    )
+    _write_warc(
+        tmp_path / "b.warc",
+        [("<urn:uuid:3>", "request", "http://x.test/3", "text/plain", b"three33")],
+    )
+    df = registered.read.format("warc").load(str(tmp_path))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows["<urn:uuid:1>"]["payload"] == bytearray(b"<html>one</html>")
+    assert rows["<urn:uuid:2>"]["content_length"] == 3
+    assert rows["<urn:uuid:3>"]["warc_type"] == "request"
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_reader_gzip(registered, tmp_path):
+    import gzip
+
+    raw = tmp_path / "c.warc"
+    _write_warc(raw, [("<urn:uuid:9>", "response", "u", "text/plain", b"gz payload")])
+    gz = tmp_path / "c.warc.gz"
+    gz.write_bytes(gzip.compress(raw.read_bytes()))
+    os.remove(raw)
+    df = registered.read.format("warc").load(str(tmp_path))
+    assert df.collect()[0]["payload"] == bytearray(b"gz payload")
+
+
+def test_synthetic_batch_deterministic_across_parallelism(registered):
+    a = registered.read.format("synthetic_docs").option("num_docs", 200) \
+        .option("seed", 7).option("num_partitions", 4).load()
+    b = registered.read.format("synthetic_docs").option("num_docs", 200) \
+        .option("seed", 7).option("num_partitions", 13).load()
+    assert a.count() == 200
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = registered.read.format("synthetic_docs").option("num_docs", 200) \
+        .option("seed", 8).load()
+    assert c.exceptAll(a).count() > 0  # seed changes content
+
+
+def test_synthetic_stream_micro_batches(registered, tmp_path):
+    # Python simple-stream sources don't support Trigger.AvailableNow (Spark
+    # falls back to a single batch), so run micro-batches continuously and
+    # poll until the bounded source is drained.
+    import time
+
+    q = (
+        registered.readStream.format("synthetic_docs")
+        .option("num_docs", 50).option("batch_size", 20).option("seed", 3)
+        .load()
+        .writeStream.format("memory").queryName("synth_docs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if registered.sql("SELECT * FROM synth_docs").count() >= 50:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = registered.sql("SELECT * FROM synth_docs").collect()
+    assert len(got) == 50
+    # identical to the batch generator output (replayable source)
+    batch = registered.read.format("synthetic_docs").option("num_docs", 50) \
+        .option("seed", 3).load().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))

@@ -1,0 +1,26 @@
+"""Custom Python data sources (Spark 4 Python Data Source API).
+
+Fills the crawl-ingestion end of the pipeline: a WARC web-archive reader
+(the standard storage format of web crawls feeding LLM corpora — no native
+Spark source exists for it) and a deterministic synthetic-corpus generator
+(batch + streaming) for tests and benchmarks that need unbounded input
+without storage.
+
+Register once per session::
+
+    from warp_pipes_spark.sources import register_sources
+    register_sources(spark)
+    df = spark.read.format("warc").load("/path/to/*.warc")
+"""
+
+from __future__ import annotations
+
+from warp_pipes_spark.sources.synthetic import SyntheticDocsDataSource
+from warp_pipes_spark.sources.warc import WarcDataSource
+
+__all__ = ["WarcDataSource", "SyntheticDocsDataSource", "register_sources"]
+
+
+def register_sources(spark) -> None:
+    spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(SyntheticDocsDataSource)
