@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 from warp_pipes_spark.core.pipe import Pipe
 
 
+def _us(col: Column) -> Column:
+    """Microseconds since epoch; accepts TIMESTAMP and TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, so cast first — the session
+    timezone is pinned to UTC (session.py), making the NTZ->TZ cast a pure
+    reinterpretation applied identically to both join sides."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 class AsOfJoin(Pipe):
     """``left.asof_join(right)``: latest right row with ts <= left ts per key.
 
@@ -128,8 +137,8 @@ class RangeJoin(Pipe):
         # sub-second timestamps (unix_timestamp would truncate to seconds)
         b_us = self.bucket * 1_000_000
         lo_us, hi_us = self.lo * 1_000_000, self.hi * 1_000_000
-        lus = F.unix_micros(F.col(self.left_ts))
-        rus = F.unix_micros(F.col(self.right_ts))
+        lus = _us(F.col(self.left_ts))
+        rus = _us(F.col(self.right_ts))
         # buckets the left band [ts+lo, ts+hi] can overlap
         lo_b = F.floor((lus + lo_us) / b_us)
         hi_b = F.floor((lus + hi_us) / b_us)
@@ -153,8 +162,8 @@ class RangeJoin(Pipe):
             F.floor(rus / b_us).alias("__bucket"),
         )
         joined = l.join(r, on=[*self.on, "__bucket"]).drop("__bucket")
-        lts_us = F.unix_micros(F.col("__lts"))
-        rts_us = F.unix_micros(F.col("__rts"))
+        lts_us = _us(F.col("__lts"))
+        rts_us = _us(F.col("__rts"))
         # no dedup needed: each right row lives in exactly one bucket, so a
         # (left, right) pair can match in at most one exploded bucket
         out = joined.where((rts_us >= lts_us + lo_us) & (rts_us <= lts_us + hi_us))
