@@ -29,7 +29,8 @@ PLAN_ONLY = [
     "q57_weighted_mixture", "q58_pack_sequences", "q59_epoch_shuffle",
     "q60_term_stats", "q61_contamination", "q62_repetition",
     "q63_salted_join", "q64_clean_corpus", "q65_full_outer", "q66_rank_suite",
-    "q68_grouping_sets", "q69_pivot", "q70_resample",
+    "q68_grouping_sets", "q69_pivot", "q70_resample", "q86_zorder",
+    "q87_quality_classifier",
 ]
 
 
@@ -183,3 +184,39 @@ def test_perplexity_partial_aggregation(spark, sf_dir):
     (HashAggregate appears both map- and reduce-side)."""
     plan = _plan(QUERIES["q76_perplexity"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_classifier_scoring_is_pure_codegen(spark, sf_dir):
+    """q87's hashed-linear scoring must stay JVM-side (higher-order array
+    expressions): no Python evaluation node, one scan, and the z/score
+    projection inside a codegen span after execution."""
+    df = QUERIES["q87_quality_classifier"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_zorder_key_is_pure_codegen(spark, sf_dir):
+    """q86's Morton-key bit math is a scan-speed Project — no Python nodes,
+    no exchange beyond the TakeOrdered limit's own collection."""
+    df = QUERIES["q86_zorder"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_ivf_pairs_is_equi_join(spark, sf_dir):
+    """SemanticDedup's scale path must pair WITHIN cells via an equi-join on
+    the cell id — a sort-merge/hash join, never a cartesian product."""
+    from warp_pipes_spark.ml.semantic import SemanticDedup
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    op = SemanticDedup(threshold=0.4, strategy="ivf", n_centroids=4)
+    plan = _plan(op._pairs_ivf(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan

@@ -1258,6 +1258,50 @@ def q84_constraints(spark, sf):
     return CheckConstraints(rules=_CONSTRAINT_RULES)(T(spark, sf, "orders"))
 
 
+def q85_semdedup(spark, sf):
+    """SemDeDup-style embedding near-dup removal (exact candidate path =
+    the oracle; strategy='ivf' is the cell-bucketed scale path, recall-
+    tested): cosine pairs >= 0.4 -> connected components -> keep-min
+    survivors; every input row labeled (id, cluster_id, keep)."""
+    from warp_pipes_spark.ml.semantic import SemanticDedup
+
+    emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return SemanticDedup(threshold=0.4, strategy="exact")(emb)
+
+
+def q86_zorder(spark, sf):
+    """Z-order (Morton) curve key over two document dimensions — the
+    multi-dimensional data-layout primitive: range-partitioning + sorting
+    by the interleaved key co-locates rows close in BOTH dimensions into
+    the same files, so parquet min/max stats prune rectangle predicates on
+    either column (locality asserted in tests). The query returns the
+    curve key per doc; ``ZOrderLayout`` applies it at write time."""
+    from warp_pipes_spark.plans.layout import zorder_key
+
+    d = T(spark, sf, "documents")
+    z = zorder_key(
+        [F.col("doc_id") % 4096, F.col("n_chars") % 4096], bits=12
+    )
+    return (
+        d.select("doc_id", z.alias("z"))
+        .orderBy("z", "doc_id")
+        .limit(200)
+    )
+
+
+def q87_quality_classifier(spark, sf):
+    """Hashed linear text classifier (fasttext-style scoring pass): token ->
+    feature bucket (deterministic integer hash) -> weight, mean weight per
+    doc as the class score. Pure codegen'd higher-order expressions — the
+    scoring pass runs at scan speed; the integer-arithmetic weights make
+    the oracle bit-exact. Real trained weights plug in via ``weights``."""
+    from warp_pipes_spark.text.classifier import HashedLinearClassifier
+
+    return HashedLinearClassifier(dim=64)(T(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "score", "label"
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1771,6 +1815,24 @@ def _late_oracles():
 _late_oracles()
 
 
+def _new_op_oracles():
+    from warp_pipes_spark.ml.semantic import semantic_dedup_sql
+    from warp_pipes_spark.plans.layout import zorder_sql
+    from warp_pipes_spark.text.classifier import classifier_sql
+
+    ORACLES_EXT["q85_semdedup"] = semantic_dedup_sql(
+        threshold=0.4, where="vec_id < 500"
+    )
+    zexpr = zorder_sql(["doc_id % 4096", "n_chars % 4096"], bits=12)
+    ORACLES_EXT["q86_zorder"] = (
+        f"SELECT doc_id, {zexpr} AS z FROM documents ORDER BY z, doc_id LIMIT 200"
+    )
+    ORACLES_EXT["q87_quality_classifier"] = classifier_sql()
+
+
+_new_op_oracles()
+
+
 QUERIES: Dict[str, QuerySpec] = {}
 
 
@@ -1860,6 +1922,9 @@ def _register():
         "q82_moments": q82_moments,
         "q83_profile": q83_profile,
         "q84_constraints": q84_constraints,
+        "q85_semdedup": q85_semdedup,
+        "q86_zorder": q86_zorder,
+        "q87_quality_classifier": q87_quality_classifier,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
