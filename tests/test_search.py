@@ -154,3 +154,50 @@ def test_bm25_temperature_scales_scores(spark):
     assert base.keys() == halved.keys()
     for i in base:
         assert abs(halved[i] - base[i] / 2.0) < 1e-5
+
+
+def test_bm25f_title_hits_outrank_body_hits(spark):
+    """Same term frequency, but a hit in the 2x-weighted short title field
+    must outscore a hit buried in a long body — the point of BM25F's
+    pre-saturation field combination."""
+    from warp_pipes_spark.search.bm25 import Bm25FSearch
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple pie", "banana cherry fig grape kiwi lemon mango"),
+            (1, "banana split", "apple cherry fig grape kiwi lemon mango"),
+            (2, "dog house", "cat mouse bird fish snake toad newt"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    out = Bm25FSearch(
+        corpus=docs,
+        fields={"title": 2.0, "body": 1.0},
+        k=3,
+        materialize_index=False,
+    )(q).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["idx"] for r in ranked] == [0, 1]  # title hit first; doc 2 no hit
+    assert ranked[0]["score"] > ranked[1]["score"]
+
+
+def test_bm25f_empty_field_rows_still_scored(spark):
+    """Docs with an empty field keep their other-field postings and the
+    per-field avgdl still counts them (sentinel rows)."""
+    from warp_pipes_spark.search.bm25 import Bm25FSearch
+
+    docs = spark.createDataFrame(
+        [(0, "", "apple pie crust"), (1, "apple tart", ""), (2, "dog", "cat")],
+        "doc_id long, title string, body string",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    out = Bm25FSearch(
+        corpus=docs,
+        fields={"title": 2.0, "body": 1.0},
+        k=3,
+        materialize_index=False,
+    )(q).collect()
+    assert {r["idx"] for r in out} == {0, 1}
+    by_idx = {r["idx"]: r["score"] for r in out}
+    assert by_idx[1] > by_idx[0]  # weighted title hit beats body hit

@@ -1302,6 +1302,27 @@ def q87_quality_classifier(spark, sf):
     )
 
 
+def q88_bm25f(spark, sf):
+    """Multi-field BM25F (title weighted 2x over body, per-field length
+    normalization combined BEFORE saturation) — the ES multi_match
+    capability as a baked (term, doc_id, score) index; query path identical
+    to q32's broadcast-join + sum + window."""
+    from warp_pipes_spark.search.bm25 import Bm25FSearch
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    corpus = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 6), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, 7, F.greatest(F.size(toks), F.lit(1))), " "
+        ).alias("body"),
+    )
+    engine = Bm25FSearch(corpus=corpus, fields={"title": 2.0, "body": 1.0}, k=10)
+    return engine(_bm25_queries(spark, sf))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1829,6 +1850,19 @@ def _new_op_oracles():
     )
     ORACLES_EXT["q87_quality_classifier"] = classifier_sql()
 
+    from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
+
+    ORACLES_EXT["q88_bm25f"] = bm25f_oracle_sql(
+        "documents",
+        BM25_QUERIES_CTE,
+        fields={"title": 2.0, "body": 1.0},
+        k=10,
+        field_exprs={
+            "title": f"array_to_string(({tokens_sql('text')})[1:6], ' ')",
+            "body": f"array_to_string(({tokens_sql('text')})[7:], ' ')",
+        },
+    )
+
 
 _new_op_oracles()
 
@@ -1925,6 +1959,7 @@ def _register():
         "q85_semdedup": q85_semdedup,
         "q86_zorder": q86_zorder,
         "q87_quality_classifier": q87_quality_classifier,
+        "q88_bm25f": q88_bm25f,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -338,6 +338,215 @@ class Bm25Search(Pipe):
         )
 
 
+class Bm25FSearch(Bm25Search):
+    """Multi-field BM25F ranking (Zaragoza et al., "Microsoft Cambridge at
+    TREC-13"): per-field length-normalized term frequencies are combined
+    with field weights BEFORE saturation, so a term hit in a short weighted
+    field (title) outscores the same hit diluted in a long body — the
+    behavior ES ``multi_match(type=cross_fields)`` approximates. Extension
+    beyond the reference's single-field match+aux queries.
+
+    Formula (per field f with weight w_f and normalization b_f)::
+
+        tfn(t,d,f) = tf(t,d,f) / (1 - b_f + b_f * dl_f(d)/avgdl_f)
+        ctf(t,d)   = Σ_f w_f * tfn(t,d,f)          -- decimal-summed, order-free
+        score(q,d) = Σ_{t ∈ q∩d} idf(t) * ctf * (k1+1) / (k1 + ctf)
+        idf(t)     = ln(1 + (N - df + 0.5)/(df + 0.5)),  df over ANY field
+
+    Everything after tokenization is corpus-level, so the per-posting score
+    bakes at build time exactly like single-field BM25 — the materialized
+    index is the same ``(term, doc_id, score_d)`` shape and the query path
+    (broadcast terms -> join -> sum -> window) is inherited unchanged.
+
+    ``fields`` maps corpus column -> weight; ``field_b`` optionally
+    overrides per-field b (defaults to the shared ``b``)."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        fields: dict[str, float],
+        field_b: dict[str, float] | None = None,
+        **kwargs,
+    ):
+        if not fields:
+            raise ValueError("Bm25FSearch needs at least one field")
+        super().__init__(corpus=corpus, **kwargs)
+        self.fields = dict(fields)
+        self.field_b = {f: (field_b or {}).get(f, self.b) for f in fields}
+
+    def _postings(self) -> DataFrame:
+        parts = []
+        for col in self.fields:
+            parts.append(
+                build_inverted_index(self.corpus, self.corpus_id, col).withColumn(
+                    "field", F.lit(col)
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _index_fingerprint(self) -> str:
+        from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
+        return get_fingerprint(
+            {
+                "op": "bm25f_index_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "fields": sorted(self.fields.items()),
+                "field_b": sorted(self.field_b.items()),
+                "k1": self.k1,
+            }
+        )
+
+    def _score_postings(self, postings: DataFrame) -> DataFrame:
+        """(term, doc_id, dl, tf, field) -> (term, doc_id, score_d). The
+        field combination ``ctf`` is summed in DECIMAL so the result is
+        independent of which field's row arrives first; df counts a doc
+        once however many fields hit. Sentinel NULL-term rows keep every
+        (field, doc) in the per-field avgdl."""
+        avgdl_f = (
+            postings.select("field", "doc_id", "dl")
+            .distinct()
+            .groupBy("field")
+            .agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+        )
+        n_docs_df = postings.select("doc_id").distinct().agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        real = postings.where(F.col("term").isNotNull())
+        df_counts = (
+            real.select("term", "doc_id").distinct().groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        )
+        w_map = F.create_map(
+            *[x for f, w in sorted(self.fields.items()) for x in (F.lit(f), F.lit(float(w)))]
+        )
+        b_map = F.create_map(
+            *[x for f, b in sorted(self.field_b.items()) for x in (F.lit(f), F.lit(float(b)))]
+        )
+        tfn = (
+            F.col("tf").cast("double")
+            / (
+                F.lit(1.0)
+                - b_map[F.col("field")]
+                + b_map[F.col("field")] * F.col("dl") / F.col("avgdl")
+            )
+        ) * w_map[F.col("field")]
+        ctf = (
+            real.join(F.broadcast(avgdl_f), "field")
+            .groupBy("term", "doc_id")
+            .agg(
+                F.sum(tfn.cast("decimal(18,8)")).cast("double").alias("ctf")
+            )
+        )
+        enriched = (
+            ctf.join(df_counts, "term").crossJoin(F.broadcast(n_docs_df))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        score_d = (
+            idf * F.col("ctf") * F.lit(self.k1 + 1.0) / (F.lit(self.k1) + F.col("ctf"))
+        )
+        return enriched.select("term", "doc_id", score_d.alias("score_d"))
+
+
+def bm25f_oracle_sql(
+    corpus_table: str,
+    queries_cte: str,
+    fields: dict[str, float],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    field_b: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    field_exprs: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle for :class:`Bm25FSearch` — identical tokenization,
+    identical decimal cast points (ctf at DECIMAL(18,8), per-term score at
+    DECIMAL(18,6)). ``field_exprs`` optionally maps field name -> SQL
+    expression deriving it from the corpus row (defaults to the column)."""
+    field_b = {f: (field_b or {}).get(f, b) for f in fields}
+    field_exprs = field_exprs or {f: f for f in fields}
+    per_field_tokens = ", ".join(
+        f"{tokens_sql(field_exprs[f])} AS toks_{f}" for f in sorted(fields)
+    )
+    field_posts = "\n  UNION ALL\n".join(
+        f"  SELECT '{f}' AS field, doc_id, len(toks_{f}) AS dl, unnest(toks_{f}) AS term"
+        f" FROM doc_tokens"
+        for f in sorted(fields)
+    )
+    field_lens = "\n  UNION ALL\n".join(
+        f"  SELECT '{f}' AS field, doc_id, len(toks_{f}) AS dl FROM doc_tokens"
+        for f in sorted(fields)
+    )
+    w_case = " ".join(f"WHEN '{f}' THEN {float(w)}" for f, w in sorted(fields.items()))
+    b_case = " ".join(f"WHEN '{f}' THEN {float(v)}" for f, v in sorted(field_b.items()))
+    return f"""
+WITH queries AS ({queries_cte}),
+doc_tokens AS (
+  SELECT {id_col} AS doc_id, {per_field_tokens} FROM {corpus_table}
+),
+field_lens AS (
+{field_lens}
+),
+avgdl_f AS (
+  SELECT field, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM field_lens GROUP BY 1
+),
+posts AS (
+{field_posts}
+),
+tf AS (
+  SELECT field, term, doc_id, dl, COUNT(*) AS tf FROM posts GROUP BY ALL
+),
+stats AS (SELECT COUNT(*) AS n_docs FROM doc_tokens),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+ctf AS (
+  SELECT t.term, t.doc_id,
+         CAST(SUM(CAST(
+           (CASE t.field {w_case} END)
+           * CAST(t.tf AS DOUBLE)
+           / (1.0 - (CASE t.field {b_case} END)
+              + (CASE t.field {b_case} END) * t.dl / a.avgdl)
+         AS DECIMAL(18,8))) AS DOUBLE) AS ctf
+  FROM tf t JOIN avgdl_f a ON t.field = a.field
+  GROUP BY 1, 2
+),
+term_scores AS (
+  SELECT q.query_id, c.doc_id AS idx,
+         CAST(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * c.ctf * {k1 + 1.0} / ({k1} + c.ctf)
+         AS DECIMAL(18,6)) AS ts
+  FROM (SELECT query_id, unnest(list_distinct({tokens_sql('qtext')})) AS term
+        FROM queries) q
+  JOIN ctf c ON q.term = c.term
+  JOIN dfreq d ON c.term = d.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, idx, SUM(ts) AS score FROM term_scores GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, idx, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS rank
+  FROM scores
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, idx,
+       CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_oracle_sql(
     corpus_table: str,
     queries_cte: str,
