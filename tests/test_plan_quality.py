@@ -30,7 +30,7 @@ PLAN_ONLY = [
     "q60_term_stats", "q61_contamination", "q62_repetition",
     "q63_salted_join", "q64_clean_corpus", "q65_full_outer", "q66_rank_suite",
     "q68_grouping_sets", "q69_pivot", "q70_resample", "q86_zorder",
-    "q87_quality_classifier",
+    "q87_quality_classifier", "q89_incremental_agg",
 ]
 
 
@@ -203,6 +203,14 @@ def test_zorder_key_is_pure_codegen(spark, sf_dir):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_incremental_merge_partially_aggregates(spark, sf_dir):
+    """q89's state merge must partially aggregate map-side before its one
+    exchange (HashAggregate both sides) — the merge shuffles group
+    cardinality, never raw history."""
+    plan = _plan(QUERIES["q89_incremental_agg"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
 
 
 def test_semdedup_ivf_pairs_is_equi_join(spark, sf_dir):

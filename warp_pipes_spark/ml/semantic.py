@@ -94,7 +94,7 @@ class SemanticDedup(Pipe):
             train_sample=self.train_sample,
             seed=self.seed,
         )
-        centroids = ivf._train_centroids()
+        centroids = ivf._centroids()
         cell1 = ivf._cell_udf(centroids, 1)  # array<long> of length 1
         base = (
             df.select(

@@ -356,6 +356,8 @@ class IvfCosineTopK(Pipe):
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
         broadcast_queries: bool = True,
+        centroid_cache_dir: Optional[str] = None,
+        materialize_centroids: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -372,8 +374,56 @@ class IvfCosineTopK(Pipe):
         self.corpus_vec = corpus_vec
         self.exclude_self = exclude_self
         self.broadcast_queries = broadcast_queries
+        self.centroid_cache_dir = centroid_cache_dir
+        self.materialize_centroids = materialize_centroids
 
-    _no_fingerprint = ("corpus",)
+    _no_fingerprint = ("corpus", "centroid_cache_dir")
+
+    def _centroids(self) -> np.ndarray:
+        """Trained centroids, served from a fingerprint-keyed cache — the
+        same index-once-query-many contract as the BM25 postings and the
+        shingle tables: every ``IvfCosineTopK`` over the same (corpus,
+        training config) reuses one k-means run, across sessions. The
+        artifact is a tiny (n_centroids x dim) Parquet — at cluster scale
+        point ``centroid_cache_dir`` at shared storage next to the others."""
+        if not self.materialize_centroids:
+            return self._train_centroids()
+        import os
+        import tempfile
+
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(
+            self.centroid_cache_dir
+            or os.path.join(tempfile.gettempdir(), "warp_pipes_spark_ivf_centroids")
+        )
+        fp = get_fingerprint(
+            {
+                "op": "ivf_centroids_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "vec": self.corpus_vec,
+                "id": self.corpus_id,
+                "n_centroids": self.n_centroids,
+                "train_sample": self.train_sample,
+                "kmeans_iters": self.kmeans_iters,
+                "seed": self.seed,
+            }
+        )
+        spark = self.corpus.sparkSession
+        if not manager.exists(fp):
+            C = self._train_centroids()
+            rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+            manager.store(
+                spark.createDataFrame(rows, "cell int, centroid array<double>"), fp
+            )
+        loaded = sorted(
+            manager.load(spark, fp).collect(), key=lambda r: r["cell"]
+        )
+        return np.array([r["centroid"] for r in loaded], dtype=np.float64)
 
     def _train_centroids(self) -> np.ndarray:
         """Seeded spherical k-means on a deterministic sample (driver-side;
@@ -421,7 +471,7 @@ class IvfCosineTopK(Pipe):
         return pandas_udf(cells, "array<long>")
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        centroids = self._train_centroids()
+        centroids = self._centroids()
         assign1 = self._cell_udf(centroids, 1)
         probe = self._cell_udf(centroids, self.n_probe)
         c = self.corpus.select(

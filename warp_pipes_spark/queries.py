@@ -1323,6 +1323,23 @@ def q88_bm25f(spark, sf):
     return engine(_bm25_queries(spark, sf))
 
 
+def q89_incremental_agg(spark, sf):
+    """Incremental aggregate maintenance: history state (80% of events) +
+    new batch (20%) merged as mergeable partials — merge cost is group-
+    cardinality, not history size. The decimal-sum partials make the
+    result bit-identical to the oracle's direct aggregation over ALL
+    events, which is exactly the maintained-view invariant."""
+    from warp_pipes_spark.pipes.incremental import IncrementalAgg, partial_state
+
+    ev = T(spark, sf, "events")
+    history = ev.filter(F.col("event_id") % 10 < 8)
+    batch = ev.filter(F.col("event_id") % 10 >= 8)
+    state = partial_state(history, ["event_type"], "value")
+    return IncrementalAgg(
+        keys=["event_type"], value_col="value", state=state, finalize=True
+    )(batch)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1852,6 +1869,15 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    ORACLES_EXT["q89_incremental_agg"] = (
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value, "
+        "CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4)) / COUNT(*) "
+        "AS DECIMAL(28,8)) AS DOUBLE) AS avg_value "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+
     ORACLES_EXT["q88_bm25f"] = bm25f_oracle_sql(
         "documents",
         BM25_QUERIES_CTE,
@@ -1960,6 +1986,7 @@ def _register():
         "q86_zorder": q86_zorder,
         "q87_quality_classifier": q87_quality_classifier,
         "q88_bm25f": q88_bm25f,
+        "q89_incremental_agg": q89_incremental_agg,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
