@@ -71,3 +71,56 @@ def test_resample_locf_semantics(spark):
         (1, "2024-01-01 03:00:00"): 10.0,   # obs at 03:10 is after this point
         (2, "2024-01-01 05:00:00"): None,
     }
+
+
+def test_asof_forward_direction(spark):
+    left = _ts_df(
+        spark,
+        [(1, 1, "2024-01-01T10:00:00"), (2, 1, "2024-01-01T11:30:00")],
+        "eid long, user_id long, ts string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01T10:00:00", 7.0), (1, "2024-01-01T11:00:00", 9.0)],
+        "user_id long, ts string, v double",
+    )
+    out = {
+        r["eid"]: r["v"]
+        for r in AsOfJoin(
+            right=right, on=["user_id"], right_cols=["v"], direction="forward"
+        )(left).collect()
+    }
+    assert out[1] == 7.0  # equal ts matches forward too (ts >= semantics)
+    assert out[2] is None  # nothing at or after 11:30
+
+
+def test_asof_tolerance_drops_far_matches(spark):
+    left = _ts_df(
+        spark,
+        [(1, 1, "2024-01-01T10:00:00"), (2, 1, "2024-01-01T23:00:00")],
+        "eid long, user_id long, ts string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01T09:30:00", 5.0)],
+        "user_id long, ts string, v double",
+    )
+    out = {
+        r["eid"]: (r["v"], r["rts"])
+        for r in AsOfJoin(
+            right=right,
+            on=["user_id"],
+            right_cols=["v"],
+            tolerance_seconds=3600,
+            emit_right_ts="rts",
+        )(left).collect()
+    }
+    assert out[1][0] == 5.0 and out[1][1] is not None  # 30 min back: in tolerance
+    assert out[2] == (None, None)  # 13.5 h back: dropped, row kept
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AsOfJoin(right=None, on=["k"], direction="sideways")

@@ -37,11 +37,23 @@ def _us(col: Column) -> Column:
 
 
 class AsOfJoin(Pipe):
-    """``left.asof_join(right)``: latest right row with ts <= left ts per key.
+    """``left.asof_join(right)``: per key, attach the nearest right row —
+    the latest with ``ts <= left.ts`` (``direction='backward'``, default) or
+    the earliest with ``ts >= left.ts`` (``'forward'``) — the pandas
+    ``merge_asof`` surface, executed as one carry-forward/backward window.
 
     ``right_cols`` are the payload columns carried from the right side
     (renamed as given). The right side should be unique per (key, ts) —
-    pre-aggregate if necessary — so the match is well-defined."""
+    pre-aggregate if necessary — so the match is well-defined.
+
+    ``tolerance_seconds`` bounds the match distance: a match farther than
+    the tolerance is dropped (payloads NULL, left row kept) — merge_asof's
+    ``tolerance``. ``emit_right_ts`` optionally names an output column
+    carrying the matched right timestamp (NULL when no match), which is
+    both useful downstream and what lets the oracle verify tolerance
+    handling. Both directions stay ONE shuffle on the key: ties at equal
+    ts are matched in either direction (sort places the right row inside
+    the left row's frame)."""
 
     def __init__(
         self,
@@ -50,26 +62,36 @@ class AsOfJoin(Pipe):
         left_ts: str = "ts",
         right_ts: str = "ts",
         right_cols: Optional[List[str]] = None,
+        direction: str = "backward",
+        tolerance_seconds: Optional[int] = None,
+        emit_right_ts: Optional[str] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
+        if direction not in ("backward", "forward"):
+            raise ValueError(f"unknown direction {direction!r}")
         self.right = right
         self.on = list(on)
         self.left_ts = left_ts
         self.right_ts = right_ts
         self.right_cols = list(right_cols or [])
+        self.direction = direction
+        self.tolerance_seconds = tolerance_seconds
+        self.emit_right_ts = emit_right_ts
 
     _no_fingerprint = ("right",)
 
     def _transform(self, left: DataFrame, **kwargs) -> DataFrame:
         rcols = self.right_cols
         lcols = [c for c in left.columns]
+        rts_type = self.right.schema[self.right_ts].dataType
         l = left.select(
             *self.on,
             F.col(self.left_ts).alias("__ts"),
             F.lit(1).alias("__is_left"),
             *[F.col(c) for c in lcols if c not in self.on and c != self.left_ts],
             *[F.lit(None).cast(self.right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+            F.lit(None).cast(rts_type).alias("__rts"),
         )
         if self.left_ts in lcols:
             l = l.withColumn(self.left_ts, F.col("__ts"))
@@ -83,21 +105,49 @@ class AsOfJoin(Pipe):
                 if c not in self.on and c != self.left_ts
             ],
             *[F.col(c).alias(f"__r_{c}") for c in rcols],
+            F.col(self.right_ts).alias("__rts"),
         )
         if self.left_ts in lcols:
             r = r.withColumn(self.left_ts, F.lit(None).cast(left.schema[self.left_ts].dataType))
         u = l.unionByName(r)
-        # right rows sort before left rows at equal ts => ties (r.ts == l.ts)
-        # are matched, same as ASOF JOIN's ts >= semantics
-        w = (
-            Window.partitionBy(*self.on)
-            .orderBy(F.col("__ts"), F.col("__is_left"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for c in rcols:
-            u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+        carried = [*[f"__r_{c}" for c in rcols], "__rts"]
+        if self.direction == "backward":
+            # right rows sort before left rows at equal ts => ties
+            # (r.ts == l.ts) are matched, same as ASOF JOIN's ts <= semantics
+            w = (
+                Window.partitionBy(*self.on)
+                .orderBy(F.col("__ts"), F.col("__is_left"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            for c in carried:
+                u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        else:
+            # forward: left rows sort before right rows at equal ts, so the
+            # equal-ts right row lies inside the left row's forward frame
+            w = (
+                Window.partitionBy(*self.on)
+                .orderBy(F.col("__ts"), F.col("__is_left").desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            for c in carried:
+                u = u.withColumn(c, F.first(c, ignorenulls=True).over(w))
         out = u.filter(F.col("__is_left") == 1).drop("__is_left")
+        if self.tolerance_seconds is not None:
+            gap = (
+                _us(F.col("__ts")) - _us(F.col("__rts"))
+                if self.direction == "backward"
+                else _us(F.col("__rts")) - _us(F.col("__ts"))
+            )
+            ok = F.col("__rts").isNotNull() & (
+                gap <= self.tolerance_seconds * 1_000_000
+            )
+            for c in [*[f"__r_{c}" for c in rcols], "__rts"]:
+                out = out.withColumn(c, F.when(ok, F.col(c)))
         out = out.withColumn(self.left_ts, F.col("__ts")).drop("__ts")
+        if self.emit_right_ts:
+            out = out.withColumnRenamed("__rts", self.emit_right_ts)
+        else:
+            out = out.drop("__rts")
         for c in rcols:
             out = out.withColumnRenamed(f"__r_{c}", c)
         return out

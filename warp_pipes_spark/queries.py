@@ -1340,6 +1340,33 @@ def q89_incremental_agg(spark, sf):
     )(batch)
 
 
+def q90_asof_forward_tolerance(spark, sf):
+    """merge_asof parity beyond q48: FORWARD direction (earliest view at or
+    after each click) with a 1-hour tolerance (farther matches dropped,
+    left row kept) and the matched right timestamp emitted — still one
+    carry-backward window, one shuffle on the key."""
+    from warp_pipes_spark.pipes.temporal import AsOfJoin
+
+    ev = T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vval"))
+    )
+    out = AsOfJoin(
+        right=views,
+        on=["user_id"],
+        right_cols=["vval"],
+        direction="forward",
+        tolerance_seconds=3600,
+        emit_right_ts="vts",
+    )(clicks)
+    return out.select("event_id", "user_id", "ts", "vval", "vts")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1869,6 +1896,24 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    ORACLES_EXT["q90_asof_forward_tolerance"] = (
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "views AS (SELECT user_id, ts, MAX(value) AS vval FROM events "
+        "WHERE event_type = 'view' GROUP BY 1, 2), "
+        "m AS (SELECT c.event_id, c.user_id, c.ts, "
+        "  (SELECT v.ts FROM views v WHERE v.user_id = c.user_id AND v.ts >= c.ts "
+        "   ORDER BY v.ts LIMIT 1) AS vts_raw, "
+        "  (SELECT v.vval FROM views v WHERE v.user_id = c.user_id AND v.ts >= c.ts "
+        "   ORDER BY v.ts LIMIT 1) AS vval_raw "
+        " FROM clicks c) "
+        "SELECT event_id, user_id, ts, "
+        "  CASE WHEN vts_raw IS NOT NULL AND vts_raw - ts <= INTERVAL '1 hour' "
+        "       THEN vval_raw END AS vval, "
+        "  CASE WHEN vts_raw IS NOT NULL AND vts_raw - ts <= INTERVAL '1 hour' "
+        "       THEN vts_raw END AS vts "
+        "FROM m ORDER BY event_id"
+    )
+
     ORACLES_EXT["q89_incremental_agg"] = (
         "SELECT event_type, COUNT(*) AS n, "
         "CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value, "
@@ -1987,6 +2032,7 @@ def _register():
         "q87_quality_classifier": q87_quality_classifier,
         "q88_bm25f": q88_bm25f,
         "q89_incremental_agg": q89_incremental_agg,
+        "q90_asof_forward_tolerance": q90_asof_forward_tolerance,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
