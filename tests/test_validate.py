@@ -48,3 +48,57 @@ def test_check_constraints_null_is_violation(spark):
     # NULL status counts as a violation alongside the unknown 'X'
     assert out["status_known"]["n_violations"] == 2
     assert out["status_known"]["n"] == 4
+
+
+def test_drift_identical_distributions_near_zero(spark):
+    from warp_pipes_spark.pipes.validate import DriftCheck
+
+    rows = [(i, float(i % 10), "abc"[i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double, c string")
+    out = {
+        r["column"]: r["psi"]
+        for r in DriftCheck(ref=df, numeric_bins={"v": 5}, cat_cols=["c"])(df).collect()
+    }
+    assert abs(out["v"]) < 1e-6 and abs(out["c"]) < 1e-6
+
+
+def test_drift_detects_shift_and_new_category(spark):
+    from warp_pipes_spark.pipes.validate import DriftCheck
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 10), "abc"[i % 3]) for i in range(300)],
+        "id long, v double, c string",
+    )
+    cur = spark.createDataFrame(
+        [(i, float(i % 10) + 5.0, "d") for i in range(300)],  # shifted + novel cat
+        "id long, v double, c string",
+    )
+    out = {
+        r["column"]: r
+        for r in DriftCheck(ref=ref, numeric_bins={"v": 5}, cat_cols=["c"])(cur).collect()
+    }
+    assert out["v"]["psi"] > 0.25  # strong numeric shift
+    assert out["c"]["psi"] > 0.25  # entirely new category
+    assert out["c"]["n_buckets"] == 4  # a, b, c + d
+
+
+def test_drift_null_bucket_counts(spark):
+    from warp_pipes_spark.pipes.validate import DriftCheck
+
+    ref = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    cur = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else float(i)) for i in range(100)],
+        "id long, v double",
+    )
+    out = DriftCheck(ref=ref, numeric_bins={"v": 4})(cur).collect()[0]
+    assert out["psi"] > 0.25  # half the batch went NULL: that IS drift
+    assert out["n_buckets"] == 5  # 4 bins + NULL bucket
+
+
+def test_drift_requires_columns(spark):
+    import pytest as _pytest
+
+    from warp_pipes_spark.pipes.validate import DriftCheck
+
+    with _pytest.raises(ValueError):
+        DriftCheck(ref=None)

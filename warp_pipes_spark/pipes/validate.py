@@ -192,3 +192,217 @@ def check_constraints_sql(table: str, rules: Dict[str, str]) -> str:
         f" CAST(n_violations AS BIGINT) AS n_violations,"
         f" n_violations = 0 AS passed FROM ({body}) t ORDER BY rule"
     )
+
+
+class DriftCheck(Pipe):
+    """Distribution drift between a reference snapshot and the current
+    batch: Population Stability Index per column — the standard gate for
+    "did yesterday's crawl / features shift?" before a model retrain.
+
+    PSI(col) = Σ_buckets (p_cur - p_ref) * ln(p_cur / p_ref); rule of
+    thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 action. Buckets:
+
+    - numeric: ``n_bins`` equal-width bins over the REFERENCE min/max
+      (fixed by the reference so the measure is comparable across
+      batches), clamped at the edges, NULLs as their own bucket;
+    - categorical: one bucket per value observed on EITHER side (NULL
+      sentinel included).
+
+    Proportions are additively smoothed ((cnt + 0.5) / (total + 0.5 * B))
+    so empty buckets stay finite and the statistic is deterministic;
+    bucket contributions are decimal-summed (order/partitioning-free).
+
+    Scale shape: per column, ONE aggregation pass over each side (plus a
+    1-row min/max reduce on the reference for numeric bins) — the wide
+    work is bucket-cardinality, never row-cardinality. Input df = the
+    CURRENT batch; ``ref`` = the reference snapshot."""
+
+    def __init__(
+        self,
+        ref: DataFrame,
+        numeric_bins: Optional[Dict[str, int]] = None,
+        cat_cols: Optional[Sequence[str]] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.ref = ref
+        self.numeric_bins = dict(numeric_bins or {})
+        self.cat_cols = list(cat_cols or [])
+        if not self.numeric_bins and not self.cat_cols:
+            raise ValueError("DriftCheck needs at least one column")
+
+    _no_fingerprint = ("ref",)
+
+    def _numeric_psi(self, cur: DataFrame, col: str, n: int) -> DataFrame:
+        spark = cur.sparkSession
+        stats = self.ref.agg(
+            F.min(F.col(col).cast("double")).alias("mn"),
+            F.max(F.col(col).cast("double")).alias("mx"),
+        )
+
+        def bucket_of():
+            v = F.col(col).cast("double")
+            width = (F.col("mx") - F.col("mn")) / F.lit(float(n))
+            return (
+                F.when(v.isNull(), F.lit(-1))
+                .when(F.col("mx") == F.col("mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.greatest(
+                            F.floor((v - F.col("mn")) / width).cast("int"), F.lit(0)
+                        ),
+                        F.lit(n - 1),
+                    )
+                )
+            )
+
+        def side(df, name):
+            return (
+                df.crossJoin(F.broadcast(stats))
+                .groupBy(bucket_of().alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(name))
+            )
+
+        spine = spark.range(-1, n).select(F.col("id").cast("int").alias("bucket"))
+        counts = (
+            spine.join(side(self.ref, "cnt_ref"), "bucket", "left")
+            .join(side(cur, "cnt_cur"), "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"),
+                F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
+            )
+        )
+        return self._psi_from_counts(counts, n + 1, col)
+
+    def _cat_psi(self, cur: DataFrame, col: str) -> DataFrame:
+        sent = F.lit("\x00null")
+        key = lambda df: df.select(F.coalesce(F.col(col).cast("string"), sent).alias("bucket"))  # noqa: E731
+        spine = key(self.ref).union(key(cur)).distinct()
+        n_buckets = spine.count()  # bounded: category cardinality
+
+        def side(df, name):
+            return key(df).groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+        counts = (
+            spine.join(side(self.ref, "cnt_ref"), "bucket", "left")
+            .join(side(cur, "cnt_cur"), "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"),
+                F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
+            )
+        )
+        return self._psi_from_counts(counts, n_buckets, col)
+
+    @staticmethod
+    def _psi_from_counts(counts: DataFrame, n_buckets: int, col: str) -> DataFrame:
+        tot = counts.agg(
+            F.sum("cnt_ref").alias("tot_ref"), F.sum("cnt_cur").alias("tot_cur")
+        )
+        pr = (F.col("cnt_ref").cast("double") + F.lit(0.5)) / (
+            F.col("tot_ref").cast("double") + F.lit(0.5 * n_buckets)
+        )
+        pc = (F.col("cnt_cur").cast("double") + F.lit(0.5)) / (
+            F.col("tot_cur").cast("double") + F.lit(0.5 * n_buckets)
+        )
+        contrib = ((pc - pr) * F.log(pc / pr)).cast("decimal(18,10)")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(F.sum(contrib).cast("decimal(18,10)").cast("double").alias("psi"))
+            .select(
+                F.lit(col).alias("column"),
+                "psi",
+                F.lit(n_buckets).alias("n_buckets"),
+            )
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        parts = [
+            self._numeric_psi(df, c, n) for c, n in sorted(self.numeric_bins.items())
+        ] + [self._cat_psi(df, c) for c in sorted(self.cat_cols)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    numeric_bins: Optional[Dict[str, int]] = None,
+    cat_cols: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB oracle mirroring :class:`DriftCheck` expression-for-expression
+    (same bucket rule, same additive smoothing, same (p_cur - p_ref) *
+    ln(p_cur/p_cur_ref) association, same DECIMAL(18,10) summation point)."""
+
+    def _psi_block(counts_cte: str, n_buckets: int, label: str) -> str:
+        half_b = 0.5 * n_buckets
+        pr = f"((CAST(cnt_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + {half_b}))"
+        pc = f"((CAST(cnt_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + {half_b}))"
+        return (
+            f"SELECT '{label}' AS \"column\", "
+            f"CAST(CAST(SUM(CAST(({pc} - {pr}) * ln({pc} / {pr}) AS DECIMAL(18,10))) "
+            f"AS DECIMAL(18,10)) AS DOUBLE) AS psi, {n_buckets} AS n_buckets "
+            f"FROM ({counts_cte}) counts CROSS JOIN "
+            f"(SELECT SUM(cnt_ref) AS tot_ref, SUM(cnt_cur) AS tot_cur "
+            f" FROM ({counts_cte}) t) tot"
+        )
+
+    blocks = []
+    for col, n in sorted((numeric_bins or {}).items()):
+        bucket = (
+            f"CASE WHEN {col} IS NULL THEN -1 WHEN s.mx = s.mn THEN 0 "
+            f"ELSE LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - s.mn) "
+            f"/ ((s.mx - s.mn) / {float(n)})) AS INT), 0), {n - 1}) END"
+        )
+        counts = (
+            f"WITH stats AS (SELECT MIN(CAST({col} AS DOUBLE)) AS mn, "
+            f"MAX(CAST({col} AS DOUBLE)) AS mx FROM ({ref_sql}) r), "
+            f"refc AS (SELECT {bucket} AS bucket, COUNT(*) AS cr "
+            f"  FROM ({ref_sql}) r CROSS JOIN stats s GROUP BY 1), "
+            f"curc AS (SELECT {bucket} AS bucket, COUNT(*) AS cc "
+            f"  FROM ({cur_sql}) c CROSS JOIN stats s GROUP BY 1), "
+            f"spine AS (SELECT unnest(generate_series(-1, {n - 1})) AS bucket) "
+            f"SELECT sp.bucket, COALESCE(r.cr, 0) AS cnt_ref, "
+            f"COALESCE(c.cc, 0) AS cnt_cur FROM spine sp "
+            f"LEFT JOIN refc r USING (bucket) LEFT JOIN curc c USING (bucket)"
+        )
+        blocks.append((counts, n + 1, col))
+    for col in sorted(cat_cols or []):
+        key = f"COALESCE(CAST({col} AS VARCHAR), chr(1))"
+        counts = (
+            f"WITH spine AS (SELECT DISTINCT {key} AS bucket FROM "
+            f"  (SELECT {col} FROM ({ref_sql}) a UNION ALL SELECT {col} FROM ({cur_sql}) b) u), "
+            f"refc AS (SELECT {key} AS bucket, COUNT(*) AS cr FROM ({ref_sql}) r GROUP BY 1), "
+            f"curc AS (SELECT {key} AS bucket, COUNT(*) AS cc FROM ({cur_sql}) c GROUP BY 1) "
+            f"SELECT sp.bucket, COALESCE(r.cr, 0) AS cnt_ref, "
+            f"COALESCE(c.cc, 0) AS cnt_cur FROM spine sp "
+            f"LEFT JOIN refc r USING (bucket) LEFT JOIN curc c USING (bucket)"
+        )
+        blocks.append((counts, None, col))
+    parts = []
+    for counts, n_buckets, label in blocks:
+        if n_buckets is None:
+            # categorical bucket count is data-derived; inline it as a scalar
+            nb = (
+                f"(SELECT COUNT(*) FROM (SELECT DISTINCT "
+                f"COALESCE(CAST({label} AS VARCHAR), chr(1)) FROM "
+                f"(SELECT {label} FROM ({ref_sql}) a UNION ALL "
+                f"SELECT {label} FROM ({cur_sql}) b) u) s)"
+            )
+            half_b = f"(0.5 * {nb})"
+            pr = f"((CAST(cnt_ref AS DOUBLE) + 0.5) / (CAST(tot_ref AS DOUBLE) + {half_b}))"
+            pc = f"((CAST(cnt_cur AS DOUBLE) + 0.5) / (CAST(tot_cur AS DOUBLE) + {half_b}))"
+            parts.append(
+                f"SELECT '{label}' AS \"column\", "
+                f"CAST(CAST(SUM(CAST(({pc} - {pr}) * ln({pc} / {pr}) AS DECIMAL(18,10))) "
+                f"AS DECIMAL(18,10)) AS DOUBLE) AS psi, CAST({nb} AS INT) AS n_buckets "
+                f"FROM ({counts}) counts CROSS JOIN "
+                f"(SELECT SUM(cnt_ref) AS tot_ref, SUM(cnt_cur) AS tot_cur "
+                f" FROM ({counts}) t) tot"
+            )
+        else:
+            parts.append(_psi_block(counts, n_buckets, label))
+    return " UNION ALL ".join(parts) + " ORDER BY \"column\""

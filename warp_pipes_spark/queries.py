@@ -1367,6 +1367,22 @@ def q90_asof_forward_tolerance(spark, sf):
     return out.select("event_id", "user_id", "ts", "vval", "vts")
 
 
+def q91_drift(spark, sf):
+    """Distribution drift gate (PSI) between a reference snapshot (80% of
+    events) and the current batch (20%): numeric `value` over 10 reference-
+    anchored bins (+NULL bucket), categorical `event_type` — additive
+    smoothing, decimal-summed contributions; the wide work is bucket
+    cardinality, never row cardinality."""
+    from warp_pipes_spark.pipes.validate import DriftCheck
+
+    ev = T(spark, sf, "events")
+    ref = ev.filter(F.col("event_id") % 10 < 8)
+    cur = ev.filter(F.col("event_id") % 10 >= 8)
+    return DriftCheck(ref=ref, numeric_bins={"value": 10}, cat_cols=["event_type"])(
+        cur
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1896,6 +1912,15 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    from warp_pipes_spark.pipes.validate import drift_sql
+
+    ORACLES_EXT["q91_drift"] = drift_sql(
+        "SELECT * FROM events WHERE event_id % 10 < 8",
+        "SELECT * FROM events WHERE event_id % 10 >= 8",
+        numeric_bins={"value": 10},
+        cat_cols=["event_type"],
+    )
+
     ORACLES_EXT["q90_asof_forward_tolerance"] = (
         "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
         "views AS (SELECT user_id, ts, MAX(value) AS vval FROM events "
@@ -2033,6 +2058,7 @@ def _register():
         "q88_bm25f": q88_bm25f,
         "q89_incremental_agg": q89_incremental_agg,
         "q90_asof_forward_tolerance": q90_asof_forward_tolerance,
+        "q91_drift": q91_drift,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
