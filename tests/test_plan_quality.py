@@ -119,8 +119,10 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
 @pytest.mark.parametrize("name", ["q56_stratified_sample", "q57_weighted_mixture"])
 def test_sampling_is_shuffle_free(spark, sf_dir, name):
     """Keyed sampling / mixture fan-out are scan-level row ops: the plan
-    must contain NO Exchange — at 100 TB these run at full scan speed."""
-    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    must contain NO Exchange — at 100 TB these run at full scan speed.
+    (executedPlan, not sparkPlan: EnsureRequirements inserts exchanges only
+    during preparation, so the pre-preparation plan can't prove absence.)"""
+    plan = _executed(QUERIES[name].fn(spark, sf_dir))
     assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
 
 
@@ -137,8 +139,8 @@ def test_epoch_shuffle_rank_is_range_partitioned(spark, sf_dir):
 
 def test_unpivot_is_shuffle_free(spark, sf_dir):
     """q80's wide->long melt is a projection fan-out; any Exchange means the
-    reshape picked up an accidental shuffle."""
-    plan = _plan(QUERIES["q80_unpivot"].fn(spark, sf_dir))
+    reshape picked up an accidental shuffle (executedPlan — see above)."""
+    plan = _executed(QUERIES["q80_unpivot"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
 
 
