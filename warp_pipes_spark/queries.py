@@ -1383,6 +1383,20 @@ def q91_drift(spark, sf):
     )
 
 
+def q92_bpe_tokens(spark, sf):
+    """Real BPE tokenization (trained merges + greedy lowest-rank encode):
+    merge loop trains on the corpus' bounded word-frequency table (the only
+    wide op is one explode+groupBy), encoding is an Arrow-batched map with
+    per-executor word caching. Rows-only driver check (the merge loop is
+    not SQL-expressible); round-trip/determinism invariants in tests."""
+    from warp_pipes_spark.text.bpe import BpeTokenizer, train_bpe
+
+    docs = T(spark, sf, "documents")
+    merges = train_bpe(docs, n_merges=100, max_words=5000)
+    out = BpeTokenizer(merges)(docs)
+    return out.select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2059,6 +2073,7 @@ def _register():
         "q89_incremental_agg": q89_incremental_agg,
         "q90_asof_forward_tolerance": q90_asof_forward_tolerance,
         "q91_drift": q91_drift,
+        "q92_bpe_tokens": q92_bpe_tokens,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -1,0 +1,149 @@
+"""Byte-pair-encoding tokenization: corpus-trained merges + scan-speed encode.
+
+The catalog's regex tokenizer (``text/analysis.py``) is the cross-engine
+parity path; this module adds the real thing — a deterministic BPE trainer
+(the classic Sennrich et al. merge loop over word frequencies) and an
+encoder Pipe applying the learned merges with the standard greedy
+lowest-rank loop (the GPT-2 ``bpe()`` shape), as an Arrow-batched pandas
+UDF with per-executor word caching.
+
+Scale split (how real tokenizers are built):
+
+- **train** is bounded: word frequencies aggregate in Spark (one explode +
+  groupBy — the only wide op), only the top ``max_words`` (a vocabulary,
+  not a corpus) collect to the driver for the merge loop. 100 TB of text
+  still collects only ``max_words`` rows.
+- **encode** is a map: merges broadcast to executors; each Arrow batch
+  encodes locally with a word→tokens cache (natural-language word
+  distributions are Zipfian, so the cache hit rate is high).
+
+Determinism: merge ties break by (count desc, pair lexicographic asc);
+encode ties cannot occur (ranks are unique). Same corpus + params =>
+identical merges on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.text.analysis import tokens_expr
+
+END = "</w>"
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 10000,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus' word frequencies.
+    The driver holds only the ``max_words``-row frequency table."""
+    rows = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: Dict[Tuple[str, ...], int] = {
+        tuple(list(r["w"]) + [END]): r["c"] for r in rows
+    }
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Dict[Tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: Dict[Tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out: List[str] = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(
+    word: str,
+    ranks: Dict[Tuple[str, str], int],
+    cache: Optional[dict] = None,
+) -> List[str]:
+    """Greedy lowest-rank merge loop (the canonical BPE apply)."""
+    if cache is not None and word in cache:
+        return cache[word]
+    parts: List[str] = list(word) + [END]
+    while len(parts) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts = parts[:best_i] + [parts[best_i] + parts[best_i + 1]] + parts[best_i + 2 :]
+    if cache is not None:
+        cache[word] = parts
+    return parts
+
+
+class BpeTokenizer(Pipe):
+    """Adds ``bpe_tokens`` (array<string>) and ``n_bpe_tokens`` per row by
+    applying the learned merges. The merges list rides the closure (Spark
+    broadcasts it with the task); encoding is pure per-batch Python over
+    Arrow with a word cache — no shuffle, no driver involvement."""
+
+    def __init__(
+        self,
+        merges: List[Tuple[str, str]],
+        text_col: str = "text",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.merges = [tuple(m) for m in merges]
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
+
+        ranks = {m: i for i, m in enumerate(self.merges)}
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+
+        def encode_batch(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+            out = []
+            for t in texts:
+                toks: List[str] = []
+                for w in tok_re.split((t or "").lower()):
+                    if w:
+                        toks.extend(encode_word(w, ranks, cache))
+                out.append(toks)
+            return pd.Series(out)
+
+        encode_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        enc = pandas_udf(encode_batch, "array<string>")
+        return df.withColumn("bpe_tokens", enc(F.col(self.text_col))).withColumn(
+            "n_bpe_tokens", F.size("bpe_tokens")
+        )
