@@ -31,7 +31,7 @@ PLAN_ONLY = [
     "q63_salted_join", "q64_clean_corpus", "q65_full_outer", "q66_rank_suite",
     "q68_grouping_sets", "q69_pivot", "q70_resample", "q86_zorder",
     "q87_quality_classifier", "q89_incremental_agg",
-    "q90_asof_forward_tolerance",
+    "q90_asof_forward_tolerance", "q93_funnel", "q94_cohort",
 ]
 
 

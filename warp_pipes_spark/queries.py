@@ -1397,6 +1397,56 @@ def q92_bpe_tokens(spark, sf):
     return out.select("doc_id", "n_bpe_tokens").orderBy("doc_id")
 
 
+def q93_funnel(spark, sf):
+    """Ordered funnel analysis (view -> click -> purchase per user, each
+    step strictly at/after the previous step's FIRST occurrence): three
+    per-user min-aggregations chained by conditional joins — every join is
+    a keyed equi-join on user_id, no window over raw events, so each stage
+    shuffles only per-user aggregates."""
+    ev = T(spark, sf, "events")
+
+    def first_after(etype, prev, prev_col, out_col):
+        step = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            step = step.join(prev, "user_id").where(F.col("ts") >= F.col(prev_col))
+        return step.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = first_after("view", None, None, "v_ts")
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+
+
+def q94_cohort(spark, sf):
+    """Weekly cohort retention: users bucketed by first-event week, counted
+    once per (cohort, weeks-since-first) cell they were active in. Week
+    arithmetic is integer epoch math (no calendar-week dependence), so the
+    matrix is bit-identical on any engine. Two shuffles: the per-user
+    first-event reduce and the cell distinct-count."""
+    ev = T(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    f_us = F.unix_micros(F.col("first_ts").cast("timestamp"))
+    wk = 7 * 86400 * 1_000_000
+    epoch0 = "2024-01-01 00:00:00"
+    e0 = F.unix_micros(F.to_timestamp(F.lit(epoch0)))
+    joined = ev.select("user_id", "ts").join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.floor((f_us - e0) / wk).cast("int").alias("cohort_week"),
+            F.floor((us - f_us) / wk).cast("int").alias("weeks_since"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1926,6 +1976,32 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    ORACLES_EXT["q93_funnel"] = (
+        "WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events "
+        "  WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e "
+        "  JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts "
+        "  WHERE e.event_type = 'click' GROUP BY 1), "
+        "p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e "
+        "  JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts "
+        "  WHERE e.event_type = 'purchase' GROUP BY 1) "
+        "SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v "
+        "UNION ALL SELECT '2_click', COUNT(*) FROM c "
+        "UNION ALL SELECT '3_purchase', COUNT(*) FROM p "
+        "ORDER BY stage"
+    )
+
+    ORACLES_EXT["q94_cohort"] = (
+        "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1), "
+        "cells AS (SELECT DISTINCT e.user_id, "
+        "  CAST(FLOOR((epoch_us(f.first_ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) "
+        "       / 604800000000) AS INT) AS cohort_week, "
+        "  CAST(FLOOR((epoch_us(e.ts) - epoch_us(f.first_ts)) / 604800000000) AS INT) AS weeks_since "
+        "  FROM events e JOIN f ON e.user_id = f.user_id) "
+        "SELECT cohort_week, weeks_since, COUNT(*) AS n_users "
+        "FROM cells GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
     from warp_pipes_spark.pipes.validate import drift_sql
 
     ORACLES_EXT["q91_drift"] = drift_sql(
@@ -2074,6 +2150,8 @@ def _register():
         "q90_asof_forward_tolerance": q90_asof_forward_tolerance,
         "q91_drift": q91_drift,
         "q92_bpe_tokens": q92_bpe_tokens,
+        "q93_funnel": q93_funnel,
+        "q94_cohort": q94_cohort,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
