@@ -329,26 +329,27 @@ def test_streaming_term_counts_match_batch(spark, tmp_path):
         for r in batch_df.collect():
             counts[r["term"]] = r["doc_freq"]
 
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["term"]: r["doc_freq"]
+        for r in streaming_term_counts(batch_df).collect()
+    }
+
     q = (
         streaming_term_counts(stream)
         .writeStream.outputMode("update")
         .foreachBatch(sink)
         .start()
     )
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
-            time.sleep(1.0)
-            if not q.status["isDataAvailable"]:
-                break
+    # bounded CONVERGENCE wait, not an idle-status probe: under a loaded
+    # machine the status flags read idle between file discoveries, which
+    # made the idle-probe version break before the second micro-batch
+    deadline = time.time() + 120
+    while time.time() < deadline and counts != want:
+        time.sleep(0.5)
     q.stop()
     q.awaitTermination(10)
 
-    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
-    want = {
-        r["term"]: r["doc_freq"]
-        for r in streaming_term_counts(batch_df).collect()
-    }
     assert counts == want
     assert want == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
 
