@@ -201,3 +201,35 @@ def test_bm25f_empty_field_rows_still_scored(spark):
     assert {r["idx"] for r in out} == {0, 1}
     by_idx = {r["idx"]: r["score"] for r in out}
     assert by_idx[1] > by_idx[0]  # weighted title hit beats body hit
+
+
+def test_pq_recall_against_exact(spark, vectors):
+    from warp_pipes_spark.ml.quantize import PqCosineTopK
+
+    _, df = vectors
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = BruteForceCosineTopK(corpus=df, k=1, exclude_self=True)(queries)
+    approx = PqCosineTopK(corpus=df, k=5, m=8, exclude_self=True)(queries)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    cand = {}
+    for r in approx.collect():
+        cand.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in top1.items() if n in cand.get(q, set()))
+    # 8-byte codes over 64 dims: the true top-1 should appear in the
+    # PQ top-5 for the large majority of queries
+    assert hits >= 0.7 * len(top1), f"PQ recall too low: {hits}/{len(top1)}"
+
+
+def test_pq_codes_round_trip_determinism(spark, vectors):
+    import numpy as np
+
+    from warp_pipes_spark.ml.quantize import ProductQuantizer
+
+    _, df = vectors
+    dim = len(df.select("embedding").first()[0])
+    pq = ProductQuantizer(dim, m=8, k=16, seed=3).fit(df)
+    pq2 = ProductQuantizer(dim, m=8, k=16, seed=3).fit(df)
+    assert np.allclose(pq.codebooks, pq2.codebooks)  # seeded determinism
+    codes = df.select(pq.encode_udf()(F.col("embedding")).alias("c")).collect()
+    assert all(len(r["c"]) == 8 for r in codes)
+    assert all(0 <= v < 16 for r in codes for v in r["c"])

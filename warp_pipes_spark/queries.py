@@ -1447,6 +1447,20 @@ def q94_cohort(spark, sf):
     )
 
 
+def q95_pq_topk(spark, sf):
+    """PQ-ADC approximate cosine top-k (faiss IndexPQ shape): corpus as
+    m-byte codes (32x smaller than float64), per-query subspace lookup
+    tables, partial top-k + global window merge. Rows-only driver check
+    (k-means codebooks are not SQL-expressible); recall vs exact is
+    pinned in tests. Completes the quantization family next to SQ8 (q67)
+    and the IVF/LSH cell paths."""
+    from warp_pipes_spark.ml.quantize import PqCosineTopK
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return PqCosineTopK(corpus=emb, k=5, m=8, exclude_self=True)(queries)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2152,6 +2166,7 @@ def _register():
         "q92_bpe_tokens": q92_bpe_tokens,
         "q93_funnel": q93_funnel,
         "q94_cohort": q94_cohort,
+        "q95_pq_topk": q95_pq_topk,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
