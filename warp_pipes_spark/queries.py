@@ -1461,6 +1461,58 @@ def q95_pq_topk(spark, sf):
     return PqCosineTopK(corpus=emb, k=5, m=8, exclude_self=True)(queries)
 
 
+_EMBED_DIM = 8
+_EMBED_K = 2654435761
+_EMBED_P = 1000003
+
+
+def q96_predict_embed(spark, sf):
+    """The inference+cache stack as a catalog query: Predict runs a
+    deterministic stand-in 'model' (integer-arithmetic embedding — honest
+    placeholder for the env's missing model runtimes, same pattern as
+    DecodeMedia) through the fingerprint-keyed vector cache and joins the
+    vectors back by id. The formula is pure integer math so the DuckDB
+    oracle reproduces the doubles bit-for-bit — the cache path itself
+    (miss -> compute -> store -> join-back) is what the query exercises."""
+    import pandas as pd
+
+    from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+    from warp_pipes_spark.pipes.cache import CacheManager
+    from warp_pipes_spark.pipes.predict import Predict
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+
+    def model_fn(texts: "pd.Series") -> "pd.Series":
+        out = []
+        for t in texts:
+            t = t or ""
+            n, c1 = len(t), (ord(t[0]) if t else 0)
+            out.append(
+                [
+                    ((i + 1) * _EMBED_K + n * 31 + c1 * 7) % _EMBED_P / float(_EMBED_P)
+                    for i in range(_EMBED_DIM)
+                ]
+            )
+        return pd.Series(out)
+
+    import os as _os
+    import tempfile as _tempfile
+
+    manager = CacheManager(
+        _os.path.join(_tempfile.gettempdir(), "warp_pipes_spark_vectors")
+    )
+    op = Predict(
+        model_fn,
+        manager,
+        model_fingerprint="toy_embed_v1",
+        input_fingerprint=fingerprint_dataframe(docs),
+        input_col="text",
+        output_col="vector",
+        id_col="doc_id",
+    )
+    return op(docs).select("doc_id", "vector")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1990,6 +2042,16 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    vec_terms = ", ".join(
+        f"(({i + 1} * {_EMBED_K} + length(text) * 31 + "
+        f"(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 7) "
+        f"% {_EMBED_P}) / CAST({_EMBED_P} AS DOUBLE)"
+        for i in range(_EMBED_DIM)
+    )
+    ORACLES_EXT["q96_predict_embed"] = (
+        f"SELECT doc_id, [{vec_terms}] AS vector FROM documents ORDER BY doc_id"
+    )
+
     ORACLES_EXT["q93_funnel"] = (
         "WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events "
         "  WHERE event_type = 'view' GROUP BY 1), "
@@ -2167,6 +2229,7 @@ def _register():
         "q93_funnel": q93_funnel,
         "q94_cohort": q94_cohort,
         "q95_pq_topk": q95_pq_topk,
+        "q96_predict_embed": q96_predict_embed,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
