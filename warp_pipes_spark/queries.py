@@ -1513,6 +1513,114 @@ def q96_predict_embed(spark, sf):
     return op(docs).select("doc_id", "vector")
 
 
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pr_edges(spark, sf):
+    """Undirected customer<->supplier purchase graph in one integer id
+    space (customers even, suppliers odd)."""
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return cs.unionByName(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def q97_pagerank(spark, sf):
+    """PageRank (damping 0.85, 5 synchronous iterations) over the
+    customer-supplier purchase graph — the iterative-refinement pattern
+    beyond connected components. Per-iteration contributions carry as
+    floor-scaled exact BIGINTs so every iteration is bit-stable under any
+    partitioning, which is what lets a 5-iteration distributed loop match
+    an unrolled SQL oracle exactly. Each iteration is one shuffle
+    (contribution groupBy); the rank vector stays node-sized."""
+    from pyspark.storagelevel import StorageLevel
+
+    # loop invariants: every iteration's plan references these subtrees;
+    # without a materialization point Spark re-derives the edge list (scan
+    # + join + distinct) once per iteration branch
+    edges = _pr_edges(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    # contributions carry as floor-scaled BIGINTs (exact, ORDER-FREE sums;
+    # floor is tie-free where decimal casts round-to-nearest differently
+    # across engines), so every iteration's doubles are bit-identical to
+    # the unrolled oracle under any partitioning
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor((F.col("rank") / F.col("deg")) * F.lit(1.0e14))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            (F.sum("c").cast("double") / F.lit(1.0e14)).alias("s")
+        )
+        rank = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - _PR_D) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", "rank")
+
+
+def _pagerank_sql() -> str:
+    """Unrolled-iteration oracle: same decimal cast points per iteration."""
+    base = (
+        "edges AS (SELECT src, dst FROM ("
+        "  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst "
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) e "
+        "UNION ALL SELECT dst, src FROM ("
+        "  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst "
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) e2), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"s{i} AS (SELECT e.dst AS node, "
+            f"CAST(SUM(CAST(FLOOR((r.rank / d.deg) * 1.0e14) AS BIGINT)) AS DOUBLE) / 1.0e14 AS s "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY 1), "
+            # literals pinned to the binary doubles Spark computes: DuckDB
+            # would otherwise evaluate 1.0 - 0.85 in exact DECIMAL
+            f"r{i} AS (SELECT nodes.node, "
+            f"CAST({1.0 - _PR_D!r} AS DOUBLE) / nn.n "
+            f"+ CAST({_PR_D!r} AS DOUBLE) * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)) AS rank "
+            f"FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node CROSS JOIN nn)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + base + ", " + ", ".join(steps)
+        + f" SELECT node, rank FROM {prev} ORDER BY node"
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2042,6 +2150,8 @@ def _new_op_oracles():
 
     from warp_pipes_spark.search.bm25 import bm25f_oracle_sql
 
+    ORACLES_EXT["q97_pagerank"] = _pagerank_sql()
+
     vec_terms = ", ".join(
         f"(({i + 1} * {_EMBED_K} + length(text) * 31 + "
         f"(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 7) "
@@ -2230,6 +2340,7 @@ def _register():
         "q94_cohort": q94_cohort,
         "q95_pq_topk": q95_pq_topk,
         "q96_predict_embed": q96_predict_embed,
+        "q97_pagerank": q97_pagerank,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
