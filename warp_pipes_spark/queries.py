@@ -1621,6 +1621,56 @@ def _pagerank_sql() -> str:
     )
 
 
+def q98_copurchase(spark, sf):
+    """Co-occurrence mining (market-basket pairs): parts ordered together
+    in the same order, pair support >= 2. The self-join is keyed on the
+    order id, so fan-out is bounded by per-order basket size (a constant),
+    never corpus size — the same bounded-key discipline as the shingle
+    inverted index."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+def q99_fuzzy_match(spark, sf):
+    """Fuzzy string matching (edit-distance join) over part names:
+    candidate pairs bucket by (length band, first token) before the DP —
+    the standard banding that keeps a Levenshtein join from going
+    quadratic — then exact distance <= 4 filters. Both engines run the
+    same integer DP, so the join is exactly oracled."""
+    p = T(spark, sf, "part").select("p_partkey", "p_name").filter(
+        F.col("p_partkey") % 5 == 0
+    )
+    band = lambda c: F.struct(  # noqa: E731
+        F.floor(F.length(c) / 4).alias("lb"),
+        F.substring_index(c, " ", 1).alias("t1"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        band(F.col("p_name")).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        band(F.col("p_name")).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("key_a", "key_b", "dist")
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2152,6 +2202,27 @@ def _new_op_oracles():
 
     ORACLES_EXT["q97_pagerank"] = _pagerank_sql()
 
+    ORACLES_EXT["q98_copurchase"] = (
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"
+    )
+
+    ORACLES_EXT["q99_fuzzy_match"] = (
+        "WITH p AS (SELECT p_partkey, p_name, "
+        "CAST(FLOOR(length(p_name) / 4) AS BIGINT) AS lb, "
+        "split_part(p_name, ' ', 1) AS t1 "
+        "FROM part WHERE p_partkey % 5 = 0) "
+        "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist "
+        "FROM p a JOIN p b ON a.lb = b.lb AND a.t1 = b.t1 "
+        "AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 4 "
+        "ORDER BY 1, 2"
+    )
+
     vec_terms = ", ".join(
         f"(({i + 1} * {_EMBED_K} + length(text) * 31 + "
         f"(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 7) "
@@ -2341,6 +2412,8 @@ def _register():
         "q95_pq_topk": q95_pq_topk,
         "q96_predict_embed": q96_predict_embed,
         "q97_pagerank": q97_pagerank,
+        "q98_copurchase": q98_copurchase,
+        "q99_fuzzy_match": q99_fuzzy_match,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
