@@ -32,7 +32,7 @@ PLAN_ONLY = [
     "q68_grouping_sets", "q69_pivot", "q70_resample", "q86_zorder",
     "q87_quality_classifier", "q89_incremental_agg",
     "q90_asof_forward_tolerance", "q93_funnel", "q94_cohort",
-    "q98_copurchase", "q99_fuzzy_match",
+    "q98_copurchase", "q99_fuzzy_match", "q100_trending",
 ]
 
 

@@ -1,7 +1,19 @@
+from warp_pipes_spark.ml.quantize import PqCosineTopK, ProductQuantizer, ScalarQuantizer
+from warp_pipes_spark.ml.semantic import SemanticDedup
 from warp_pipes_spark.ml.similarity import (
     BruteForceCosineTopK,
     CosinePairs,
+    IvfCosineTopK,
     LshCosineTopK,
 )
 
-__all__ = ["BruteForceCosineTopK", "CosinePairs", "LshCosineTopK"]
+__all__ = [
+    "BruteForceCosineTopK",
+    "CosinePairs",
+    "LshCosineTopK",
+    "IvfCosineTopK",
+    "SemanticDedup",
+    "ScalarQuantizer",
+    "ProductQuantizer",
+    "PqCosineTopK",
+]

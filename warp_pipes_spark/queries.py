@@ -1671,6 +1671,28 @@ def q99_fuzzy_match(spark, sf):
     )
 
 
+def q100_trending(spark, sf):
+    """Trending items: top-2 event types per 6-hour window by count with
+    deterministic tie-break — the tumbling-window aggregation composed
+    with a rank-limit window; Spark plans the rank filter as a
+    WindowGroupLimit (partial top-k BEFORE the shuffle), which is exactly
+    the at-scale shape for 'trending per window' feeds."""
+    ev = T(spark, sf, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("window_start", "rank", "event_type", "n")
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2202,6 +2224,16 @@ def _new_op_oracles():
 
     ORACLES_EXT["q97_pagerank"] = _pagerank_sql()
 
+    ORACLES_EXT["q100_trending"] = (
+        "WITH counts AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, "
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        "ranked AS (SELECT window_start, event_type, n, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY window_start "
+        "ORDER BY n DESC, event_type) AS INT) AS rank FROM counts) "
+        "SELECT window_start, rank, event_type, n FROM ranked "
+        "WHERE rank <= 2 ORDER BY window_start, rank"
+    )
+
     ORACLES_EXT["q98_copurchase"] = (
         "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
         "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support "
@@ -2414,6 +2446,7 @@ def _register():
         "q97_pagerank": q97_pagerank,
         "q98_copurchase": q98_copurchase,
         "q99_fuzzy_match": q99_fuzzy_match,
+        "q100_trending": q100_trending,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

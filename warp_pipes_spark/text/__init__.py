@@ -14,9 +14,14 @@ from warp_pipes_spark.text.dedup import (
     NgramJaccardDedup,
     SimHashDedup,
 )
+from warp_pipes_spark.text.bpe import BpeTokenizer, train_bpe
+from warp_pipes_spark.text.classifier import HashedLinearClassifier
 from warp_pipes_spark.text.packing import PackSequences
 
 __all__ = [
+    "BpeTokenizer",
+    "train_bpe",
+    "HashedLinearClassifier",
     "TokenCount",
     "QualityScore",
     "LangId",
