@@ -51,6 +51,34 @@ def test_fingerprint_path_changes_with_content(tmp_path):
     assert fingerprint_path(str(p)) != fp1
 
 
+def test_fingerprint_dataframe_lambda_counter_invariant(spark, tmp_path):
+    """PySpark numbers higher-order-function lambda variables with a
+    session-GLOBAL counter (``lambda x_1`` in a fresh session, ``x_417``
+    after other queries ran). The plan canonicalization must scrub it, or
+    every fingerprint over a transform/filter/aggregate-lambda plan misses
+    its own cross-session cache and silently rebuilds (regression:
+    BM25F/SimHash index caches rewrote per bench run)."""
+    from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, ["a", "bb"])], "id long, xs array<string>").write.parquet(p)
+
+    def mk():
+        df = spark.read.parquet(p)
+        return df.select("id", F.transform("xs", lambda x: F.length(x)).alias("ls"))
+
+    fp1 = fingerprint_dataframe(mk())
+    # burn a few lambda-counter slots in unrelated plans
+    for _ in range(3):
+        spark.range(1).select(F.transform(F.array(F.lit("z")), lambda x: x)).collect()
+    fp2 = fingerprint_dataframe(mk())
+    assert fp1 == fp2
+    # different lambda BODY must still change the fingerprint
+    df = spark.read.parquet(p)
+    other = df.select("id", F.transform("xs", lambda x: F.upper(x)).alias("ls"))
+    assert fingerprint_dataframe(other) != fp1
+
+
 def test_cached_pipe_idempotent(spark, docs, tmp_path):
     mgr = CacheManager(str(tmp_path / "cache"))
     pipe = Apply({"n": F.length("text")})

@@ -100,12 +100,21 @@ def fingerprint_dataframe(df: Any) -> str:
     stats of the plan's inputs (part filenames change on rewrite, so an
     overwritten source changes the key). ``DataFrame.semanticHash()`` is NOT
     stable across JVMs (observed: same read, different hash), so it is used
-    only for in-memory relations, which cannot outlive the session anyway."""
+    only for in-memory relations, which cannot outlive the session anyway.
+
+    Two session-assigned counters are scrubbed from the plan text:
+    ``#<exprId>`` attribute ids, and higher-order-function lambda variable
+    names (``lambda x_<n>#<id>`` — PySpark numbers lambda args with a
+    session-GLOBAL counter, so the same ``F.transform`` call renders as
+    ``x_1`` in a fresh session and ``x_417`` after other queries ran;
+    without scrubbing, every fingerprint over a lambda-bearing plan misses
+    its own cross-session cache and rebuilds the artifact)."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
         import re
 
         canon = re.sub(r"#\d+L?", "#", plan)
+        canon = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", canon)
     except Exception:  # Spark Connect or API change: session-scoped fallback
         canon = None
     files = sorted(df.inputFiles())
