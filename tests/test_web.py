@@ -1,0 +1,116 @@
+"""URL canonicalization, HTML stripping, and length-bucketed batching."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.text.packing import LengthBucketBatches
+from warp_pipes_spark.text.web import HtmlStrip, UrlParse
+
+
+def _parse_one(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return UrlParse()(df).collect()[0]
+
+
+def test_url_parse_components(spark):
+    r = _parse_one(spark, "HTTPS://WWW.Example.COM:443/A/b//?q=1#frag")
+    assert r["scheme"] == "https"
+    assert r["host"] == "example.com"
+    assert r["domain"] == "example.com"
+    assert r["port"] is None  # 443 is default for https
+    assert r["path"] == "/A/b"  # trailing slash run trimmed, case kept
+    assert r["canon_url"] == "https://example.com/A/b"
+
+
+def test_url_parse_explicit_port_and_userinfo(spark):
+    r = _parse_one(spark, "http://user:pw@sub.site.org:8080")
+    assert r["host"] == "sub.site.org"
+    assert r["domain"] == "site.org"
+    assert r["port"] == 8080
+    assert r["path"] == "/"  # empty path canonicalizes to /
+    assert r["canon_url"] == "http://sub.site.org/"
+
+
+def test_url_parse_single_label_host(spark):
+    r = _parse_one(spark, "http://localhost/x")
+    assert r["host"] == "localhost"
+    assert r["domain"] == ""  # two-label approximation: no registrable domain
+    assert r["canon_url"] == "http://localhost/x"
+
+
+def test_url_canon_is_dedup_key(spark):
+    variants = [
+        "https://www.shop.example.com/item/1?utm=a#x",
+        "HTTPS://shop.example.com:443/item/1/",
+        "https://shop.example.com/item/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    out = UrlParse()(df).select("canon_url").distinct().collect()
+    assert len(out) == 1
+    assert out[0]["canon_url"] == "https://shop.example.com/item/1"
+
+
+def test_html_strip_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<p>hello <b>world</b></p>'),
+            (2, '<script>var x = 1 < 2;</script>after'),
+            (3, 'no markup at all'),
+            (4, 'a &amp; b &#169; c'),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HtmlStrip()(df).collect()}
+    assert rows[1]["clean_text"] == "hello world"
+    assert rows[1]["n_tags"] == 4
+    # script contents (with a bare '<') removed wholesale, one counted removal
+    assert rows[2]["clean_text"] == "after"
+    assert rows[2]["n_tags"] == 1
+    assert rows[3]["clean_text"] == "no markup at all"
+    assert rows[3]["n_tags"] == 0
+    assert rows[4]["clean_text"] == "a b c"
+
+
+def test_html_strip_multiline_script(spark):
+    df = spark.createDataFrame(
+        [(1, "x<style>\n.a { color: red }\n</style>y")], "doc_id long, text string"
+    )
+    r = HtmlStrip()(df).collect()[0]
+    assert r["clean_text"] == "x y"
+
+
+def test_length_bucket_batches(spark):
+    rows = [("s", i, "w " * (i % 7 + 1)) for i in range(23)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    df = df.withColumn("n_tokens", F.size(F.split(F.trim("text"), " ")))
+    out = LengthBucketBatches(batch_size=8)(df).collect()
+    assert len(out) == 23
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    # full batches of 8 except the last
+    sizes = sorted(len(v) for v in by_batch.values())
+    assert sizes == [7, 8, 8]
+    for rows_ in by_batch.values():
+        mx = max(r["n_tokens"] for r in rows_)
+        for r in rows_:
+            assert r["pad_cost"] == mx - r["n_tokens"]
+    # batches are length-sorted: every length in batch 0 >= every in batch 1
+    assert min(r["n_tokens"] for r in by_batch[0]) >= max(
+        r["n_tokens"] for r in by_batch[1]
+    )
+
+
+def test_length_bucket_deterministic_across_partitionings(spark):
+    rows = [("s%d" % (i % 2), i, i % 11 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens int")
+    a = sorted(map(tuple, LengthBucketBatches(batch_size=4)(df).collect()))
+    b = sorted(
+        map(tuple, LengthBucketBatches(batch_size=4)(df.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_length_bucket_rejects_bad_batch_size():
+    with pytest.raises(ValueError):
+        LengthBucketBatches(batch_size=0)

@@ -1693,6 +1693,103 @@ def q100_trending(spark, sf):
     )
 
 
+_URL_INJECT = (
+    # deterministic synthetic URLs (the corpus has none): mixed-case scheme/
+    # host, www. prefix, default and explicit ports, query + fragment —
+    # every normalization rule exercised
+    "'HTTPS://WWW.site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com' || "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || "
+    "'/articles/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?ref=feed#top' ELSE '' END"
+)
+
+
+def _inject_urls(docs):
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW.site"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".Example.com"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/articles/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("?ref=feed#top")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+
+
+def q101_url_stats(spark, sf):
+    """URL canonicalization + per-host corpus stats (the Common-Crawl
+    bookkeeping pass): deterministic synthetic URLs are injected (the
+    corpus has none), parsed/normalized by ``UrlParse`` (lowercase host,
+    www./default-port strip, query+fragment drop, trailing-slash trim),
+    then rolled up per host: page count, distinct canonical URLs (the
+    URL-dedup key), and explicit-port count. Pure regexp column
+    expressions + one aggregation — scan-speed at 100 TB."""
+    from warp_pipes_spark.text.web import UrlParse
+
+    docs = _inject_urls(T(spark, sf, "documents"))
+    parsed = UrlParse()(docs)
+    return parsed.groupBy("host", "domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("canon_url").alias("n_canon_urls"),
+        F.sum(F.when(F.col("port").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_explicit_port"),
+    )
+
+
+def q102_html_strip(spark, sf):
+    """HTML boilerplate removal: deterministic markup is injected (tags,
+    a script block every 3rd doc, entities every 2nd), then ``HtmlStrip``
+    removes script/style blocks wholesale, strips tags/entities and
+    collapses whitespace, counting removals — regexp-only, scan-speed."""
+    from warp_pipes_spark.text.web import HtmlStrip
+
+    d = T(spark, sf, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><body class=\"main\"><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("&amp;&#169; footer&nbsp;")).otherwise(
+                F.lit("")
+            ),
+            F.lit("</body></html>"),
+        ),
+    )
+    return HtmlStrip()(injected).select("doc_id", "clean_text", "n_tags")
+
+
+def q103_inference_batches(spark, sf):
+    """Length-bucketed inference micro-batching: per-source batches of 16
+    docs sorted by token count so each batch pads to near-equal lengths;
+    output = per-batch pad-waste accounting (the padding-FLOPs the layout
+    saves vs random batching). One window pass + one aggregation."""
+    from warp_pipes_spark.text.packing import LengthBucketBatches
+
+    docs = TokenCount()(T(spark, sf, "documents"))
+    assigned = LengthBucketBatches(batch_size=16)(docs)
+    return assigned.groupBy("source", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("pad_cost").cast("long").alias("pad_waste"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2327,6 +2424,47 @@ def _new_op_oracles():
         "FROM events GROUP BY 1 ORDER BY 1"
     )
 
+    from warp_pipes_spark.text.web import html_strip_sql, url_parse_sql
+
+    url_exprs = url_parse_sql("url")
+    ORACLES_EXT["q101_url_stats"] = (
+        f"WITH injected AS (SELECT doc_id, {_URL_INJECT} AS url FROM documents), "
+        f"parsed AS (SELECT doc_id, {url_exprs['host']} AS host, "
+        f"{url_exprs['domain']} AS domain, {url_exprs['port']} AS port, "
+        f"{url_exprs['canon_url']} AS canon_url FROM injected) "
+        "SELECT host, domain, COUNT(*) AS n_pages, "
+        "COUNT(DISTINCT canon_url) AS n_canon_urls, "
+        "CAST(SUM(CASE WHEN port IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_explicit_port "
+        "FROM parsed GROUP BY 1, 2 ORDER BY 1"
+    )
+
+    html_exprs = html_strip_sql("text")
+    _html_inject = (
+        "'<html><body class=\"main\"><p>' || text || '</p>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<script type=\"text/javascript\">var x = 1 < 2;</script>' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN '&amp;&#169; footer&nbsp;' ELSE '' END || "
+        "'</body></html>'"
+    )
+    ORACLES_EXT["q102_html_strip"] = (
+        f"WITH injected AS (SELECT doc_id, {_html_inject} AS text FROM documents) "
+        f"SELECT doc_id, {html_exprs['clean_text']} AS clean_text, "
+        f"{html_exprs['n_tags']} AS n_tags FROM injected ORDER BY doc_id"
+    )
+
+    from warp_pipes_spark.text.packing import length_bucket_sql
+
+    _tc = f"SELECT source, doc_id, {token_count_sql('text')} AS n_tokens FROM documents"
+    ORACLES_EXT["q103_inference_batches"] = (
+        f"WITH assigned AS ({length_bucket_sql(_tc, batch_size=16)}) "
+        "SELECT source, batch_id, COUNT(*) AS n_docs, "
+        "MAX(n_tokens) AS max_tokens, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens, "
+        "CAST(SUM(pad_cost) AS BIGINT) AS pad_waste "
+        "FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
     ORACLES_EXT["q88_bm25f"] = bm25f_oracle_sql(
         "documents",
         BM25_QUERIES_CTE,
@@ -2447,6 +2585,9 @@ def _register():
         "q98_copurchase": q98_copurchase,
         "q99_fuzzy_match": q99_fuzzy_match,
         "q100_trending": q100_trending,
+        "q101_url_stats": q101_url_stats,
+        "q102_html_strip": q102_html_strip,
+        "q103_inference_batches": q103_inference_batches,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -102,3 +102,93 @@ SELECT {shard}, {order}, n_tokens,
             ELSE CAST(floor(start / {capacity}) AS BIGINT) END AS end_pack
 FROM placed
 """
+
+
+class LengthBucketBatches(Pipe):
+    """Deterministic length-bucketed inference micro-batching.
+
+    Batched model inference (the ``Predict`` stack) pads every sequence in
+    a batch to the batch max; random batch composition wastes most of the
+    compute on pad tokens. The standard fix sorts sequences by length so
+    each fixed-size batch holds near-equal lengths. This operator computes
+    that assignment as one window pass, shard-local (same parallelism/skew
+    contract as :class:`PackSequences`):
+
+        rank     = row_number() over (shard, ORDER BY n_tokens DESC, id)
+        batch_id = floor((rank - 1) / batch_size)
+        pad_cost = batch max length - own length   (0 for the longest row)
+
+    Summing ``pad_cost`` per batch (or corpus-wide) yields the exact pad
+    waste; against random batching the saving is typically 30-60% of
+    inference FLOPs on natural length distributions. Everything is
+    codegen'd JVM expressions — the only exchange is the window shuffle
+    on the shard key."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        token_col: str = "n_tokens",
+        shard_col: str = "source",
+        order_col: str = "doc_id",
+        **kwargs,
+    ):
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        super().__init__(**kwargs)
+        self.batch_size = batch_size
+        self.token_col = token_col
+        self.shard_col = shard_col
+        self.order_col = order_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        n = F.col(self.token_col).cast("long")
+        w = Window.partitionBy(self.shard_col).orderBy(
+            F.desc(self.token_col), F.asc(self.order_col)
+        )
+        ranked = df.select(
+            self.shard_col,
+            self.order_col,
+            n.alias("n_tokens"),
+            F.row_number().over(w).alias("__rk"),
+        ).withColumn(
+            "batch_id", ((F.col("__rk") - 1) / F.lit(self.batch_size)).cast("long")
+        )
+        wb = Window.partitionBy(self.shard_col, "batch_id")
+        return ranked.select(
+            self.shard_col,
+            self.order_col,
+            "n_tokens",
+            "batch_id",
+            (F.max("n_tokens").over(wb) - F.col("n_tokens"))
+            .cast("long")
+            .alias("pad_cost"),
+        )
+
+
+def length_bucket_sql(
+    table_sql: str,
+    batch_size: int,
+    token_expr: str = "n_tokens",
+    shard: str = "source",
+    order: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :class:`LengthBucketBatches` — identical window
+    algebra (row_number is deterministic under the (len DESC, id) key)."""
+    return f"""
+WITH sized AS (
+  SELECT {shard}, {order}, CAST({token_expr} AS BIGINT) AS n_tokens
+  FROM ({table_sql}) t
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY {shard} ORDER BY n_tokens DESC, {order}) AS rk
+  FROM sized
+), batched AS (
+  SELECT {shard}, {order}, n_tokens,
+         CAST(floor((rk - 1) / {batch_size}) AS BIGINT) AS batch_id
+  FROM ranked
+)
+SELECT {shard}, {order}, n_tokens, batch_id,
+       CAST(MAX(n_tokens) OVER (PARTITION BY {shard}, batch_id) - n_tokens
+            AS BIGINT) AS pad_cost
+FROM batched
+"""

@@ -1,0 +1,181 @@
+"""Web-corpus operators: URL canonicalization and HTML boilerplate removal.
+
+Every crawl-derived training corpus (Common Crawl and friends) starts with
+two scan-level cleanups the reference engine has no analogue for:
+
+- **URL canonicalization** — the dedup/quota key for web documents is the
+  *canonical* URL (lowercased host, ``www.`` and default ports stripped,
+  query string and fragment dropped, trailing slashes trimmed), never the
+  raw string. Per-domain statistics and quotas hang off the same parse.
+- **HTML stripping** — tag/entity removal and whitespace collapse before
+  any text analysis or tokenization.
+
+Both are pure ``regexp_extract``/``regexp_replace`` column expressions:
+JVM-side, codegen'd, scan-speed at 100 TB — no shuffle, no Python. The
+regex subset used (character classes, non-capturing groups, ``(?s)``
+inline flag) is shared by Java regex and RE2, so the DuckDB oracles run
+the *same* patterns (``*_sql`` helpers below).
+
+Registrable-domain extraction is the two-label approximation (no public
+suffix list in this environment); swap in a PSL lookup table (broadcast
+join against ~9k suffixes) for production multi-label TLDs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+
+# one regex family, used verbatim on both engines ------------------------
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_REG_DOMAIN = r"([^.]+\.[^.]+)$"
+
+_TAG = r"<[^>]+>"
+_SCRIPT_STYLE = r"(?s)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+_ENTITY = r"&[A-Za-z]+;|&#[0-9]+;"
+_WS = r"\s+"
+
+
+class UrlParse(Pipe):
+    """Parse + canonicalize a URL column into typed components.
+
+    Emits (all derived from one scan, no shuffle):
+
+    - ``scheme`` — lowercased
+    - ``host`` — lowercased, userinfo/port stripped, leading ``www.``
+      removed
+    - ``domain`` — registrable domain (two-label approximation)
+    - ``port`` — explicit port, NULL when absent; default ports (80/443
+      for http/https) are treated as absent
+    - ``path`` — trailing ``/`` runs trimmed; empty path canonicalizes
+      to ``/``
+    - ``canon_url`` — ``scheme://host<path>``: the dedup/quota key (query
+      string, fragment, userinfo, default port all dropped)
+    """
+
+    def __init__(self, url_col: str = "url", **kwargs):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.url_col = url_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        u = F.col(self.url_col)
+        scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+        raw_host = F.lower(F.regexp_extract(u, _HOST, 1))
+        host = F.regexp_replace(raw_host, r"^www\.", "")
+        port_s = F.regexp_extract(u, _PORT, 1)
+        is_default = ((scheme == "http") & (port_s == "80")) | (
+            (scheme == "https") & (port_s == "443")
+        )
+        port = F.when(
+            (port_s != "") & ~is_default, port_s.cast("int")
+        ).otherwise(F.lit(None).cast("int"))
+        raw_path = F.regexp_extract(u, _PATH, 1)
+        trimmed = F.regexp_replace(raw_path, r"/+$", "")
+        path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+        domain = F.regexp_extract(host, _REG_DOMAIN, 1)
+        canon = F.concat(scheme, F.lit("://"), host, path)
+        return {
+            "scheme": scheme,
+            "host": host,
+            "domain": domain,
+            "port": port,
+            "path": path,
+            "canon_url": canon,
+        }
+
+
+def url_parse_sql(url: str = "url") -> Dict[str, str]:
+    """DuckDB expressions mirroring :class:`UrlParse` component-for-
+    component (same patterns — the Java/RE2 shared subset)."""
+
+    def esc(p: str) -> str:
+        # DuckDB single-quoted strings keep backslashes literal — only
+        # quotes need escaping (doubling backslashes would corrupt \s etc.)
+        return p.replace("'", "''")
+
+    scheme = f"lower(regexp_extract({url}, '{esc(_SCHEME)}', 1))"
+    raw_host = f"lower(regexp_extract({url}, '{esc(_HOST)}', 1))"
+    host = f"regexp_replace({raw_host}, '^www\\.', '')"
+    port_s = f"regexp_extract({url}, '{esc(_PORT)}', 1)"
+    is_default = (
+        f"(({scheme} = 'http' AND {port_s} = '80') OR "
+        f"({scheme} = 'https' AND {port_s} = '443'))"
+    )
+    port = (
+        f"CASE WHEN {port_s} <> '' AND NOT {is_default} "
+        f"THEN CAST({port_s} AS INTEGER) ELSE NULL END"
+    )
+    raw_path = f"regexp_extract({url}, '{esc(_PATH)}', 1)"
+    trimmed = f"regexp_replace({raw_path}, '/+$', '')"
+    path = f"CASE WHEN {trimmed} = '' THEN '/' ELSE {trimmed} END"
+    domain = f"regexp_extract({host}, '{esc(_REG_DOMAIN)}', 1)"
+    canon = f"{scheme} || '://' || {host} || {path}"
+    return {
+        "scheme": scheme,
+        "host": host,
+        "domain": domain,
+        "port": port,
+        "path": path,
+        "canon_url": canon,
+    }
+
+
+class HtmlStrip(Pipe):
+    """HTML → text: script/style blocks removed wholesale, remaining tags
+    and character entities replaced by spaces, whitespace collapsed and
+    trimmed. ``n_tags`` counts tag removals (script/style contents count
+    as the single enclosing removal, after-block tags individually) —
+    the boilerplate-volume signal quality filters key off."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        out_col: str = "clean_text",
+        count_col: str = "n_tags",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+        self.count_col = count_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        t = F.col(self.text_col)
+        no_blocks = F.regexp_replace(t, _SCRIPT_STYLE, " ")
+        n_tags = F.regexp_count(t, F.lit(_SCRIPT_STYLE)) + F.regexp_count(
+            no_blocks, F.lit(_TAG)
+        )
+        no_tags = F.regexp_replace(no_blocks, _TAG, " ")
+        no_entities = F.regexp_replace(no_tags, _ENTITY, " ")
+        clean = F.trim(F.regexp_replace(no_entities, _WS, " "))
+        return {self.out_col: clean, self.count_col: n_tags.cast("int")}
+
+
+def html_strip_sql(text: str = "text") -> Dict[str, str]:
+    """DuckDB expressions for (clean_text, n_tags) — same patterns, same
+    replacement order as :class:`HtmlStrip`."""
+
+    def esc(p: str) -> str:
+        # DuckDB single-quoted strings keep backslashes literal — only
+        # quotes need escaping (doubling backslashes would corrupt \s etc.)
+        return p.replace("'", "''")
+
+    no_blocks = f"regexp_replace({text}, '{esc(_SCRIPT_STYLE)}', ' ', 'g')"
+    n_tags = (
+        f"CAST(len(regexp_extract_all({text}, '{esc(_SCRIPT_STYLE)}')) + "
+        f"len(regexp_extract_all({no_blocks}, '{esc(_TAG)}')) AS INTEGER)"
+    )
+    no_tags = f"regexp_replace({no_blocks}, '{esc(_TAG)}', ' ', 'g')"
+    no_entities = f"regexp_replace({no_tags}, '{esc(_ENTITY)}', ' ', 'g')"
+    clean = f"trim(regexp_replace({no_entities}, '{esc(_WS)}', ' ', 'g'))"
+    return {"clean_text": clean, "n_tags": n_tags}
