@@ -136,3 +136,41 @@ def test_incremental_dedup_drops_recrawls_keeps_edits(spark):
     )
     out = sorted(r["doc_id"] for r in IncrementalDedup(corpus=corpus)(batch).collect())
     assert out == [11, 12]
+
+
+def test_dup_ngram_fraction_shared_span(spark):
+    """Two docs share a verbatim 7-token span: with n=5, the span covers 3
+    gram positions in each; a third doc with no sharing scores 0; a doc
+    shorter than n scores 0 with n_grams=0; WITHIN-doc-only repetition does
+    not count (df = distinct docs)."""
+    from warp_pipes_spark.text.dedup import DupNgramFraction
+
+    span = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            (1, span + " one two three"),           # 10 tokens -> 6 grams
+            (2, "x y " + span),                     # 9 tokens  -> 5 grams
+            (3, "totally unrelated words appear here today"),
+            (4, "tiny doc"),                        # < n tokens
+            (5, "rep rep rep rep rep rep rep rep rep rep"),  # self-rep only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DupNgramFraction(n=5)(docs).collect()}
+    assert out[1]["n_grams"] == 6 and out[1]["n_dup"] == 3
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-12
+    assert out[2]["n_grams"] == 5 and out[2]["n_dup"] == 3
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[5]["n_dup"] == 0  # df counts distinct docs, not occurrences
+
+
+def test_dup_ngram_fraction_rejects_bad_params():
+    from warp_pipes_spark.text.dedup import DupNgramFraction
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DupNgramFraction(n=0)
+    with _pytest.raises(ValueError):
+        DupNgramFraction(min_df=1)

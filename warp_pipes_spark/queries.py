@@ -1790,6 +1790,34 @@ def q103_inference_batches(spark, sf):
     )
 
 
+def q104_dup_ngrams(spark, sf):
+    """Cross-document duplicated-span fraction (the scalable relaxation of
+    suffix-array exact-substring dedup): share of each doc's token 5-gram
+    positions whose gram appears in >= 2 distinct docs. md5 gram keys keep
+    the shuffle fixed-width AND the DuckDB oracle bit-exact. Complements
+    q62 (within-doc repetition) with the BETWEEN-doc signal."""
+    from warp_pipes_spark.text.dedup import DupNgramFraction
+
+    return DupNgramFraction(n=5)(T(spark, sf, "documents"))
+
+
+def q105_domain_quota(spark, sf):
+    """The crawl-curation composition: URL parse/canonicalize -> domain
+    blocklist (broadcast anti-filter) -> deterministic per-host quota
+    (at most 12 docs per host in seeded hash order). Everything before
+    the quota window is scan-level; the window shuffles on the host key
+    with output skew bounded by the cap."""
+    from warp_pipes_spark.pipes.sampling import GroupCap
+    from warp_pipes_spark.text.web import UrlParse
+
+    blocked = ["site1.example.com", "site7.example.com"]
+    docs = _inject_urls(T(spark, sf, "documents"))
+    parsed = UrlParse()(docs)
+    kept = parsed.filter(~F.col("host").isin(blocked))
+    capped = GroupCap(cap=12, group_col="host", key_col="doc_id")(kept)
+    return capped.select("doc_id", "host")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2453,6 +2481,24 @@ def _new_op_oracles():
         f"{html_exprs['n_tags']} AS n_tags FROM injected ORDER BY doc_id"
     )
 
+    from warp_pipes_spark.text.dedup import dup_ngram_sql
+
+    ORACLES_EXT["q104_dup_ngrams"] = dup_ngram_sql("documents", n=5)
+
+    from warp_pipes_spark.pipes.sampling import group_cap_sql
+
+    _parsed = (
+        f"(WITH injected AS (SELECT doc_id, {_URL_INJECT} AS url FROM documents) "
+        f"SELECT doc_id, {url_exprs['host']} AS host FROM injected) "
+    )
+    _kept = (
+        f"(SELECT doc_id, host FROM {_parsed} p "
+        "WHERE host NOT IN ('site1.example.com', 'site7.example.com'))"
+    )
+    ORACLES_EXT["q105_domain_quota"] = group_cap_sql(
+        _kept, cap=12, columns="doc_id, host", group_col="host", key_col="doc_id"
+    )
+
     from warp_pipes_spark.text.packing import length_bucket_sql
 
     _tc = f"SELECT source, doc_id, {token_count_sql('text')} AS n_tokens FROM documents"
@@ -2588,6 +2634,8 @@ def _register():
         "q101_url_stats": q101_url_stats,
         "q102_html_strip": q102_html_strip,
         "q103_inference_batches": q103_inference_batches,
+        "q104_dup_ngrams": q104_dup_ngrams,
+        "q105_domain_quota": q105_domain_quota,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

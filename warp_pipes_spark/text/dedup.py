@@ -1084,3 +1084,121 @@ WITH corpus_fp AS (
 SELECT fresh.* EXCLUDE (fp)
 FROM fresh JOIN keep USING (fp, {id_col})
 """
+
+
+class DupNgramFraction(Pipe):
+    """Cross-document duplicated-span signal: the fraction of each
+    document's token n-gram positions whose n-gram also appears in at
+    least one OTHER document. This is the scalable relaxation of exact
+    substring deduplication (the suffix-array recipe of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): a long verbatim shared span of length L covers
+    ~L-n+1 overlapping duplicated n-grams, so ``dup_frac`` closely tracks
+    the duplicated-span coverage a suffix array would report, with only
+    counting machinery — no global sort, no suffix structures.
+
+    Distinct from :class:`~warp_pipes_spark.text.analysis.RepetitionScore`
+    (q62), which measures WITHIN-document repetition; a gram repeated
+    inside one document only does not count here (df = distinct docs).
+
+    Plan shape: explode to (doc, gram-key) — the key is ``md5`` of the
+    joined gram, so the shuffle carries a fixed-width key, not the text;
+    md5 is bit-identical in Spark and DuckDB, keeping the oracle exact —
+    then one vocabulary-sized distinct-doc count, one join back, one
+    per-doc count. At 100 TB the gram table is the big intermediate; the
+    df table it reduces to is vocabulary-sized, and ``min_df`` documents
+    why a Bloom-side pre-filter drops the join traffic when only heavily
+    duplicated spans matter."""
+
+    def __init__(
+        self,
+        n: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_df: int = 2,
+        **kwargs,
+    ):
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        if min_df < 2:
+            raise ValueError(f"min_df counts OTHER docs too: >= 2, got {min_df}")
+        super().__init__(**kwargs)
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_df = min_df
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        n = self.n
+        toks = tokens_expr(F.col(self.text_col))
+        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        starts = F.when(
+            F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            "doc_id",
+            F.size("__t").alias("__ntok"),
+            F.transform(
+                starts, lambda i: F.md5(F.array_join(F.slice("__t", i, n), " "))
+            ).alias("__grams"),
+        )
+        gram_rows = grams.select(
+            "doc_id", F.explode("__grams").alias("gram")
+        )
+        dfc = gram_rows.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("__df")
+        )
+        dup = (
+            gram_rows.join(dfc.filter(F.col("__df") >= self.min_df), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__ndup"))
+        )
+        return (
+            grams.join(dup, "doc_id", "left")
+            .select(
+                F.col("doc_id").alias(self.id_col),
+                F.greatest(F.col("__ntok") - n + 1, F.lit(0))
+                .cast("long")
+                .alias("n_grams"),
+                F.coalesce(F.col("__ndup"), F.lit(0)).cast("long").alias("n_dup"),
+                F.when(F.col("__ntok") >= n,
+                       F.coalesce(F.col("__ndup"), F.lit(0))
+                       / (F.col("__ntok") - n + 1))
+                .otherwise(F.lit(0.0))
+                .cast("double")
+                .alias("dup_frac"),
+            )
+        )
+
+
+def dup_ngram_sql(
+    table: str = "documents",
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> str:
+    """DuckDB oracle for :class:`DupNgramFraction` — same md5 gram keys
+    (md5 is bit-identical across the engines), same df threshold."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {tokens_sql(text)} AS t FROM {table}
+), g AS (
+  SELECT {id_col}, md5(array_to_string(t[u.i:u.i + {n - 1}], ' ')) AS gram
+  FROM toks, UNNEST(CASE WHEN len(t) >= {n}
+                         THEN range(1, len(t) - {n} + 2)
+                         ELSE [] END) AS u(i)
+), dfc AS (
+  SELECT gram, COUNT(DISTINCT {id_col}) AS df FROM g GROUP BY 1
+), dup AS (
+  SELECT g.{id_col}, COUNT(*) AS n_dup
+  FROM g JOIN dfc USING (gram) WHERE dfc.df >= {min_df} GROUP BY 1
+)
+SELECT toks.{id_col},
+       CAST(GREATEST(len(t) - {n} + 1, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(CASE WHEN len(t) >= {n}
+                 THEN COALESCE(dup.n_dup, 0) * 1.0 / (len(t) - {n} + 1)
+                 ELSE 0.0 END AS DOUBLE) AS dup_frac
+FROM toks LEFT JOIN dup USING ({id_col})
+"""
