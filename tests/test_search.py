@@ -233,3 +233,72 @@ def test_pq_codes_round_trip_determinism(spark, vectors):
     codes = df.select(pq.encode_udf()(F.col("embedding")).alias("c")).collect()
     assert all(len(r["c"]) == 8 for r in codes)
     assert all(0 <= v < 16 for r in codes for v in r["c"])
+
+
+def test_bm25_champion_cap_truncates_index(spark, tmp_path):
+    """champion_size keeps only the top-C postings per term (score desc,
+    doc_id tiebreak), and with a cap wider than every posting list results
+    equal the exact engine's."""
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    rows = [(i, "common " + ("rare " if i == 0 else "word ") * 3) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = Bm25Search(
+        corpus=docs, k=5, champion_size=4, index_cache_dir=str(tmp_path)
+    )
+    idx = eng._index()
+    per_term = {
+        r["term"]: r["n"]
+        for r in idx.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 4 for n in per_term.values())
+    assert per_term["common"] == 4  # 20 postings capped to 4
+
+    q = spark.createDataFrame([(0, "rare word")], "query_id long, text string")
+    wide = Bm25Search(
+        corpus=docs, k=5, champion_size=1000, index_cache_dir=str(tmp_path)
+    )
+    exact = Bm25Search(corpus=docs, k=5, index_cache_dir=str(tmp_path))
+    assert sorted(map(tuple, wide(q).collect())) == sorted(
+        map(tuple, exact(q).collect())
+    )
+
+
+def test_bm25_champion_recall_against_exact(spark, tmp_path):
+    """With a moderate cap, champion top-k recall vs the exact engine stays
+    high on a realistic term mix (every doc reachable via its rarer terms)."""
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    rng = np.random.RandomState(7)
+    vocab = [f"t{j}" for j in range(50)]
+    rows = []
+    for i in range(120):
+        toks = ["the"] + [vocab[rng.randint(50)] for _ in range(12)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(i, rows[i * 7][1].split()[1] + " " + rows[i * 7][1].split()[2])
+         for i in range(10)],
+        "query_id long, text string",
+    )
+    exact = Bm25Search(corpus=docs, k=5, index_cache_dir=str(tmp_path))(queries)
+    champ = Bm25Search(
+        corpus=docs, k=5, champion_size=16, index_cache_dir=str(tmp_path)
+    )(queries)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["idx"])
+    ch = {}
+    for r in champ.collect():
+        ch.setdefault(r["query_id"], set()).add(r["idx"])
+    hits = sum(len(ex[q] & ch.get(q, set())) for q in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.8
+
+
+def test_bm25_champion_rejects_bad_size(spark):
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        Bm25Search(corpus=docs, champion_size=0)

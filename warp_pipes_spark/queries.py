@@ -1818,6 +1818,19 @@ def q105_domain_quota(spark, sf):
     return capped.select("doc_id", "host")
 
 
+def q106_bm25_champion(spark, sf):
+    """BM25 over a champion-list index (impact-ordered truncation, IIR
+    §7.1.3): each term keeps only its top-64 postings by baked score, so
+    the query join touches <= |q|*64 candidates instead of the Zipf-tail
+    posting lists (~50x fewer at sf0.1) — the top-k lexical-retrieval
+    scale lever next to exact q32. The cap is deterministic (score desc,
+    doc_id), so the oracle reproduces it bit-for-bit."""
+    docs = T(spark, sf, "documents")
+    return Bm25Search(corpus=docs, k=10, champion_size=64)(
+        _bm25_queries(spark, sf)
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -1992,6 +2005,9 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "ORDER BY id_a, id_b"
     ),
     "q32_bm25": bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10),
+    "q106_bm25_champion": bm25_oracle_sql(
+        "documents", BM25_QUERIES_CTE, k=10, champion_size=64
+    ),
     "q33_group_lookup": (
         "SELECT n.n_nationkey AS query_id, "
         "COALESCE(c.c_custkey, -1) AS idx, "
@@ -2636,6 +2652,7 @@ def _register():
         "q103_inference_batches": q103_inference_batches,
         "q104_dup_ngrams": q104_dup_ngrams,
         "q105_domain_quota": q105_domain_quota,
+        "q106_bm25_champion": q106_bm25_champion,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

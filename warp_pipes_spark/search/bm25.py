@@ -118,8 +118,11 @@ class Bm25Search(Pipe):
         persist: bool = True,
         index_cache_dir: str | None = None,
         materialize_index: bool = True,
+        champion_size: int | None = None,
         **kwargs,
     ):
+        if champion_size is not None and champion_size < 1:
+            raise ValueError(f"champion_size must be >= 1, got {champion_size}")
         super().__init__(**kwargs)
         self.corpus = corpus
         self.k = k
@@ -144,6 +147,17 @@ class Bm25Search(Pipe):
         self.broadcast_queries = broadcast_queries
         self.persist = persist
         self.materialize_index = materialize_index
+        # champion lists (impact-ordered index truncation, Manning et al.
+        # IIR §7.1.3): keep only the top-`champion_size` postings per term
+        # by baked score. The candidate join then touches <= |q| * C rows
+        # per query batch instead of the full Zipf-tail posting lists —
+        # the standard top-k lexical-retrieval scale lever. Deterministic
+        # (score desc, doc_id tiebreak), so results stay bit-exact
+        # oracle-able; semantically it is approximate BM25 top-k (a doc
+        # outside every query term's champion list cannot be retrieved),
+        # and with `filter_key` the approximation worsens (capping happens
+        # before filtering). None = exact.
+        self.champion_size = champion_size
         self.index_cache_dir = index_cache_dir or _default_index_cache_dir()
 
     _no_fingerprint = ("corpus", "index_cache_dir")
@@ -169,6 +183,7 @@ class Bm25Search(Pipe):
                 # constants are part of the index identity
                 "k1": self.k1,
                 "b": self.b,
+                "champion_size": self.champion_size,
             }
         )
 
@@ -190,19 +205,34 @@ class Bm25Search(Pipe):
             postings = self._postings()
             if self.persist:
                 postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-            return self._score_postings(postings)
+            return self._champion_cap(self._score_postings(postings))
 
         manager = CacheManager(self.index_cache_dir)
         fp_post = self._index_fingerprint() + "_postings"
         if not manager.exists(fp_post):
             postings = self._postings().persist(StorageLevel.MEMORY_AND_DISK)
-            scored = self._score_postings(postings)
+            scored = self._champion_cap(self._score_postings(postings))
             # no repartition on write: the query join broadcasts the query
             # terms and STREAMS the postings, so postings-side co-location
             # buys nothing — writing map-side output avoids a full shuffle
             manager.store(scored, fp_post)
             postings.unpersist()
         return manager.load(spark, fp_post)
+
+    def _champion_cap(self, scored: DataFrame) -> DataFrame:
+        """Per-term champion list: top-``champion_size`` postings by baked
+        score (doc_id tiebreak — deterministic). Applied at BUILD time, so
+        the cached artifact is already truncated; a no-op when unset."""
+        if self.champion_size is None:
+            return scored
+        w = Window.partitionBy("term").orderBy(
+            F.desc("score_d"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= self.champion_size)
+            .drop("__cr")
+        )
 
     def _score_postings(self, postings: DataFrame) -> DataFrame:
         """postings (term, doc_id, dl, tf) -> (term, doc_id, score_d DOUBLE).
@@ -398,6 +428,7 @@ class Bm25FSearch(Bm25Search):
                 "fields": sorted(self.fields.items()),
                 "field_b": sorted(self.field_b.items()),
                 "k1": self.k1,
+                "champion_size": self.champion_size,
             }
         )
 
@@ -558,6 +589,7 @@ def bm25_oracle_sql(
     aux_weight: float | None = None,
     filter_col: str | None = None,
     scale_aux: bool = False,
+    champion_size: int | None = None,
 ) -> str:
     """DuckDB oracle implementing the identical formula over the identical
     tokenization. ``queries_cte`` must yield (query_id, qtext[, qaux when
@@ -565,7 +597,10 @@ def bm25_oracle_sql(
     names the corpus column a query's qfilter must equal (the reference's ES
     term filter); ``aux_weight`` scores the qaux terms as a second weighted
     query (the reference's auxiliary-query boost); ``scale_aux`` applies the
-    reference's per-query log length-ratio scaling to that weight."""
+    reference's per-query log length-ratio scaling to that weight;
+    ``champion_size`` truncates each term's scored postings to its top-C
+    champion list before the query join (same deterministic cap as the
+    engine — score desc, doc_id tiebreak)."""
     toks = tokens_sql(text_col)
     fcol_sel = f", {filter_col} AS fval" if filter_col else ""
     fcol_carry = ", fval" if filter_col else ""
@@ -573,6 +608,14 @@ def bm25_oracle_sql(
     fjoin = " AND q.qfilter = t.fval" if filter_col else ""
 
     def _branch(qtext_expr: str, weight_sql: str) -> str:
+        if champion_size is not None:
+            cjoin = " AND q.qfilter = c.fval" if filter_col else ""
+            return f"""
+  SELECT q.query_id, c.doc_id AS idx,
+         CAST(c.score_d * q.w AS DECIMAL(18,6)) AS ts
+  FROM (SELECT query_id{q_fcol}, {weight_sql} AS w,
+        unnest(list_distinct({tokens_sql(qtext_expr)})) AS term FROM queries) q
+  JOIN champ c ON q.term = c.term{cjoin}"""
         return f"""
   SELECT q.query_id, t.doc_id AS idx,
          CAST(
@@ -601,6 +644,24 @@ def bm25_oracle_sql(
             aux_w_sql = str(aux_weight)
         branches.append(_branch("qaux", aux_w_sql))
     term_scores = "\n  UNION ALL\n".join(branches)
+    if champion_size is not None:
+        sp_fcol = ", t.fval" if filter_col else ""
+        champ_ctes = f"""
+sp AS (
+  SELECT t.term, t.doc_id{sp_fcol},
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * CAST(t.tf AS DOUBLE) * {k1 + 1.0}
+         / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))
+           AS score_d
+  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
+),
+champ AS (
+  SELECT * FROM sp
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY term
+                             ORDER BY score_d DESC, doc_id) <= {champion_size}
+),"""
+    else:
+        champ_ctes = ""
     return f"""
 WITH queries AS ({queries_cte}),
 doc_tokens AS (
@@ -619,7 +680,7 @@ stats AS (
 ),
 dfreq AS (
   SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-),
+),{champ_ctes}
 term_scores AS ({term_scores}
 ),
 scores AS (
