@@ -302,3 +302,47 @@ def test_bm25_champion_rejects_bad_size(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         Bm25Search(corpus=docs, champion_size=0)
+
+
+def test_matryoshka_equals_exact_with_full_prefilter(spark, vectors):
+    """With prefilter_k >= corpus size the cascade cannot lose candidates:
+    final ranking must equal the exact brute-force engine's."""
+    from warp_pipes_spark.ml.similarity import MatryoshkaTopK
+
+    _, vectors = vectors
+    queries = vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = BruteForceCosineTopK(corpus=vectors, k=5, exclude_self=True)(queries)
+    mat = MatryoshkaTopK(
+        corpus=vectors, k=5, prefix_dim=8, prefilter_k=10_000, exclude_self=True
+    )(queries)
+    e = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
+    m = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in mat.collect())
+    assert e == m
+
+
+def test_matryoshka_recall_with_tight_prefilter(spark, vectors):
+    from warp_pipes_spark.ml.similarity import MatryoshkaTopK
+
+    _, vectors = vectors
+    queries = vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = BruteForceCosineTopK(corpus=vectors, k=5, exclude_self=True)(queries)
+    mat = MatryoshkaTopK(
+        corpus=vectors, k=5, prefix_dim=16, prefilter_k=20, exclude_self=True
+    )(queries)
+    ex, ma = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in mat.collect():
+        ma.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ex[q] & ma.get(q, set())) for q in ex)
+    assert hits / sum(len(v) for v in ex.values()) >= 0.6
+
+
+def test_matryoshka_rejects_bad_params(spark):
+    from warp_pipes_spark.ml.similarity import MatryoshkaTopK
+
+    docs = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        MatryoshkaTopK(corpus=docs, k=10, prefilter_k=5)
+    with pytest.raises(ValueError):
+        MatryoshkaTopK(corpus=docs, prefix_dim=0)

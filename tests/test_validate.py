@@ -102,3 +102,30 @@ def test_drift_requires_columns(spark):
 
     with _pytest.raises(ValueError):
         DriftCheck(ref=None)
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from warp_pipes_spark.pipes.validate import KAnonymity
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = {(r["seg"], r["nat"]): r for r in KAnonymity(["seg", "nat"], k=3)(df).collect()}
+    assert set(out) == {("a", 2), ("b", 1)}
+    assert out[("a", 2)]["n"] == 2
+    assert abs(out[("a", 2)]["share"] - 2 / 8) < 1e-9
+    # with k=2 only the singleton group remains a violation
+    assert KAnonymity(["seg", "nat"], k=2)(df).count() == 1
+    # seg-only grouping: "a" has 7 rows (passes), "b" has 1 (violates)
+    seg_out = KAnonymity(["seg"], k=2)(df).collect()
+    assert [(r["seg"], r["n"]) for r in seg_out] == [("b", 1)]
+
+
+def test_k_anonymity_rejects_bad_params():
+    import pytest as _pytest
+
+    from warp_pipes_spark.pipes.validate import KAnonymity
+
+    with _pytest.raises(ValueError):
+        KAnonymity([], k=3)
+    with _pytest.raises(ValueError):
+        KAnonymity(["x"], k=1)

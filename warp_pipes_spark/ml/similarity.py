@@ -549,3 +549,140 @@ class CosinePairs(Pipe):
             .filter(F.col("cosine") >= F.lit(self.threshold))
             .select("id_a", "id_b", F.col("cosine").cast("double").alias("cosine"))
         )
+
+
+class MatryoshkaTopK(Pipe):
+    """Two-stage exact retrieval over Matryoshka-style embeddings
+    (Kusupati et al. 2022, arXiv:2205.13147): MRL-trained vectors pack a
+    usable coarse representation into their leading dimensions, so stage 1
+    ranks candidates on only the first ``prefix_dim`` components (4x less
+    data read at prefix 16/64 — at cluster scale the prefix is stored as
+    its own narrow column, the full vector only fetched for candidates)
+    and stage 2 re-scores the ``prefilter_k`` survivors with full-dim
+    cosine for the final top-k.
+
+    Both stages are deterministic (DECIMAL-cast scores, id tiebreaks) so
+    the whole cascade is bit-exact SQL-oracle-able — unlike LSH/IVF whose
+    candidate sets depend on seeded structures. Exactness caveat: a true
+    neighbor ranked below ``prefilter_k`` on the prefix alone is missed;
+    MRL training makes that rare (recall is asserted in tests for plain
+    synthetic vectors too)."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        k: int = 10,
+        prefix_dim: int = 16,
+        prefilter_k: int = 50,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        exclude_self: bool = True,
+        **kwargs,
+    ):
+        if prefilter_k < k:
+            raise ValueError(f"prefilter_k ({prefilter_k}) must be >= k ({k})")
+        if prefix_dim < 1:
+            raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.k = k
+        self.prefix_dim = prefix_dim
+        self.prefilter_k = prefilter_k
+        self.query_id = query_id
+        self.query_vec = query_vec
+        self.corpus_id = corpus_id
+        self.corpus_vec = corpus_vec
+        self.exclude_self = exclude_self
+
+    _no_fingerprint = ("corpus",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        d = self.prefix_dim
+        q = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.col(self.query_vec).cast("array<double>").alias("qv"),
+        ).withColumn("qp", F.slice("qv", 1, d))
+        c = self.corpus.select(
+            F.col(self.corpus_id).alias("neighbor_id"),
+            F.col(self.corpus_vec).cast("array<double>").alias("cv"),
+        ).withColumn("cp", F.slice("cv", 1, d))
+        pairs = q.crossJoin(F.broadcast(c))
+        if self.exclude_self:
+            pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+        coarse = (
+            _dot(F.col("qp"), F.col("cp"))
+            / (_norm(F.col("qp")) * _norm(F.col("cp")))
+        ).cast("decimal(18,6)")
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.desc("coarse"), F.asc("neighbor_id")
+        )
+        cand = (
+            pairs.withColumn("coarse", coarse)
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= self.prefilter_k)
+        )
+        fine = (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).cast("decimal(18,6)")
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            cand.withColumn("score", fine)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= self.k)
+            .select(
+                "query_id",
+                F.col("rank").cast("int").alias("rank"),
+                "neighbor_id",
+                F.col("score").cast("double").alias("score"),
+            )
+        )
+
+
+def matryoshka_sql(
+    queries_sql: str,
+    corpus_sql: str,
+    k: int = 10,
+    prefix_dim: int = 16,
+    prefilter_k: int = 50,
+    exclude_self: bool = True,
+) -> str:
+    """DuckDB oracle for :class:`MatryoshkaTopK` — same two deterministic
+    stages. ``queries_sql``/``corpus_sql`` must yield (vec_id, embedding)."""
+    excl = "WHERE q.vec_id <> c.vec_id" if exclude_self else ""
+    return f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv,
+                  (embedding::DOUBLE[])[1:{prefix_dim}] AS qp FROM ({queries_sql}) t),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+             (embedding::DOUBLE[])[1:{prefix_dim}] AS cp FROM ({corpus_sql}) t),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.qv, c.cv,
+         CAST(list_dot_product(q.qp, c.cp)
+              / (sqrt(list_dot_product(q.qp, q.qp))
+                 * sqrt(list_dot_product(c.cp, c.cp))) AS DECIMAL(18,6)) AS cs
+  FROM q CROSS JOIN c {excl}
+),
+cand AS (
+  SELECT * FROM coarse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id) <= {prefilter_k}
+),
+fine AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qv, cv)
+              / (sqrt(list_dot_product(qv, qv))
+                 * sqrt(list_dot_product(cv, cv))) AS DECIMAL(18,6)) AS score
+  FROM cand
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank,
+       neighbor_id, CAST(score AS DOUBLE) AS score
+FROM fine
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -406,3 +406,56 @@ def drift_sql(
         else:
             parts.append(_psi_block(counts, n_buckets, label))
     return " UNION ALL ".join(parts) + " ORDER BY \"column\""
+
+
+class KAnonymity(Pipe):
+    """k-anonymity audit over quasi-identifier columns: a row is
+    re-identifiable when its QI combination is shared by fewer than ``k``
+    rows. Output: one row per violating QI group — the QI values, the
+    group size, and the share of the dataset it represents — ordered
+    worst (smallest group) first by the caller's ORDER BY.
+
+    The governance gate for releasing training corpora containing user
+    attributes (k-anonymity, Sweeney 2002): ``out.isEmpty()`` == the
+    dataset is k-anonymous over those columns. One aggregation on the QI
+    key; at 100 TB the violating-group output is small by definition
+    (each group < k rows)."""
+
+    def __init__(self, qi_cols, k: int = 5, **kwargs):
+        if not qi_cols:
+            raise ValueError("KAnonymity needs at least one quasi-identifier column")
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        super().__init__(**kwargs)
+        self.qi_cols = list(qi_cols)
+        self.k = k
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # total row count as a broadcast 1-row aggregate, not a driver
+        # action: the plan stays lazy and Catalyst schedules both scans
+        total = df.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+        return (
+            df.groupBy(*self.qi_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") < self.k)
+            .crossJoin(F.broadcast(total))
+            .select(
+                *self.qi_cols,
+                F.col("n").cast("long").alias("n"),
+                (F.col("n") / F.col("__total"))
+                .cast("decimal(18,8)")
+                .cast("double")
+                .alias("share"),
+            )
+        )
+
+
+def k_anonymity_sql(table: str, qi_cols, k: int = 5) -> str:
+    """DuckDB oracle for :class:`KAnonymity` — same grouping + threshold."""
+    qi = ", ".join(qi_cols)
+    return (
+        f"SELECT {qi}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(CAST(COUNT(*) / (SELECT COUNT(*) * 1.0 FROM {table}) "
+        f"AS DECIMAL(18,8)) AS DOUBLE) AS share "
+        f"FROM {table} GROUP BY {qi} HAVING COUNT(*) < {k} ORDER BY {qi}"
+    )

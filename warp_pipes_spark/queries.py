@@ -1831,6 +1831,34 @@ def q106_bm25_champion(spark, sf):
     )
 
 
+def q107_k_anonymity(spark, sf):
+    """k-anonymity governance audit: customer quasi-identifier groups
+    (market segment x nation) with fewer than 8 members — each is a
+    re-identification risk if the table were released with user
+    attributes. One aggregation on the QI key; empty output == the
+    release gate passes."""
+    from warp_pipes_spark.pipes.validate import KAnonymity
+
+    return KAnonymity(["c_mktsegment", "c_nationkey"], k=8)(
+        T(spark, sf, "customer")
+    )
+
+
+def q108_matryoshka_topk(spark, sf):
+    """Matryoshka two-stage retrieval: rank on the first 16 of 64 embedding
+    dims (4x less data read), exact full-dim re-score of the top-50
+    survivors for the final top-5. Both stages deterministic, so the whole
+    cascade is bit-exact oracled — the exact-cascade counterpart to the
+    seeded LSH/IVF/PQ approximate paths (q39/q47/q95)."""
+    from warp_pipes_spark.ml.similarity import MatryoshkaTopK
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return MatryoshkaTopK(
+        corpus=emb, k=5, prefix_dim=16, prefilter_k=50, exclude_self=True
+    )(queries)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2501,6 +2529,22 @@ def _new_op_oracles():
 
     ORACLES_EXT["q104_dup_ngrams"] = dup_ngram_sql("documents", n=5)
 
+    from warp_pipes_spark.pipes.validate import k_anonymity_sql
+
+    ORACLES_EXT["q107_k_anonymity"] = k_anonymity_sql(
+        "customer", ["c_mktsegment", "c_nationkey"], k=8
+    )
+
+    from warp_pipes_spark.ml.similarity import matryoshka_sql
+
+    ORACLES_EXT["q108_matryoshka_topk"] = matryoshka_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0",
+        "SELECT vec_id, embedding FROM embeddings",
+        k=5,
+        prefix_dim=16,
+        prefilter_k=50,
+    )
+
     from warp_pipes_spark.pipes.sampling import group_cap_sql
 
     _parsed = (
@@ -2653,6 +2697,8 @@ def _register():
         "q104_dup_ngrams": q104_dup_ngrams,
         "q105_domain_quota": q105_domain_quota,
         "q106_bm25_champion": q106_bm25_champion,
+        "q107_k_anonymity": q107_k_anonymity,
+        "q108_matryoshka_topk": q108_matryoshka_topk,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
