@@ -346,3 +346,33 @@ def test_matryoshka_rejects_bad_params(spark):
         MatryoshkaTopK(corpus=docs, k=10, prefilter_k=5)
     with pytest.raises(ValueError):
         MatryoshkaTopK(corpus=docs, prefix_dim=0)
+
+
+def test_pool_embeddings_matches_numpy_mean(spark, vectors):
+    """Pooled centroid equals the numpy mean within the 1e-9 floor
+    quantization; n_vecs counts the group's rows."""
+    from warp_pipes_spark.ml.pooling import PoolEmbeddings
+
+    X, df = vectors
+    lab = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    out = {r["label"]: r for r in PoolEmbeddings()(lab).collect()}
+    ids = [r["vec_id"] for r in lab.select("vec_id").collect()]
+    for g in (0, 1, 2):
+        members = [i for i in ids if i % 3 == g]
+        want = X[members].mean(axis=0)
+        got = np.array(out[g]["pooled"])
+        assert out[g]["n_vecs"] == len(members)
+        assert np.max(np.abs(got - want)) < 2e-9
+
+
+def test_pool_embeddings_ignores_null_vectors(spark):
+    from warp_pipes_spark.ml.pooling import PoolEmbeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", None), ("b", None)],
+        "label string, embedding array<double>",
+    )
+    rows = PoolEmbeddings()(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == "a" and rows[0]["n_vecs"] == 1
+    assert rows[0]["pooled"] == [1.0, 3.0]

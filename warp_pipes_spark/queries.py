@@ -1859,6 +1859,18 @@ def q108_matryoshka_topk(spark, sf):
     )(queries)
 
 
+def q109_pool_embeddings(spark, sf):
+    """Per-label embedding centroids (mean pooling — the passage->document
+    collapse of two-level retrieval, and the class-centroid diagnostic):
+    decimal component sums make the mean partitioning-independent; output
+    is (label, n_vecs, pooled array)."""
+    from warp_pipes_spark.ml.pooling import PoolEmbeddings
+
+    return PoolEmbeddings(group_col="label", vec_col="embedding")(
+        T(spark, sf, "embeddings")
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2535,6 +2547,12 @@ def _new_op_oracles():
         "customer", ["c_mktsegment", "c_nationkey"], k=8
     )
 
+    from warp_pipes_spark.ml.pooling import pool_embeddings_sql
+
+    ORACLES_EXT["q109_pool_embeddings"] = pool_embeddings_sql(
+        "SELECT label, embedding FROM embeddings"
+    )
+
     from warp_pipes_spark.ml.similarity import matryoshka_sql
 
     ORACLES_EXT["q108_matryoshka_topk"] = matryoshka_sql(
@@ -2699,6 +2717,7 @@ def _register():
         "q106_bm25_champion": q106_bm25_champion,
         "q107_k_anonymity": q107_k_anonymity,
         "q108_matryoshka_topk": q108_matryoshka_topk,
+        "q109_pool_embeddings": q109_pool_embeddings,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
