@@ -1,10 +1,12 @@
 from warp_pipes_spark.ml.quantize import PqCosineTopK, ProductQuantizer, ScalarQuantizer
 from warp_pipes_spark.ml.semantic import SemanticDedup
+from warp_pipes_spark.ml.pooling import PoolEmbeddings
 from warp_pipes_spark.ml.similarity import (
     BruteForceCosineTopK,
     CosinePairs,
     IvfCosineTopK,
     LshCosineTopK,
+    MatryoshkaTopK,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "ScalarQuantizer",
     "ProductQuantizer",
     "PqCosineTopK",
+    "MatryoshkaTopK",
+    "PoolEmbeddings",
 ]

@@ -30,6 +30,8 @@ from warp_pipes_spark.pipes.sampling import (
     WeightedMixture,
 )
 from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin, Resample
+from warp_pipes_spark.pipes.sampling import GroupCap
+from warp_pipes_spark.pipes.validate import CheckConstraints, DataProfile, DriftCheck, KAnonymity
 
 __all__ = [
     "Identity",
@@ -63,4 +65,9 @@ __all__ = [
     "StratifiedSample",
     "WeightedMixture",
     "EpochShuffle",
+    "GroupCap",
+    "DataProfile",
+    "CheckConstraints",
+    "DriftCheck",
+    "KAnonymity",
 ]

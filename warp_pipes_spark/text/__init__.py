@@ -8,6 +8,7 @@ from warp_pipes_spark.text.analysis import (
 )
 from warp_pipes_spark.text.dedup import (
     CrossCorpusOverlap,
+    DupNgramFraction,
     DedupClusters,
     ExactDedup,
     MinHashDedup,
@@ -16,7 +17,8 @@ from warp_pipes_spark.text.dedup import (
 )
 from warp_pipes_spark.text.bpe import BpeTokenizer, train_bpe
 from warp_pipes_spark.text.classifier import HashedLinearClassifier
-from warp_pipes_spark.text.packing import PackSequences
+from warp_pipes_spark.text.packing import LengthBucketBatches, PackSequences
+from warp_pipes_spark.text.web import HtmlStrip, UrlParse
 
 __all__ = [
     "BpeTokenizer",
@@ -32,7 +34,11 @@ __all__ = [
     "MinHashDedup",
     "NgramJaccardDedup",
     "SimHashDedup",
+    "DupNgramFraction",
     "DedupClusters",
     "CrossCorpusOverlap",
     "PackSequences",
+    "LengthBucketBatches",
+    "UrlParse",
+    "HtmlStrip",
 ]
