@@ -237,3 +237,45 @@ def test_group_cap_binds_and_is_deterministic(spark):
     # a different seed picks a different subset
     out3 = GroupCap(cap=5, group_col="source", seed=1)(df)
     assert rows1 != sorted((r["doc_id"], r["source"]) for r in out3.collect())
+
+
+def test_split_assign_partitions_every_row(spark, sf_dir):
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+
+    docs_small = _docs(spark, sf_dir)
+    out = SplitAssign({"val": 0.2, "test": 0.1}, seed=3)(docs_small)
+    rows = out.collect()
+    assert len(rows) == docs_small.count()
+    names = {r["split"] for r in rows}
+    assert names <= {"train", "val", "test"}
+    # deterministic across partitionings
+    again = SplitAssign({"val": 0.2, "test": 0.1}, seed=3)(docs_small.repartition(7))
+    assert sorted((r["doc_id"], r["split"]) for r in out.collect()) == sorted(
+        (r["doc_id"], r["split"]) for r in again.collect()
+    )
+
+
+def test_split_assign_stable_under_corpus_growth(spark, sf_dir):
+    """A row's split does not change when more rows are added — the
+    defining advantage over RNG splits."""
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+
+    docs_small = _docs(spark, sf_dir)
+    sa = SplitAssign({"val": 0.3}, seed=1)
+    half = docs_small.filter(F.col("doc_id") < 10)
+    full_map = {r["doc_id"]: r["split"] for r in sa(docs_small).collect()}
+    half_map = {r["doc_id"]: r["split"] for r in sa(half).collect()}
+    assert all(full_map[k] == v for k, v in half_map.items())
+
+
+def test_split_assign_rejects_bad_fractions():
+    import pytest as _pytest
+
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+
+    with _pytest.raises(ValueError):
+        SplitAssign({})
+    with _pytest.raises(ValueError):
+        SplitAssign({"a": 0.7, "b": 0.4})
+    with _pytest.raises(ValueError):
+        SplitAssign({"a": -0.1})

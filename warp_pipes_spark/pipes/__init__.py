@@ -30,7 +30,7 @@ from warp_pipes_spark.pipes.sampling import (
     WeightedMixture,
 )
 from warp_pipes_spark.pipes.temporal import AsOfJoin, RangeJoin, Resample
-from warp_pipes_spark.pipes.sampling import GroupCap
+from warp_pipes_spark.pipes.sampling import GroupCap, SplitAssign
 from warp_pipes_spark.pipes.validate import CheckConstraints, DataProfile, DriftCheck, KAnonymity
 
 __all__ = [
@@ -66,6 +66,7 @@ __all__ = [
     "WeightedMixture",
     "EpochShuffle",
     "GroupCap",
+    "SplitAssign",
     "DataProfile",
     "CheckConstraints",
     "DriftCheck",

@@ -389,3 +389,80 @@ def group_cap_sql(
         f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_col} "
         f"ORDER BY {gate}, {key_col}) <= {cap}"
     )
+
+
+class SplitAssign(Pipe):
+    """Deterministic train/validation/test split assignment: each row's
+    split is a pure function of ``md5(key:seed)`` — reproducible across
+    engines, partitionings, reruns and growing data (a row keeps its split
+    when the corpus is re-processed or appended to, the property RNG
+    splits lack). ``splits`` maps split name -> fraction (must sum to
+    <= 1; any hash-space remainder falls into ``default_split``).
+
+    The hash gate is compared against cumulative hex thresholds in the
+    SORTED-name order of ``splits`` (deterministic construction); the
+    assignment is one scan-level CASE expression — no shuffle, no action;
+    at 100 TB it composes with any downstream per-split write or filter."""
+
+    def __init__(
+        self,
+        splits: Dict[str, float],
+        key_col: str = "doc_id",
+        seed: int = 0,
+        out_col: str = "split",
+        default_split: str = "train",
+        **kwargs,
+    ):
+        if not splits:
+            raise ValueError("SplitAssign needs at least one named split")
+        total = sum(splits.values())
+        if any(f < 0 for f in splits.values()) or total > 1.0 + 1e-9:
+            raise ValueError(
+                f"split fractions must be >= 0 and sum <= 1, got {splits}"
+            )
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.splits = dict(splits)
+        self.key_col = key_col
+        self.seed = seed
+        self.out_col = out_col
+        self.default_split = default_split
+
+    def _thresholds(self):
+        cum = 0.0
+        out = []
+        for name in sorted(self.splits):
+            cum += self.splits[name]
+            out.append((name, _threshold_hex(cum)))
+        return out
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        gate = _gate_col(F.col(self.key_col), self.seed)
+        expr = None
+        for name, bound in self._thresholds():
+            cond = gate < F.lit(bound)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+                cond, F.lit(name)
+            )
+        return {self.out_col: expr.otherwise(F.lit(self.default_split))}
+
+
+def split_assign_sql(
+    table: str,
+    splits: Dict[str, float],
+    columns: str = "doc_id",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+    default_split: str = "train",
+) -> str:
+    """DuckDB oracle for :class:`SplitAssign` — identical gate, identical
+    cumulative hex thresholds (first matching CASE arm assigns)."""
+    gate = _gate_sql(key_col, seed)
+    whens = []
+    cum = 0.0
+    for name in sorted(splits):
+        cum += splits[name]
+        whens.append(f"WHEN {gate} < '{_threshold_hex(cum)}' THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{default_split}' END"
+    return f"SELECT {columns}, {case} AS {out_col} FROM {table}"

@@ -1871,6 +1871,27 @@ def q109_pool_embeddings(spark, sf):
     )
 
 
+_SPLIT_FRACS = {"val": 0.05, "test": 0.05}
+
+
+def q110_split_assign(spark, sf):
+    """Deterministic train/val/test split assignment: split = pure function
+    of md5(doc_id:seed) vs cumulative hex thresholds — rows keep their
+    split across reruns and corpus growth (what RNG splits can't promise).
+    One scan-level CASE, no shuffle; output summarized per (source, split)
+    so the oracle also certifies the assignment proportions."""
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+
+    assigned = SplitAssign(_SPLIT_FRACS, key_col="doc_id", seed=7)(
+        T(spark, sf, "documents")
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2541,6 +2562,18 @@ def _new_op_oracles():
 
     ORACLES_EXT["q104_dup_ngrams"] = dup_ngram_sql("documents", n=5)
 
+    from warp_pipes_spark.pipes.sampling import split_assign_sql
+
+    _assigned = split_assign_sql(
+        "documents", _SPLIT_FRACS, columns="doc_id, source", seed=7
+    )
+    ORACLES_EXT["q110_split_assign"] = (
+        f"WITH assigned AS ({_assigned}) "
+        "SELECT source, split, COUNT(*) AS n, "
+        "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc "
+        "FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
     from warp_pipes_spark.pipes.validate import k_anonymity_sql
 
     ORACLES_EXT["q107_k_anonymity"] = k_anonymity_sql(
@@ -2718,6 +2751,7 @@ def _register():
         "q107_k_anonymity": q107_k_anonymity,
         "q108_matryoshka_topk": q108_matryoshka_topk,
         "q109_pool_embeddings": q109_pool_embeddings,
+        "q110_split_assign": q110_split_assign,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
