@@ -427,3 +427,40 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert got == {(2, 1), (5, 4)}
+
+
+def test_split_assign_is_streaming_safe(spark, tmp_path):
+    """Split assignment is a stateless scan-level CASE, so the SAME
+    operator labels a stream — and assigns exactly the splits the batch
+    plan assigns (hash-keyed determinism)."""
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+
+    src = str(tmp_path / "split_stream")
+    os.makedirs(src)
+    _write_batch(src, ROWS_ON_TIME + [MID_ROW], "batch0.json")
+
+    assigner = SplitAssign({"val": 0.4}, key_col="event_id", seed=5)
+    stream = read_events_stream(spark, src)
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["event_id"]] = r["split"]
+
+    q = assigner(stream).writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1.0)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    q.awaitTermination(10)
+
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in ROWS_ON_TIME + [MID_ROW]],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    want = {r["event_id"]: r["split"] for r in assigner(batch_df).collect()}
+    assert got == want
+    assert set(want.values()) == {"train", "val"}  # both splits exercised
