@@ -439,3 +439,22 @@ def test_domain_kl_identical_groups_are_zero(spark):
     assert out["s1"]["kl"] == out["s2"]["kl"]
     assert out["s3"]["kl"] > out["s1"]["kl"]
     assert out["s1"]["n_tokens"] == 3
+
+
+def test_auto_engine_covers_new_engines(spark):
+    """Round-2 engines resolve through the registry: matryoshka, pq,
+    bm25f, and the champion-capped bm25 config all construct and run."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.auto import auto_engine
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    mat = auto_engine("matryoshka", corpus=emb, k=3, prefix_dim=8, prefilter_k=20)
+    assert mat(queries).count() > 0
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    dq = docs.filter(F.col("doc_id") % 50 == 0).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    champ = auto_engine("bm25", corpus=docs, k=3, champion_size=32)
+    assert champ(dq).count() > 0

@@ -16,12 +16,14 @@ from typing import Any, Dict, Optional, Sequence
 from pyspark.sql import DataFrame
 
 from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.ml.quantize import PqCosineTopK
 from warp_pipes_spark.ml.similarity import (
     BruteForceCosineTopK,
     IvfCosineTopK,
     LshCosineTopK,
+    MatryoshkaTopK,
 )
-from warp_pipes_spark.search.bm25 import Bm25Search
+from warp_pipes_spark.search.bm25 import Bm25FSearch, Bm25Search
 from warp_pipes_spark.search.group_lookup import GroupLookupSearch
 from warp_pipes_spark.search.index import Index
 from warp_pipes_spark.search.topk import TopkSearch
@@ -29,9 +31,12 @@ from warp_pipes_spark.search.topk import TopkSearch
 # engines that take the corpus DataFrame as their first constructor arg
 _CORPUS_ENGINES = {
     "bm25": Bm25Search,
+    "bm25f": Bm25FSearch,
     "dense": BruteForceCosineTopK,
     "lsh": LshCosineTopK,
     "ivf": IvfCosineTopK,
+    "pq": PqCosineTopK,
+    "matryoshka": MatryoshkaTopK,
     "lookup": GroupLookupSearch,
 }
 # engines constructed from config alone (re-rankers)
