@@ -376,3 +376,35 @@ def test_pool_embeddings_ignores_null_vectors(spark):
     assert len(rows) == 1
     assert rows[0]["label"] == "a" and rows[0]["n_vecs"] == 1
     assert rows[0]["pooled"] == [1.0, 3.0]
+
+
+def test_standardize_embeddings_matches_numpy(spark, vectors):
+    """Standardized components match numpy z-scores of the 1e-9 quantized
+    values (population std), within double rounding."""
+    from warp_pipes_spark.ml.pooling import StandardizeEmbeddings
+
+    X, df = vectors
+    out = {r["vec_id"]: np.array(r["standardized"]) for r in
+           StandardizeEmbeddings()(df).collect()}
+    ids = sorted(out)
+    Q = np.floor(X[ids] * 1e9) / 1e9
+    mean = Q.mean(axis=0)
+    std = Q.std(axis=0)  # population
+    want = (Q - mean) / np.where(std == 0, 1.0, std)
+    got = np.stack([out[i] for i in ids])
+    assert np.max(np.abs(got - want)) < 1e-6
+    # standardized corpus has ~zero mean and ~unit variance per component
+    assert np.max(np.abs(got.mean(axis=0))) < 1e-6
+    assert np.max(np.abs(got.std(axis=0) - 1.0)) < 1e-6
+
+
+def test_standardize_constant_component_is_zero(spark):
+    from warp_pipes_spark.ml.pooling import StandardizeEmbeddings
+
+    df = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["standardized"] for r in
+           StandardizeEmbeddings()(df).collect()}
+    assert out[0][0] == 0.0 and out[1][0] == 0.0  # constant dim -> 0
+    assert out[0][1] == -1.0 and out[1][1] == 1.0

@@ -1,6 +1,6 @@
 from warp_pipes_spark.ml.quantize import PqCosineTopK, ProductQuantizer, ScalarQuantizer
 from warp_pipes_spark.ml.semantic import SemanticDedup
-from warp_pipes_spark.ml.pooling import PoolEmbeddings
+from warp_pipes_spark.ml.pooling import PoolEmbeddings, StandardizeEmbeddings
 from warp_pipes_spark.ml.similarity import (
     BruteForceCosineTopK,
     CosinePairs,
@@ -20,4 +20,5 @@ __all__ = [
     "PqCosineTopK",
     "MatryoshkaTopK",
     "PoolEmbeddings",
+    "StandardizeEmbeddings",
 ]

@@ -101,3 +101,105 @@ SELECT g AS {group_col},
        list(m ORDER BY pos) AS pooled
 FROM means GROUP BY g
 """
+
+
+class StandardizeEmbeddings(Pipe):
+    """Per-component z-score standardization of a vector column — the
+    preprocessing pass before quantization/ANN when component scales
+    differ (SQ8's per-dim ranges, PCA/whitening pipelines).
+
+    Component statistics come from EXACT integer sums of 1e-9
+    floor-quantized components (sum as BIGINT, sum of squares as
+    DECIMAL(38,0) — q^2 overflows BIGINT): order- and partitioning-free,
+    tie-free across engines. Mean/variance/std then derive in IEEE double
+    from those exact numerators, and each output component is
+    ``(q/1e9 - mean) / std`` (0 when the component is constant), so the
+    whole transform is bit-identical across engines.
+
+    Plan: one stats aggregation over (position, component) — dim-sized
+    result, broadcast back — then the same posexplode -> join ->
+    order-pinned re-collect as :class:`PoolEmbeddings`."""
+
+    def __init__(
+        self,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        out_col: str = "standardized",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.out_col = out_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        exploded = df.filter(F.col(self.vec_col).isNotNull()).select(
+            F.col(self.id_col).alias("__id"),
+            F.posexplode(F.col(self.vec_col).cast("array<double>")).alias(
+                "__pos", "__val"
+            ),
+        ).withColumn("__q", F.floor(F.col("__val") * F.lit(1e9)).cast("long"))
+        stats = exploded.groupBy("__pos").agg(
+            F.sum("__q").alias("__s"),
+            F.sum(F.col("__q").cast("decimal(38,0)") * F.col("__q")).alias("__ss"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        mean = (F.col("__s").cast("double") / F.lit(1e9)) / F.col("__n")
+        ex2 = (F.col("__ss").cast("double") / F.lit(1e18)) / F.col("__n")
+        std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+        stats = stats.select(
+            "__pos", mean.alias("__mean"), std.alias("__std")
+        )
+        z = F.when(F.col("__std") == 0.0, F.lit(0.0)).otherwise(
+            (F.col("__q").cast("double") / F.lit(1e9) - F.col("__mean"))
+            / F.col("__std")
+        )
+        return (
+            exploded.join(F.broadcast(stats), "__pos")
+            .withColumn("__z", z)
+            .groupBy("__id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", F.col("__z")))),
+                    lambda s: s["__z"],
+                ).alias(self.out_col)
+            )
+            .select(F.col("__id").alias(self.id_col), self.out_col)
+        )
+
+
+def standardize_sql(
+    table_sql: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle for :class:`StandardizeEmbeddings` — identical integer
+    stats and double arithmetic."""
+    return f"""
+WITH src AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM ({table_sql}) t
+  WHERE {vec_col} IS NOT NULL
+), comp AS (
+  SELECT id, u.i - 1 AS pos,
+         CAST(FLOOR(v[u.i] * 1e9) AS BIGINT) AS q
+  FROM src, UNNEST(range(1, len(v) + 1)) AS u(i)
+), stats AS (
+  SELECT pos,
+         SUM(q) AS s,
+         SUM(CAST(q AS DECIMAL(38,0)) * q) AS ss,
+         COUNT(*) AS n
+  FROM comp GROUP BY 1
+), ms AS (
+  SELECT pos,
+         (CAST(s AS DOUBLE) / 1e9) / n AS mean,
+         sqrt(greatest((CAST(ss AS DOUBLE) / 1e18) / n
+                       - ((CAST(s AS DOUBLE) / 1e9) / n)
+                         * ((CAST(s AS DOUBLE) / 1e9) / n), 0.0)) AS std
+  FROM stats
+), z AS (
+  SELECT c.id, c.pos,
+         CASE WHEN m.std = 0.0 THEN 0.0
+              ELSE (CAST(c.q AS DOUBLE) / 1e9 - m.mean) / m.std END AS zv
+  FROM comp c JOIN ms m USING (pos)
+)
+SELECT id AS {id_col}, list(zv ORDER BY pos) AS standardized
+FROM z GROUP BY id
+"""

@@ -1892,6 +1892,19 @@ def q110_split_assign(spark, sf):
     )
 
 
+def q111_standardize(spark, sf):
+    """Per-component z-score standardization of the embedding corpus
+    (preprocessing before quantization/ANN): exact integer component
+    stats (tie-free across engines), broadcast back, order-pinned array
+    rebuild. Summarized per vector (first/last/L2-norm of the
+    standardized vector) so the oracle certifies every component without
+    hashing 64-wide arrays row by row."""
+    from warp_pipes_spark.ml.pooling import StandardizeEmbeddings
+
+    out = StandardizeEmbeddings()(T(spark, sf, "embeddings"))
+    return out.select("vec_id", "standardized")
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2562,6 +2575,14 @@ def _new_op_oracles():
 
     ORACLES_EXT["q104_dup_ngrams"] = dup_ngram_sql("documents", n=5)
 
+    from warp_pipes_spark.ml.pooling import standardize_sql
+
+    ORACLES_EXT["q111_standardize"] = (
+        "SELECT vec_id, standardized FROM ("
+        + standardize_sql("SELECT vec_id, embedding FROM embeddings")
+        + ") t ORDER BY vec_id"
+    )
+
     from warp_pipes_spark.pipes.sampling import split_assign_sql
 
     _assigned = split_assign_sql(
@@ -2752,6 +2773,7 @@ def _register():
         "q108_matryoshka_topk": q108_matryoshka_topk,
         "q109_pool_embeddings": q109_pool_embeddings,
         "q110_split_assign": q110_split_assign,
+        "q111_standardize": q111_standardize,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
