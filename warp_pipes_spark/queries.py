@@ -1905,6 +1905,40 @@ def q111_standardize(spark, sf):
     return out.select("vec_id", "standardized")
 
 
+def q112_passage_doc_embeddings(spark, sf):
+    """The two-level retrieval prep pipeline end to end: strided passage
+    windows (q35's shape) -> per-passage embedding (the catalog's
+    deterministic integer-arithmetic stand-in model, here as a pure
+    Catalyst expression — no Python) -> mean-pool back to one vector per
+    document (q109's operator). Passage explode and pooling shuffle on
+    doc_id only; the embed step is scan-level."""
+    from warp_pipes_spark.ml.pooling import PoolEmbeddings
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    size, stride = 8, 6
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+    windows = F.transform(starts, lambda s: F.slice(F.col("toks"), s, size))
+    passages = (
+        docs.select("doc_id", F.posexplode(windows).alias("passage_idx", "window"))
+        .filter(F.size("window") > 0)
+        .select("doc_id", F.array_join("window", " ").alias("passage_text"))
+    )
+    n = F.length("passage_text")
+    c1 = F.when(n > 0, F.ascii(F.substring("passage_text", 1, 1))).otherwise(0)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(_EMBED_DIM)),
+        lambda i: (
+            (i * _EMBED_K + n * 31 + c1 * 7) % _EMBED_P
+        ).cast("double")
+        / _EMBED_P,
+    )
+    embedded = passages.select("doc_id", vec.alias("vector"))
+    return PoolEmbeddings(group_col="doc_id", vec_col="vector")(embedded)
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2583,6 +2617,30 @@ def _new_op_oracles():
         + ") t ORDER BY vec_id"
     )
 
+    _p112 = (
+        f"WITH d AS (SELECT doc_id, {tokens_sql()} AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, "
+        "unnest(generate_series(1, greatest(len(toks), 1), 6)) AS start FROM d), "
+        "p AS (SELECT doc_id, array_to_string(toks[start:start+7], ' ') AS passage_text "
+        "FROM s WHERE len(toks[start:start+7]) > 0) "
+        "SELECT doc_id, ["
+        + ", ".join(
+            f"CAST((({i} * {_EMBED_K} + length(passage_text) * 31 + "
+            f"(CASE WHEN length(passage_text) = 0 THEN 0 "
+            f"ELSE ascii(substr(passage_text, 1, 1)) END) * 7) % {_EMBED_P}) "
+            f"AS DOUBLE) / {_EMBED_P}"
+            for i in range(1, _EMBED_DIM + 1)
+        )
+        + "] AS vector FROM p"
+    )
+    from warp_pipes_spark.ml.pooling import pool_embeddings_sql as _pool_sql
+
+    ORACLES_EXT["q112_passage_doc_embeddings"] = (
+        "SELECT doc_id, n_vecs, pooled FROM ("
+        + _pool_sql(_p112, group_col="doc_id", vec_col="vector")
+        + ") t ORDER BY doc_id"
+    )
+
     from warp_pipes_spark.pipes.sampling import split_assign_sql
 
     _assigned = split_assign_sql(
@@ -2774,6 +2832,7 @@ def _register():
         "q109_pool_embeddings": q109_pool_embeddings,
         "q110_split_assign": q110_split_assign,
         "q111_standardize": q111_standardize,
+        "q112_passage_doc_embeddings": q112_passage_doc_embeddings,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
