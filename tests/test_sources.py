@@ -101,3 +101,53 @@ def test_synthetic_stream_micro_batches(registered, tmp_path):
     batch = registered.read.format("synthetic_docs").option("num_docs", 50) \
         .option("seed", 3).load().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_read_jsonl_three_way_split(spark, tmp_path):
+    """Every input line lands in exactly one output: good, unparseable
+    quarantine (verbatim), or missing-required drift."""
+    from warp_pipes_spark.sources.jsonl import read_jsonl
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "hello", "lang": "en"}',
+        '{"doc_id": 2, "text": "welt", "lang": "de"}',
+        '{"doc_id": 3, "lang": "fr"}',            # parses, text missing
+        '{"doc_id": 4, "text": "trunca',           # malformed JSON
+        'not json at all',                         # malformed
+    ]
+    (src / "part0.jsonl").write_text("\n".join(lines))
+
+    good, quar = read_jsonl(
+        spark, str(src), "doc_id long, text string, lang string",
+        required=["text"],
+    )
+    g = {r["doc_id"]: r for r in good.collect()}
+    q = quar.collect()
+    assert set(g) == {1, 2}
+    assert g[1]["text"] == "hello"
+    reasons = sorted(r["reason"] for r in q)
+    assert reasons == ["missing_required", "unparseable", "unparseable"]
+    raws = {r["raw"] for r in q if r["reason"] == "unparseable"}
+    assert raws == {'{"doc_id": 4, "text": "trunca', "not json at all"}
+    drift = [r for r in q if r["reason"] == "missing_required"]
+    assert drift[0]["doc_id"] == 3 and drift[0]["raw"] is None
+    # totality: 5 lines in, 2 + 3 out
+    assert good.count() + quar.count() == 5
+
+
+def test_jsonl_to_parquet_roundtrip(spark, tmp_path):
+    from warp_pipes_spark.sources.jsonl import jsonl_to_parquet
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "x"}\n{"bad\n{"doc_id": 2, "text": "y"}'
+    )
+    n_good, n_quar = jsonl_to_parquet(
+        spark, str(src), str(tmp_path / "out"), "doc_id long, text string"
+    )
+    assert (n_good, n_quar) == (2, 1)
+    back = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]

@@ -15,10 +15,17 @@ Register once per session::
 
 from __future__ import annotations
 
+from warp_pipes_spark.sources.jsonl import jsonl_to_parquet, read_jsonl
 from warp_pipes_spark.sources.synthetic import SyntheticDocsDataSource
 from warp_pipes_spark.sources.warc import WarcDataSource
 
-__all__ = ["WarcDataSource", "SyntheticDocsDataSource", "register_sources"]
+__all__ = [
+    "WarcDataSource",
+    "SyntheticDocsDataSource",
+    "register_sources",
+    "read_jsonl",
+    "jsonl_to_parquet",
+]
 
 
 def register_sources(spark) -> None:
