@@ -1939,6 +1939,31 @@ def q112_passage_doc_embeddings(spark, sf):
     return PoolEmbeddings(group_col="doc_id", vec_col="vector")(embedded)
 
 
+def q113_variant_json(spark, sf):
+    """Semi-structured analytics through Spark 4's VARIANT type: props
+    parses ONCE into the binary variant encoding (vs q34's per-path string
+    re-parse with get_json_object), then typed path extraction feeds a
+    grouped aggregate — the open-schema event-payload pattern. At scale
+    the parse cost is paid once per row however many paths are read."""
+    ev = T(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.variant_get("__v", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd"),
+        )
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2609,6 +2634,15 @@ def _new_op_oracles():
 
     ORACLES_EXT["q104_dup_ngrams"] = dup_ngram_sql("documents", n=5)
 
+    ORACLES_EXT["q113_variant_json"] = (
+        "SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k, "
+        "CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 1 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_odd "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    )
+
     from warp_pipes_spark.ml.pooling import standardize_sql
 
     ORACLES_EXT["q111_standardize"] = (
@@ -2833,6 +2867,7 @@ def _register():
         "q110_split_assign": q110_split_assign,
         "q111_standardize": q111_standardize,
         "q112_passage_doc_embeddings": q112_passage_doc_embeddings,
+        "q113_variant_json": q113_variant_json,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
