@@ -408,3 +408,61 @@ def test_standardize_constant_component_is_zero(spark):
            StandardizeEmbeddings()(df).collect()}
     assert out[0][0] == 0.0 and out[1][0] == 0.0  # constant dim -> 0
     assert out[0][1] == -1.0 and out[1][1] == 1.0
+
+
+def test_bm25_append_matches_from_scratch(spark, tmp_path):
+    """Incremental index maintenance: append() over (old + new) equals a
+    from-scratch engine over the concatenated corpus bit-for-bit — the
+    idf/avgdl shift from new docs is fully re-baked, never stale."""
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    old = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"alpha delta fresh{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "alpha delta"), (1, "beta gamma")], "query_id long, text string"
+    )
+    base = Bm25Search(corpus=old, k=5, index_cache_dir=str(tmp_path))
+    base._index().count()  # build + cache the old raw postings
+    appended = base.append(new)
+    scratch = Bm25Search(
+        corpus=old.unionByName(new), k=5, index_cache_dir=str(tmp_path / "other")
+    )
+    got = sorted(map(tuple, appended(q).collect()))
+    want = sorted(map(tuple, scratch(q).collect()))
+    assert got == want and len(got) > 0
+    # new docs are retrievable through the appended engine
+    assert any(r[2] >= 100 for r in got)
+
+
+def test_bm25_append_skips_old_corpus_tokenization(spark, tmp_path, monkeypatch):
+    """After the old raw postings are cached, append() tokenizes ONLY the
+    new batch: build_inverted_index must be called with the new docs, not
+    the old corpus or the union."""
+    import warp_pipes_spark.search.bm25 as bm25_mod
+
+    old = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(50, "common fresh")], "doc_id long, text string"
+    )
+    eng = bm25_mod.Bm25Search(corpus=old, k=3, index_cache_dir=str(tmp_path))
+    eng._index().count()
+
+    seen = []
+    real = bm25_mod.build_inverted_index
+
+    def spy(corpus, id_col, text_col):
+        seen.append(corpus.count())
+        return real(corpus, id_col, text_col)
+
+    monkeypatch.setattr(bm25_mod, "build_inverted_index", spy)
+    appended = eng.append(new)
+    appended._index().count()
+    assert seen == [1]  # exactly one tokenization pass, over the 1 new doc

@@ -165,6 +165,85 @@ class Bm25Search(Pipe):
     def _postings(self) -> DataFrame:
         return build_inverted_index(self.corpus, self.corpus_id, self.corpus_text)
 
+    def _tok_fingerprint(self) -> str:
+        """Tokenization-only identity (no ranking constants): keys the RAW
+        postings artifact, which ``append`` reuses across k1/b/champion
+        re-configurations and incremental corpus growth."""
+        from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
+        return get_fingerprint(
+            {
+                "op": "bm25_tok_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "text": self.corpus_text,
+            }
+        )
+
+    def _raw_postings(self) -> DataFrame:
+        """Raw (term, doc_id, dl, tf) postings, served from the
+        tokenization-keyed Parquet cache — the expensive corpus pass.
+        Scoring (idf/length-norm bake) is cheap and derived from these."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        if not self.materialize_index:
+            return self._postings()
+        manager = CacheManager(self.index_cache_dir)
+        fp_raw = self._tok_fingerprint() + "_raw"
+        if manager.exists(fp_raw):
+            return manager.load(self.corpus.sparkSession, fp_raw)
+        raw = self._postings().persist(StorageLevel.MEMORY_AND_DISK)
+        out = manager.store(raw, fp_raw)
+        raw.unpersist()
+        return out
+
+    def _ctor_kwargs(self) -> dict:
+        return dict(
+            k=self.k,
+            corpus_id=self.corpus_id,
+            corpus_text=self.corpus_text,
+            query_id=self.query_id,
+            query_text=self.query_text,
+            aux_text_col=self.aux_text_col,
+            aux_weight=self.aux_weight,
+            scale_aux_weight=self.scale_aux_weight,
+            filter_key=self.filter_key,
+            corpus_filter_key=self.corpus_filter_key,
+            k1=self.k1,
+            b=self.b,
+            temperature=self.temperature,
+            broadcast_queries=self.broadcast_queries,
+            persist=self.persist,
+            index_cache_dir=self.index_cache_dir,
+            materialize_index=self.materialize_index,
+            champion_size=self.champion_size,
+        )
+
+    def append(self, new_docs: DataFrame) -> "Bm25Search":
+        """Incremental index maintenance: an engine over ``corpus ∪
+        new_docs`` whose raw postings are the CACHED old postings plus one
+        tokenization pass over only the new documents — the daily-crawl
+        append that never re-tokenizes the existing corpus. Global stats
+        (N, avgdl, df -> idf) shift with every append, so scores re-bake
+        from the merged raw postings: results are bit-identical to a
+        from-scratch engine on the concatenated corpus (tested), not a
+        stale-idf approximation. Caller contract: ``new_docs`` has the
+        corpus schema and disjoint ids."""
+        union = self.corpus.unionByName(new_docs)
+        out = type(self)(corpus=union, **self._ctor_kwargs())
+        if self.materialize_index:
+            from warp_pipes_spark.pipes.cache import CacheManager
+
+            manager = CacheManager(self.index_cache_dir)
+            fp_union_raw = out._tok_fingerprint() + "_raw"
+            if not manager.exists(fp_union_raw):
+                old_raw = self._raw_postings()
+                new_raw = type(self)(
+                    corpus=new_docs, **self._ctor_kwargs()
+                )._postings()
+                manager.store(old_raw.unionByName(new_raw), fp_union_raw)
+        return out
+
     def _index_fingerprint(self) -> str:
         """Content key for the materialized index: the corpus plan + source
         file stats (``fingerprint_dataframe``, cross-session stable) plus the
@@ -210,7 +289,10 @@ class Bm25Search(Pipe):
         manager = CacheManager(self.index_cache_dir)
         fp_post = self._index_fingerprint() + "_postings"
         if not manager.exists(fp_post):
-            postings = self._postings().persist(StorageLevel.MEMORY_AND_DISK)
+            # raw postings come from their own tokenization-keyed cache
+            # (parquet-backed), so re-baking scores — e.g. after an append
+            # shifted idf, or under different k1/b — never re-tokenizes
+            postings = self._raw_postings().persist(StorageLevel.MEMORY_AND_DISK)
             scored = self._champion_cap(self._score_postings(postings))
             # no repartition on write: the query join broadcasts the query
             # terms and STREAMS the postings, so postings-side co-location
@@ -431,6 +513,24 @@ class Bm25FSearch(Bm25Search):
                 "champion_size": self.champion_size,
             }
         )
+
+    def _tok_fingerprint(self) -> str:
+        from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
+        return get_fingerprint(
+            {
+                "op": "bm25f_tok_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "fields": sorted(self.fields),
+            }
+        )
+
+    def _ctor_kwargs(self) -> dict:
+        base = super()._ctor_kwargs()
+        base["fields"] = dict(self.fields)
+        base["field_b"] = dict(self.field_b)
+        return base
 
     def _score_postings(self, postings: DataFrame) -> DataFrame:
         """(term, doc_id, dl, tf, field) -> (term, doc_id, score_d). The
