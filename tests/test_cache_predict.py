@@ -105,3 +105,31 @@ def test_predict_cache_equals_direct(spark, docs, tmp_path):
     assert c2 == c
     fp = cached.cache_fingerprint(docs)
     assert mgr.exists(fp)
+
+
+def test_cache_vacuum_removes_only_old_entries(spark, docs, tmp_path):
+    import json as _json
+    import os as _os
+    import time as _time
+
+    mgr = CacheManager(str(tmp_path / "c"))
+    mgr.store(docs, "fresh")
+    mgr.store(docs, "stale")
+    # age the 'stale' entry's metadata
+    meta = _os.path.join(mgr.path_for("stale"), "_wps_meta.json")
+    with open(meta) as f:
+        m = _json.load(f)
+    m["written_at"] = _time.time() - 3600
+    with open(meta, "w") as f:
+        _json.dump(m, f)
+    # orphaned staging dir from a crashed writer
+    _os.makedirs(_os.path.join(str(tmp_path / "c"), "x.staging-dead"))
+    _os.utime(
+        _os.path.join(str(tmp_path / "c"), "x.staging-dead"),
+        (_time.time() - 3600, _time.time() - 3600),
+    )
+
+    deleted = mgr.vacuum(max_age_seconds=600)
+    assert sorted(deleted) == ["stale", "x.staging-dead"]
+    assert mgr.exists("fresh") and not mgr.exists("stale")
+    assert len(mgr.load(spark, "fresh").collect()) == docs.count()

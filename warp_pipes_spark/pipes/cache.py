@@ -83,6 +83,39 @@ class CacheManager:
             return self.load(spark, fingerprint)
         return self.store(compute(), fingerprint, meta)
 
+    def vacuum(self, max_age_seconds: float) -> list:
+        """Delete published entries whose ``written_at`` is older than
+        ``max_age_seconds`` (content-addressed caches never go stale, but
+        superseded fingerprints — old corpus snapshots, retired configs —
+        accumulate forever without retention). Also sweeps orphaned
+        staging dirs from crashed writers. Returns the deleted entry
+        names."""
+        import shutil
+
+        now = time.time()
+        deleted = []
+        for name in sorted(os.listdir(self.cache_dir)):
+            path = os.path.join(self.cache_dir, name)
+            if not os.path.isdir(path):
+                continue
+            if ".staging-" in name:
+                # a concurrent writer publishes with one rename; any staging
+                # dir older than the horizon is a crashed writer's leftovers
+                if now - os.path.getmtime(path) > max_age_seconds:
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(name)
+                continue
+            meta_path = os.path.join(path, "_wps_meta.json")
+            try:
+                with open(meta_path) as f:
+                    written = json.load(f).get("written_at", 0)
+            except (OSError, ValueError):
+                written = os.path.getmtime(path)
+            if now - written > max_age_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(name)
+        return deleted
+
 
 class CachedPipe(Pipe):
     """Wrap any pipe with fingerprint memoization: the output of

@@ -1964,6 +1964,20 @@ def q113_variant_json(spark, sf):
     )
 
 
+def q114_bm25_incremental(spark, sf):
+    """Incremental index maintenance through the driver gate: the corpus
+    splits into an 'existing' part (90%) and a 'new crawl batch' (10%);
+    the engine indexes the existing part, then ``append``s the batch —
+    re-tokenizing ONLY the batch — and serves queries over the union.
+    Oracle = plain BM25 over the full corpus: green proves the append
+    path re-bakes global stats bit-exactly (no stale idf)."""
+    docs = T(spark, sf, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    base = Bm25Search(corpus=existing, k=10)
+    return base.append(batch)(_bm25_queries(spark, sf))
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2141,6 +2155,7 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
     "q106_bm25_champion": bm25_oracle_sql(
         "documents", BM25_QUERIES_CTE, k=10, champion_size=64
     ),
+    "q114_bm25_incremental": bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10),
     "q33_group_lookup": (
         "SELECT n.n_nationkey AS query_id, "
         "COALESCE(c.c_custkey, -1) AS idx, "
@@ -2868,6 +2883,7 @@ def _register():
         "q111_standardize": q111_standardize,
         "q112_passage_doc_embeddings": q112_passage_doc_embeddings,
         "q113_variant_json": q113_variant_json,
+        "q114_bm25_incremental": q114_bm25_incremental,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
