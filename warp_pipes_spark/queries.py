@@ -1978,6 +1978,52 @@ def q114_bm25_incremental(spark, sf):
     return base.append(batch)(_bm25_queries(spark, sf))
 
 
+def _copurchase_edges(spark, sf):
+    """Distinct co-purchase part pairs with support >= 2 (q98's edge set),
+    oriented part_a < part_b."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+
+
+def q115_triangles(spark, sf):
+    """Triangle census of the co-purchase graph: per node, how many
+    triangles it closes (the clustering-structure signal; communities of
+    co-bought parts show up as triangle-dense neighborhoods). The count
+    joins oriented edges (u<v) twice — wedge (u,v)+(v,w) closed by (u,w):
+    each triangle counted once, each corner credited once via explode.
+    The oriented edge list bounds the wedge fan-out (the standard
+    distributed-triangle formulation); shuffles are edge-keyed only."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = _copurchase_edges(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part_id")
+    )
+    return (
+        corners.groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2156,6 +2202,20 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "documents", BM25_QUERIES_CTE, k=10, champion_size=64
     ),
     "q114_bm25_incremental": bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10),
+    "q115_triangles": (
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM e e1 JOIN e e2 ON e1.v = e2.u "
+        "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "corners AS (SELECT a AS part_id FROM tri "
+        "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+        "SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM corners GROUP BY 1 ORDER BY 1"
+    ),
     "q33_group_lookup": (
         "SELECT n.n_nationkey AS query_id, "
         "COALESCE(c.c_custkey, -1) AS idx, "
@@ -2884,6 +2944,7 @@ def _register():
         "q112_passage_doc_embeddings": q112_passage_doc_embeddings,
         "q113_variant_json": q113_variant_json,
         "q114_bm25_incremental": q114_bm25_incremental,
+        "q115_triangles": q115_triangles,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
