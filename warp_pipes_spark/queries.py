@@ -2024,6 +2024,31 @@ def q115_triangles(spark, sf):
     )
 
 
+def q116_media_shards(spark, sf):
+    """WebDataset-style shard packing for media payloads: per source, the
+    byte stream of payloads (in doc_id order) cuts every 64 KiB — each
+    payload mapped to (start_shard, shard_offset, end_shard) so the shard
+    writer can place every blob, including boundary-straddlers. Reuses
+    PackSequences verbatim with bytes as the token unit: the concat-and-
+    chunk algebra is unit-agnostic. One window shuffle per source."""
+    docs = T(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+    )
+    packed = PackSequences(
+        capacity=64 * 1024, token_col="n_bytes", shard_col="source"
+    )(docs)
+    return packed.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").alias("n_bytes"),
+        F.col("start_pack").alias("start_shard"),
+        F.col("pack_offset").alias("shard_offset"),
+        F.col("end_pack").alias("end_shard"),
+    )
+
+
 def q50_cube(spark, sf):
     """CUBE grouping sets (all subtotal combinations) over orders."""
     o = T(spark, sf, "orders")
@@ -2718,6 +2743,18 @@ def _new_op_oracles():
         "FROM events GROUP BY 1 ORDER BY 1"
     )
 
+    _media_sized = (
+        "SELECT source, doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+    )
+    ORACLES_EXT["q116_media_shards"] = (
+        "SELECT source, doc_id, n_tokens AS n_bytes, "
+        "start_pack AS start_shard, pack_offset AS shard_offset, "
+        "end_pack AS end_shard FROM ("
+        + pack_sequences_sql(_media_sized, capacity=64 * 1024, token_expr="n_bytes")
+        + ") t ORDER BY source, doc_id"
+    )
+
     from warp_pipes_spark.ml.pooling import standardize_sql
 
     ORACLES_EXT["q111_standardize"] = (
@@ -2945,6 +2982,7 @@ def _register():
         "q113_variant_json": q113_variant_json,
         "q114_bm25_incremental": q114_bm25_incremental,
         "q115_triangles": q115_triangles,
+        "q116_media_shards": q116_media_shards,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
