@@ -2580,6 +2580,196 @@ def _late_oracles():
 _late_oracles()
 
 
+def _cdc_batch(spark, sf):
+    """Deterministic CDC batch derived from the customer table itself:
+    updates (c_custkey % 7 == 0: name starred, segment UPDATED, seq 1),
+    deletes (c_custkey % 11 == 3, seq 2 — so keys hit by both collapse to
+    the delete), inserts (c_custkey % 10 == 1, key shifted +1000000)."""
+    c = T(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        "c_nationkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = c.filter(F.col("c_custkey") % 11 == 3).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_nationkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = c.filter(F.col("c_custkey") % 10 == 1).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        "c_nationkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q117_merge_upsert(spark, sf):
+    """MERGE INTO (CDC apply): a change batch of inserts/updates/deletes
+    folds into the customer snapshot via ONE key-partitioned max-struct
+    aggregation — no full-outer join, no window; multiple changes to one
+    key collapse to the highest change sequence, deletes drop the key.
+    Oracle = the same union + arg-max spelled as a window in DuckDB."""
+    from warp_pipes_spark.pipes.cdc import MergeUpsert
+
+    snapshot = T(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    return MergeUpsert(snapshot=snapshot, keys=["c_custkey"])(_cdc_batch(spark, sf))
+
+
+def q118_scd2(spark, sf):
+    """SCD type-2 dimension history from a change log: each (user, event)
+    becomes a versioned validity interval [valid_from, valid_to) with
+    is_current on the open-ended latest row — one window shuffle on the
+    key, valid_to = lead(ts) with an event_id tie-break."""
+    from warp_pipes_spark.pipes.cdc import Scd2Apply
+
+    log = T(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    out = Scd2Apply(keys=["user_id"], ts_col="ts", tie_cols=["event_id"])(log)
+    return out.select(
+        "user_id", "event_id", "event_type", "version",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def q119_range_frame(spark, sf):
+    """RANGE-interval window frame (vs q11's ROWS frame): per-user moving
+    1h sum/count — the frame is defined by the ORDER BY *value* (epoch
+    microseconds), so equal-timestamp peers are always in-frame together
+    on both engines. Decimal-exact sum rendered as DOUBLE."""
+    # ts is TIMESTAMP_NTZ; the session TZ is pinned to UTC, so the cast to
+    # TIMESTAMP is the identity instant and unix_micros matches DuckDB's
+    # epoch_us over the naive value
+    ev = T(spark, sf, "events").withColumn(
+        "epoch_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(D184)).over(w)
+        .cast(D184)
+        .cast("double")
+        .alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+def q120_gdpr_erasure(spark, sf):
+    """Right-to-be-forgotten cascade: a deletion list of customers
+    propagates through orders to lineitem via chained semi-joins; output
+    = per-table before/deleted/after audit counts. The erased sets never
+    materialize wide rows — semi-joins carry keys only, and the counts
+    reduce map-side; the same plan at 100 TB is three key-keyed
+    semi-joins plus scalar aggregates (no driver actions)."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    c_del = c.filter(F.col("c_custkey") % 13 == 5).select("c_custkey")
+    o_del = o.join(F.broadcast(c_del), o.o_custkey == c_del.c_custkey, "left_semi")
+    l_del = li.join(
+        F.broadcast(o_del.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def _stats(full, deleted, tbl):
+        return (
+            full.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(deleted.agg(F.count(F.lit(1)).alias("n_deleted")))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    return (
+        _stats(c, c_del, "customer")
+        .unionByName(_stats(o, o_del, "orders"))
+        .unionByName(_stats(li, l_del, "lineitem"))
+    )
+
+
+def _cdc_oracles():
+    from warp_pipes_spark.pipes.cdc import merge_upsert_sql, scd2_sql
+
+    batch_sql = (
+        "SELECT c_custkey, c_name || '*' AS c_name, "
+        "'UPDATED' AS c_mktsegment, c_nationkey, 1 AS seq, 'U' AS op "
+        "FROM customer WHERE c_custkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, c_mktsegment, c_nationkey, 2 AS seq, "
+        "'D' AS op FROM customer WHERE c_custkey % 11 = 3 "
+        "UNION ALL "
+        "SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name, "
+        "'FRESH' AS c_mktsegment, c_nationkey, 1 AS seq, 'I' AS op "
+        "FROM customer WHERE c_custkey % 10 = 1"
+    )
+    ORACLES_EXT["q117_merge_upsert"] = merge_upsert_sql(
+        snapshot_sql=(
+            "SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer"
+        ),
+        batch_sql=batch_sql,
+        keys=["c_custkey"],
+        payload=["c_name", "c_mktsegment", "c_nationkey"],
+    )
+    ORACLES_EXT["q118_scd2"] = (
+        "SELECT user_id, event_id, event_type, version, valid_from, "
+        "valid_to, is_current FROM ("
+        + scd2_sql(
+            "SELECT user_id, event_id, ts, event_type FROM events",
+            keys=["user_id"],
+            ts="ts",
+            ties=["event_id"],
+        )
+        + ")"
+    )
+    ORACLES_EXT["q119_range_frame"] = (
+        "SELECT user_id, event_id, "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) "
+        "AS DOUBLE) AS moving_sum, "
+        "COUNT(*) OVER w AS n_window "
+        "FROM (SELECT *, epoch_us(ts) AS eus FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY eus "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    )
+    ORACLES_EXT["q120_gdpr_erasure"] = (
+        "WITH cd AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 5), "
+        "od AS (SELECT o_orderkey FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM cd)), "
+        "stats AS ("
+        "SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS n_before, "
+        "(SELECT COUNT(*) FROM cd) AS n_deleted "
+        "UNION ALL "
+        "SELECT 'orders', (SELECT COUNT(*) FROM orders), "
+        "(SELECT COUNT(*) FROM od) "
+        "UNION ALL "
+        "SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem), "
+        "(SELECT COUNT(*) FROM lineitem "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM od))) "
+        "SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after "
+        "FROM stats"
+    )
+
+
 def _new_op_oracles():
     from warp_pipes_spark.ml.semantic import semantic_dedup_sql
     from warp_pipes_spark.plans.layout import zorder_sql
@@ -2860,6 +3050,7 @@ def _new_op_oracles():
 
 
 _new_op_oracles()
+_cdc_oracles()
 
 
 QUERIES: Dict[str, QuerySpec] = {}
@@ -2983,6 +3174,10 @@ def _register():
         "q114_bm25_incremental": q114_bm25_incremental,
         "q115_triangles": q115_triangles,
         "q116_media_shards": q116_media_shards,
+        "q117_merge_upsert": q117_merge_upsert,
+        "q118_scd2": q118_scd2,
+        "q119_range_frame": q119_range_frame,
+        "q120_gdpr_erasure": q120_gdpr_erasure,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
