@@ -2708,7 +2708,27 @@ def q120_gdpr_erasure(spark, sf):
     )
 
 
+def q121_mmr_rerank(spark, sf):
+    """MMR diversified top-k rerank (Carbonell & Goldstein): exact-cosine
+    top-12 candidates per query, then 4 greedy picks trading relevance
+    (lam=0.7) against max similarity to already-picked results — the
+    diversity pass a RAG pipeline runs between retrieval and context
+    assembly. Greedy loop unrolled into relational iterations (the q97
+    pattern); decimal-exact arithmetic makes the unrolled DuckDB oracle
+    bit-identical."""
+    from warp_pipes_spark.search.mmr import MmrRerank
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return MmrRerank(corpus=emb, k=4, n_candidates=12, lam=0.7)(queries)
+
+
 def _cdc_oracles():
+    from warp_pipes_spark.search.mmr import mmr_sql
+
+    ORACLES_EXT["q121_mmr_rerank"] = mmr_sql(
+        queries_where="vec_id % 50 = 0", k=4, n_candidates=12, lam=0.7
+    )
     from warp_pipes_spark.pipes.cdc import merge_upsert_sql, scd2_sql
 
     batch_sql = (
@@ -3178,6 +3198,7 @@ def _register():
         "q118_scd2": q118_scd2,
         "q119_range_frame": q119_range_frame,
         "q120_gdpr_erasure": q120_gdpr_erasure,
+        "q121_mmr_rerank": q121_mmr_rerank,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

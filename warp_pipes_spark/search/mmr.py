@@ -1,0 +1,357 @@
+"""Maximal-marginal-relevance (MMR) diversified top-k rerank.
+
+The standard retrieval-diversification pass (Carbonell & Goldstein 1998):
+greedily pick k results where each pick maximizes
+
+    mmr(d) = lam * rel(q, d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+so near-duplicate hits don't crowd the result list — the diversity
+counterpart to the engine-chain rerank (``search/topk.py``), and what a
+RAG pipeline runs between retrieval and context assembly.
+
+Execution shape (100 TB-literate): candidate generation is the scale path
+(BM25 / LSH / IVF upstream bound each query to n_candidates rows); the
+greedy loop then only touches |queries| x n_candidates rows. The loop is
+UNROLLED into k relational iterations (the q97 PageRank pattern) — each
+iteration is one anti-join (drop already-selected), one max-aggregation
+(the penalty against selected picks), and one deterministic argmax window
+(mmr DESC, doc_id ASC). All shuffles are keyed on query_id only.
+
+Bit-exactness across engines: relevance and pairwise similarities round
+to DECIMAL(18,6) (absorbing float fold ULP differences, the q30 recipe);
+the MMR combination then runs in EXACT decimal arithmetic (lam as
+DECIMAL(2,1); no intermediate rounding anywhere), so selections and
+scores match the unrolled DuckDB oracle (``mmr_sql``) bit for bit.
+
+Reference: warp-pipes chains engines but has no diversification operator;
+this extends `Index`'s rerank slot (`warp_pipes/search/index.py:49-56`).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.ml.similarity import cosine_expr
+
+_DEC = "decimal(18,6)"
+_LAM_DEC = "decimal(2,1)"
+
+
+class MmrRerank(Pipe):
+    """Exact-cosine candidates + unrolled greedy MMR selection.
+
+    Input df = queries (``query_id``, ``query_vec``); ``corpus`` rows
+    (``corpus_id``, ``corpus_vec``) are scored against each query, the
+    top ``n_candidates`` by rounded cosine feed the greedy loop, and the
+    k MMR picks come back as (query_id, rank, doc_id, mmr_score).
+
+    ``lam`` must be a multiple of 0.1 (it is carried as DECIMAL(2,1) so
+    the greedy arithmetic stays exact on both engines).
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        k: int = 4,
+        n_candidates: int = 12,
+        lam: float = 0.7,
+        query_id: str = "vec_id",
+        query_vec: str = "embedding",
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        exclude_self: bool = True,
+        strategy: str = "pandas",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        assert 0 < k <= n_candidates
+        assert abs(lam * 10 - round(lam * 10)) < 1e-9, "lam must be a 0.1 multiple"
+        assert strategy in ("pandas", "relational")
+        self.corpus = corpus
+        self.k = k
+        self.n_candidates = n_candidates
+        self.lam = round(lam, 1)
+        self.query_id = query_id
+        self.query_vec = query_vec
+        self.corpus_id = corpus_id
+        self.corpus_vec = corpus_vec
+        self.exclude_self = exclude_self
+        self.strategy = strategy
+
+    _no_fingerprint = ("corpus",)
+
+    def _candidates(self, df: DataFrame) -> DataFrame:
+        """(query_id, doc_id, rel DECIMAL(18,6)) — exact cosine top-n.
+
+        Norms are precomputed per ROW (not per pair): numerically identical
+        (same fold / sqrt / multiply / divide order) at 1/3 the join-side
+        flops — the q30 BruteForceCosineTopK discipline."""
+        from warp_pipes_spark.ml.similarity import _dot, _norm
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        q = widen_partitions(
+            df.select(
+                F.col(self.query_id).alias("query_id"),
+                F.col(self.query_vec).cast("array<double>").alias("qv"),
+            )
+        ).withColumn("qn", _norm(F.col("qv")))
+        c = self.corpus.select(
+            F.col(self.corpus_id).alias("doc_id"),
+            F.col(self.corpus_vec).cast("array<double>").alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv")))
+        pairs = q.crossJoin(F.broadcast(c))
+        if self.exclude_self:
+            pairs = pairs.where(F.col("query_id") != F.col("doc_id"))
+        # rank SKINNY rows (the top-n window shuffles |q| x |corpus| rows —
+        # carrying the vectors through it would move ~vector_size x pairs
+        # bytes); the winners' vectors join back afterwards, corpus-scan +
+        # broadcast-sized
+        scored = pairs.select(
+            "query_id",
+            "doc_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+            .cast(_DEC)
+            .alias("rel"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+        top = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.n_candidates)
+            .drop("__rk")
+        )
+        return top.join(F.broadcast(c.select("doc_id", "cv")), "doc_id").select(
+            "query_id", "doc_id", "rel", "cv"
+        )
+
+    def _pair_sims(self, cand: DataFrame) -> DataFrame:
+        """Pairwise DECIMAL(18,6) cosines among each query's candidates
+        (n^2 per query, n = n_candidates — bounded by construction)."""
+        a = cand.select(
+            "query_id", F.col("doc_id").alias("doc_a"), F.col("cv").alias("va")
+        ).alias("a")
+        b = cand.select(
+            "query_id", F.col("doc_id").alias("doc_b"), F.col("cv").alias("vb")
+        ).alias("b")
+        return (
+            a.join(b, F.col("a.query_id") == F.col("b.query_id"))
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                F.col("a.query_id").alias("query_id"),
+                "doc_a",
+                "doc_b",
+                cosine_expr(F.col("va"), F.col("vb")).cast(_DEC).alias("sim"),
+            )
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        if self.strategy == "pandas":
+            return self._transform_pandas(df)
+        return self._transform_relational(df)
+
+    def _transform_pandas(self, df: DataFrame) -> DataFrame:
+        """Default: the greedy loop runs as ONE cogrouped Arrow kernel per
+        query (per-group state is n_candidates rows — trivially bounded),
+        collapsing the k-iteration relational DAG's many tiny-data stages
+        into one shuffle + one Python stage. Arithmetic uses Python
+        ``Decimal`` on the DECIMAL(18,6)-rounded inputs — bit-identical to
+        both the relational strategy and the unrolled SQL oracle
+        (equality property-tested)."""
+        from decimal import Decimal
+
+        import pandas as pd
+
+        # persist EAGERLY: cand feeds both cogroup sides (itself + the
+        # sims self-join), and the two branches race the lazy cache within
+        # one job — without the materializing action the candidate
+        # crossJoin (the only data-sized stage here) runs twice
+        cand = self._candidates(df).persist()
+        cand.count()
+        sims = self._pair_sims(cand)
+        cand = cand.drop("cv")
+        k = self.k
+        lam = Decimal(str(self.lam))
+        om = Decimal(str(round(1 - self.lam, 1)))
+
+        def greedy(cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cand_pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], "rank": [], "doc_id": [], "mmr_score": []}
+                )
+            qid = cand_pdf["query_id"].iloc[0]
+            rel = dict(zip(cand_pdf["doc_id"], cand_pdf["rel"]))
+            sim = dict(
+                zip(zip(sims_pdf["doc_a"], sims_pdf["doc_b"]), sims_pdf["sim"])
+            )
+            remaining = set(rel)
+            # pick 1: argmax relevance (rel DESC, doc_id ASC)
+            first = min(remaining, key=lambda d: (-rel[d], d))
+            out = [(qid, 1, first, float(lam * rel[d]))
+                   for d in [first]]
+            selected = [first]
+            remaining.discard(first)
+            for i in range(2, k + 1):
+                if not remaining:
+                    break
+                best = None
+                for d in sorted(remaining):
+                    pen = max(sim[(d, s)] for s in selected)
+                    mmr = lam * rel[d] - om * pen
+                    if best is None or mmr > best[0]:
+                        best = (mmr, d)
+                mmr, d = best
+                out.append((qid, i, d, float(mmr)))
+                selected.append(d)
+                remaining.discard(d)
+            return pd.DataFrame(
+                out, columns=["query_id", "rank", "doc_id", "mmr_score"]
+            )
+
+        return (
+            cand.groupBy("query_id")
+            .cogroup(sims.groupBy("query_id"))
+            .applyInPandas(
+                greedy,
+                schema="query_id long, rank int, doc_id long, mmr_score double",
+            )
+        )
+
+    def _transform_relational(self, df: DataFrame) -> DataFrame:
+        lam = F.lit(self.lam).cast(_LAM_DEC)
+        one_minus = F.lit(round(1 - self.lam, 1)).cast(_LAM_DEC)
+
+        cand = self._candidates(df).persist()
+        sims = self._pair_sims(cand).persist()
+        cand = cand.drop("cv")
+
+        w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+        selected = (
+            cand.withColumn("__rk", F.row_number().over(w1))
+            .filter(F.col("__rk") == 1)
+            .select(
+                "query_id",
+                F.lit(1).alias("rank"),
+                "doc_id",
+                (lam * F.col("rel")).alias("mmr"),
+            )
+        )
+        for i in range(2, self.k + 1):
+            remaining = cand.join(
+                selected.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_anti",
+            )
+            pen = (
+                remaining.join(
+                    selected.select("query_id", F.col("doc_id").alias("doc_b")),
+                    "query_id",
+                )
+                .join(
+                    sims.withColumnRenamed("doc_a", "doc_id"),
+                    ["query_id", "doc_id", "doc_b"],
+                )
+                .groupBy("query_id", "doc_id", "rel")
+                .agg(F.max("sim").alias("pen"))
+            )
+            wi = Window.partitionBy("query_id").orderBy(
+                F.desc("mmr"), F.asc("doc_id")
+            )
+            pick = (
+                pen.withColumn("mmr", lam * F.col("rel") - one_minus * F.col("pen"))
+                .withColumn("__rk", F.row_number().over(wi))
+                .filter(F.col("__rk") == 1)
+                .select("query_id", F.lit(i).alias("rank"), "doc_id", "mmr")
+            )
+            selected = selected.select(
+                "query_id", "rank", "doc_id", F.col("mmr").cast("decimal(22,7)").alias("mmr")
+            ).unionByName(
+                pick.select(
+                    "query_id", "rank", "doc_id", F.col("mmr").cast("decimal(22,7)").alias("mmr")
+                )
+            )
+        return selected.select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("mmr").cast("double").alias("mmr_score"),
+        )
+
+
+def mmr_sql(
+    queries_where: str,
+    k: int = 4,
+    n_candidates: int = 12,
+    lam: float = 0.7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the same candidate generation + unrolled greedy loop.
+
+    Generated mechanically with one WITH block per iteration (the q97
+    unrolled-oracle pattern); decimal discipline identical to the engine.
+    """
+    lam_s = f"CAST({round(lam, 1)} AS DECIMAL(2,1))"
+    om_s = f"CAST({round(1 - lam, 1)} AS DECIMAL(2,1))"
+    cos = (
+        "CAST(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " AS DECIMAL(18,6))"
+    )
+    blocks: List[str] = [
+        f"q AS (SELECT {id_col} AS query_id, {vec_col}::DOUBLE[] AS qv "
+        f"FROM {table} WHERE {queries_where})",
+        f"c AS (SELECT {id_col} AS doc_id, {vec_col}::DOUBLE[] AS cv FROM {table})",
+        (
+            "cand AS (SELECT query_id, doc_id, cv, rel FROM ("
+            "SELECT q.query_id, c.doc_id, c.cv, "
+            + cos.format(a="q.qv", b="c.cv")
+            + " AS rel, ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            + cos.format(a="q.qv", b="c.cv")
+            + f" DESC, c.doc_id) AS rk FROM q CROSS JOIN c "
+            f"WHERE q.query_id <> c.doc_id) t WHERE rk <= {n_candidates})"
+        ),
+        (
+            "sims AS (SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            + cos.format(a="a.cv", b="b.cv")
+            + " AS sim FROM cand a JOIN cand b ON a.query_id = b.query_id "
+            "AND a.doc_id <> b.doc_id)"
+        ),
+        (
+            "sel1 AS (SELECT query_id, 1 AS rank, doc_id, "
+            f"CAST({lam_s} * rel AS DECIMAL(22,7)) AS mmr FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY rel DESC, doc_id) AS rk FROM cand) t WHERE rk = 1)"
+        ),
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        blocks.append(
+            f"pen{i} AS (SELECT r.query_id, r.doc_id, r.rel, MAX(s2.sim) AS pen "
+            f"FROM cand r JOIN all{p} s ON s.query_id = r.query_id "
+            f"JOIN sims s2 ON s2.query_id = r.query_id "
+            f"AND s2.doc_a = r.doc_id AND s2.doc_b = s.doc_id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM all{p} x "
+            f"WHERE x.query_id = r.query_id AND x.doc_id = r.doc_id) "
+            f"GROUP BY 1, 2, 3)"
+        )
+        blocks.append(
+            f"sel{i} AS (SELECT query_id, {i} AS rank, doc_id, "
+            f"CAST({lam_s} * rel - {om_s} * pen AS DECIMAL(22,7)) AS mmr FROM ("
+            f"SELECT query_id, doc_id, rel, pen, ROW_NUMBER() OVER ("
+            f"PARTITION BY query_id ORDER BY {lam_s} * rel - {om_s} * pen DESC, "
+            f"doc_id) AS rk FROM pen{i}) t WHERE rk = 1)"
+        )
+        blocks.append(
+            f"all{i} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{i})"
+        )
+    return (
+        "WITH "
+        + ", ".join(blocks)
+        + f" SELECT query_id, CAST(rank AS INT) AS rank, doc_id, "
+        f"CAST(mmr AS DOUBLE) AS mmr_score FROM all{k}"
+    )
