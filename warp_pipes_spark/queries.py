@@ -2723,8 +2723,36 @@ def q121_mmr_rerank(spark, sf):
     return MmrRerank(corpus=emb, k=4, n_candidates=12, lam=0.7)(queries)
 
 
+def q122_maxsim(spark, sf):
+    """Late-interaction retrieval (ColBERT MaxSim): every query token
+    independently finds its best-matching doc token — sum of per-token
+    maxima ranks docs without requiring exact term overlap (the
+    multi-vector family between q30's dense single-vector and q32's
+    term-exact BM25). Doc tokens stream against broadcast query tokens;
+    two keyed aggregations reduce before the top-k window. Token
+    embeddings = the catalog's integer-exact stand-in model."""
+    from warp_pipes_spark.search.late_interaction import MaxSimTopK
+
+    docs = T(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return MaxSimTopK(corpus=docs, k=5, m_query=3, m_doc=6)(queries)
+
+
 def _cdc_oracles():
+    from warp_pipes_spark.search.late_interaction import maxsim_sql
     from warp_pipes_spark.search.mmr import mmr_sql
+
+    ORACLES_EXT["q122_maxsim"] = maxsim_sql(
+        queries_sql=(
+            "SELECT doc_id AS query_id, text AS qtext "
+            "FROM documents WHERE doc_id % 100 = 0"
+        ),
+        k=5,
+        m_query=3,
+        m_doc=6,
+    )
 
     ORACLES_EXT["q121_mmr_rerank"] = mmr_sql(
         queries_where="vec_id % 50 = 0", k=4, n_candidates=12, lam=0.7
@@ -3199,6 +3227,7 @@ def _register():
         "q119_range_frame": q119_range_frame,
         "q120_gdpr_erasure": q120_gdpr_erasure,
         "q121_mmr_rerank": q121_mmr_rerank,
+        "q122_maxsim": q122_maxsim,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
