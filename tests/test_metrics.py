@@ -1,0 +1,36 @@
+"""BinaryAuc: exact tie-corrected AUC (ml/metrics.py)."""
+
+import random
+
+from warp_pipes_spark.ml.metrics import BinaryAuc
+
+
+def _auc_reference(pairs):
+    """O(n^2) pairwise definition: P(score_pos > score_neg) + 0.5 ties."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_known_values(spark):
+    # perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    inverted = [(s, 1 - y) for s, y in perfect]
+    tied = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    for pairs, expect in [(perfect, 1.0), (inverted, 0.0), (tied, 0.5)]:
+        df = spark.createDataFrame(pairs, "score double, label int")
+        row = BinaryAuc()(df).collect()[0]
+        assert row["auc"] == expect
+        assert row["n_pos"] + row["n_neg"] == len(pairs)
+
+
+def test_auc_matches_pairwise_definition(spark):
+    rng = random.Random(7)
+    # duplicated scores on purpose: exercises the tie half-credit
+    pairs = [
+        (round(rng.random() * 10) / 10.0, rng.randint(0, 1)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    got = BinaryAuc()(df).collect()[0]["auc"]
+    assert abs(got - _auc_reference(pairs)) < 1e-12

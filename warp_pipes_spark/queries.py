@@ -2740,9 +2740,36 @@ def q122_maxsim(spark, sf):
     return MaxSimTopK(corpus=docs, k=5, m_query=3, m_doc=6)(queries)
 
 
+def q123_classifier_auc(spark, sf):
+    """Exact tie-corrected ROC-AUC of the hashed linear classifier (q87)
+    as a predictor of lang == 'en' — the evaluation pass of the
+    quality-gating loop. Mann-Whitney 2U carried as a pure BIGINT (no
+    fractional intermediates), grouped by DISTINCT score so the only
+    ordered pass runs over score cardinality, never row count."""
+    from warp_pipes_spark.ml.metrics import BinaryAuc
+    from warp_pipes_spark.text.classifier import HashedLinearClassifier
+
+    docs = T(spark, sf, "documents")
+    scored = HashedLinearClassifier(dim=64)(docs).select(
+        "score",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_en"),
+    )
+    return BinaryAuc(score_col="score", label_col="is_en")(scored)
+
+
 def _cdc_oracles():
+    from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.search.late_interaction import maxsim_sql
     from warp_pipes_spark.search.mmr import mmr_sql
+    from warp_pipes_spark.text.classifier import classifier_sql
+
+    _auc_scored = (
+        "SELECT s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en "
+        f"FROM ({classifier_sql()}) s JOIN documents d USING (doc_id)"
+    )
+    ORACLES_EXT["q123_classifier_auc"] = binary_auc_sql(
+        _auc_scored, score="score", label="is_en"
+    )
 
     ORACLES_EXT["q122_maxsim"] = maxsim_sql(
         queries_sql=(
@@ -3228,6 +3255,7 @@ def _register():
         "q120_gdpr_erasure": q120_gdpr_erasure,
         "q121_mmr_rerank": q121_mmr_rerank,
         "q122_maxsim": q122_maxsim,
+        "q123_classifier_auc": q123_classifier_auc,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
