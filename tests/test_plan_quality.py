@@ -33,6 +33,8 @@ PLAN_ONLY = [
     "q87_quality_classifier", "q89_incremental_agg",
     "q90_asof_forward_tolerance", "q93_funnel", "q94_cohort",
     "q98_copurchase", "q99_fuzzy_match", "q100_trending",
+    "q117_merge_upsert", "q118_scd2", "q119_range_frame",
+    "q120_gdpr_erasure", "q122_maxsim", "q123_classifier_auc",
 ]
 
 
@@ -232,3 +234,64 @@ def test_semdedup_ivf_pairs_is_equi_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_merge_upsert_single_aggregation_no_join(spark, sf_dir):
+    """q117's MERGE apply must be ONE key-partitioned aggregation — no
+    full-outer join, no window: exactly one exchange in the executed plan
+    and no join operator at all."""
+    df = QUERIES["q117_merge_upsert"].fn(spark, sf_dir)
+    df.collect()
+    # AQE prints Final + Initial plans; assert on the final section only
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # map-side partial + final around the one exchange (max-over-struct
+    # aggregates plan as SortAggregate)
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2, plan
+
+
+def test_scd2_single_window_pass(spark, sf_dir):
+    """q118: version/valid_to/is_current all come from ONE window over the
+    key — one exchange, one Window node, no join-back."""
+    df = QUERIES["q118_scd2"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_gdpr_cascade_stays_semi_joins(spark, sf_dir):
+    """q120's erasure propagation must be LeftSemi joins carrying keys only
+    — never inner joins materializing wide rows, never a cartesian."""
+    plan = _plan(QUERIES["q120_gdpr_erasure"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftSemi") >= 3, plan
+
+
+def test_maxsim_occurrence_join_is_hash_join(spark, sf_dir):
+    """q122: the token-occurrence fan-in must be a broadcast HASH join on
+    the token string (the factored cosine table is the bounded side); the
+    only nested-loop is the bounded vocab x query-token cross join."""
+    plan = _plan(QUERIES["q122_maxsim"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_auc_row_work_is_one_keyed_aggregation(spark, sf_dir):
+    """q123: row-count-sized work must end at the per-score groupBy; the
+    ordered pass runs over distinct scores only. The plan's FIRST exchange
+    must be a hash partitioning on the score (not a single-partition
+    collapse of raw rows)."""
+    df = QUERIES["q123_classifier_auc"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    # plan strings print top-down: the DEEPEST exchange (last in string) is
+    # the first executed — it must hash-partition on the score, so raw rows
+    # reduce before the single-partition ordered pass above it
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 2, plan
+    assert "hashpartitioning" in exchanges[-1] and "score" in exchanges[-1], plan
+    assert "SinglePartition" in exchanges[0], plan
