@@ -1,3 +1,4 @@
+from warp_pipes_spark.streaming.cdc_sink import SnapshotStore, merge_upsert_sink
 from warp_pipes_spark.streaming.events import (
     dedup_stream,
     read_events_stream,
@@ -10,10 +11,12 @@ from warp_pipes_spark.streaming.stateful import stateful_sessions
 
 __all__ = [
     "dedup_stream",
+    "merge_upsert_sink",
     "read_events_stream",
     "tumbling_window_agg",
     "sliding_window_counts",
     "session_windows",
+    "SnapshotStore",
     "stateful_sessions",
     "write_stream_parquet",
 ]
