@@ -2757,8 +2757,24 @@ def q123_classifier_auc(spark, sf):
     return BinaryAuc(score_col="score", label_col="is_en")(scored)
 
 
+def q124_winnowing(spark, sf):
+    """Winnowing fingerprint selection (the MOSS algorithm, Schleimer et
+    al. 2003): min-hash-per-sliding-window picks ~2/(w+1) of each doc's
+    token trigram hashes with a GUARANTEE that any shared substring of
+    >= w+k-1 tokens shares a fingerprint — the substring-dedup recall
+    bound MinHash can't give. Output: per-doc gram/fingerprint counts and
+    the cross-doc shared-fingerprint signal. One doc-keyed window pass +
+    one vocabulary-sized df aggregation over the winnowed subset."""
+    from warp_pipes_spark.text.dedup import Winnowing
+
+    return Winnowing(k=3, w=4)(T(spark, sf, "documents"))
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
+    from warp_pipes_spark.text.dedup import winnowing_sql
+
+    ORACLES_EXT["q124_winnowing"] = winnowing_sql(k=3, w=4)
     from warp_pipes_spark.search.late_interaction import maxsim_sql
     from warp_pipes_spark.search.mmr import mmr_sql
     from warp_pipes_spark.text.classifier import classifier_sql
@@ -3256,6 +3272,7 @@ def _register():
         "q121_mmr_rerank": q121_mmr_rerank,
         "q122_maxsim": q122_maxsim,
         "q123_classifier_auc": q123_classifier_auc,
+        "q124_winnowing": q124_winnowing,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -1202,3 +1202,164 @@ SELECT toks.{id_col},
                  ELSE 0.0 END AS DOUBLE) AS dup_frac
 FROM toks LEFT JOIN dup USING ({id_col})
 """
+
+
+class Winnowing(Pipe):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every token k-gram, slide a window of w consecutive
+    gram hashes over each document, and select the minimum hash per window
+    (rightmost on ties). The selected ~2/(w+1) fraction of grams is a
+    position-robust fingerprint set: any shared substring of at least
+    w + k - 1 tokens is GUARANTEED to share at least one selected
+    fingerprint — the recall guarantee MinHash can't give for substrings.
+
+    Output: one row per document — ``n_grams``, ``n_fp`` (selected
+    fingerprints), ``n_shared`` (selected fingerprints also selected in at
+    least one OTHER document — the winnowed-containment dedup signal).
+
+    Plan shape: gram hashing is scan-level (``md5`` of the joined gram —
+    fixed-width, engine-identical); selection is ONE doc-keyed window
+    pass; the sharing signal is one vocabulary-sized df aggregation plus a
+    join back — the q104 shape over the winnowed subset (w+1 times fewer
+    rows than the full gram table, which is the point at 100 TB).
+
+    Argmin-with-rightmost-tie is encoded PORTABLY as a string min:
+    ``md5hex || '|' || zero_padded(10^9 - pos)`` — min string = min hash,
+    tie -> max position; both engines compare fixed-width ASCII
+    identically, so no struct-ordering semantics are relied on.
+
+    Documents with fewer than w grams yield no window, hence no
+    fingerprints (n_fp = 0) — documented edge, identical in the oracle.
+    """
+
+    def __init__(
+        self,
+        k: int = 3,
+        w: int = 4,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ):
+        if k < 1 or w < 1:
+            raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+        super().__init__(**kwargs)
+        self.k = k
+        self.w = w
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _fingerprints(self, df: DataFrame) -> DataFrame:
+        """(doc_id, fp_hash, fp_pos) — the distinct selected fingerprints."""
+        from pyspark.sql import Window as W
+
+        k, w = self.k, self.w
+        toks = tokens_expr(F.col(self.text_col))
+        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        starts = F.when(
+            F.size("__t") >= k, F.sequence(F.lit(1), F.size("__t") - k + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(F.array_join(F.slice("__t", i, k), " ")),
+                )
+            ).alias("__p0", "__h"),
+        ).select(
+            "doc_id",
+            (F.col("__p0") + 1).alias("pos"),
+            F.concat(
+                F.col("__h"),
+                F.lit("|"),
+                F.lpad((F.lit(1_000_000_000) - (F.col("__p0") + 1)).cast("string"), 10, "0"),
+            ).alias("__key"),
+        )
+        win = (
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(-(w - 1), 0)
+        )
+        sel = (
+            grams.withColumn("__m", F.min("__key").over(win))
+            .filter(F.col("pos") >= w)  # full windows only
+            .select(
+                "doc_id",
+                F.substring("__m", 1, 32).alias("fp_hash"),
+                (
+                    F.lit(1_000_000_000)
+                    - F.substring("__m", 34, 10).cast("long")
+                ).alias("fp_pos"),
+            )
+            .distinct()
+        )
+        return sel
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        k = self.k
+        toks = tokens_expr(F.col(self.text_col))
+        n_grams = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.greatest(F.size(toks) - k + 1, F.lit(0)).cast("long").alias("n_grams"),
+        )
+        fps = self._fingerprints(df)
+        dfc = fps.groupBy("fp_hash").agg(
+            F.countDistinct("doc_id").alias("__df")
+        )
+        per_doc = fps.join(dfc, "fp_hash").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        return n_grams.join(per_doc, "doc_id", "left").select(
+            F.col("doc_id").alias(self.id_col),
+            "n_grams",
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+
+
+def winnowing_sql(
+    table: str = "documents",
+    k: int = 3,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :class:`Winnowing` — identical hash, window,
+    string-encoded argmin, and aggregation discipline."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text)} AS t FROM {table}
+), g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(t[u.i:u.i + {k - 1}], ' ')) || '|' ||
+             lpad(CAST(1000000000 - u.i AS VARCHAR), 10, '0') AS key
+  FROM toks, UNNEST(CASE WHEN len(t) >= {k}
+                         THEN range(1, len(t) - {k} + 2)
+                         ELSE [] END) AS u(i)
+), sel AS (
+  SELECT DISTINCT doc_id,
+         substr(m, 1, 32) AS fp_hash,
+         1000000000 - CAST(substr(m, 34, 10) AS BIGINT) AS fp_pos
+  FROM (
+    SELECT doc_id, pos,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+    FROM g
+  ) WHERE pos >= {w}
+), dfc AS (
+  SELECT fp_hash, COUNT(DISTINCT doc_id) AS df FROM sel GROUP BY 1
+), per_doc AS (
+  SELECT sel.doc_id, COUNT(*) AS n_fp,
+         SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM sel JOIN dfc USING (fp_hash) GROUP BY 1
+)
+SELECT toks.doc_id AS {id_col},
+       CAST(GREATEST(len(t) - {k} + 1, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per_doc.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(COALESCE(per_doc.n_shared, 0) AS BIGINT) AS n_shared
+FROM toks LEFT JOIN per_doc USING (doc_id)
+"""
