@@ -263,9 +263,16 @@ def test_dedup_clusters_components(spark):
         (20, 21),                          # isolated pair: component 20
     ]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["cluster_id"] for r in DedupClusters()(df).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+              10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # both paths must produce the identical keep-min labeling: the bounded
+    # single-task union-find (default) and the distributed label propagation
+    # (forced by local_threshold=0)
+    fast = {r["doc_id"]: r["cluster_id"] for r in DedupClusters()(df).collect()}
+    iterative = {r["doc_id"]: r["cluster_id"]
+                 for r in DedupClusters(local_threshold=0)(df).collect()}
+    assert fast == expect
+    assert iterative == expect
 
 
 def test_run_batch_dict_roundtrip(spark):
@@ -307,8 +314,27 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
     edges = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"]
-           for r in DedupClusters(max_iters=12)(df).collect()}
+           for r in DedupClusters(max_iters=12, local_threshold=0)(df).collect()}
     assert got == {i: 0 for i in range(201)}
+
+
+def test_dedup_clusters_paths_agree_random_graph(spark):
+    """Fast (union-find) and distributed (label-propagation) paths produce
+    the identical labeling on a seeded random graph with mixed component
+    shapes."""
+    import random
+
+    from warp_pipes_spark.text.dedup import DedupClusters
+
+    rng = random.Random(7)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(120), rng.randrange(120))
+                               for _ in range(150)) if a != b})
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r["doc_id"]: r["cluster_id"] for r in DedupClusters()(df).collect()}
+    iterative = {r["doc_id"]: r["cluster_id"]
+                 for r in DedupClusters(local_threshold=0)(df).collect()}
+    assert fast == iterative
 
 
 def test_pii_scrub(spark):
