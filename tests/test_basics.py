@@ -484,3 +484,29 @@ def test_auto_engine_covers_new_engines(spark):
     )
     champ = auto_engine("bm25", corpus=docs, k=3, champion_size=32)
     assert champ(dq).count() > 0
+
+
+def test_bigram_perplexity_hand_model(spark):
+    """Two tiny docs; add-one bigram model counts checked by hand: doc 1 =
+    'a b a b' has bigrams ab, ba, ab; doc 2 = 'a b' has ab. Corpus: c(a,b)=3,
+    c(b,a)=1, c1(a)=3, c1(b)=1, V=3 (doc 3's lone token counts toward the
+    unigram vocabulary). avg_nll(doc2) = -ln((3+1)/(3+3))."""
+    import math
+
+    from warp_pipes_spark.text.analysis import BigramPerplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in BigramPerplexity()(df).collect()}
+    # doc 3 has one token -> no bigrams -> absent
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 1
+    want2 = -round(math.log(4.0 / 6.0), 6)
+    assert abs(out[2]["avg_nll"] - want2) < 1e-9
+    # doc 1: 2 x ln p(b|a) + 1 x ln p(a|b), decimal-rounded per bigram
+    lab = round(math.log(4.0 / 6.0), 6)
+    lba = round(math.log(2.0 / 4.0), 6)
+    want1 = -(2 * lab + lba) / 3.0
+    assert abs(out[1]["avg_nll"] - want1) < 1e-9

@@ -124,3 +124,53 @@ def test_asof_rejects_unknown_direction(spark):
 
     with _pytest.raises(ValueError):
         AsOfJoin(right=None, on=["k"], direction="sideways")
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """3 events inside one 2h window: the last event's z-score matches the
+    hand-computed population z over the trailing frame; a lone first event
+    has zero spread -> z = 0, not NULL/NaN."""
+    from warp_pipes_spark.pipes.temporal import RollingZScore
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 10.0),
+        (1, 2, "2024-01-01 10:30:00", 20.0),
+        (1, 3, "2024-01-01 11:00:00", 60.0),
+        (2, 4, "2024-01-01 10:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_id"]: r for r in RollingZScore()(df).collect()}
+    # event 3: window = {10, 20, 60}, mean 30, var = (100+400+900)/3... =
+    # E[x^2]-mean^2 = (100+400+3600)/3 - 900 = 1366.67 - 900 = 466.67
+    import math
+
+    mean, ex2 = 30.0, (100.0 + 400.0 + 3600.0) / 3.0
+    want_z = (60.0 - mean) / math.sqrt(ex2 - mean * mean)
+    assert out[3]["n_window"] == 3
+    assert abs(out[3]["z"] - want_z) < 1e-9
+    assert out[4]["n_window"] == 1 and out[4]["z"] == 0.0
+    assert out[3]["is_anomaly"] is False
+
+
+def test_snapshot_as_of_picks_covering_version(spark):
+    """Time travel over an SCD2 history: the cutoff lands inside version 1's
+    interval for user 1 (version 2 exists later) and after user 2's only
+    version; each key returns exactly its covering version."""
+    from warp_pipes_spark.pipes.cdc import Scd2Apply, snapshot_as_of
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (1, 2, "2024-01-20 00:00:00", "b"),
+        (2, 3, "2024-01-05 00:00:00", "c"),
+    ]
+    log = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    hist = Scd2Apply(keys=["user_id"], ts_col="ts", tie_cols=["event_id"])(log)
+    snap = {r["user_id"]: r for r in
+            snapshot_as_of(hist, "2024-01-10 00:00:00").collect()}
+    assert snap[1]["state"] == "a" and snap[1]["version"] == 1
+    assert snap[2]["state"] == "c" and snap[2]["version"] == 1
+    assert len(snap) == 2

@@ -193,3 +193,20 @@ def scd2_sql(
                ) IS NULL THEN 1 ELSE 0 END AS is_current
         FROM ({log_sql})
     """
+
+
+def snapshot_as_of(history: DataFrame, ts: str) -> DataFrame:
+    """Point-in-time (time-travel) read over an SCD2 history: the version
+    of each key whose validity interval [valid_from, valid_to) covers
+    ``ts`` — the lakehouse AS-OF-timestamp query, answered from the same
+    versioned table that serves current-state reads (filter-only, no extra
+    shuffle; with the history partitioned on is_current/valid_from the
+    scan prunes to the covering slices).
+
+    ``ts``: an ISO timestamp string, compared in the session timezone
+    (pinned UTC)."""
+    t = F.lit(ts).cast("timestamp_ntz")
+    return history.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

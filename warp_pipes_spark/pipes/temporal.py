@@ -333,3 +333,116 @@ SELECT g.{key}, g.grid_ts, e.{value} AS {value}
 FROM grid g ASOF LEFT JOIN {table} e
   ON g.{key} = e.{key} AND e.{ts} <= g.grid_ts
 """
+
+
+class RollingZScore(Pipe):
+    """Rolling-window anomaly scoring: each event's z-score against the
+    moving mean/stddev of its key's trailing time window (RANGE frame over
+    epoch microseconds, current row inclusive) — the standard streaming
+    outlier gate, in its batch form.
+
+    Exactness: the window carries COUNT, an exact DECIMAL(18,4) sum and an
+    exact DECIMAL(38,8) sum of squares (a scale-4 decimal squared is scale-8
+    with no rounding), so the moving moments are order- and
+    partitioning-independent; mean/variance/z then evaluate as the identical
+    IEEE-double expression tree in both engines — bit-exact given the exact
+    integer/decimal inputs. Variance is clamped at 0 (float cancellation can
+    dip epsilon-negative) and z is 0 where the window has no spread.
+
+    Scale shape: one shuffle on the key (the window exchange); the frame is
+    time-bounded so per-row state is O(events in the window), never the
+    whole partition.
+    """
+
+    def __init__(
+        self,
+        keys: Sequence[str] = ("user_id",),
+        ts_col: str = "ts",
+        value_col: str = "value",
+        window_seconds: int = 7200,
+        z_threshold: float = 2.0,
+        id_cols: Sequence[str] = ("event_id",),
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.window_seconds = window_seconds
+        self.z_threshold = z_threshold
+        self.id_cols = list(id_cols)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        v4 = F.col(self.value_col).cast("decimal(18,4)")
+        base = df.withColumn("__eus", _us(F.col(self.ts_col))).withColumn(
+            "__v4", v4
+        ).withColumn(
+            # scale-4 x scale-4 = scale-8, exact (no rounding) in 38 digits
+            "__sq", (F.col("__v4") * F.col("__v4")).cast("decimal(38,8)")
+        )
+        w = (
+            Window.partitionBy(*self.keys)
+            .orderBy("__eus")
+            .rangeBetween(-self.window_seconds * 1_000_000, 0)
+        )
+        n = F.count(F.lit(1)).over(w)
+        s = F.sum("__v4").over(w).cast("decimal(38,4)")
+        ss = F.sum("__sq").over(w).cast("decimal(38,8)")
+        mean = s.cast("double") / n.cast("double")
+        var = F.greatest(
+            ss.cast("double") / n.cast("double") - mean * mean, F.lit(0.0)
+        )
+        z = F.when(
+            var > 0,
+            (F.col("__v4").cast("double") - mean) / F.sqrt(var),
+        ).otherwise(F.lit(0.0))
+        return base.select(
+            *self.keys,
+            *self.id_cols,
+            n.cast("long").alias("n_window"),
+            z.alias("z"),
+            (F.abs(z) > F.lit(self.z_threshold)).alias("is_anomaly"),
+        )
+
+
+def rolling_zscore_sql(
+    table: str = "events",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_seconds: int = 7200,
+    z_threshold: float = 2.0,
+) -> str:
+    """DuckDB oracle for :class:`RollingZScore` — the identical RANGE frame
+    over epoch microseconds and the identical double expression tree."""
+    return f"""
+WITH base AS (
+  SELECT {key}, {id_col}, epoch_us({ts}) AS eus,
+         CAST({value} AS DECIMAL(18,4)) AS v4,
+         CAST(CAST({value} AS DECIMAL(18,4)) * CAST({value} AS DECIMAL(18,4))
+              AS DECIMAL(38,8)) AS sq
+  FROM {table}
+), moments AS (
+  SELECT {key}, {id_col}, v4,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(v4) OVER w AS DECIMAL(38,4)) AS s,
+         CAST(SUM(sq) OVER w AS DECIMAL(38,8)) AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY {key} ORDER BY eus
+               RANGE BETWEEN {window_seconds * 1_000_000} PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT {key}, {id_col}, CAST(n AS BIGINT) AS n_window,
+         CASE WHEN greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) > 0
+              THEN (CAST(v4 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+              ELSE 0.0 END AS z
+  FROM moments
+)
+SELECT {key}, {id_col}, n_window, z, (abs(z) > {z_threshold}) AS is_anomaly
+FROM z ORDER BY {key}, {id_col}
+"""

@@ -2770,6 +2770,111 @@ def q124_winnowing(spark, sf):
     return Winnowing(k=3, w=4)(T(spark, sf, "documents"))
 
 
+def q125_rolling_zscore(spark, sf):
+    """Rolling-window anomaly scoring: per-user z-score of each event value
+    against the trailing 2h moving mean/stddev (RANGE frame) — the batch
+    form of the standard streaming outlier gate. Moments carried as exact
+    decimals (sum, sum-of-squares), z evaluated as the identical IEEE
+    expression tree in both engines; one key shuffle."""
+    from warp_pipes_spark.pipes.temporal import RollingZScore
+
+    return RollingZScore(window_seconds=7200, z_threshold=2.0)(
+        T(spark, sf, "events")
+    )
+
+
+def q126_time_travel(spark, sf):
+    """Lakehouse time travel: AS-OF-timestamp snapshot read over the q118
+    SCD2 history — the version of each user's change stream whose validity
+    interval covers 2024-01-15. Filter-only on the versioned table (no
+    extra shuffle beyond the history's own window); at cluster scale the
+    valid_from/is_current partitioning prunes the scan."""
+    from warp_pipes_spark.pipes.cdc import Scd2Apply, snapshot_as_of
+
+    log = T(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    hist = Scd2Apply(keys=["user_id"], ts_col="ts", tie_cols=["event_id"])(log)
+    snap = snapshot_as_of(hist, "2024-01-15 00:00:00")
+    return snap.select("user_id", "event_id", "event_type", "version", "valid_from")
+
+
+def q127_bigram_lm(spark, sf):
+    """Bigram-LM quality scoring (the word-order-aware step up from q76's
+    unigram model): add-one smoothed p(w2|w1) trained on the corpus itself,
+    per-doc average negative log-likelihood over bigram occurrences."""
+    from warp_pipes_spark.text.analysis import BigramPerplexity
+
+    return BigramPerplexity()(T(spark, sf, "documents"))
+
+
+def q128_knn_classifier(spark, sf):
+    """kNN label prediction over the embedding corpus (the eval companion
+    to q123's AUC): exact cosine 5-NN per held-out query vector, majority
+    vote over neighbor labels (count desc, label asc tie-break), compared
+    with the query's true label. Neighbor search is the q30 engine
+    unchanged; the vote is one small aggregation over k x |queries| rows."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    nn = BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    )
+    votes = (
+        nn.join(nlab, "neighbor_id")
+        .groupBy("query_id", "nlab")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nlab")
+    )
+    pred = (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", F.col("nlab").alias("pred_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("pred_label").cast("int").alias("pred_label"),
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def q129_mrr_eval(spark, sf):
+    """Retrieval-quality evaluation (the IR harness the reference runs
+    around its engines): BM25 self-retrieval — each query is built from its
+    source doc's first 5 tokens, the source doc is the single relevant
+    item — scored as per-source hit@10 and MRR@10. Reciprocal ranks round
+    through DECIMAL(18,6) so the per-group sum is order-free; the engine
+    side reuses the q32 index artifact unchanged."""
+    docs = T(spark, sf, "documents")
+    res = Bm25Search(corpus=docs, k=10)(_bm25_queries(spark, sf))
+    hits = res.filter(F.col("idx") == F.col("query_id")).select(
+        "query_id",
+        (F.lit(1.0) / F.col("rank").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("rr"),
+    )
+    qsrc = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), "source"
+    )
+    per_q = qsrc.join(hits, "query_id", "left")
+    return per_q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("rr").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("rr"), F.lit(0).cast("decimal(18,6)")))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mrr"),
+    )
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3140,8 +3245,73 @@ def _new_op_oracles():
     )
 
 
+def _round2b_oracles():
+    from warp_pipes_spark.pipes.cdc import scd2_sql
+    from warp_pipes_spark.pipes.temporal import rolling_zscore_sql
+    from warp_pipes_spark.text.analysis import bigram_perplexity_sql
+
+    ORACLES_EXT["q125_rolling_zscore"] = rolling_zscore_sql(
+        window_seconds=7200, z_threshold=2.0
+    )
+    _cut = "TIMESTAMP '2024-01-15 00:00:00'"
+    ORACLES_EXT["q126_time_travel"] = (
+        "SELECT user_id, event_id, event_type, version, valid_from FROM ("
+        + scd2_sql(
+            "SELECT user_id, event_id, ts, event_type FROM events",
+            keys=["user_id"],
+            ts="ts",
+            ties=["event_id"],
+        )
+        + f") WHERE valid_from <= {_cut} "
+        f"AND (valid_to IS NULL OR valid_to > {_cut}) "
+        "ORDER BY user_id, event_id"
+    )
+    ORACLES_EXT["q127_bigram_lm"] = bigram_perplexity_sql()
+    ORACLES_EXT["q128_knn_classifier"] = (
+        "WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv, label "
+        "FROM embeddings WHERE vec_id % 25 = 0), "
+        "c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "c.label AS nlab, "
+        "CAST(list_dot_product(q.qv, c.cv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) "
+        "AS DECIMAL(18,6)) AS score "
+        "FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, nlab, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, neighbor_id) AS rank FROM scored), "
+        "votes AS (SELECT query_id, nlab, COUNT(*) AS n_votes "
+        "FROM ranked WHERE rank <= 5 GROUP BY 1, 2), "
+        "pred AS (SELECT query_id, nlab AS pred_label, n_votes, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY n_votes DESC, nlab) AS rk FROM votes) "
+        "SELECT p.query_id, CAST(p.pred_label AS INTEGER) AS pred_label, "
+        "CAST(q.label AS INTEGER) AS true_label, "
+        "CAST(p.n_votes AS BIGINT) AS n_votes, "
+        "(p.pred_label = q.label) AS correct "
+        "FROM pred p JOIN q ON q.vec_id = p.query_id WHERE p.rk = 1 "
+        "ORDER BY p.query_id"
+    )
+    ORACLES_EXT["q129_mrr_eval"] = (
+        "WITH res AS ("
+        + bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10)
+        + "), hits AS (SELECT query_id, "
+        "CAST(CAST(1.0 AS DOUBLE) / rank AS DECIMAL(18,6)) AS rr "
+        "FROM res WHERE idx = query_id), "
+        "qs AS (SELECT doc_id AS query_id, source FROM documents "
+        "WHERE doc_id % 25 = 0) "
+        "SELECT source, COUNT(*) AS n_queries, "
+        "CAST(SUM(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, "
+        "CAST(SUM(COALESCE(rr, CAST(0 AS DECIMAL(18,6)))) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE) AS mrr "
+        "FROM qs LEFT JOIN hits USING (query_id) "
+        "GROUP BY source ORDER BY source"
+    )
+
+
 _new_op_oracles()
 _cdc_oracles()
+_round2b_oracles()
 
 
 QUERIES: Dict[str, QuerySpec] = {}
@@ -3273,6 +3443,11 @@ def _register():
         "q122_maxsim": q122_maxsim,
         "q123_classifier_auc": q123_classifier_auc,
         "q124_winnowing": q124_winnowing,
+        "q125_rolling_zscore": q125_rolling_zscore,
+        "q126_time_travel": q126_time_travel,
+        "q127_bigram_lm": q127_bigram_lm,
+        "q128_knn_classifier": q128_knn_classifier,
+        "q129_mrr_eval": q129_mrr_eval,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -805,3 +805,117 @@ SELECT grp AS {group_col}, CAST(g_total AS BIGINT) AS n_tokens,
        CAST(SUM(contrib) AS DOUBLE) AS kl
 FROM per_term GROUP BY grp, g_total ORDER BY grp
 """
+
+
+class BigramPerplexity(Pipe):
+    """Per-document average negative log-likelihood under an add-one
+    (Laplace) smoothed BIGRAM language model trained on the corpus itself —
+    the next step up from :class:`UnigramPerplexity`: word-order glitches
+    (shuffled text, keyword stuffing, boilerplate splices) that a unigram
+    model cannot see score high here.
+
+    p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with V = unigram
+    vocabulary size. Scoring the training corpus itself means every scored
+    bigram exists in the counts, so no backoff machinery is needed; the
+    +1/+V smoothing still matters (it is what keeps rare continuations
+    from collapsing to ln 1).
+
+    Scale shape (same as the unigram operator): the only data-sized
+    shuffle is the per-(doc, bigram) count; the model — ln p per distinct
+    corpus bigram — is bigram-vocabulary-sized and broadcasts back.
+    Per-bigram log-probs round through DECIMAL(18,6) so the per-document
+    sum (int tf x decimal) is exact and order-independent; the final
+    average divides as DOUBLE. Documents with < 2 tokens have no bigrams
+    and drop out (same group domain as the oracle).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        d = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokens_expr(F.col(self.text_col)).alias("l"),
+        )
+        # adjacent pairs, executor-local: element i of the 1..n-1 slice with
+        # its successor (transform's 2-arg lambda receives (element, index);
+        # element_at is 1-based, so the successor of slice index i is l[i+2])
+        pairs = F.transform(
+            F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(F.col("l"), i + F.lit(2)).alias("w2")
+            ),
+        )
+        bg = d.select("doc_id", F.explode(pairs).alias("bg")).select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+        c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        vocab = (
+            d.select(F.explode("l").alias("term"))
+            .agg(F.countDistinct("term").alias("v"))
+        )
+        lnp = (
+            c12.join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "w1",
+                "w2",
+                F.log(
+                    (F.col("c12") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                .cast("decimal(18,6)")
+                .alias("lnp"),
+            )
+        )
+        agg = tf.join(lnp, ["w1", "w2"]).groupBy("doc_id").agg(
+            F.sum(F.col("tf") * F.col("lnp")).alias("s"),
+            F.sum("tf").alias("n"),
+        )
+        # identical-rationale note to UnigramPerplexity: the decimal sum
+        # renders to double correctly-rounded in both engines; the IEEE
+        # division of two identical doubles is exact — no re-round
+        avg_nll = -F.col("s").cast("double") / F.col("n").cast("double")
+        return agg.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_bigrams"),
+            avg_nll.alias("avg_nll"),
+        )
+
+
+def bigram_perplexity_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text)} AS l FROM {table}
+), idx AS (
+  SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM d
+), bg AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM idx
+), tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT term) AS v
+  FROM (SELECT unnest(l) AS term FROM d)
+), lnp AS (
+  SELECT w1, w2,
+         CAST(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+              AS DECIMAL(18,6)) AS lnp
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, SUM(tf * lnp) AS s, SUM(tf) AS n
+  FROM tf JOIN lnp USING (w1, w2) GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       -CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_nll
+FROM agg ORDER BY doc_id
+"""
