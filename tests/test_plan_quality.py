@@ -295,3 +295,46 @@ def test_auc_row_work_is_one_keyed_aggregation(spark, sf_dir):
     assert len(exchanges) == 2, plan
     assert "hashpartitioning" in exchanges[-1] and "score" in exchanges[-1], plan
     assert "SinglePartition" in exchanges[0], plan
+
+
+def test_rolling_zscore_single_window_exchange(spark, sf_dir):
+    """q125: moving count/sum/sum-of-squares and z all come from ONE window
+    over the key — one exchange, one Window node, no join-back, no second
+    pass for the variance."""
+    df = QUERIES["q125_rolling_zscore"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_time_travel_is_filter_only_over_history(spark, sf_dir):
+    """q126: the AS-OF snapshot adds NO work beyond the SCD2 history's own
+    window pass — still one exchange, one Window, no join; the cutoff is a
+    plain Filter."""
+    df = QUERIES["q126_time_travel"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed(df).split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Filter" in plan, plan
+
+
+def test_bigram_lm_model_join_broadcasts(spark, sf_dir):
+    """q127: the ln-p model table is bigram-vocabulary-sized and must come
+    back via broadcast joins — the per-(doc,bigram) count is the only
+    data-sized shuffle; no sort-merge join on the bigram key."""
+    plan = _plan(QUERIES["q127_bigram_lm"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_vote_reuses_exact_engine_shape(spark, sf_dir):
+    """q128: neighbor search must stay the broadcast nested-loop of the
+    exact engine (never a shuffle cartesian); the label joins are hash
+    joins."""
+    plan = _plan(QUERIES["q128_knn_classifier"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
