@@ -510,3 +510,38 @@ def test_bigram_perplexity_hand_model(spark):
     lba = round(math.log(2.0 / 4.0), 6)
     want1 = -(2 * lab + lba) / 3.0
     assert abs(out[1]["avg_nll"] - want1) < 1e-9
+
+
+def test_dup_span_removal_hand_case(spark):
+    """Two docs sharing the 4-token run 'a b c d' (n=3 -> grams abc, bcd
+    shared): every covered position drops, surviving tokens reassemble in
+    order, and a doc with no shared grams passes through untouched."""
+    from warp_pipes_spark.text.dedup import DupSpanRemoval
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d q"),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DupSpanRemoval(n=3)(df).collect()}
+    assert out[1]["clean_text"] == "e f" and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "x y q" and out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "totally unrelated words here"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 4
+
+
+def test_item_recs_hand_case(spark):
+    """Baskets {1,2},{1,2},{1,3},{2,3}: only the (1,2) pair reaches
+    support 2; sim = 2/sqrt(3*3); item 3 gets no recommendations."""
+    from warp_pipes_spark.ml.recommend import ItemItemRecs
+
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3), (13, 2), (13, 3)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = sorted(
+        (r["part_id"], r["rank"], r["rec_part_id"], round(r["sim"], 6), r["support"])
+        for r in ItemItemRecs(k=3, min_support=2)(df).collect()
+    )
+    assert out == [(1, 1, 2, round(2 / 3, 6), 2), (2, 1, 1, round(2 / 3, 6), 2)]

@@ -2875,6 +2875,27 @@ def q129_mrr_eval(spark, sf):
     )
 
 
+def q130_dup_span_removal(spark, sf):
+    """Cross-document duplicated-span REMOVAL (the acting step q104 only
+    measures): token positions covered by any 5-gram appearing in >= 2
+    distinct docs are dropped and each doc reassembles from the survivors
+    — the exact-substring dedup recipe in counting form. Gram/df machinery
+    is q104's; the position fan-out is sized by duplicated volume only."""
+    from warp_pipes_spark.text.dedup import DupSpanRemoval
+
+    return DupSpanRemoval(n=5)(T(spark, sf, "documents"))
+
+
+def q131_item_recs(spark, sf):
+    """Item-item collaborative filtering (the neighborhood recommender):
+    per-part top-3 co-purchase recommendations by binary-cosine
+    c_ij / sqrt(n_i n_j) with support >= 2 — trains relationally on the
+    q98 basket self-join shape; normalizers broadcast back."""
+    from warp_pipes_spark.ml.recommend import ItemItemRecs
+
+    return ItemItemRecs(k=3, min_support=2)(T(spark, sf, "lineitem"))
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3307,6 +3328,11 @@ def _round2b_oracles():
         "FROM qs LEFT JOIN hits USING (query_id) "
         "GROUP BY source ORDER BY source"
     )
+    from warp_pipes_spark.ml.recommend import item_recs_sql
+    from warp_pipes_spark.text.dedup import dup_span_removal_sql
+
+    ORACLES_EXT["q130_dup_span_removal"] = dup_span_removal_sql(n=5)
+    ORACLES_EXT["q131_item_recs"] = item_recs_sql(k=3, min_support=2)
 
 
 _new_op_oracles()
@@ -3448,6 +3474,8 @@ def _register():
         "q127_bigram_lm": q127_bigram_lm,
         "q128_knn_classifier": q128_knn_classifier,
         "q129_mrr_eval": q129_mrr_eval,
+        "q130_dup_span_removal": q130_dup_span_removal,
+        "q131_item_recs": q131_item_recs,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -1434,3 +1434,140 @@ SELECT toks.doc_id AS {id_col},
        CAST(COALESCE(per_doc.n_shared, 0) AS BIGINT) AS n_shared
 FROM toks LEFT JOIN per_doc USING (doc_id)
 """
+
+
+class DupSpanRemoval(Pipe):
+    """Cross-document duplicated-span REMOVAL — the acting step after
+    :class:`DupNgramFraction`'s measurement, completing the exact-substring
+    dedup recipe of Lee et al. 2022 (arXiv:2107.06499) in counting form:
+    every token position covered by any n-gram that appears in >= ``min_df``
+    distinct documents is dropped, and the document re-assembles from the
+    surviving tokens (overlapping duplicated grams merge into one removed
+    span automatically, because removal is position-wise).
+
+    Output: ``(doc_id, n_tokens, n_removed, clean_text)`` for every input
+    row — untouched docs pass through with ``n_removed = 0``.
+
+    Plan shape: the gram table (fixed-width md5 keys) and its
+    vocabulary-sized df rollup are exactly q104's; the only additions are a
+    bounded n-way position fan-out on the DUPLICATED starts only (at 100 TB
+    duplicated grams are the small minority — the fan-out is sized by dup
+    volume, not corpus volume) and one per-doc covered-set aggregation.
+    Token re-assembly is an executor-local array filter against the
+    covered-position set — no per-token rows ever shuffle."""
+
+    def __init__(
+        self,
+        n: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_df: int = 2,
+        **kwargs,
+    ):
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        if min_df < 2:
+            raise ValueError(f"min_df counts OTHER docs too: >= 2, got {min_df}")
+        super().__init__(**kwargs)
+        self.n = n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_df = min_df
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        n = self.n
+        toks = tokens_expr(F.col(self.text_col))
+        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        starts = F.when(
+            F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        gram_rows = base.select(
+            "doc_id", F.explode(starts).alias("s"), F.col("__t")
+        ).select(
+            "doc_id",
+            "s",
+            F.md5(F.array_join(F.slice("__t", F.col("s"), n), " ")).alias("gram"),
+        )
+        dfc = gram_rows.groupBy("gram").agg(
+            F.countDistinct("doc_id").alias("__df")
+        )
+        dup_starts = gram_rows.join(
+            dfc.filter(F.col("__df") >= self.min_df), "gram"
+        ).select("doc_id", "s")
+        covered = (
+            dup_starts.select(
+                "doc_id",
+                F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.collect_set("p").alias("__cov"))
+        )
+        with_cov = base.join(covered, "doc_id", "left").withColumn(
+            "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+        )
+        indexed = F.transform(
+            F.col("__t"),
+            lambda x, i: F.struct((i + F.lit(1)).alias("p"), x.alias("tok")),
+        )
+        kept = F.filter(
+            indexed, lambda st: ~F.array_contains(F.col("__cov"), st["p"])
+        )
+        return with_cov.select(
+            F.col("doc_id").alias(self.id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.size("__cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda st: st["tok"]), " "
+            ).alias("clean_text"),
+        )
+
+
+def dup_span_removal_sql(
+    table: str = "documents",
+    n: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> str:
+    """DuckDB oracle for :class:`DupSpanRemoval` — identical md5 gram keys,
+    identical position-coverage rule, re-assembly via ordered string_agg."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {tokens_sql(text)} AS t FROM {table}
+), g AS (
+  SELECT {id_col}, u.i AS s,
+         md5(array_to_string(t[u.i:u.i + {n - 1}], ' ')) AS gram
+  FROM toks, UNNEST(CASE WHEN len(t) >= {n}
+                         THEN range(1, len(t) - {n} + 2)
+                         ELSE [] END) AS u(i)
+), dfc AS (
+  SELECT gram, COUNT(DISTINCT {id_col}) AS df FROM g GROUP BY 1
+), dups AS (
+  SELECT g.{id_col}, g.s FROM g JOIN dfc USING (gram) WHERE dfc.df >= {min_df}
+), cov AS (
+  SELECT DISTINCT {id_col}, s + o.j AS p
+  FROM dups, UNNEST(range(0, {n})) AS o(j)
+), pos AS (
+  SELECT {id_col}, u.i AS p, t[u.i] AS tok
+  FROM toks, UNNEST(CASE WHEN len(t) >= 1 THEN range(1, len(t) + 1)
+                         ELSE [] END) AS u(i)
+), kept AS (
+  SELECT pos.{id_col}, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.{id_col} = cov.{id_col} AND pos.p = cov.p
+  WHERE cov.p IS NULL
+), clean AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+), ncov AS (
+  SELECT {id_col}, COUNT(*) AS n_removed FROM cov GROUP BY 1
+)
+SELECT toks.{id_col},
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ncov.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(clean.clean_text, '') AS clean_text
+FROM toks
+LEFT JOIN clean USING ({id_col})
+LEFT JOIN ncov USING ({id_col})
+"""
