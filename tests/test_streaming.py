@@ -464,3 +464,74 @@ def test_split_assign_is_streaming_safe(spark, tmp_path):
     want = {r["event_id"]: r["split"] for r in assigner(batch_df).collect()}
     assert got == want
     assert set(want.values()) == {"train", "val"}  # both splits exercised
+
+
+def test_stateful_zscore_prequential_parity(spark, tmp_path):
+    """Online z-score over a stream equals the batch one-step-ahead window
+    computation (expanding frame over strictly-earlier rows) on the same
+    events — including state carried ACROSS micro-batches."""
+    src = str(tmp_path / "events_zscore")
+    os.makedirs(src)
+    batch0 = [
+        (1, "2024-01-01T10:00:00", 1, "click", 10.0),
+        (2, "2024-01-01T10:05:00", 1, "click", 12.0),
+        (3, "2024-01-01T10:10:00", 1, "click", 11.0),
+        (4, "2024-01-01T10:15:00", 1, "click", 50.0),
+    ]
+    batch1 = [
+        (5, "2024-01-01T10:20:00", 1, "click", 11.5),
+    ]
+    _write_batch(src, batch0, "b0.json")
+
+    from warp_pipes_spark.streaming.stateful import stateful_zscore
+
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["event_id"]] = (r["n_seen"], r["z"], r["is_anomaly"])
+        if batch_id == 0:
+            _write_batch(src, batch1, "b1.json")
+
+    out = stateful_zscore(read_events_stream(spark, src), z_threshold=2.0)
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(got) < 5:
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(10)
+
+    rows = batch0 + batch1
+    batch_df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count("value").over(w)
+    s = F.sum("value").over(w)
+    ss = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s / n
+    var = ss / n - mean * mean
+    z = F.when(
+        (n >= 2) & (var > 0), (F.col("value") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    want = {
+        r["event_id"]: (r["n_seen"], r["z"])
+        for r in batch_df.select(
+            "event_id", n.cast("long").alias("n_seen"), z.alias("z")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for eid, (wn, wz) in want.items():
+        gn, gz, ga = got[eid]
+        assert gn == wn, (eid, gn, wn)
+        assert abs(gz - wz) < 1e-9, (eid, gz, wz)
+    # event 4 (value 50 vs history 10/12/11) must flag; the rest must not
+    assert got[4][2] is True
+    assert all(not got[e][2] for e in (1, 2, 3, 5))

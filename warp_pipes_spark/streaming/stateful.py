@@ -116,3 +116,74 @@ def stateful_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ZSCORE_OUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, "
+    "n_seen long, z double, is_anomaly boolean"
+)
+ZSCORE_STATE_SCHEMA = "n long, s double, ss double"
+
+
+def stateful_zscore(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Online anomaly detection: every event is scored ONE-STEP-AHEAD
+    against its user's running mean/std over all strictly-earlier events
+    (prequential scoring — the event never masks itself), then folded into
+    the state. The streaming counterpart of the batch
+    :class:`~warp_pipes_spark.pipes.temporal.RollingZScore`, with the
+    expanding-history frame a stream can actually maintain: state per user
+    is three numbers (count, sum, sum of squares) — O(1) per key forever,
+    no eviction needed.
+
+    Events are scored in (ts, id) order within each micro-batch; an event
+    with fewer than 2 predecessors (or zero spread) scores z = 0. Output
+    mode: append — one scored row per input event."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        pdfs = [pdf for pdf in pdf_iter if len(pdf)]
+        if not pdfs:
+            return
+        batch = pd.concat(pdfs, ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        out = {k: [] for k in (
+            "user_id", "event_id", "ts", "value", "n_seen", "z", "is_anomaly"
+        )}
+        for _, row in batch.iterrows():
+            v = float(row[value_col])
+            z = 0.0
+            if n >= 2:
+                mean = s / n
+                var = ss / n - mean * mean
+                if var > 0:
+                    z = (v - mean) / var ** 0.5
+            out["user_id"].append(user_id)
+            out["event_id"].append(int(row[id_col]))
+            out["ts"].append(row[ts_col])
+            out["value"].append(v)
+            out["n_seen"].append(n)
+            out["z"].append(z)
+            out["is_anomaly"].append(abs(z) > z_threshold)
+            n, s, ss = n + 1, s + v, ss + v * v
+        state.update((n, s, ss))
+        yield pd.DataFrame(out)
+
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
