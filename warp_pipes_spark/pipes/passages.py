@@ -73,6 +73,19 @@ class GeneratePassages(Pipe):
     covering ``field_cols`` too — every key must inject the SAME count so
     columns stay token-aligned).
 
+    ``prepend_cols`` mirrors the reference's ``prepend_field``
+    (``passages.py:48``, applied at ``:244-271``): the named array column's
+    per-row contents (e.g. the tokenized title) are injected after the static
+    ``start_tokens`` of EVERY window of that document, so the effective
+    window over the source shrinks per row by the prepend length — exactly
+    the reference's ``start_tokens += aux_input_ids`` rule. Pass a plain
+    column name to prepend to ``token_col`` only, or a ``{col: prepend_col}``
+    dict covering ``field_cols`` too (each windowed column gets its own
+    aligned prepend source, reference ``get_eg_args``). A row whose prepend
+    array leaves no effective window (``size - starts - prepend - ends <=
+    0``) fails at runtime with Spark's sequence-bounds error — size your
+    windows above the longest title, as the reference requires.
+
     Output: one row per passage with ``passage_idx``, windowed arrays, the
     ownership mask ``passage_mask`` (array<int> aligned with the emitted
     passage incl. injected tokens: 1 = this passage owns the token), and the
@@ -89,6 +102,7 @@ class GeneratePassages(Pipe):
         pad_values: Optional[dict] = None,
         start_tokens: Union[List, Dict[str, List], None] = None,
         end_tokens: Union[List, Dict[str, List], None] = None,
+        prepend_cols: Union[str, Dict[str, str], None] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -103,6 +117,7 @@ class GeneratePassages(Pipe):
         self.pad_values = dict(pad_values or {})
         self.start_tokens = self._norm_tokens(start_tokens, "start_tokens")
         self.end_tokens = self._norm_tokens(end_tokens, "end_tokens")
+        self.prepend_cols = self._norm_prepend(prepend_cols)
         self.n_start = len(next(iter(self.start_tokens.values()), []))
         self.n_end = len(next(iter(self.end_tokens.values()), []))
         self.eff_size = size - self.n_start - self.n_end
@@ -112,6 +127,25 @@ class GeneratePassages(Pipe):
                 "start/end tokens leave no effective window "
                 f"(eff_size={self.eff_size}, eff_stride={self.eff_stride})"
             )
+
+    def _norm_prepend(self, prepend) -> Dict[str, str]:
+        if prepend is None:
+            return {}
+        if isinstance(prepend, str):
+            if self.field_cols:
+                raise ValueError(
+                    "prepend_cols: pass a {col: prepend_col} dict when "
+                    "field_cols are windowed too (every windowed column must "
+                    "inject the same per-row count to stay token-aligned)"
+                )
+            return {self.token_col: prepend}
+        windowed = {self.token_col, *self.field_cols}
+        if set(prepend) != windowed:
+            raise ValueError(
+                f"prepend_cols keys {sorted(prepend)} must cover exactly the "
+                f"windowed columns {sorted(windowed)}"
+            )
+        return dict(prepend)
 
     def _norm_tokens(self, tokens, what: str) -> Dict[str, List]:
         if tokens is None:
@@ -128,33 +162,51 @@ class GeneratePassages(Pipe):
             )
         return {self.token_col: list(tokens)}
 
-    def _window(self, name: str, start: Column, win_len: Column) -> Column:
-        """Windowed array for one column: start tokens + source slice +
-        end tokens + optional padding to full ``size``."""
+    def _window(self, name: str, start: Column, win_len: Column, eff_size) -> Column:
+        """Windowed array for one column: start tokens + per-row prepend +
+        source slice + end tokens + optional padding to full ``size``.
+        ``eff_size`` is an int (static path) or a per-row Column (prepend
+        path — the reference's per-example shrunken window)."""
         col = F.col(name)
         parts = []
         if self.n_start:
             parts.append(F.array(*[F.lit(v) for v in self.start_tokens[name]]))
-        parts.append(F.slice(col, start + 1, self.eff_size))  # slice() is 1-based
+        if self.prepend_cols:
+            parts.append(F.coalesce(F.col(self.prepend_cols[name]), F.array()))
+        parts.append(F.slice(col, start + 1, eff_size))  # slice() is 1-based
         if self.n_end:
             parts.append(F.array(*[F.lit(v) for v in self.end_tokens[name]]))
         fill = self.pad_values.get(name, self.pad_value)
         if self.pad_value is not None:
             parts.append(
                 F.array_repeat(
-                    F.lit(fill), F.greatest(F.lit(0), F.lit(self.eff_size) - win_len)
+                    F.lit(fill), F.greatest(F.lit(0), (eff_size - win_len).cast("int"))
                 )
             )
         return F.concat(*parts) if len(parts) > 1 else parts[0]
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         ns, ne = self.n_start, self.n_end
-        eff_size, eff_stride = self.eff_size, self.eff_stride
-        margin = eff_size - eff_stride
-        left_pad = margin // 2 + margin % 2  # reference: ceil for i > 0
-        right_pad = margin // 2
+        if self.prepend_cols:
+            # Per-row window algebra (reference get_eg_args: start_tokens +=
+            # aux tokens): everything the static path computes as a Python
+            # int becomes a Column derived from the prepend array's length.
+            pre_len = F.size(
+                F.coalesce(F.col(self.prepend_cols[self.token_col]), F.array())
+            )
+            ns = F.lit(self.n_start) + pre_len
+            eff_size = F.lit(self.size) - ns - F.lit(ne)
+            eff_stride = F.lit(self.stride) - ns - F.lit(ne)
+            margin = eff_size - eff_stride
+            left_pad = ((margin + F.lit(1)) / F.lit(2)).cast("int")
+            right_pad = (margin / F.lit(2)).cast("int")
+        else:
+            eff_size, eff_stride = self.eff_size, self.eff_stride
+            margin = eff_size - eff_stride
+            left_pad = margin // 2 + margin % 2  # reference: ceil for i > 0
+            right_pad = margin // 2
 
-        if ns and self.field_cols:
+        if self.n_start and self.field_cols:
             missing = [
                 c
                 for c in [self.token_col, *self.field_cols]
@@ -162,7 +214,7 @@ class GeneratePassages(Pipe):
             ]
             if missing:
                 raise ValueError(f"start_tokens missing for columns {missing}")
-        if ne and self.field_cols:
+        if self.n_end and self.field_cols:
             missing = [
                 c for c in [self.token_col, *self.field_cols] if c not in self.end_tokens
             ]
@@ -171,7 +223,8 @@ class GeneratePassages(Pipe):
 
         n = F.size(F.col(self.token_col))
         # 0-based window starts: 0, eff_stride, ... while start < n
-        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(eff_stride))
+        step = eff_stride if isinstance(eff_stride, Column) else F.lit(eff_stride)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), step)
 
         exploded = df.select(
             *[c for c in df.columns],
@@ -179,21 +232,21 @@ class GeneratePassages(Pipe):
         ).filter((n > 0) & (F.col("__start") < n))
 
         src_n = F.size(F.col(self.token_col))
-        win_len = F.least(F.col("__start") + F.lit(eff_size), src_n) - F.col("__start")
-        lp_w = F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(F.lit(left_pad))
+        win_len = F.least(F.col("__start") + eff_size, src_n) - F.col("__start")
+        lp_w = F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(left_pad)
         # the reference's skip rule (gen_passages: "only return if there are
         # unmasked tokens"): a window whose tokens are all owned by its
         # predecessor is not emitted
         exploded = exploded.filter(win_len > lp_w)
 
         padding = (
-            F.greatest(F.lit(0), F.lit(eff_size) - win_len)
+            F.greatest(F.lit(0), (eff_size - win_len).cast("int"))
             if self.pad_value is not None
             else F.lit(0)
         )
-        out_len = F.lit(ns) + win_len + F.lit(ne) + padding
-        ones_lo = F.lit(ns) + lp_w
-        ones_hi = F.lit(ns + eff_size - right_pad)
+        out_len = ns + win_len + ne + padding
+        ones_lo = ns + lp_w
+        ones_hi = ns + eff_size - right_pad
         unpadded = out_len - padding
         mask = F.transform(
             F.sequence(F.lit(0), out_len - 1),
@@ -201,7 +254,7 @@ class GeneratePassages(Pipe):
         )
 
         windowed = {
-            name: self._window(name, F.col("__start"), win_len)
+            name: self._window(name, F.col("__start"), win_len, eff_size)
             for name in [self.token_col, *self.field_cols]
         }
         # Alias windowed arrays to temp names first: re-using the source column

@@ -2896,6 +2896,40 @@ def q131_item_recs(spark, sf):
     return ItemItemRecs(k=3, min_support=2)(T(spark, sf, "lineitem"))
 
 
+def q132_titled_passages(spark, sf):
+    """The REAL GeneratePassages operator with the reference's full surface:
+    [CLS]/[SEP] start/end tokens PLUS per-document prepend_cols (reference
+    ``prepend_field``, passages.py:48,244-271) — every window of a document
+    carries that document's title tokens after [CLS], so the effective
+    window size varies per row (title length 1 for 'en' docs, 2 otherwise).
+    Pure array-expression explode: scan-speed at 100 TB, zero Python."""
+    from warp_pipes_spark.pipes.passages import GeneratePassages
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id",
+        tokens_expr(F.col("text")).alias("toks"),
+        F.when(F.col("lang") == "en", F.array(F.col("source")))
+        .otherwise(F.array(F.col("source"), F.col("lang")))
+        .alias("title"),
+    )
+    passages = GeneratePassages(
+        token_col="toks",
+        size=12,
+        stride=9,
+        global_cols=["doc_id"],
+        start_tokens=["[cls]"],
+        end_tokens=["[sep]"],
+        prepend_cols="title",
+    )(docs)
+    return passages.select(
+        "doc_id",
+        "passage_idx",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.array_join("toks", " ").alias("passage_text"),
+    )
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3334,6 +3368,32 @@ def _round2b_oracles():
     ORACLES_EXT["q130_dup_span_removal"] = dup_span_removal_sql(n=5)
     ORACLES_EXT["q131_item_recs"] = item_recs_sql(k=3, min_support=2)
 
+    # q132: the reference's full passage surface (start/end + prepend_field)
+    # — window algebra restated with DuckDB 1-based inclusive slices; the
+    # skip rule's left_pad = ceil(margin/2) matches gen_passages.
+    ORACLES_EXT["q132_titled_passages"] = (
+        "WITH d AS (SELECT doc_id, "
+        f"{tokens_sql()} AS toks, "
+        "CASE WHEN lang = 'en' THEN [source] ELSE [source, lang] END AS title "
+        "FROM documents), "
+        "p AS (SELECT doc_id, toks, title, "
+        "12 - (1 + len(title)) - 1 AS eff_size, "
+        "9 - (1 + len(title)) - 1 AS eff_stride FROM d), "
+        "s AS (SELECT doc_id, toks, title, eff_size, eff_stride, "
+        "unnest(generate_series(1, greatest(len(toks), 1), eff_stride)) AS start, "
+        "generate_subscripts(generate_series(1, greatest(len(toks), 1), eff_stride), 1) - 1 AS passage_idx "
+        "FROM p), "
+        "w AS (SELECT doc_id, passage_idx, title, eff_size, eff_stride, "
+        "toks[start:start + eff_size - 1] AS chunk FROM s), "
+        "e AS (SELECT doc_id, passage_idx, title, chunk FROM w "
+        "WHERE len(chunk) > CASE WHEN passage_idx = 0 THEN 0 "
+        "ELSE ((eff_size - eff_stride) + 1) // 2 END) "
+        "SELECT doc_id, CAST(passage_idx AS INTEGER) AS passage_idx, "
+        "CAST(1 + len(title) + len(chunk) + 1 AS INTEGER) AS n_tokens, "
+        "array_to_string(['[cls]'] || title || chunk || ['[sep]'], ' ') AS passage_text "
+        "FROM e ORDER BY doc_id, passage_idx"
+    )
+
 
 _new_op_oracles()
 _cdc_oracles()
@@ -3476,6 +3536,7 @@ def _register():
         "q129_mrr_eval": q129_mrr_eval,
         "q130_dup_span_removal": q130_dup_span_removal,
         "q131_item_recs": q131_item_recs,
+        "q132_titled_passages": q132_titled_passages,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
