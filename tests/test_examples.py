@@ -1,0 +1,93 @@
+"""Smoke tests: every user-guide example runs and returns sane output.
+
+The examples mirror the reference's ``user_guide/src/examples/`` (see
+``examples/README.md`` for the mapping); these tests keep them executable
+as the operator APIs evolve.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+sys.path.insert(0, EXAMPLES_DIR)
+
+
+def _mod(name):
+    return importlib.import_module(name)
+
+
+def test_tokenize_in_parallel(spark):
+    out = _mod("tokenize_in_parallel").run(spark)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["document.tokens"][:2] == ["fipple", "flutes"]
+    assert r["title.tokens"] == ["title", "pipe"]
+    assert len(r["document.input_ids"]) == len(r["document.offset_mapping"])
+
+
+def test_generate_passages_example(spark):
+    out = _mod("generate_passages").run(spark).collect()
+    assert len(out) > 2
+    for r in out:
+        assert len(r["input_ids"]) == 30  # padded to size
+        assert r["input_ids"][0] == 101  # [CLS]
+        assert len(r["input_ids"]) == len(r["attention_mask"])
+    # doc 0's windows all carry the 2-token title after [CLS]
+    doc0 = [r for r in out if r["idx"] == 0]
+    assert all(r["input_ids"][1:3] == [7001, 7002] for r in doc0)
+
+
+def test_collate_documents_example(spark):
+    out = _mod("collate_documents").run(spark).collect()
+    assert len(out) == 3
+    for r in out:
+        assert len(r["document.input_ids"]) == 6
+        assert len(r["document.attention_mask"]) == 6
+
+
+def test_passages_and_collate_example(spark):
+    out = _mod("passages_and_collate").run(spark).collect()
+    assert len(out) >= 4
+    for r in out:
+        assert len(r["document.input_ids"]) == 16
+        assert r["document.input_ids"][0] == -1  # [CLS]
+
+
+def test_custom_search_engine_example(spark):
+    mod = _mod("custom_search_engine")
+    from warp_pipes_spark.search.auto import ENGINES
+
+    assert ENGINES["dot"] is mod.DotProductSearch  # registry hookup
+    out = mod.run(spark).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        # self-match ranks first on raw dot product of unit-ish vectors
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["idx"] == q
+
+
+def test_ivf_search_engine_example(spark):
+    mod = _mod("ivf_search_engine")
+    out = mod.run(spark).collect()
+    assert len(out) > 0
+    assert mod.recall_vs_exact(spark) >= 0.5  # n_probe=3 of 8 cells
+
+
+def test_index_pipeline_example(spark):
+    out = _mod("index_pipeline").run(spark).collect()
+    qids = {r["query_id"] for r in out}
+    assert 9000 in qids and 9001 in qids  # ad-hoc batch matched
+    assert any(q < 9000 for q in qids)  # dataset split matched
+    for r in out:
+        assert 1 <= r["rank"] <= 5

@@ -71,7 +71,11 @@ class Pipe:
         if self.input_filter is None:
             return df
         keep = select_columns(df.columns, self.input_filter)
-        return df.select(*keep)
+        # backtick-quote: dotted field names (`document.text`) are plain
+        # column names here, not struct paths
+        from pyspark.sql import functions as F
+
+        return df.select(*[F.col(f"`{c}`") for c in keep])
 
     def _columns(self, df: DataFrame, **kwargs) -> Optional[Dict[str, Column]]:
         """Row-preserving column semantics: return ``{name: Column}`` or None

@@ -57,7 +57,7 @@ class GetKey(Pipe):
         self.key = key
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        return df.select(self.key)
+        return df.select(F.col(f"`{self.key}`"))
 
 
 class FilterKeys(Pipe):
@@ -70,7 +70,8 @@ class FilterKeys(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         keep = select_columns(df.columns, self.condition)
-        return df.select(*keep)
+        # backtick-quote: dotted field names are plain columns, not paths
+        return df.select(*[F.col(f"`{c}`") for c in keep])
 
 
 class DropKeys(Pipe):

@@ -167,12 +167,14 @@ class GeneratePassages(Pipe):
         source slice + end tokens + optional padding to full ``size``.
         ``eff_size`` is an int (static path) or a per-row Column (prepend
         path — the reference's per-example shrunken window)."""
-        col = F.col(name)
+        col = F.col(f"`{name}`")
         parts = []
         if self.n_start:
             parts.append(F.array(*[F.lit(v) for v in self.start_tokens[name]]))
         if self.prepend_cols:
-            parts.append(F.coalesce(F.col(self.prepend_cols[name]), F.array()))
+            parts.append(
+                F.coalesce(F.col(f"`{self.prepend_cols[name]}`"), F.array())
+            )
         parts.append(F.slice(col, start + 1, eff_size))  # slice() is 1-based
         if self.n_end:
             parts.append(F.array(*[F.lit(v) for v in self.end_tokens[name]]))
@@ -192,7 +194,9 @@ class GeneratePassages(Pipe):
             # aux tokens): everything the static path computes as a Python
             # int becomes a Column derived from the prepend array's length.
             pre_len = F.size(
-                F.coalesce(F.col(self.prepend_cols[self.token_col]), F.array())
+                F.coalesce(
+                    F.col(f"`{self.prepend_cols[self.token_col]}`"), F.array()
+                )
             )
             ns = F.lit(self.n_start) + pre_len
             eff_size = F.lit(self.size) - ns - F.lit(ne)
@@ -221,17 +225,17 @@ class GeneratePassages(Pipe):
             if missing:
                 raise ValueError(f"end_tokens missing for columns {missing}")
 
-        n = F.size(F.col(self.token_col))
+        n = F.size(F.col(f"`{self.token_col}`"))
         # 0-based window starts: 0, eff_stride, ... while start < n
         step = eff_stride if isinstance(eff_stride, Column) else F.lit(eff_stride)
         starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), step)
 
         exploded = df.select(
-            *[c for c in df.columns],
+            *[F.col(f"`{c}`") for c in df.columns],
             F.posexplode(starts).alias("passage_idx", "__start"),
         ).filter((n > 0) & (F.col("__start") < n))
 
-        src_n = F.size(F.col(self.token_col))
+        src_n = F.size(F.col(f"`{self.token_col}`"))
         win_len = F.least(F.col("__start") + eff_size, src_n) - F.col("__start")
         lp_w = F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(left_pad)
         # the reference's skip rule (gen_passages: "only return if there are
@@ -262,15 +266,15 @@ class GeneratePassages(Pipe):
         # resolution bind the mask lambda's references to the *windowed* array
         # instead of the original, corrupting win_len/ones_hi.
         out_cols = [
-            *[F.col(c) for c in self.global_cols],
+            *[F.col(f"`{c}`") for c in self.global_cols],
             F.col("passage_idx"),
             *[expr.alias(f"__w_{name}") for name, expr in windowed.items()],
             mask.alias("passage_mask"),
         ]
         staged = exploded.select(*out_cols)
         return staged.select(
-            *self.global_cols,
+            *[F.col(f"`{c}`") for c in self.global_cols],
             "passage_idx",
-            *[F.col(f"__w_{name}").alias(name) for name in windowed],
+            *[F.col(f"`__w_{name}`").alias(name) for name in windowed],
             "passage_mask",
         )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.condition import as_condition
 from warp_pipes_spark.core.pipe import AsPipe, Pipe
@@ -116,7 +117,7 @@ class Parallel(Pipe):
         if self.update:
             return merged
         keep = [c for c in merged.columns if c in seen]
-        return merged.select(*keep)
+        return merged.select(*[F.col(f"`{c}`") for c in keep])
 
     def to_json_struct(self) -> dict:
         return {"__pipe__": "Parallel", "pipes": [p.to_json_struct() for p in self.pipes]}
@@ -128,7 +129,9 @@ def _merge_branch(base: DataFrame, branch: DataFrame, add_cols) -> DataFrame:
     partitioning); otherwise the branch must be a row-preserving projection of
     the base and we re-select its new columns."""
     if "row_id" in base.columns and "row_id" in branch.columns:
-        right = branch.select("row_id", *add_cols)
+        right = branch.select(
+            "row_id", *[F.col(f"`{c}`") for c in add_cols]  # dotted names
+        )
         return base.join(right, on="row_id", how="inner")
     # Fallback: branches that kept no key are merged positionally — only
     # valid for column-wise pipes; enforce by requiring identical counts at
