@@ -545,3 +545,26 @@ def test_item_recs_hand_case(spark):
         for r in ItemItemRecs(k=3, min_support=2)(df).collect()
     )
     assert out == [(1, 1, 2, round(2 / 3, 6), 2), (2, 1, 1, round(2 / 3, 6), 2)]
+
+
+def test_reference_import_surface():
+    """A reference user's `from warp_pipes import X` one-liners port to
+    `from warp_pipes_spark import X` (reference warp_pipes/__init__.py +
+    pipes/__init__.py export lists, incl. the documented aliases)."""
+    import warp_pipes_spark as w
+
+    reference_names = [
+        # warp_pipes/__init__.py
+        "Fingerprintable", "Pipe", "get_fingerprint",
+        # warp_pipes/pipes/__init__.py
+        "CollateField", "Index", "GeneratePassages", "BlockSequential",
+        "Gate", "Parallel", "ParallelbyField", "Sequential", "PrintBatch",
+        "PrintContent", "Predict", "PredictWithCache", "PredictWithoutCache",
+        "TokenizerPipe", "Flatten", "Nest", "ApplyAsFlatten",
+        # condition family
+        "Condition", "Contains", "In", "HasPrefix", "Not", "Reduce",
+        "Static", "HasKeys", "HasKeyWithPrefix", "AllValuesOfType",
+    ]
+    missing = [n for n in reference_names if not hasattr(w, n)]
+    assert not missing, missing
+    assert not [n for n in w.__all__ if not hasattr(w, n)]

@@ -50,6 +50,44 @@ from warp_pipes_spark.pipes.pipelines import (
     PipeProcessError,
     Sequential,
 )
+from warp_pipes_spark.core.condition import (
+    AllValuesOfType,
+    HasKeys,
+    HasKeyWithPrefix,
+)
+from warp_pipes_spark.core.fingerprint import get_fingerprint
+from warp_pipes_spark.pipes.cache import CachedPipe, CacheManager
+from warp_pipes_spark.pipes.collate import (
+    CollateField,
+    FirstEg,
+    Padding,
+    decollate,
+)
+from warp_pipes_spark.pipes.nesting import (
+    ApplyAsFlatten,
+    Expand,
+    Flatten,
+    Nest,
+    Nested,
+    NestedLevel1,
+)
+from warp_pipes_spark.pipes.passages import GeneratePassages
+from warp_pipes_spark.pipes.pprint import PrintBatch, PrintContent
+from warp_pipes_spark.pipes.predict import Predict, PredictWithoutCache
+from warp_pipes_spark.pipes.tokenizer import HFTokenizer, RegexTokenizer
+from warp_pipes_spark.search.auto import auto_engine, auto_index
+from warp_pipes_spark.search.index import Index
+
+# Reference-name aliases so `from warp_pipes import X` one-liners port as
+# `from warp_pipes_spark import X`:
+# - the reference's default TokenizerPipe wraps an HF tokenizer; the
+#   equivalent default path here is the JVM-side RegexTokenizer (HFTokenizer
+#   is the transformers-backed variant, gated on the library being present)
+TokenizerPipe = RegexTokenizer
+# - PredictWithCache is the fingerprint-keyed cached path (`Predict` here)
+PredictWithCache = Predict
+# - Pipe IS the fingerprintable base in this design (reference's mixin)
+Fingerprintable = Pipe
 
 __version__ = "0.1.0"
 
@@ -80,4 +118,42 @@ __all__ = [
     "BlockSequential",
     "ParallelbyField",
     "PipeProcessError",
+    # conditions (full family)
+    "BatchCondition",
+    "NonEmpty",
+    "AnyRowMatches",
+    "AllRowsMatch",
+    "HasKeys",
+    "HasKeyWithPrefix",
+    "AllValuesOfType",
+    # nesting / passages / collate
+    "Flatten",
+    "Nest",
+    "ApplyAsFlatten",
+    "Nested",
+    "NestedLevel1",
+    "Expand",
+    "GeneratePassages",
+    "CollateField",
+    "Padding",
+    "FirstEg",
+    "decollate",
+    # tokenize / predict / cache / pprint
+    "RegexTokenizer",
+    "HFTokenizer",
+    "TokenizerPipe",
+    "Predict",
+    "PredictWithCache",
+    "PredictWithoutCache",
+    "CachedPipe",
+    "CacheManager",
+    "PrintBatch",
+    "PrintContent",
+    # search
+    "Index",
+    "auto_engine",
+    "auto_index",
+    # fingerprinting
+    "get_fingerprint",
+    "Fingerprintable",
 ]
