@@ -151,3 +151,57 @@ def test_jsonl_to_parquet_roundtrip(spark, tmp_path):
     assert (n_good, n_quar) == (2, 1)
     back = spark.read.parquet(str(tmp_path / "out" / "data"))
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]
+
+
+def test_read_csv_three_way_split(spark, tmp_path):
+    """CSV ingestion: header dropped, typed good rows, wrong-arity /
+    type-mismatch lines quarantined verbatim, missing-required drift."""
+    from warp_pipes_spark.sources.csv import read_csv
+
+    src = tmp_path / "tabular"
+    src.mkdir()
+    lines = [
+        "doc_id,text,score",
+        "1,hello,0.5",
+        "2,welt,1.25",
+        "3,,0.75",                 # parses, text empty -> missing_required
+        "4,oops,notanumber",       # type mismatch -> unparseable
+        "5,too,many,fields,here",  # wrong arity -> unparseable
+    ]
+    (src / "part0.csv").write_text("\n".join(lines))
+
+    good, quar = read_csv(
+        spark, str(src), "doc_id long, text string, score double",
+        required=["text"],
+    )
+    g = {r["doc_id"]: r for r in good.collect()}
+    q = quar.collect()
+    assert set(g) == {1, 2}
+    assert g[2]["score"] == 1.25
+    reasons = sorted(r["reason"] for r in q)
+    assert reasons == ["missing_required", "unparseable", "unparseable"]
+    raws = {r["raw"] for r in q if r["reason"] == "unparseable"}
+    assert raws == {"4,oops,notanumber", "5,too,many,fields,here"}
+    drift = [r for r in q if r["reason"] == "missing_required"]
+    assert drift[0]["doc_id"] == 3 and drift[0]["raw"] is None
+    # totality: 5 data lines in (header excluded), 2 + 3 out
+    assert good.count() + quar.count() == 5
+
+
+def test_csv_to_parquet_and_orc_roundtrip(spark, tmp_path):
+    from warp_pipes_spark.sources.csv import csv_to_parquet, read_orc, to_orc
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("doc_id,text\n1,aa\n2,bb\nbad,line,extra\n")
+    n_good, n_quar = csv_to_parquet(
+        spark, str(src), str(tmp_path / "out"), "doc_id long, text string"
+    )
+    assert (n_good, n_quar) == (2, 1)
+    df = spark.read.parquet(str(tmp_path / "out" / "data"))
+
+    to_orc(df, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        (1, "aa"), (2, "bb"),
+    ]

@@ -15,6 +15,12 @@ Register once per session::
 
 from __future__ import annotations
 
+from warp_pipes_spark.sources.csv import (
+    csv_to_parquet,
+    read_csv,
+    read_orc,
+    to_orc,
+)
 from warp_pipes_spark.sources.jsonl import jsonl_to_parquet, read_jsonl
 from warp_pipes_spark.sources.synthetic import SyntheticDocsDataSource
 from warp_pipes_spark.sources.warc import WarcDataSource
@@ -25,6 +31,10 @@ __all__ = [
     "register_sources",
     "read_jsonl",
     "jsonl_to_parquet",
+    "read_csv",
+    "csv_to_parquet",
+    "to_orc",
+    "read_orc",
 ]
 
 
