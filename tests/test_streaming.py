@@ -535,3 +535,73 @@ def test_stateful_zscore_prequential_parity(spark, tmp_path):
     # event 4 (value 50 vs history 10/12/11) must flag; the rest must not
     assert got[4][2] is True
     assert all(not got[e][2] for e in (1, 2, 3, 5))
+
+
+def test_transform_with_state_env_gate(spark):
+    """transformWithStateInPandas needs the protobuf bridge; in this
+    container it is absent, so the operator must fail FAST with the
+    documented reason (not crash mid-query). Where protobuf exists the
+    skipped test below exercises real semantics."""
+    from warp_pipes_spark.streaming.transform_state import (
+        stateful_topk,
+        transform_with_state_available,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "user_id long, event_type string"
+    )
+    if transform_with_state_available():
+        pytest.skip("protobuf present; covered by the semantics test")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stateful_topk(ev, k=2)
+
+
+def test_stateful_topk_running_counts(spark, tmp_path):
+    """Per-key running top-k via MapState: counts accumulate ACROSS
+    micro-batches and re-emit on every arrival for the key."""
+    from warp_pipes_spark.streaming.transform_state import (
+        stateful_topk,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf bridge unavailable in this container")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src)
+
+    def w(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for u, e in rows:
+                f.write('{"user_id": %d, "event_type": "%s"}\n' % (u, e))
+
+    w("b0.json", [(1, "a"), (1, "a"), (1, "b"), (2, "c")])
+    ev = spark.readStream.schema("user_id long, event_type string").json(src)
+    out = stateful_topk(ev, k=2)
+    seen = []
+
+    def sink(bdf, bid):
+        seen.append(sorted(tuple(r) for r in bdf.collect()))
+        if bid == 0:
+            w("b1.json", [(1, "b"), (1, "b")])
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(seen) < 2:
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(10)
+
+    assert seen[0] == [(1, "a", 2, 1), (1, "b", 1, 2), (2, "c", 1, 1)]
+    # batch 1 only touches user 1; b overtakes a (3 > 2)
+    assert seen[1] == [(1, "b", 3, 1), (1, "a", 2, 2)]

@@ -8,8 +8,14 @@ from warp_pipes_spark.streaming.events import (
     write_stream_parquet,
 )
 from warp_pipes_spark.streaming.stateful import stateful_sessions
+from warp_pipes_spark.streaming.transform_state import (
+    stateful_topk,
+    transform_with_state_available,
+)
 
 __all__ = [
+    "stateful_topk",
+    "transform_with_state_available",
     "dedup_stream",
     "merge_upsert_sink",
     "read_events_stream",
