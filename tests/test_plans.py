@@ -44,3 +44,18 @@ def test_salted_collect_list_deterministic_order(spark):
     )
     assert out.exceptAll(direct).isEmpty()
     assert direct.exceptAll(out).isEmpty()
+
+
+def test_hash_min_components_two_islands(spark):
+    """Hash-min label propagation: two disjoint chains resolve to their
+    min node id within diameter rounds; labels are exact integers."""
+    from warp_pipes_spark.ml.graph import hash_min_components
+
+    undirected = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]
+    rows = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in hash_min_components(edges, iters=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}

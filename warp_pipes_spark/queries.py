@@ -2930,6 +2930,32 @@ def q132_titled_passages(spark, sf):
     )
 
 
+def q133_connected_components(spark, sf):
+    """Connected components of the co-purchase graph (support >= 2 pairs,
+    the q98 edge set) by hash-min label propagation — exact integer MIN
+    per round, so 4 distributed rounds match the unrolled SQL oracle
+    bit-for-bit under any partitioning. One shuffle per round; the label
+    vector stays node-sized (the Rastogi et al. map-reduce CC shape)."""
+    from warp_pipes_spark.ml.graph import hash_min_components
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return hash_min_components(edges, iters=4)
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3368,6 +3394,21 @@ def _round2b_oracles():
     ORACLES_EXT["q130_dup_span_removal"] = dup_span_removal_sql(n=5)
     ORACLES_EXT["q131_item_recs"] = item_recs_sql(k=3, min_support=2)
 
+    from warp_pipes_spark.ml.graph import hash_min_components_sql
+
+    _cc_edges = (
+        "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "USING (l_orderkey) WHERE a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+        "edges AS (SELECT pa AS src, pb AS dst FROM pairs "
+        "UNION ALL SELECT pb, pa FROM pairs)"
+    )
+    ORACLES_EXT["q133_connected_components"] = hash_min_components_sql(
+        _cc_edges, iters=4
+    )
+
     # q132: the reference's full passage surface (start/end + prepend_field)
     # — window algebra restated with DuckDB 1-based inclusive slices; the
     # skip rule's left_pad = ceil(margin/2) matches gen_passages.
@@ -3537,6 +3578,7 @@ def _register():
         "q130_dup_span_removal": q130_dup_span_removal,
         "q131_item_recs": q131_item_recs,
         "q132_titled_passages": q132_titled_passages,
+        "q133_connected_components": q133_connected_components,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
