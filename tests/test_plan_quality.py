@@ -35,6 +35,7 @@ PLAN_ONLY = [
     "q98_copurchase", "q99_fuzzy_match", "q100_trending",
     "q117_merge_upsert", "q118_scd2", "q119_range_frame",
     "q120_gdpr_erasure", "q122_maxsim", "q123_classifier_auc",
+    "q132_titled_passages", "q133_connected_components",
 ]
 
 
@@ -338,3 +339,26 @@ def test_knn_vote_reuses_exact_engine_shape(spark, sf_dir):
     plan = _plan(QUERIES["q128_knn_classifier"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_titled_passages_zero_shuffle_one_scan(spark, sf_dir):
+    """q132 (GeneratePassages with prepend_cols) is a pure array-expression
+    explode: NO Exchange, one file scan — passage generation must run at
+    scan speed over 100 TB of token arrays."""
+    df = QUERIES["q132_titled_passages"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_connected_components_reuses_materialized_edges(spark, sf_dir):
+    """q133's 4 label-propagation rounds must reference ONE materialized
+    edge subtree (InMemoryTableScan), not re-derive the co-purchase
+    self-join per round; integer MIN rounds stay join+aggregate (no
+    cartesian, no Python)."""
+    df = QUERIES["q133_connected_components"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
