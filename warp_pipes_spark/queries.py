@@ -2956,6 +2956,37 @@ def q133_connected_components(spark, sf):
     return hash_min_components(edges, iters=4)
 
 
+def q134_nested_token_counts(spark, sf):
+    """ApplyAsFlatten with an ARBITRARY inner Pipe (the reference's dataset
+    path, nesting.py:253-331): documents nest into per-doc sentence arrays,
+    the row-level TokenCount pipe runs over the FLATTENED sentence rows,
+    and its new column re-nests order-pinned under the original shape with
+    the runtime shape assertion. One explode + one (row, position) re-nest
+    shuffle; the inner pipe itself is scan-level."""
+    from warp_pipes_spark.pipes.nesting import ApplyAsFlatten
+    from warp_pipes_spark.text.analysis import SentenceSplit, TokenCount
+
+    d = (
+        T(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .withColumn(
+            "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+        )
+    )
+    nested = d.select(
+        "doc_id", SentenceSplit().sentences_expr(F.col("text")).alias("sentences")
+    )
+    inner = TokenCount(text_col="sentences", out_col="n_toks")
+    out = ApplyAsFlatten("sentences", pipe=inner, id_col="doc_id")(nested)
+    return out.select(
+        "doc_id",
+        F.size("sentences").cast("int").alias("n_sents"),
+        F.array_join(
+            F.transform("n_toks", lambda x: x.cast("string")), ","
+        ).alias("tok_counts"),
+    )
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3395,6 +3426,19 @@ def _round2b_oracles():
     ORACLES_EXT["q131_item_recs"] = item_recs_sql(k=3, min_support=2)
 
     from warp_pipes_spark.ml.graph import hash_min_components_sql
+    from warp_pipes_spark.text.analysis import sentence_split_sql, token_count_sql
+
+    _injected_docs = (
+        r"(SELECT doc_id, regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', "
+        r"'\1. ', 'g') AS text FROM documents WHERE lang = 'en')"
+    )
+    ORACLES_EXT["q134_nested_token_counts"] = (
+        "WITH flat AS (" + sentence_split_sql(table=_injected_docs) + ") "
+        "SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sents, "
+        "array_to_string(list(CAST(" + token_count_sql("sentence") + " AS VARCHAR) "
+        "ORDER BY sent_idx), ',') AS tok_counts "
+        "FROM flat GROUP BY doc_id ORDER BY doc_id"
+    )
 
     _cc_edges = (
         "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb "
@@ -3579,6 +3623,7 @@ def _register():
         "q131_item_recs": q131_item_recs,
         "q132_titled_passages": q132_titled_passages,
         "q133_connected_components": q133_connected_components,
+        "q134_nested_token_counts": q134_nested_token_counts,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
