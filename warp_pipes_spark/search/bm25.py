@@ -42,52 +42,46 @@ def _default_index_cache_dir() -> str:
 def build_inverted_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """corpus -> postings (term, doc_id, tf, dl), built entirely map-side:
-    per-doc term frequencies are counted inside one Arrow-batched
-    mapInPandas pass, so the full exploded token stream is never shuffled
-    (the explode+groupBy formulation shuffles every token occurrence).
+    """corpus -> postings (term, doc_id, tf, dl), pure whole-stage-codegen:
+    tokenize + explode + hash-aggregate. Per-doc term frequencies combine
+    MAP-SIDE (Spark's partial HashAggregate runs before the exchange), so
+    only distinct (term, doc_id) groups ever shuffle — the same tuples a
+    per-doc Counter would emit — with zero Python/Arrow in the path.
+    Empty docs get a NULL-term sentinel row so corpus stats (n_docs, avgdl)
+    derive from postings alone; a NULL term never matches a query-term join.
     Materialize (e.g. write partitioned by term bucket) to amortize across
     query batches."""
-    import re
-    from collections import Counter
-
-    import pandas as pd
-
-    from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
-
-    tok_re = re.compile(TOKEN_SPLIT_RE)
+    from warp_pipes_spark.text.analysis import tokens_expr
     from warp_pipes_spark.text.dedup import widen_partitions
 
-    def kernel(batches):
-        for pdf in batches:
-            ids, terms, tfs, dls = [], [], [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = [x for x in tok_re.split(t.lower()) if x]
-                if not toks:
-                    # sentinel so corpus stats (n_docs, avgdl) can be derived
-                    # from postings alone; a NULL term never matches a query
-                    # term join, so scoring is unaffected
-                    ids.append(i)
-                    terms.append(None)
-                    tfs.append(0)
-                    dls.append(0)
-                    continue
-                for term, tf in Counter(toks).items():
-                    ids.append(i)
-                    terms.append(term)
-                    tfs.append(tf)
-                    dls.append(len(toks))
-            yield pd.DataFrame(
-                {"term": terms, "doc_id": ids, "dl": dls, "tf": tfs}
-            )
-
-    # widen single-row-group local reads so the Python kernel and every
-    # downstream stage (persist, df join, scoring) parallelize; no-op on
-    # cluster reads that are already wide
-    narrow = corpus.select(F.col(id_col).alias(id_col), text_col)
-    return widen_partitions(narrow).mapInPandas(
-        kernel, "term string, doc_id long, dl int, tf long"
+    # widen single-row-group local reads so every downstream stage (persist,
+    # df join, scoring) parallelizes; no-op on cluster reads already wide
+    narrow = widen_partitions(
+        corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("__text"),
+        )
     )
+    toks = narrow.select(
+        "doc_id", tokens_expr(F.col("__text")).alias("__toks")
+    )
+    nonempty = (
+        toks.filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    empty = toks.filter(F.size("__toks") == 0).select(
+        F.lit(None).cast("string").alias("term"),
+        "doc_id",
+        F.lit(0).alias("dl"),
+        F.lit(0).cast("long").alias("tf"),
+    )
+    return nonempty.select("term", "doc_id", "dl", "tf").unionByName(empty)
 
 
 class Bm25Search(Pipe):
