@@ -83,3 +83,58 @@ def test_scalar_quantizer_roundtrip_and_recall(spark, sf_dir):
     q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     recall = len(e & q) / len(e)
     assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _term_stream(spark):
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = load_table(spark, SF, "documents").filter(F.col("lang") == "en")
+    return docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+
+
+def test_cms_overestimates_never_under(spark):
+    """The CMS one-sided guarantee: exact <= estimate for every key."""
+    from warp_pipes_spark.ml.sketches import CountMinSketch
+
+    stream = _term_stream(spark).persist()
+    cms = CountMinSketch(key_col="term", depth=4, width=256, seed=11)
+    exact = stream.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms.estimate(exact, cms.sketch(stream))
+    bad = est.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    stream.unpersist()
+    assert bad == 0
+
+
+def test_cms_merge_equals_union(spark):
+    """sketch(A union B) is cell-for-cell identical to merging the shard
+    sketches — the property that makes CMS distributable."""
+    from warp_pipes_spark.ml.sketches import CountMinSketch, merge_sketches
+
+    stream = _term_stream(spark).persist()
+    a = stream.filter(F.length("term") <= 4)
+    b = stream.filter(F.length("term") > 4)
+    cms = CountMinSketch(key_col="term", depth=4, width=128, seed=3)
+    merged = merge_sketches(cms.sketch(a), cms.sketch(b))
+    full = cms.sketch(stream)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    stream.unpersist()
+
+
+def test_cms_unseen_key_estimates_from_cells(spark):
+    """A key absent from the stream still gets an estimate (its cells'
+    collision mass) — and an empty-cell key estimates 0 via the left join."""
+    from warp_pipes_spark.ml.sketches import CountMinSketch
+
+    cms = CountMinSketch(key_col="term", depth=4, width=64, seed=5)
+    stream = spark.createDataFrame([("aa",), ("aa",), ("bb",)], ["term"])
+    sk = cms.sketch(stream)
+    probe = spark.createDataFrame([("aa",), ("zz",)], ["term"])
+    rows = {r["term"]: r["cms_est"] for r in cms.estimate(probe, sk).collect()}
+    assert rows["aa"] >= 2
+    assert rows["zz"] >= 0

@@ -2987,6 +2987,96 @@ def q134_nested_token_counts(spark, sf):
     )
 
 
+def q135_cms_heavy_hitters(spark, sf):
+    """Count-min sketch frequency estimation next to the exact counts: the
+    sketch build's map-side combine caps every partition's exchange at
+    depth*width cells (the shuffle is SKETCH-sized, not stream-sized —
+    at 100 TB the exact vocabulary aggregate shuffles billions of terms;
+    the CMS shuffles 2048 cells per partition, and per-shard sketches
+    merge by cell-wise sum without re-scanning). Both engines compute the
+    identical seeded hash family, so estimates are bit-exact oracled; the
+    one-sided CMS error (est >= exact) is visible in the output."""
+    from warp_pipes_spark.ml.sketches import CountMinSketch
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    stream = (
+        T(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+    )
+    cms = CountMinSketch(key_col="term", depth=4, width=512, seed=7)
+    exact = (
+        stream.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    return cms.estimate(exact, cms.sketch(stream)).select(
+        "term", "exact_cnt", "cms_est"
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from warp_pipes_spark.ml.sketches import CMS_P, cms_params, key_hash_sql
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    depth, width, seed = 4, 512, 7
+    params = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(cms_params(depth, seed))
+    )
+    bucket = f"(((p.a * h + p.b) % {CMS_P}) % {width})"
+    return (
+        "WITH stream AS (SELECT unnest("
+        + tokens_sql("text")
+        + ") AS term FROM documents WHERE lang = 'en'), "
+        f"params(d, a, b) AS (SELECT * FROM (VALUES {params})), "
+        "hashed AS (SELECT term, " + key_hash_sql("term") + " AS h FROM stream), "
+        f"cells AS (SELECT p.d AS d, {bucket} AS bucket, COUNT(*) AS cnt "
+        "FROM hashed, params p GROUP BY 1, 2), "
+        "exact AS (SELECT term, COUNT(*) AS exact_cnt FROM stream GROUP BY term "
+        "ORDER BY exact_cnt DESC, term LIMIT 20), "
+        "ehash AS (SELECT term, exact_cnt, " + key_hash_sql("term")
+        + " AS h FROM exact) "
+        "SELECT e.term AS term, e.exact_cnt AS exact_cnt, MIN(c.cnt) AS cms_est "
+        "FROM ehash e CROSS JOIN params p "
+        f"JOIN cells c ON c.d = p.d AND c.bucket = {bucket} "
+        "GROUP BY e.term, e.exact_cnt ORDER BY exact_cnt DESC, term"
+    )
+
+
+def q136_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training (the DPR recipe: a
+    query's top BM25 hits that are NOT its positive). Exact via the k+1
+    trick: retrieve k+1, drop the positive (query_id == doc_id), re-rank
+    the remainder — with at most one positive per query this IS the true
+    negative top-k whether or not the positive retrieved. Reuses the
+    fingerprint-cached BM25 index (mining is a query batch, not a second
+    index build); the extra work over q32 is one window re-rank."""
+    docs = T(spark, sf, "documents")
+    res = Bm25Search(corpus=docs, k=11)(_bm25_queries(spark, sf))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
+    return (
+        res.filter(F.col("idx") != F.col("query_id"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= 10)
+        .select("query_id", "neg_rank", "idx", "score")
+    )
+
+
+def _hard_negatives_oracle_sql() -> str:
+    from warp_pipes_spark.search.bm25 import bm25_oracle_sql
+
+    base = bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=11)
+    return (
+        "SELECT query_id, neg_rank, idx, score FROM ("
+        "SELECT query_id, idx, score, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, idx) AS INTEGER) AS neg_rank "
+        f"FROM ({base}) base WHERE idx <> query_id"
+        ") WHERE neg_rank <= 10 ORDER BY query_id, neg_rank"
+    )
+
+
 def _cdc_oracles():
     from warp_pipes_spark.ml.metrics import binary_auc_sql
     from warp_pipes_spark.text.dedup import winnowing_sql
@@ -3425,6 +3515,9 @@ def _round2b_oracles():
     ORACLES_EXT["q130_dup_span_removal"] = dup_span_removal_sql(n=5)
     ORACLES_EXT["q131_item_recs"] = item_recs_sql(k=3, min_support=2)
 
+    ORACLES_EXT["q135_cms_heavy_hitters"] = _cms_oracle_sql()
+    ORACLES_EXT["q136_hard_negatives"] = _hard_negatives_oracle_sql()
+
     from warp_pipes_spark.ml.graph import hash_min_components_sql
     from warp_pipes_spark.text.analysis import sentence_split_sql, token_count_sql
 
@@ -3624,6 +3717,8 @@ def _register():
         "q132_titled_passages": q132_titled_passages,
         "q133_connected_components": q133_connected_components,
         "q134_nested_token_counts": q134_nested_token_counts,
+        "q135_cms_heavy_hitters": q135_cms_heavy_hitters,
+        "q136_hard_negatives": q136_hard_negatives,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
