@@ -1,0 +1,56 @@
+"""Cluster-layout invariance: catalog queries must return bit-identical
+results regardless of how the data is partitioned.
+
+This is the core 100 TB correctness risk — an operator that is only
+correct under one layout (e.g. a float sum whose value depends on
+reduction order, an iterative algorithm whose fixpoint depends on task
+scheduling, a top-k whose ties break nondeterministically) passes a
+single-run oracle check and silently diverges on a real cluster. Every
+query here is re-run under a different ``spark.sql.shuffle.partitions``
+(changing shuffle fan-out, task boundaries and reduction order) and must
+produce the exact same rows.
+
+The sample spans the layout-sensitive families: iterative graph
+fixpoints, sketch builds, LSH banding, window top-k with ties,
+decimal-stable aggregation, deterministic epoch shuffling, and BM25
+scoring (decimal per-term sums).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from warp_pipes_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+INVARIANT_QUERIES = [
+    "q04_group_agg",            # decimal-stable float aggregation
+    "q10_window_topk",          # rank ties
+    "q28_minhash_dedup",        # LSH banding + bucket join
+    "q55_dedup_clusters",       # union-find over candidate pairs
+    "q59_epoch_shuffle",        # deterministic hash shuffle
+    "q97_pagerank",             # iterative float fixpoint (decimal-stable)
+    "q133_connected_components",  # iterative hash-min fixpoint
+    "q135_cms_heavy_hitters",   # sketch build via hash-aggregate
+]
+
+
+def _rows(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    return sorted(tuple(repr(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_layout_invariant(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(spark, name)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+    assert a == b, f"{name}: results differ across shuffle layouts"
