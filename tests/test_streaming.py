@@ -605,3 +605,68 @@ def test_stateful_topk_running_counts(spark, tmp_path):
     assert seen[0] == [(1, "a", 2, 1), (1, "b", 1, 2), (2, "c", 1, 1)]
     # batch 1 only touches user 1; b overtakes a (3 > 2)
     assert seen[1] == [(1, "b", 3, 1), (1, "a", 2, 2)]
+
+
+def test_streaming_cms_merge_matches_batch(spark, tmp_path):
+    """Incremental sketch maintenance: each micro-batch builds a partial
+    count-min sketch and foreachBatch folds it into the running sketch via
+    cell-wise merge — the per-shard/per-day pattern that never re-scans
+    history. The converged sketch is cell-for-cell the batch sketch over
+    all docs (CMS merge is exact, not approximate-on-approximate)."""
+    from warp_pipes_spark.ml.sketches import CountMinSketch, merge_sketches
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    src = str(tmp_path / "cms_stream")
+    os.makedirs(src)
+    docs = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma beta"),
+        (3, "alpha delta delta gamma"),
+        (4, "epsilon alpha"),
+    ]
+    for i, chunk in enumerate([docs[:2], docs[2:]]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for did, text in chunk:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    cms = CountMinSketch(key_col="term", depth=3, width=32, seed=13)
+
+    def terms(df):
+        return df.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+
+    merged_cells = {}  # (d, bucket) -> cnt
+
+    def sink(batch_df, batch_id):
+        for r in cms.sketch(terms(batch_df)).collect():
+            key = (r["d"], r["bucket"])
+            merged_cells[key] = merged_cells.get(key, 0) + r["cnt"]
+
+    batch_all = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms.sketch(terms(batch_all)).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert merged_cells == want
+
+    # merge_sketches on DataFrames agrees with the dict fold
+    a = cms.sketch(terms(spark.createDataFrame(docs[:2], "doc_id long, text string")))
+    b = cms.sketch(terms(spark.createDataFrame(docs[2:], "doc_id long, text string")))
+    via_op = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in merge_sketches(a, b).collect()
+    }
+    assert via_op == want
