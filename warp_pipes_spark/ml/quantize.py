@@ -204,6 +204,8 @@ class PqCosineTopK(Pipe):
         corpus_id: str = "vec_id",
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
+        index_cache_dir: str | None = None,
+        materialize_index: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -218,8 +220,87 @@ class PqCosineTopK(Pipe):
         self.corpus_id = corpus_id
         self.corpus_vec = corpus_vec
         self.exclude_self = exclude_self
+        self.index_cache_dir = index_cache_dir
+        self.materialize_index = materialize_index
 
-    _no_fingerprint = ("corpus",)
+    _no_fingerprint = ("corpus", "index_cache_dir")
+
+    def _index(self, dim: int):
+        """(codebooks, codes df) — the faiss ``IndexPQ`` state as two
+        fingerprint-keyed Parquet artifacts. Encoding is the expensive
+        per-call pass (a pandas-UDF scan over EVERY corpus vector, the
+        ``add()`` step); materializing the m-byte codes completes the
+        index-once-query-many contract of the other engines. The codes
+        table is ~dim*4/m times smaller than the corpus — the artifact
+        IS the compression."""
+        import numpy as np
+
+        if not self.materialize_index:
+            pq = ProductQuantizer(dim, m=self.m, k=self.n_codes, seed=self.seed).fit(
+                self.corpus, self.corpus_vec, self.corpus_id, self.train_sample
+            )
+            codes = self.corpus.select(
+                F.col(self.corpus_id).alias("neighbor_id"),
+                pq.encode_udf()(F.col(self.corpus_vec)).alias("codes"),
+            )
+            return pq.codebooks, codes
+
+        import os
+        import tempfile
+
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        spark = self.corpus.sparkSession
+        manager = CacheManager(
+            self.index_cache_dir
+            or os.path.join(tempfile.gettempdir(), "warp_pipes_spark_pq_index")
+        )
+        fp = get_fingerprint(
+            {
+                "op": "pq_index_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "vec": self.corpus_vec,
+                "id": self.corpus_id,
+                "m": self.m,
+                "n_codes": self.n_codes,
+                "train_sample": self.train_sample,
+                "seed": self.seed,
+            }
+        )
+        if not manager.exists(fp + "_codes"):
+            pq = ProductQuantizer(dim, m=self.m, k=self.n_codes, seed=self.seed).fit(
+                self.corpus, self.corpus_vec, self.corpus_id, self.train_sample
+            )
+            book_rows = [
+                (j, c, [float(x) for x in pq.codebooks[j][c]])
+                for j in range(pq.codebooks.shape[0])
+                for c in range(pq.codebooks.shape[1])
+            ]
+            manager.store(
+                spark.createDataFrame(
+                    book_rows, "j int, c int, centroid array<double>"
+                ),
+                fp + "_books",
+            )
+            manager.store(
+                self.corpus.select(
+                    F.col(self.corpus_id).alias("neighbor_id"),
+                    pq.encode_udf()(F.col(self.corpus_vec)).alias("codes"),
+                ),
+                fp + "_codes",
+            )
+        book_rows = sorted(
+            manager.load(spark, fp + "_books").collect(),
+            key=lambda r: (r["j"], r["c"]),
+        )
+        n_j = max(r["j"] for r in book_rows) + 1
+        books = np.array([r["centroid"] for r in book_rows], dtype=np.float64)
+        codebooks = books.reshape(n_j, len(book_rows) // n_j, dim // self.m)
+        return codebooks, manager.load(spark, fp + "_codes")
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         import numpy as np
@@ -230,13 +311,7 @@ class PqCosineTopK(Pipe):
         dim = len(
             self.corpus.select(self.corpus_vec).first()[0]
         )  # bounded probe: one row
-        pq = ProductQuantizer(dim, m=self.m, k=self.n_codes, seed=self.seed).fit(
-            self.corpus, self.corpus_vec, self.corpus_id, self.train_sample
-        )
-        codes = self.corpus.select(
-            F.col(self.corpus_id).alias("neighbor_id"),
-            pq.encode_udf()(F.col(self.corpus_vec)).alias("codes"),
-        )
+        codebooks, codes = self._index(dim)
         q_rows = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.query_vec).cast("array<double>").alias("qv"),
@@ -245,8 +320,8 @@ class PqCosineTopK(Pipe):
         qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
         spark = df.sparkSession
-        b = spark.sparkContext.broadcast((qids, qmat, pq.codebooks))
-        k, m, dsub = self.k, self.m, pq.dsub
+        b = spark.sparkContext.broadcast((qids, qmat, codebooks))
+        k, m, dsub = self.k, self.m, dim // self.m
         exclude_self = self.exclude_self
 
         def score_batches(batches):

@@ -358,6 +358,8 @@ class IvfCosineTopK(Pipe):
         broadcast_queries: bool = True,
         centroid_cache_dir: Optional[str] = None,
         materialize_centroids: bool = True,
+        index_cache_dir: Optional[str] = None,
+        materialize_index: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -376,8 +378,10 @@ class IvfCosineTopK(Pipe):
         self.broadcast_queries = broadcast_queries
         self.centroid_cache_dir = centroid_cache_dir
         self.materialize_centroids = materialize_centroids
+        self.index_cache_dir = index_cache_dir
+        self.materialize_index = materialize_index
 
-    _no_fingerprint = ("corpus", "centroid_cache_dir")
+    _no_fingerprint = ("corpus", "centroid_cache_dir", "index_cache_dir")
 
     def _centroids(self) -> np.ndarray:
         """Trained centroids, served from a fingerprint-keyed cache — the
@@ -470,15 +474,55 @@ class IvfCosineTopK(Pipe):
         cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
         return pandas_udf(cells, "array<long>")
 
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        centroids = self._centroids()
+    def _assigned_corpus(self, centroids) -> DataFrame:
+        """The IVF list structure: (neighbor_id, cell, cv, cn), served from
+        a fingerprint-keyed Parquet cache — the faiss ``add()`` output made
+        a table. Assigning the corpus is the expensive per-call pass (one
+        BLAS matmul over EVERY corpus vector); materializing it completes
+        the index-once-query-many contract the BM25 postings and the
+        k-means centroids already follow. At cluster scale, write this
+        partitioned by ``cell`` so an n_probe query reads only its lists."""
         assign1 = self._cell_udf(centroids, 1)
-        probe = self._cell_udf(centroids, self.n_probe)
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
         ).withColumn("cn", _norm(F.col("cv")))
         ce = c.withColumn("cell", assign1(F.col("cv"))[0])
+        if not self.materialize_index:
+            return ce
+        import os
+        import tempfile
+
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(
+            self.index_cache_dir
+            or os.path.join(tempfile.gettempdir(), "warp_pipes_spark_ivf_index")
+        )
+        fp = get_fingerprint(
+            {
+                "op": "ivf_index_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "vec": self.corpus_vec,
+                "id": self.corpus_id,
+                "n_centroids": self.n_centroids,
+                "train_sample": self.train_sample,
+                "kmeans_iters": self.kmeans_iters,
+                "seed": self.seed,
+            }
+        )
+        if not manager.exists(fp):
+            manager.store(ce, fp)
+        return manager.load(self.corpus.sparkSession, fp)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        centroids = self._centroids()
+        probe = self._cell_udf(centroids, self.n_probe)
+        ce = self._assigned_corpus(centroids)
         q = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.query_vec).cast("array<double>").alias("qv"),
