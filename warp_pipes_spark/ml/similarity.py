@@ -223,6 +223,8 @@ class LshCosineTopK(Pipe):
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
         broadcast_queries: bool = True,
+        index_cache_dir: Optional[str] = None,
+        materialize_index: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -238,8 +240,52 @@ class LshCosineTopK(Pipe):
         self.corpus_id = corpus_id
         self.corpus_vec = corpus_vec
         self.exclude_self = exclude_self
+        self.index_cache_dir = index_cache_dir
+        self.materialize_index = materialize_index
 
-    _no_fingerprint = ("corpus",)
+    _no_fingerprint = ("corpus", "index_cache_dir")
+
+    def _corpus_buckets(self, ce_src: DataFrame) -> DataFrame:
+        """(neighbor_id, table_id, bucket) — the LSH hash tables, served
+        from a fingerprint-keyed Parquet cache (same index-once-query-many
+        contract as the BM25 postings / IVF lists / PQ codes). Hashing the
+        corpus is the per-call expensive pass; the cached table is 3 ints
+        per (vector, table) regardless of embedding width."""
+        bucket_udf = self._bucket_udf()
+        ce = ce_src.select(
+            "neighbor_id",
+            F.posexplode(bucket_udf(F.col("cv"))).alias("table_id", "bucket"),
+        )
+        if not self.materialize_index:
+            return ce
+        import os
+        import tempfile
+
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(
+            self.index_cache_dir
+            or os.path.join(tempfile.gettempdir(), "warp_pipes_spark_lsh_index")
+        )
+        fp = get_fingerprint(
+            {
+                "op": "lsh_index_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "vec": self.corpus_vec,
+                "id": self.corpus_id,
+                "n_planes": self.n_planes,
+                "n_tables": self.n_tables,
+                "dim": self.dim,
+                "seed": self.seed,
+            }
+        )
+        if not manager.exists(fp):
+            manager.store(ce, fp)
+        return manager.load(self.corpus.sparkSession, fp)
 
     def _planes(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed)
@@ -287,9 +333,7 @@ class LshCosineTopK(Pipe):
         qe = q.select(
             "query_id", F.posexplode(bucket_udf(F.col("qv"))).alias("table_id", "bucket")
         )
-        ce = c.select(
-            "neighbor_id", F.posexplode(bucket_udf(F.col("cv"))).alias("table_id", "bucket")
-        )
+        ce = self._corpus_buckets(c)
         if self.broadcast_queries:
             qe = F.broadcast(qe)
         cand = (
