@@ -37,7 +37,13 @@ def main() -> None:
 
     timings = {}
     failures = {}
-    for name, spec in QUERIES.items():
+    for qi, (name, spec) in enumerate(QUERIES.items()):
+        if qi and qi % 15 == 0:
+            # nudge the JVM so ContextCleaner promptly drops the previous
+            # queries' shuffle files / broadcasts (cleanup is weak-ref
+            # driven; without GC pressure a long catalog run accumulates
+            # state that inflates late-query timings)
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)

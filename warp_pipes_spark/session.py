@@ -51,7 +51,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/wps-warehouse"),
         )
         .config(
-            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/wps-derby"
+            # derby home for the managed-table metastore; widened JIT code
+            # cache — a long-lived session compiles hundreds of generated
+            # WholeStageCodegen classes, and the JDK default (240 MB)
+            # degrades to interpreted execution once full
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/wps-derby -XX:ReservedCodeCacheSize=640m",
         )
     )
     for k, v in (extra_conf or {}).items():
