@@ -3063,6 +3063,160 @@ def q136_hard_negatives(spark, sf):
     )
 
 
+def q137_minhash_estimate(spark, sf):
+    """Sketch-accuracy audit for the MinHash dedup path: every exact
+    trigram-Jaccard pair (q27's set) carries its 32-hash signature ESTIMATE
+    of Jaccard and the absolute error — the report that justifies trusting
+    MinHash candidates at a scale where exact verification is unaffordable.
+    The portable md5 hash family makes the whole estimator SQL-oracle-able
+    (q28's xxhash64 signatures are not), so this is the oracled
+    counterpart to q28's rows-only check. Signatures are row-local array
+    expressions: the only shuffles are the pair set's own."""
+    from warp_pipes_spark.text.dedup import MinHashEstimate
+
+    return MinHashEstimate(n=3, n_hashes=32, threshold=0.5)(
+        T(spark, sf, "documents")
+    )
+
+
+def _doc_vec_expr(text_col: str = "text"):
+    """Doc-level deterministic embedding (q96's stand-in model as a pure
+    Catalyst expression over the full text): vec[i] = ((i*K + len*31 +
+    first_char*7) % P) / P for i in 1..dim."""
+    n = F.length(text_col)
+    c1 = F.when(n > 0, F.ascii(F.substring(text_col, 1, 1))).otherwise(0)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_EMBED_DIM)),
+        lambda i: ((i * _EMBED_K + n * 31 + c1 * 7) % _EMBED_P).cast("double")
+        / _EMBED_P,
+    )
+
+
+def q138_hybrid_rrf(spark, sf):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):
+    BM25 top-20 and exact-cosine top-20 (over the deterministic doc
+    embedding) fuse by rrf(d) = Σ_engines 1/(60 + rank_e(d)) — the standard
+    score-free way to combine lexical and dense rankings (what the
+    reference's Index engine chain approximates with merge_previous_results
+    score sums, ``search/result.py:280-329``). Per-engine contributions
+    round through DECIMAL(18,6) so the fused sum is order-free; both
+    engines' rank lists are deterministic, so the cascade is bit-exact
+    oracled. The BM25 side reuses the q32 index artifact; the dense side is
+    the q30 engine shape over corpus-sized broadcast."""
+    docs = T(spark, sf, "documents")
+    dv = docs.select("doc_id", _doc_vec_expr().alias("embedding"))
+    qv = dv.filter(F.col("doc_id") % 25 == 0)
+    dense = BruteForceCosineTopK(
+        corpus=dv,
+        k=20,
+        query_id="doc_id",
+        query_vec="embedding",
+        corpus_id="doc_id",
+        corpus_vec="embedding",
+        exclude_self=False,
+    )(qv)
+    bm = Bm25Search(corpus=docs, k=20)(_bm25_queries(spark, sf))
+    rr = lambda rank: (F.lit(1.0) / (F.lit(60.0) + rank.cast("double"))).cast(D186)  # noqa: E731
+    contrib = bm.select(
+        "query_id", F.col("idx"), rr(F.col("rank")).alias("rr")
+    ).unionByName(
+        dense.select(
+            "query_id",
+            F.col("neighbor_id").alias("idx"),
+            rr(F.col("rank")).alias("rr"),
+        )
+    )
+    fused = contrib.groupBy("query_id", "idx").agg(F.sum("rr").alias("rrf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("idx"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            "idx",
+            F.col("rrf").cast(D186).cast("double").alias("rrf"),
+        )
+    )
+
+
+def q139_ndcg_eval(spark, sf):
+    """NDCG@10 of BM25 self-retrieval per source (the graded companion to
+    q129's MRR; with one binary-relevant doc per query, NDCG@10 =
+    1/log2(1+rank) of the hit, IDCG = 1). Gains round through
+    DECIMAL(18,6) — the log2 doubles agree across engines far beyond the
+    rounding point — so per-source sums are order-free; reuses the q32
+    index artifact unchanged."""
+    docs = T(spark, sf, "documents")
+    res = Bm25Search(corpus=docs, k=10)(_bm25_queries(spark, sf))
+    hits = res.filter(F.col("idx") == F.col("query_id")).select(
+        "query_id",
+        (F.lit(1.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0)))
+        .cast(D186)
+        .alias("g"),
+    )
+    qsrc = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"), "source"
+    )
+    per_q = qsrc.join(hits, "query_id", "left")
+    return per_q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("g"), F.lit(0).cast(D186))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ndcg10"),
+    )
+
+
+def _hybrid_rrf_oracle_sql(k_each: int = 20, k: int = 10, c: float = 60.0) -> str:
+    """DuckDB oracle for q138: BM25 top-k_each (shared builder) + exact
+    cosine top-k_each over the deterministic doc embedding, fused with
+    DECIMAL-rounded 1/(c+rank) contributions."""
+    vec_terms = ", ".join(
+        f"(({i} * {_EMBED_K} + length(text) * 31 + "
+        f"(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 7) "
+        f"% {_EMBED_P}) / CAST({_EMBED_P} AS DOUBLE)"
+        for i in range(1, _EMBED_DIM + 1)
+    )
+    bm = bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=k_each)
+    return f"""
+WITH bm AS ({bm}),
+dv AS (SELECT doc_id, [{vec_terms}] AS v FROM documents),
+qv AS (SELECT doc_id, v FROM dv WHERE doc_id % 25 = 0),
+dsc AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS idx,
+         CAST(list_dot_product(q.v, c.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS DECIMAL(18,6)) AS score
+  FROM qv q CROSS JOIN dv c
+),
+dr AS (
+  SELECT query_id, idx,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS rank
+  FROM dsc
+),
+contrib AS (
+  SELECT query_id, idx, CAST(1.0 / ({c} + rank) AS DECIMAL(18,6)) AS rr FROM bm
+  UNION ALL
+  SELECT query_id, idx, CAST(1.0 / ({c} + rank) AS DECIMAL(18,6)) AS rr
+  FROM dr WHERE rank <= {k_each}
+),
+fused AS (SELECT query_id, idx, SUM(rr) AS rrf FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, idx, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, idx) AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, idx,
+       CAST(CAST(rrf AS DECIMAL(18,6)) AS DOUBLE) AS rrf
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def _hard_negatives_oracle_sql() -> str:
     from warp_pipes_spark.search.bm25 import bm25_oracle_sql
 
@@ -3518,6 +3672,28 @@ def _round2b_oracles():
     ORACLES_EXT["q135_cms_heavy_hitters"] = _cms_oracle_sql()
     ORACLES_EXT["q136_hard_negatives"] = _hard_negatives_oracle_sql()
 
+    from warp_pipes_spark.text.dedup import minhash_estimate_sql
+
+    ORACLES_EXT["q137_minhash_estimate"] = minhash_estimate_sql(
+        n=3, n_hashes=32, threshold=0.5
+    )
+    ORACLES_EXT["q138_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
+    ORACLES_EXT["q139_ndcg_eval"] = (
+        "WITH res AS ("
+        + bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10)
+        + "), hits AS (SELECT query_id, "
+        "CAST(1.0 / log2(rank + 1.0) AS DECIMAL(18,6)) AS g "
+        "FROM res WHERE idx = query_id), "
+        "qs AS (SELECT doc_id AS query_id, source FROM documents "
+        "WHERE doc_id % 25 = 0) "
+        "SELECT source, COUNT(*) AS n_queries, "
+        "CAST(SUM(CASE WHEN g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, "
+        "CAST(SUM(COALESCE(g, CAST(0 AS DECIMAL(18,6)))) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE) AS ndcg10 "
+        "FROM qs LEFT JOIN hits USING (query_id) "
+        "GROUP BY source ORDER BY source"
+    )
+
     from warp_pipes_spark.ml.graph import hash_min_components_sql
     from warp_pipes_spark.text.analysis import sentence_split_sql, token_count_sql
 
@@ -3719,6 +3895,9 @@ def _register():
         "q134_nested_token_counts": q134_nested_token_counts,
         "q135_cms_heavy_hitters": q135_cms_heavy_hitters,
         "q136_hard_negatives": q136_hard_negatives,
+        "q137_minhash_estimate": q137_minhash_estimate,
+        "q138_hybrid_rrf": q138_hybrid_rrf,
+        "q139_ndcg_eval": q139_ndcg_eval,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

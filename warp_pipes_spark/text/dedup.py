@@ -424,6 +424,150 @@ ORDER BY doc_a, doc_b
 """
 
 
+def portable_minhash_sig(shingles, n_hashes: int = 32):
+    """MinHash signature over a shingle array with a CROSS-ENGINE hash
+    family: h_i(s) = first 16 hex chars of md5('<i>:' || s), minimized as a
+    string. xxhash64 (the production MinHashDedup family) has no DuckDB
+    twin; md5 exists in both engines with identical lowercase-hex output,
+    so signatures built this way are differentially testable end-to-end.
+    Row-local (array expressions only — zero shuffle, scales with the
+    scan)."""
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+
+
+class MinHashEstimate(Pipe):
+    """MinHash accuracy audit: for every exact near-dup pair (trigram
+    Jaccard >= threshold, the NgramJaccardDedup pair set) emit the
+    ``n_hashes``-component signature estimate of Jaccard NEXT TO the exact
+    value — the sketch-error report a dedup pipeline publishes before
+    trusting MinHash candidates at a scale where exact verification is
+    unaffordable. E[matches/k] = J by the MinHash property; with k a power
+    of two the estimate is an exact binary double, so estimate and error
+    are bit-identical across engines (fully SQL-oracle-able, unlike the
+    xxhash64 production signatures of MinHashDedup).
+
+    Reference anchor: the verify-by-exact-Jaccard step of
+    ``MinHashDedup``; extension operator (the reference has no sketch
+    audit)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        n_hashes: int = 32,
+        threshold: float = 0.5,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        assert n_hashes & (n_hashes - 1) == 0, (
+            f"n_hashes ({n_hashes}) must be a power of two so matches/k is "
+            "an exact binary double (cross-engine bit-stability)"
+        )
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_hashes = n_hashes
+        self.threshold = threshold
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        pairs = NgramJaccardDedup(
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.threshold,
+            prefix_filter=False,
+        )(df)
+        sig = df.select(
+            F.col(self.id_col).alias("__sid"),
+            portable_minhash_sig(
+                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
+            ).alias("__sig"),
+        )
+        a = sig.select(
+            F.col("__sid").alias("doc_a"), F.col("__sig").alias("__sig_a")
+        )
+        b = sig.select(
+            F.col("__sid").alias("doc_b"), F.col("__sig").alias("__sig_b")
+        )
+        matches = F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        est = F.col("n_matches").cast("double") / F.lit(float(self.n_hashes))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn("n_matches", matches.cast("long"))
+            .withColumn("est_jaccard", est)
+            .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "jaccard",
+                "n_matches",
+                "est_jaccard",
+                "abs_err",
+            )
+        )
+
+
+def minhash_estimate_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :class:`MinHashEstimate` — identical md5 hash
+    family, identical string-min signatures, identical IEEE estimate/error
+    arithmetic."""
+    sh = shingles_sql(text, n)
+    pair_sql = ngram_jaccard_sql(table, text, id_col, n, threshold)
+    return f"""
+WITH pairs AS ({pair_sql}),
+sdocs AS (
+  SELECT {id_col} AS doc_id, {sh} AS shingles FROM {table}
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {n_hashes - 1}), i ->
+           list_min(list_transform(shingles, s ->
+             substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 16)))) AS sig
+  FROM sdocs WHERE len(shingles) > 0
+),
+matched AS (
+  SELECT p.doc_a, p.doc_b, p.n_common, p.jaccard,
+         len(list_filter(generate_series(1, {n_hashes}),
+             j -> sa.sig[j] = sb.sig[j])) AS n_matches
+  FROM pairs p
+  JOIN sig sa ON p.doc_a = sa.doc_id
+  JOIN sig sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_common, jaccard,
+       CAST(n_matches AS BIGINT) AS n_matches,
+       CAST(n_matches AS DOUBLE) / {float(n_hashes)} AS est_jaccard,
+       abs(CAST(n_matches AS DOUBLE) / {float(n_hashes)} - jaccard) AS abs_err
+FROM matched
+ORDER BY doc_a, doc_b
+"""
+
+
 class MinHashDedup(Pipe):
     """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
 
