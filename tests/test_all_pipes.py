@@ -44,6 +44,7 @@ from warp_pipes_spark.text.analysis import DocFingerprint, LangId, QualityScore,
 from warp_pipes_spark.text.dedup import (
     ExactDedup,
     MinHashDedup,
+    MinHashEstimate,
     NgramJaccardDedup,
     SimHashDedup,
 )
@@ -87,6 +88,7 @@ def instantiate_all():
         ExactDedup(),
         NgramJaccardDedup(),
         MinHashDedup(),
+        MinHashEstimate(),
         SimHashDedup(),
         TopkSearch(k=5),
     ]

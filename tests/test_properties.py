@@ -163,3 +163,54 @@ def test_passages_match_reference_generator(
         expected = _ref_gen_passages(list(range(n)), size, stride, start, end, pad)
         actual = sorted(got.get(i, []))
         assert [(ids, m) for _, ids, m in actual] == expected
+
+
+def _py_minhash_sig(text, n=3, n_hashes=32):
+    """Pure-Python twin of portable_minhash_sig: same tokenizer regex, same
+    first-occurrence-distinct shingles, same md5('<i>:'+s)[:16] string-min."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    sh = list(
+        dict.fromkeys(
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        )
+    )
+    if not sh:
+        return None
+    return [
+        min(
+            hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:16] for s in sh
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def test_minhash_estimate_vs_python_oracle(spark):
+    """MinHashEstimate's signatures and estimates equal an independent
+    pure-Python implementation; exact duplicates estimate jaccard 1.0."""
+    from warp_pipes_spark.text.dedup import MinHashEstimate
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again",
+        3: "the quick brown fox jumps over the lazy cat again and again",
+        4: "completely different content with no overlap whatsoever here",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in MinHashEstimate(n=3, n_hashes=32, threshold=0.3)(df).collect()
+    }
+    assert (1, 2) in out  # exact duplicates qualify
+    dup = out[(1, 2)]
+    assert dup["est_jaccard"] == 1.0 and dup["jaccard"] == 1.0
+    assert dup["abs_err"] == 0.0
+    sigs = {k: _py_minhash_sig(v) for k, v in texts.items()}
+    for (a, b), r in out.items():
+        matches = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert r["n_matches"] == matches, (a, b)
+        assert r["est_jaccard"] == matches / 32.0
