@@ -466,3 +466,37 @@ def test_bm25_append_skips_old_corpus_tokenization(spark, tmp_path, monkeypatch)
     appended = eng.append(new)
     appended._index().count()
     assert seen == [1]  # exactly one tokenization pass, over the 1 new doc
+
+
+def test_rrf_fuse_matches_hand_oracle(spark):
+    """rrf_fuse == per-doc sum of 1/(c+rank) across engines, top-k with idx
+    tie-break; docs present in one list only still score."""
+    from warp_pipes_spark.search.result import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12)],
+        "query_id long, rank int, idx long",
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 11), (1, 2, 13)],
+        "query_id long, rank int, idx long",
+    )
+    out = {r["idx"]: r for r in rrf_fuse(a, b, c=60.0, k=3).collect()}
+    from decimal import Decimal
+
+    def rr(rank):
+        return float(Decimal(repr(1.0 / (60.0 + rank))).quantize(Decimal("0.000001")))
+
+    exp = {
+        10: rr(1),
+        11: rr(2) + rr(1),
+        12: rr(3),
+        13: rr(2),
+    }
+    top3 = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert sorted(out) == sorted(idx for idx, _ in top3)
+    for rank_pos, (idx, score) in enumerate(
+        sorted(top3, key=lambda kv: (-kv[1], kv[0])), start=1
+    ):
+        assert out[idx]["rank"] == rank_pos
+        assert abs(out[idx]["rrf"] - score) < 1e-9

@@ -3116,27 +3116,10 @@ def q138_hybrid_rrf(spark, sf):
         exclude_self=False,
     )(qv)
     bm = Bm25Search(corpus=docs, k=20)(_bm25_queries(spark, sf))
-    rr = lambda rank: (F.lit(1.0) / (F.lit(60.0) + rank.cast("double"))).cast(D186)  # noqa: E731
-    contrib = bm.select(
-        "query_id", F.col("idx"), rr(F.col("rank")).alias("rr")
-    ).unionByName(
-        dense.select(
-            "query_id",
-            F.col("neighbor_id").alias("idx"),
-            rr(F.col("rank")).alias("rr"),
-        )
-    )
-    fused = contrib.groupBy("query_id", "idx").agg(F.sum("rr").alias("rrf"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("idx"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "rank",
-            "idx",
-            F.col("rrf").cast(D186).cast("double").alias("rrf"),
-        )
+    from warp_pipes_spark.search.result import rrf_fuse
+
+    return rrf_fuse(
+        bm, dense.withColumnRenamed("neighbor_id", "idx"), c=60.0, k=10
     )
 
 

@@ -1,4 +1,9 @@
-from warp_pipes_spark.search.result import merge_results, pad_results, topk_results
+from warp_pipes_spark.search.result import (
+    merge_results,
+    pad_results,
+    rrf_fuse,
+    topk_results,
+)
 from warp_pipes_spark.search.topk import TopkSearch
 from warp_pipes_spark.search.group_lookup import GroupLookupSearch
 from warp_pipes_spark.search.bm25 import Bm25Search
@@ -12,6 +17,7 @@ __all__ = [
     "auto_index",
     "merge_results",
     "pad_results",
+    "rrf_fuse",
     "topk_results",
     "TopkSearch",
     "GroupLookupSearch",

@@ -83,3 +83,42 @@ def results_to_arrays(results: DataFrame, k: int) -> DataFrame:
             F.transform("rows", lambda r: r["score"]).alias("score"),
         )
     )
+
+
+def rrf_fuse(*ranked: DataFrame, c: float = 60.0, k: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) over N ranked
+    result sets: ``rrf(q, d) = Σ_engines 1/(c + rank_e(d))``, then top-k per
+    query — the standard score-free combiner for heterogeneous engines
+    (lexical + dense), robust to incomparable score scales where
+    :func:`merge_results`'s raw score sums are not.
+
+    Inputs are ``(query_id, rank, idx, ...)`` frames (any engine's top-k
+    output). Contributions round through DECIMAL(18,6) so the fused sum is
+    order- and partitioning-free; output is ``(query_id, rank, idx,
+    rrf DOUBLE)`` with deterministic idx tie-break. One narrow shuffle on
+    (query_id, idx) over inputs already truncated to k rows per engine."""
+    contribs = [
+        r.select(
+            "query_id",
+            "idx",
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))
+            .cast("decimal(18,6)")
+            .alias("rr"),
+        )
+        for r in ranked
+    ]
+    u = contribs[0]
+    for nxt in contribs[1:]:
+        u = u.unionByName(nxt)
+    fused = u.groupBy("query_id", "idx").agg(F.sum("rr").alias("rrf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("idx"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "idx",
+            F.col("rrf").cast("decimal(18,6)").cast("double").alias("rrf"),
+        )
+    )
