@@ -40,7 +40,13 @@ from warp_pipes_spark.pipes.pipelines import (
 )
 from warp_pipes_spark.pipes.tokenizer import RegexTokenizer
 from warp_pipes_spark.search.topk import TopkSearch
-from warp_pipes_spark.text.analysis import DocFingerprint, LangId, QualityScore, TokenCount
+from warp_pipes_spark.text.analysis import (
+    DocFingerprint,
+    GopherQualityFilter,
+    LangId,
+    QualityScore,
+    TokenCount,
+)
 from warp_pipes_spark.text.dedup import (
     ExactDedup,
     MinHashDedup,
@@ -83,6 +89,7 @@ def instantiate_all():
         GeneratePassages(token_col="ids", size=10, stride=7),
         TokenCount(),
         QualityScore(),
+        GopherQualityFilter(),
         LangId(),
         DocFingerprint(),
         ExactDedup(),

@@ -3154,6 +3154,80 @@ def q139_ndcg_eval(spark, sf):
     )
 
 
+def q140_gopher_rules(spark, sf):
+    """Gopher/C4-style rule-based quality gate with per-rule audit columns
+    (token-count bounds, mean-token-length band, punctuation cap,
+    digit-free fraction, stopword presence) and their conjunction as
+    ``keep`` — the 'why was this dropped' report corpus curation publishes
+    next to the filter itself. One scan, zero shuffle, zero Python."""
+    from warp_pipes_spark.text.analysis import GopherQualityFilter
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    return GopherQualityFilter()(docs).drop("text")
+
+
+def q141_rerank_cascade(spark, sf):
+    """Retrieve-then-rerank cascade (the two-stage serving recipe behind
+    every cross-encoder deployment): BM25 retrieves 20 candidates from the
+    cached index, PairwiseRerank joins the bounded candidate set back to
+    query+doc text and re-scores each pair with the deterministic lexical
+    overlap stand-in (a learned cross-encoder drops into the same
+    Arrow-batched seam), top-5 survive with first-stage-score tie-breaks.
+    The pair table is |Q| x 20 rows — never corpus-sized."""
+    from warp_pipes_spark.search.topk import PairwiseRerank, token_overlap_expr
+
+    docs = T(spark, sf, "documents")
+    qdf = _bm25_queries(spark, sf)
+    cands = Bm25Search(corpus=docs, k=20)(qdf)
+    rerank = PairwiseRerank(
+        corpus=docs,
+        score_expr=token_overlap_expr(F.col("q_text"), F.col("d_text")),
+        k=5,
+    ).bind_queries(qdf)
+    return rerank(cands)
+
+
+def _gopher_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import gopher_sql
+
+    rules = gopher_sql()
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in rules.items())
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
+def _rerank_cascade_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    base = bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=20)
+    qt = f"list_distinct({tokens_sql('q.qtext')})"
+    dt = f"list_distinct({tokens_sql('d.text')})"
+    jac = (
+        f"CASE WHEN len(list_distinct({qt} || {dt})) > 0 THEN "
+        f"CAST(len(list_intersect({qt}, {dt})) AS DOUBLE) / "
+        f"len(list_distinct({qt} || {dt})) ELSE 0.0 END"
+    )
+    return f"""
+WITH cands AS ({base}),
+queries AS ({BM25_QUERIES_CTE}),
+pairs AS (
+  SELECT c.query_id, c.idx, c.score AS stage1_score,
+         CAST(CAST({jac} AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM cands c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN documents d ON d.doc_id = c.idx
+),
+ranked AS (
+  SELECT query_id, idx, score, stage1_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, stage1_score DESC, idx) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, idx, score, stage1_score
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _hybrid_rrf_oracle_sql(k_each: int = 20, k: int = 10, c: float = 60.0) -> str:
     """DuckDB oracle for q138: BM25 top-k_each (shared builder) + exact
     cosine top-k_each over the deterministic doc embedding, fused with
@@ -3661,6 +3735,8 @@ def _round2b_oracles():
         n=3, n_hashes=32, threshold=0.5
     )
     ORACLES_EXT["q138_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
+    ORACLES_EXT["q140_gopher_rules"] = _gopher_oracle_sql()
+    ORACLES_EXT["q141_rerank_cascade"] = _rerank_cascade_oracle_sql()
     ORACLES_EXT["q139_ndcg_eval"] = (
         "WITH res AS ("
         + bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10)
@@ -3881,6 +3957,8 @@ def _register():
         "q137_minhash_estimate": q137_minhash_estimate,
         "q138_hybrid_rrf": q138_hybrid_rrf,
         "q139_ndcg_eval": q139_ndcg_eval,
+        "q140_gopher_rules": q140_gopher_rules,
+        "q141_rerank_cascade": q141_rerank_cascade,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -140,6 +140,124 @@ def quality_sql(text: str = "text") -> Dict[str, str]:
     }
 
 
+class GopherQualityFilter(Pipe):
+    """Gopher/C4-style rule-based document quality gate (Rae et al. 2021
+    §A1.1, Raffel et al. 2020 §2.2, adapted to the engine's tokenizer):
+    each rule is an explicit boolean column — token-count bounds, mean
+    token length bounds, punctuation-ratio cap, digit-free token fraction,
+    minimum distinct-stopword hits — and ``keep`` is their conjunction.
+    Emitting per-rule verdicts (not just the gate) is what makes the
+    filter auditable: corpus curation reports 'why dropped' per rule.
+    Pure column expressions over one scan — no UDF, no shuffle; ratios are
+    exact-integer divisions so verdicts are engine-agnostic."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        min_tokens: int = 24,
+        max_tokens: int = 100_000,
+        min_mean_tok_len: float = 3.9,
+        max_mean_tok_len: float = 5.1,
+        max_punct_ratio: float = 0.1,
+        min_alpha_frac: float = 0.8,
+        min_stopword_hits: int = 1,
+        stopwords: tuple = LANG_STOPWORDS["en"],
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.min_mean_tok_len = min_mean_tok_len
+        self.max_mean_tok_len = max_mean_tok_len
+        self.max_punct_ratio = max_punct_ratio
+        self.min_alpha_frac = min_alpha_frac
+        self.min_stopword_hits = min_stopword_hits
+        self.stopwords = tuple(stopwords)
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        text = F.col(self.text_col)
+        toks = tokens_expr(text)
+        n_tokens = F.size(toks)
+        n_chars = F.length(text)
+        sum_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        mean_tok = F.when(
+            n_tokens > 0, sum_len / n_tokens.cast("double")
+        ).otherwise(F.lit(0.0))
+        punct = n_chars - F.length(F.translate(text, PUNCT_CHARS, ""))
+        punct_ratio = F.when(
+            n_chars > 0, punct.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0))
+        alpha = F.size(F.filter(toks, lambda t: ~t.rlike("[0-9]")))
+        alpha_frac = F.when(
+            n_tokens > 0, alpha.cast("double") / n_tokens.cast("double")
+        ).otherwise(F.lit(0.0))
+        hits = F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in self.stopwords]),
+            )
+        )
+        rules = {
+            "r_token_count": (n_tokens >= self.min_tokens)
+            & (n_tokens <= self.max_tokens),
+            "r_mean_tok_len": (mean_tok >= self.min_mean_tok_len)
+            & (mean_tok <= self.max_mean_tok_len),
+            "r_punct_ratio": punct_ratio <= self.max_punct_ratio,
+            "r_alpha_frac": alpha_frac >= self.min_alpha_frac,
+            "r_stopwords": hits >= self.min_stopword_hits,
+        }
+        keep = None
+        for c in rules.values():
+            keep = c if keep is None else (keep & c)
+        return {**rules, "keep": keep}
+
+
+def gopher_sql(
+    text: str = "text",
+    min_tokens: int = 24,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 3.9,
+    max_mean_tok_len: float = 5.1,
+    max_punct_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 1,
+    stopwords: tuple = LANG_STOPWORDS["en"],
+) -> Dict[str, str]:
+    """DuckDB twins of :class:`GopherQualityFilter`'s rule columns."""
+    toks = tokens_sql(text)
+    nt = f"len({toks})"
+    mean = (
+        f"CASE WHEN {nt} > 0 THEN "
+        f"list_sum(list_transform({toks}, t -> length(t))) / CAST({nt} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    pr = (
+        f"CASE WHEN length({text}) > 0 THEN "
+        f"CAST(length({text}) - length(translate({text}, '{PUNCT_CHARS}', '')) AS DOUBLE)"
+        f" / CAST(length({text}) AS DOUBLE) ELSE 0.0 END"
+    )
+    af = (
+        f"CASE WHEN {nt} > 0 THEN "
+        f"CAST(len(list_filter({toks}, t -> NOT regexp_matches(t, '[0-9]'))) AS DOUBLE)"
+        f" / CAST({nt} AS DOUBLE) ELSE 0.0 END"
+    )
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    hits = f"len(list_intersect(list_distinct({toks}), [{sw}]))"
+    rules = {
+        "r_token_count": f"({nt} >= {min_tokens} AND {nt} <= {max_tokens})",
+        "r_mean_tok_len": f"({mean} >= {min_mean_tok_len} AND {mean} <= {max_mean_tok_len})",
+        "r_punct_ratio": f"({pr} <= {max_punct_ratio})",
+        "r_alpha_frac": f"({af} >= {min_alpha_frac})",
+        "r_stopwords": f"({hits} >= {min_stopword_hits})",
+    }
+    rules["keep"] = "(" + " AND ".join(rules.values()) + ")"
+    return rules
+
+
 # ---------------------------------------------------------------------------
 # language identification (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
