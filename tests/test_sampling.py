@@ -279,3 +279,30 @@ def test_split_assign_rejects_bad_fractions():
         SplitAssign({"a": 0.7, "b": 0.4})
     with _pytest.raises(ValueError):
         SplitAssign({"a": -0.1})
+
+
+def test_temperature_mixture_flattens_composition(spark):
+    """T=1 reproduces the corpus exactly (w_s = 1 for every source); T=0.3
+    rebalances a 10:1-skewed corpus toward uniform — the minority source's
+    share must rise substantially while total stays ~N."""
+    from warp_pipes_spark.pipes.sampling import TemperatureMixture
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    ident = TemperatureMixture(temperature=1.0)(df)
+    assert ident.count() == 440
+    assert ident.select("doc_id").distinct().count() == 440
+    assert ident.agg({"mix_weight": "max"}).collect()[0][0] == 1.0
+
+    mixed = TemperatureMixture(temperature=0.3)(df)
+    by_src = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(by_src.values())
+    assert abs(n_total - 440) <= 25              # total stays ~N
+    small_share = by_src["small"] / n_total
+    assert small_share > 0.25                    # was 40/440 = 9%
+    # deterministic: same plan twice, same rows
+    a = sorted(map(tuple, mixed.collect()))
+    b = sorted(map(tuple, TemperatureMixture(temperature=0.3)(df).collect()))
+    assert a == b

@@ -500,3 +500,45 @@ def test_rrf_fuse_matches_hand_oracle(spark):
     ):
         assert out[idx]["rank"] == rank_pos
         assert abs(out[idx]["rrf"] - score) < 1e-9
+
+
+def test_index_rrf_merge_strategy(spark):
+    """Index(merge_strategy='rrf') fuses a chained retriever pair by
+    reciprocal rank instead of raw score sums — equal to composing the
+    engines manually through rrf_fuse."""
+    from warp_pipes_spark.core.pipe import Pipe
+    from warp_pipes_spark.search.index import Index
+    from warp_pipes_spark.search.result import rrf_fuse, topk_results
+
+    class FixedResults(Pipe):
+        def __init__(self, rows, **kw):
+            super().__init__(**kw)
+            self.rows = rows
+
+        _no_fingerprint = ("rows",)
+
+        def _transform(self, df, **kwargs):
+            return df.sparkSession.createDataFrame(
+                self.rows, "query_id long, idx long, score double"
+            )
+
+    # engine A scores 0-1 (cosine-like), engine B scores ~15 (BM25-like):
+    # raw score-sum would let B dominate; rrf treats them as peers
+    a = FixedResults([(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)])
+    b = FixedResults([(1, 11, 15.0), (1, 13, 9.0)])
+    queries = spark.createDataFrame([(1,)], "query_id long")
+    out = Index(
+        corpus=queries, engines=[a, b], k=3,
+        merge_previous_results=True, merge_strategy="rrf",
+    )(queries)
+    manual = topk_results(
+        rrf_fuse(
+            topk_results(a.transform(queries), 100),
+            topk_results(b.transform(queries), 100),
+            c=60.0, k=100,
+        ).withColumnRenamed("rrf", "score").drop("rank"),
+        3,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, manual.collect()))
+    # doc 11 (ranked by both engines) must fuse to the top
+    assert out.orderBy("rank").first()["idx"] == 11

@@ -137,6 +137,34 @@ class StratifiedSample(Pipe):
         return df.filter(gate < self._threshold())
 
 
+def _fan_out_by_weight(df: DataFrame, key_col: str, seed: int) -> DataFrame:
+    """Shared mixture fan-out: rows carrying ``__w`` emit floor(__w) full
+    copies plus an independent frac(__w) keyed sample of one more copy.
+    Replication is ``explode(sequence(...))`` — executor-local row fan-out,
+    no shuffle; the per-copy gate re-hashes with the copy index so
+    fractional copies are independent samples."""
+    out = (
+        df.filter(F.col("__w") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.ceil(F.col("__w")).cast("int") - 1)),
+        )
+    )
+    # full copies always pass; the LAST copy passes at rate frac(w)
+    # (when w is integral, frac = 0 and ceil adds no extra copy)
+    frac = F.col("__w") - F.floor(F.col("__w"))
+    is_partial = F.col("copy_idx") >= F.floor(F.col("__w"))
+    gate = _gate_col(F.col(key_col), seed, salt=F.col("copy_idx"))
+    # threshold hex for an arbitrary per-row fraction, computed in-plan:
+    # lpad(hex(floor(frac * 16^12))) — identical formula to _threshold_hex
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(float(_HEX_SPACE))).cast("long"))),
+        _HEX_DIGITS,
+        "0",
+    )
+    return out.filter(~is_partial | (gate < thr)).drop("__w")
+
+
 class WeightedMixture(Pipe):
     """Corpus mixing with per-stratum weights that may exceed 1 —
     the epoch-oversampling primitive of LLM pretraining data recipes
@@ -178,28 +206,97 @@ class WeightedMixture(Pipe):
         return expr.otherwise(F.lit(float(self.default)))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        w = self._weight()
-        out = (
-            df.withColumn("__w", w)
-            .filter(F.col("__w") > 0)
-            .withColumn(
-                "copy_idx",
-                F.explode(F.sequence(F.lit(0), F.ceil(F.col("__w")).cast("int") - 1)),
-            )
+        return _fan_out_by_weight(
+            df.withColumn("__w", self._weight()), self.key_col, self.seed
         )
-        # full copies always pass; the LAST copy passes at rate frac(w)
-        # (when w is integral, frac = 0 and ceil adds no extra copy)
-        frac = F.col("__w") - F.floor(F.col("__w"))
-        is_partial = F.col("copy_idx") >= F.floor(F.col("__w"))
-        gate = _gate_col(F.col(self.key_col), self.seed, salt=F.col("copy_idx"))
-        # threshold hex for an arbitrary per-row fraction, computed in-plan:
-        # lpad(hex(floor(frac * 16^12))) — identical formula to _threshold_hex
-        thr = F.lpad(
-            F.lower(F.hex(F.floor(frac * F.lit(float(_HEX_SPACE))).cast("long"))),
-            _HEX_DIGITS,
-            "0",
+
+
+class TemperatureMixture(Pipe):
+    """Temperature-scaled corpus mixing (the multilingual/multi-source
+    rebalancing recipe, e.g. mBERT/XLM-R exponent-smoothed sampling):
+    target composition p_s ∝ n_s^T flattens the source distribution as
+    T -> 0; each source's mixture weight is w_s = p_s * N / n_s (copies
+    per row so the output totals ~N rows at the target composition), then
+    the shared keyed fan-out emits floor/frac copies exactly like
+    :class:`WeightedMixture` — but with weights DERIVED FROM CORPUS COUNTS
+    in-plan (a source-sized aggregate broadcast back), not a static dict.
+
+    w_s rounds through DECIMAL(18,6) before the fan-out so the pow()
+    doubles agree across engines at every downstream decision point; the
+    computed weight is emitted as ``mix_weight`` for auditability."""
+
+    def __init__(
+        self,
+        temperature: float = 0.7,
+        stratum_col: str = "source",
+        key_col: str = "doc_id",
+        seed: int = 0,
+        **kwargs,
+    ):
+        if not 0 < temperature <= 1:
+            raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+        super().__init__(**kwargs)
+        self.temperature = temperature
+        self.stratum_col = stratum_col
+        self.key_col = key_col
+        self.seed = seed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        s = self.stratum_col
+        stats = df.groupBy(s).agg(F.count(F.lit(1)).alias("__n"))
+        # p_s = n_s^T / sum_t n_t^T ; w_s = p_s * N / n_s
+        stats = stats.withColumn("__pw", F.pow(F.col("__n").cast("double"), F.lit(self.temperature)))
+        tot = stats.agg(
+            F.sum("__pw").alias("__z"), F.sum("__n").alias("__tot")
         )
-        return out.filter(~is_partial | (gate < thr)).drop("__w")
+        weights = stats.crossJoin(F.broadcast(tot)).select(
+            s,
+            ((F.col("__pw") / F.col("__z")) * F.col("__tot") / F.col("__n"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("mix_weight"),
+        )
+        joined = df.join(F.broadcast(weights), s).withColumn(
+            "__w", F.col("mix_weight")
+        )
+        return _fan_out_by_weight(joined, self.key_col, self.seed)
+
+
+def temperature_mixture_sql(
+    table: str,
+    temperature: float = 0.7,
+    stratum: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB oracle for :class:`TemperatureMixture` — identical weight
+    derivation (DECIMAL-rounded) and keyed fan-out."""
+    gate = _gate_sql(key, seed, salt="copy_idx")
+    return f"""
+WITH stats AS (
+  SELECT {stratum}, COUNT(*) AS n, pow(COUNT(*), {temperature}) AS pw
+  FROM {table} GROUP BY 1
+), tot AS (
+  SELECT SUM(pw) AS z, SUM(n) AS ntot FROM stats
+), weights AS (
+  SELECT {stratum},
+         CAST(CAST((pw / z) * ntot / n AS DECIMAL(18,6)) AS DOUBLE) AS mix_weight
+  FROM stats CROSS JOIN tot
+), weighted AS (
+  SELECT t.*, w.mix_weight, w.mix_weight AS __w
+  FROM {table} t JOIN weights w USING ({stratum})
+), fanned AS (
+  SELECT weighted.*, gs.copy_idx
+  FROM weighted, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(__w) AS BIGINT))) AS copy_idx
+  ) gs
+  WHERE __w > 0
+)
+SELECT {columns}, mix_weight, copy_idx FROM fanned
+WHERE copy_idx < floor(__w)
+   OR {gate} < lpad(lower(hex(CAST(floor((__w - floor(__w)) * {float(_HEX_SPACE)}) AS BIGINT))), {_HEX_DIGITS}, '0')
+"""
 
 
 class EpochShuffle(Pipe):

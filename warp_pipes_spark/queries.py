@@ -3187,6 +3187,47 @@ def q141_rerank_cascade(spark, sf):
     return rerank(cands)
 
 
+def q142_temperature_mix(spark, sf):
+    """Temperature-scaled source rebalancing (mBERT/XLM-R exponent-smoothed
+    sampling, T=0.7): target composition p_s ∝ n_s^T derived from corpus
+    counts IN-PLAN (source-sized aggregate broadcast back), per-source
+    mixture weight w_s = p_s*N/n_s feeding the same keyed floor/frac copy
+    fan-out as q57 — small sources oversample, dominant sources
+    downsample, output composition approaches the temperature target.
+    DECIMAL-rounded weights keep every downstream gate decision
+    engine-agnostic."""
+    from warp_pipes_spark.pipes.sampling import TemperatureMixture
+
+    docs = T(spark, sf, "documents").select("doc_id", "source")
+    return TemperatureMixture(temperature=0.7)(docs).select(
+        "doc_id", "source", "mix_weight", "copy_idx"
+    )
+
+
+def q143_relative_quality(spark, sf):
+    """Relative (percentile) quality filtering — the FineWeb-style recipe
+    of keeping the top fraction PER SOURCE by classifier score rather than
+    a global absolute threshold (which would empty weak sources and keep
+    all of strong ones): q87's hashed linear classifier scores every doc,
+    percent_rank within each source (score desc, doc_id tie-break) keeps
+    the top 30%. One scan + one per-source window shuffle."""
+    from warp_pipes_spark.text.classifier import HashedLinearClassifier
+
+    docs = T(spark, sf, "documents")
+    scored = HashedLinearClassifier(dim=64)(docs).select(
+        "doc_id", "source", "score"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "pct_rank",
+            F.percent_rank().over(w).cast("decimal(18,6)").cast("double"),
+        )
+        .filter(F.col("pct_rank") <= 0.3)
+        .select("doc_id", "source", "score", "pct_rank")
+    )
+
+
 def _gopher_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql
 
@@ -3737,6 +3778,23 @@ def _round2b_oracles():
     ORACLES_EXT["q138_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
     ORACLES_EXT["q140_gopher_rules"] = _gopher_oracle_sql()
     ORACLES_EXT["q141_rerank_cascade"] = _rerank_cascade_oracle_sql()
+
+    from warp_pipes_spark.pipes.sampling import temperature_mixture_sql
+    from warp_pipes_spark.text.classifier import classifier_sql as _clf_sql
+
+    ORACLES_EXT["q142_temperature_mix"] = temperature_mixture_sql(
+        "documents", temperature=0.7, columns="doc_id, source"
+    )
+    ORACLES_EXT["q143_relative_quality"] = (
+        "WITH scored AS (SELECT s.doc_id, d.source, s.score "
+        f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
+        "ranked AS (SELECT doc_id, source, score, "
+        "CAST(CAST(percent_rank() OVER (PARTITION BY source "
+        "ORDER BY score DESC, doc_id) AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank "
+        "FROM scored) "
+        "SELECT doc_id, source, score, pct_rank FROM ranked "
+        "WHERE pct_rank <= 0.3 ORDER BY source, pct_rank, doc_id"
+    )
     ORACLES_EXT["q139_ndcg_eval"] = (
         "WITH res AS ("
         + bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10)
@@ -3959,6 +4017,8 @@ def _register():
         "q139_ndcg_eval": q139_ndcg_eval,
         "q140_gopher_rules": q140_gopher_rules,
         "q141_rerank_cascade": q141_rerank_cascade,
+        "q142_temperature_mix": q142_temperature_mix,
+        "q143_relative_quality": q143_relative_quality,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.core.fingerprint import combine_fingerprints
@@ -32,13 +33,25 @@ class Index(Pipe):
         engines: Sequence[Pipe],
         k: int = 10,
         merge_previous_results: bool = False,
+        merge_strategy: str = "sum",
+        rrf_c: float = 60.0,
+        rrf_depth: int = 100,
         **kwargs,
     ):
+        if merge_strategy not in ("sum", "rrf"):
+            raise ValueError(f"merge_strategy must be 'sum' or 'rrf', got {merge_strategy!r}")
         super().__init__(**kwargs)
         self.corpus = corpus
         self.engines = list(engines)
         self.k = k
         self.merge_previous_results = merge_previous_results
+        # 'sum' = the reference's merge_previous_results score addition;
+        # 'rrf' = reciprocal-rank fusion (scale-free — correct when the
+        # chained engines score on incomparable scales, e.g. BM25 + cosine);
+        # each side contributes its top-rrf_depth ranks
+        self.merge_strategy = merge_strategy
+        self.rrf_c = rrf_c
+        self.rrf_depth = rrf_depth
 
     _no_fingerprint = ("corpus",)
 
@@ -69,7 +82,18 @@ class Index(Pipe):
             if prev is not None and self.merge_previous_results and getattr(
                 engine, "merge_previous_results", True
             ):
-                prev = merge_results(prev, out.select("query_id", "idx", "score"))
+                cur = out.select("query_id", "idx", "score")
+                if self.merge_strategy == "rrf":
+                    from warp_pipes_spark.search.result import rrf_fuse
+
+                    prev = rrf_fuse(
+                        topk_results(prev, self.rrf_depth),
+                        topk_results(cur, self.rrf_depth),
+                        c=self.rrf_c,
+                        k=self.rrf_depth,
+                    ).select("query_id", "idx", F.col("rrf").alias("score"))
+                else:
+                    prev = merge_results(prev, cur)
             else:
                 prev = out.select("query_id", "idx", "score")
         if ranked_k is not None and ranked_k <= self.k:
