@@ -365,3 +365,57 @@ class PqCosineTopK(Pipe):
             .filter(F.col("rank") <= self.k)
             .select("query_id", "rank", "neighbor_id", "score")
         )
+
+
+def sq8_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    levels: int = 256,
+    queries_where: str = "vec_id % 25 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for SQ8-quantized cosine top-k (q67): the quantizer
+    fit (per-dimension min/max), the clamped fixed-point encode, the
+    midpoint decode through FLOAT, and the decimal-rounded cosine ranking
+    are all reproduced with the engine's exact arithmetic."""
+    lv = levels - 1
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+stats AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e CROSS JOIN dims GROUP BY i
+),
+sq AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list(CASE WHEN mx - mn > 0 THEN (mx - mn) / {float(lv)} ELSE 1.0 END
+              ORDER BY i) AS steps
+  FROM stats
+),
+recon AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}), i ->
+           CAST(CAST(sq.mins[i]
+             + CAST(least({lv}, greatest(0,
+                 CAST(round((v[i] - sq.mins[i]) / sq.steps[i]) AS INTEGER)))
+               AS DOUBLE) * sq.steps[i] AS FLOAT) AS DOUBLE)) AS rv
+  FROM e CROSS JOIN sq
+),
+q AS (SELECT vec_id, v FROM e WHERE {queries_where}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.v, c.rv) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.rv, c.rv)))
+           AS DECIMAL(18,6)) AS score
+  FROM q CROSS JOIN recon c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

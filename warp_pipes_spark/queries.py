@@ -924,9 +924,12 @@ def q66_rank_suite(spark, sf):
 def q67_quantized_topk(spark, sf):
     """SQ8 scalar-quantized ANN: corpus stored as uint8 codes (4x smaller
     — the 100 TB memory lever), dequantized inside the scan projection,
-    exact cosine top-k over the reconstruction. Rows-only driver check
-    (quantizer training is not SQL-expressible); reconstruction error and
-    recall-vs-exact are asserted in tests."""
+    exact cosine top-k over the reconstruction. Fully oracled: the SQ8
+    fit is one per-dimension min/max aggregation and encode/decode are
+    pure fixed-point arithmetic, so DuckDB reproduces codes, midpoint
+    reconstructions, and the final decimal-rounded cosine ranking
+    bit-for-bit; reconstruction error and recall-vs-exact are additionally
+    asserted in tests."""
     from warp_pipes_spark.ml.quantize import quantized_corpus
 
     emb = T(spark, sf, "embeddings")
@@ -3778,6 +3781,10 @@ def _round2b_oracles():
     ORACLES_EXT["q138_hybrid_rrf"] = _hybrid_rrf_oracle_sql()
     ORACLES_EXT["q140_gopher_rules"] = _gopher_oracle_sql()
     ORACLES_EXT["q141_rerank_cascade"] = _rerank_cascade_oracle_sql()
+
+    from warp_pipes_spark.ml.quantize import sq8_topk_sql
+
+    ORACLES_EXT["q67_quantized_topk"] = sq8_topk_sql(dim=64, k=5)
 
     from warp_pipes_spark.pipes.sampling import temperature_mixture_sql
     from warp_pipes_spark.text.classifier import classifier_sql as _clf_sql
