@@ -53,12 +53,23 @@ def repartition_by_bytes(
 
 
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic fake decoder: hash-seeded feature vector. Stands in for
-    a real image/audio model so the full pipeline is testable without the
-    media libraries."""
-    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
-    rng = np.random.RandomState(seed % (2**32))
-    return rng.randn(dim).astype(np.float64)
+    """Deterministic fake decoder: per-component md5 fixed-point values,
+    component i = int(md5(payload || ':' || i)[:12 hex]) / 16^12. Stands in
+    for a real image/audio model so the full pipeline is testable without
+    the media libraries — and, unlike an RNG-seeded stub, is reproducible
+    in SQL (md5 + hex arithmetic), so the Arrow-batched UDF seam itself is
+    differentially testable end to end. 16^12 = 2^48 makes every component
+    a dyadic rational: component sums are EXACT doubles in any fold
+    order."""
+    p = payload or b""
+    return np.array(
+        [
+            int(hashlib.md5(p + b":" + str(i).encode()).hexdigest()[:12], 16)
+            / 281474976710656.0
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
 
 
 class DecodeMedia(Pipe):

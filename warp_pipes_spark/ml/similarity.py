@@ -225,8 +225,11 @@ class LshCosineTopK(Pipe):
         broadcast_queries: bool = True,
         index_cache_dir: Optional[str] = None,
         materialize_index: bool = True,
+        plane_family: str = "randn",
         **kwargs,
     ):
+        if plane_family not in ("randn", "md5"):
+            raise ValueError(f"plane_family must be 'randn' or 'md5', got {plane_family!r}")
         super().__init__(**kwargs)
         self.corpus = corpus
         self.k = k
@@ -234,6 +237,13 @@ class LshCosineTopK(Pipe):
         self.n_tables = n_tables
         self.dim = dim
         self.seed = seed
+        # 'randn': seeded gaussian hyperplanes (rotation-invariant bucket
+        # quality — the textbook choice). 'md5': uniform [-0.5, 0.5)
+        # fixed-point components derived per (seed, table, plane, dim) from
+        # md5 — negligibly different bucket statistics, but reproducible in
+        # plain SQL, which makes the WHOLE candidate-generation + re-rank
+        # pipeline differentially testable against a DuckDB oracle
+        self.plane_family = plane_family
         self.broadcast_queries = broadcast_queries
         self.query_id = query_id
         self.query_vec = query_vec
@@ -281,6 +291,7 @@ class LshCosineTopK(Pipe):
                 "n_tables": self.n_tables,
                 "dim": self.dim,
                 "seed": self.seed,
+                "plane_family": self.plane_family,
             }
         )
         if not manager.exists(fp):
@@ -288,6 +299,20 @@ class LshCosineTopK(Pipe):
         return manager.load(self.corpus.sparkSession, fp)
 
     def _planes(self) -> np.ndarray:
+        if self.plane_family == "md5":
+            import hashlib
+
+            def u(t, p, d):
+                h = hashlib.md5(f"{self.seed}:{t}:{p}:{d}".encode()).hexdigest()
+                return int(h[:12], 16) / 281474976710656.0 - 0.5
+
+            return np.array(
+                [
+                    [[u(t, p, d) for d in range(self.dim)] for p in range(self.n_planes)]
+                    for t in range(self.n_tables)
+                ],
+                dtype=np.float64,
+            )
         rng = np.random.RandomState(self.seed)
         return rng.randn(self.n_tables, self.n_planes, self.dim)
 
@@ -772,5 +797,67 @@ SELECT query_id,
        neighbor_id, CAST(score AS DOUBLE) AS score
 FROM fine
 QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def lsh_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    queries_where: str = "vec_id % 25 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :class:`LshCosineTopK` with ``plane_family='md5'``:
+    identical fixed-point hyperplanes, sign-bit bucket codes, bucket-join
+    candidate generation, and decimal-rounded exact cosine re-rank. (Sign
+    decisions compare a 64-term dot product against 0 — numpy's and SQL
+    SUM's fold orders differ only at ~1e-15, so a flipped sign would need
+    |projection| below that; never observed, and measure-zero in theory.)"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+planes AS (
+  SELECT t, p, d,
+         (('0x' || substring(md5('{seed}:' || t || ':' || p || ':' || d), 1, 12))::BIGINT)
+           / 281474976710656.0 - 0.5 AS w
+  FROM generate_series(0, {n_tables - 1}) g1(t)
+  CROSS JOIN generate_series(0, {n_planes - 1}) g2(p)
+  CROSS JOIN generate_series(0, {dim - 1}) g3(d)
+),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, SUM(e.v[pl.d + 1] * pl.w) AS s
+  FROM e CROSS JOIN planes pl GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM codes qc
+  JOIN codes cc ON qc.t = cc.t AND qc.bucket = cc.bucket
+  WHERE qc.vec_id IN (SELECT vec_id FROM e WHERE {queries_where})
+    AND qc.vec_id <> cc.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_dot_product(q.v, n.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+           AS DECIMAL(18,6)) AS score
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """

@@ -468,16 +468,24 @@ def q27_ngram_jaccard(spark, sf):
 
 
 def q28_minhash_dedup(spark, sf):
-    return MinHashDedup(n=3, n_hashes=32, band_size=4, threshold=0.5)(
-        T(spark, sf, "documents")
-    )
+    """MinHash+LSH banded near-dup with exact-Jaccard verify. The md5
+    string-min hash family makes signatures, band keys, the bucket join
+    and the verify reproducible in SQL — the banded sketch pipeline is
+    bit-exact ORACLED end to end (recall properties additionally tested)."""
+    return MinHashDedup(
+        n=3, n_hashes=32, band_size=4, threshold=0.5, hash_family="md5"
+    )(T(spark, sf, "documents"))
 
 
 def q29_simhash_dedup(spark, sf):
     """64-bit SimHash near-dup: hamming <= 3 (the standard web-dedup radius);
     4 bands of 16 bits guarantee recall for that radius (pigeonhole: any pair
-    within hamming 3 agrees on at least one band)."""
-    return SimHashDedup(n_bands=4, max_hamming=3)(T(spark, sf, "documents"))
+    within hamming 3 agrees on at least one band). The md5 hash family makes
+    signatures, bands, candidates and the Hamming filter reproducible in
+    SQL, so the sketch pipeline is bit-exact ORACLED end to end."""
+    return SimHashDedup(n_bands=4, max_hamming=3, hash_family="md5")(
+        T(spark, sf, "documents")
+    )
 
 
 def q30_cosine_topk(spark, sf):
@@ -691,12 +699,21 @@ def q38_merge_scores(spark, sf):
 def q39_lsh_topk(spark, sf):
     """Approximate ANN: random-hyperplane LSH bucketing (seeded) + exact
     cosine re-rank of candidates — the sub-quadratic scale path for q30.
-    Recall vs the exact engine is asserted in tests; the driver records a
-    rows-only check (bucketing uses seeded numpy hyperplanes, not SQL)."""
+    The md5 plane family makes the WHOLE pipeline (hyperplanes, sign-bit
+    bucket codes, bucket-join candidate generation, re-rank) reproducible
+    in SQL, so the approximate engine is now bit-exact ORACLED — the
+    candidate set itself is verified, not just sampled for recall (recall
+    vs the exact engine is additionally asserted in tests)."""
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return LshCosineTopK(
-        corpus=emb, k=5, dim=64, n_planes=8, n_tables=6, exclude_self=True
+        corpus=emb,
+        k=5,
+        dim=64,
+        n_planes=8,
+        n_tables=6,
+        exclude_self=True,
+        plane_family="md5",
     )(queries)
 
 
@@ -2118,9 +2135,12 @@ def q41_frame_sample(spark, sf):
 
 
 def q42_decode_features(spark, sf):
-    """Stubbed media decode: payload -> deterministic fake feature vector via
-    Arrow-batched mapInPandas (the real-decoder slot), reduced to a per-row
-    checksum. Rows-only driver check (numpy RNG is not SQL-expressible)."""
+    """Stubbed media decode: payload -> deterministic fake feature vector
+    via the Arrow-batched pandas UDF (the real-decoder slot), reduced to a
+    per-row feature sum. The md5 fixed-point kernel makes the PYTHON UDF
+    SEAM ITSELF oracle-able: DuckDB recomputes the identical components
+    from the payload bytes, and 2^48-denominator dyadic components sum
+    exactly in any fold order, so the checksum is bit-equal."""
     docs = _media_payloads(spark, sf).select(
         F.col("doc_id").alias("media_id"), "payload"
     )
@@ -2128,7 +2148,7 @@ def q42_decode_features(spark, sf):
     feat_sum = F.aggregate(
         "features", F.lit(0.0).cast("double"), lambda acc, x: acc + x
     )
-    return out.select("media_id", F.round(feat_sum, 6).alias("feat_sum"))
+    return out.select("media_id", feat_sum.alias("feat_sum"))
 
 
 def q44_except(spark, sf):
@@ -3785,6 +3805,29 @@ def _round2b_oracles():
     from warp_pipes_spark.ml.quantize import sq8_topk_sql
 
     ORACLES_EXT["q67_quantized_topk"] = sq8_topk_sql(dim=64, k=5)
+
+    from warp_pipes_spark.ml.similarity import lsh_topk_sql
+
+    ORACLES_EXT["q39_lsh_topk"] = lsh_topk_sql(
+        dim=64, k=5, n_planes=8, n_tables=6, seed=42
+    )
+
+    from warp_pipes_spark.text.dedup import minhash_dedup_sql, simhash_sql
+
+    ORACLES_EXT["q29_simhash_dedup"] = simhash_sql(n_bands=4, max_hamming=3)
+    ORACLES_EXT["q28_minhash_dedup"] = minhash_dedup_sql(
+        n=3, n_hashes=32, band_size=4, threshold=0.5
+    )
+
+    # q42: payload = encode(text) so md5(payload || ':i') == md5(text || ':i');
+    # 2^48-denominator components are dyadic -> list_sum is exact in any order
+    ORACLES_EXT["q42_decode_features"] = (
+        "SELECT doc_id AS media_id, "
+        "list_sum(list_transform(generate_series(0, 7), i -> "
+        "(('0x' || substring(md5(text || ':' || i), 1, 12))::BIGINT) "
+        "/ 281474976710656.0)) AS feat_sum "
+        "FROM documents ORDER BY media_id"
+    )
 
     from warp_pipes_spark.pipes.sampling import temperature_mixture_sql
     from warp_pipes_spark.text.classifier import classifier_sql as _clf_sql

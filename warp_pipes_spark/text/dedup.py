@@ -589,8 +589,11 @@ class MinHashDedup(Pipe):
         persist: bool = True,
         materialize_shingles: bool = True,
         shingle_cache_dir: Optional[str] = None,
+        hash_family: str = "xxhash",
         **kwargs,
     ):
+        if hash_family not in ("xxhash", "md5"):
+            raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
         super().__init__(**kwargs)
         self.text_col = text_col
         self.id_col = id_col
@@ -601,6 +604,11 @@ class MinHashDedup(Pipe):
         self.persist = persist
         self.materialize_shingles = materialize_shingles
         self.shingle_cache_dir = shingle_cache_dir
+        # 'xxhash': JVM-side signature hashes (fastest). 'md5': the
+        # portable_minhash_sig string-min family — same LSH statistics,
+        # reproducible in SQL, so the banded candidate generation + exact
+        # verify pipeline is differentially testable end to end
+        self.hash_family = hash_family
         assert n_hashes % band_size == 0, "n_hashes must divide into bands"
 
     _no_fingerprint = ("shingle_cache_dir",)
@@ -627,28 +635,39 @@ class MinHashDedup(Pipe):
                 F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
             )
 
-        sig = docs.select(
-            "doc_id",
-            "shingles",
-            F.array(*[min_hash(i) for i in range(self.n_hashes)]).alias("signature"),
-        )
+        if self.hash_family == "md5":
+            sig = docs.select(
+                "doc_id",
+                "shingles",
+                portable_minhash_sig(F.col("shingles"), self.n_hashes).alias(
+                    "signature"
+                ),
+            )
+        else:
+            sig = docs.select(
+                "doc_id",
+                "shingles",
+                F.array(*[min_hash(i) for i in range(self.n_hashes)]).alias(
+                    "signature"
+                ),
+            )
         n_bands = self.n_hashes // self.band_size
+
+        def band_key(b: int):
+            parts = [
+                F.col("signature")[i]
+                for i in range(b * self.band_size, (b + 1) * self.band_size)
+            ]
+            # md5 signatures are strings: the band key is the joined slice
+            # itself (SQL-reproducible); xxhash signatures re-hash JVM-side
+            if self.hash_family == "md5":
+                return F.concat_ws("|", *parts)
+            return F.xxhash64(*parts).cast("string")
+
         bands = sig.select(
             "doc_id",
             F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[i]
-                                for i in range(
-                                    b * self.band_size, (b + 1) * self.band_size
-                                )
-                            ]
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
+                F.array(*[band_key(b) for b in range(n_bands)])
             ).alias("band_id", "band_hash"),
         )
         if self.persist:
@@ -699,8 +718,11 @@ class SimHashDedup(Pipe):
         persist: bool = True,
         materialize_signatures: bool = True,
         signature_cache_dir: Optional[str] = None,
+        hash_family: str = "xxhash",
         **kwargs,
     ):
+        if hash_family not in ("xxhash", "md5"):
+            raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
         super().__init__(**kwargs)
         self.text_col = text_col
         self.id_col = id_col
@@ -710,6 +732,12 @@ class SimHashDedup(Pipe):
         self.persist = persist
         self.materialize_signatures = materialize_signatures
         self.signature_cache_dir = signature_cache_dir
+        # 'xxhash': token hashes computed JVM-side (fastest). 'md5': first
+        # 16 md5 hex chars as the 64-bit token hash — same signature
+        # statistics, but reproducible in plain SQL, making the full
+        # signature -> band -> candidate -> hamming pipeline
+        # differentially testable against a DuckDB oracle
+        self.hash_family = hash_family
         # pigeonhole: a pair within max_hamming differs in <= max_hamming
         # bands, so it SHARES a band only if max_hamming < n_bands — beyond
         # that the candidate-completeness guarantee silently breaks
@@ -732,11 +760,18 @@ class SimHashDedup(Pipe):
             "doc_id",
             F.array_distinct(tokens_expr(F.col(self.text_col))).alias("tokens"),
         ).filter(F.size("tokens") > 0)
-        # token hashes stay JVM-side (xxhash64); the 64 per-bit majority
-        # votes run vectorized in numpy — as Catalyst expressions they are
-        # 64 interpreted array passes per row (higher-order fns don't codegen)
+        # token hashes stay JVM-side (xxhash64) on the default family, or
+        # come from md5 hex (conv(hex, 16, 10) -> UNSIGNED decimal string,
+        # reparsed as uint64 in the kernel) on the SQL-portable family; the
+        # 64 per-bit majority votes run vectorized in numpy — as Catalyst
+        # expressions they are 64 interpreted array passes per row
+        # (higher-order fns don't codegen)
+        if self.hash_family == "md5":
+            tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, 10)  # noqa: E731
+        else:
+            tok_hash = F.xxhash64
         hashed = toks.select(
-            "doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("hashes")
+            "doc_id", F.transform("tokens", tok_hash).alias("hashes")
         )
         bits = self.bits
         weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
@@ -745,7 +780,12 @@ class SimHashDedup(Pipe):
             for series in batches:
                 out = []
                 for hs in series:
-                    H = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                    # elements are int64 (xxhash) or decimal strings (md5
+                    # via conv): normalize through Python int + wraparound
+                    H = np.array(
+                        [int(h) & 0xFFFFFFFFFFFFFFFF for h in hs],
+                        dtype=np.uint64,
+                    )
                     bitmat = (H[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
                     votes = bitmat.sum(axis=0) * 2 > len(H)
                     out.append(int((weights[votes].sum(dtype=np.uint64)).astype(np.int64)))
@@ -782,6 +822,7 @@ class SimHashDedup(Pipe):
                     "id": self.id_col,
                     "text": self.text_col,
                     "bits": self.bits,
+                    "hash_family": self.hash_family,
                 }
             )
             if not manager.exists(fp):
@@ -1714,4 +1755,116 @@ SELECT toks.{id_col},
 FROM toks
 LEFT JOIN clean USING ({id_col})
 LEFT JOIN ncov USING ({id_col})
+"""
+
+
+def simhash_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    n_bands: int = 8,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB oracle for :class:`SimHashDedup` with ``hash_family='md5'``:
+    identical 64-bit token hashes (first 16 md5 hex chars), per-bit strict
+    majority votes, int64-wraparound signature packing, arithmetic-shift
+    band extraction, and bit_count(xor) Hamming filter."""
+    toks = tokens_sql(text)
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, list_distinct({toks}) AS tokens FROM {table}
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t.tok), 1, 16))::UBIGINT AS h
+  FROM docs, unnest(tokens) AS t(tok)
+  WHERE len(tokens) > 0
+),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) * 2 > COUNT(*) AS b
+  FROM th CROSS JOIN generate_series(0, {bits - 1}) g(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN b AND j < {bits - 1} THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              + SUM(CASE WHEN b AND j = {bits - 1} THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, g.band_id,
+         (simhash >> (g.band_id * {band_bits})) & {mask} AS band_val
+  FROM sig CROSS JOIN generate_series(0, {n_bands - 1}) g(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                  b.doc_id AS doc_b, b.simhash AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_dedup_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :class:`MinHashDedup` with ``hash_family='md5'``:
+    identical string-min signatures, band keys as joined signature slices,
+    bucket-join candidate generation, and the exact-Jaccard verify."""
+    sh = shingles_sql(text, n)
+    n_bands = n_hashes // band_size
+    band_key = " || '|' || ".join(
+        f"sig[{{b}} * {band_size} + {i + 1}]" for i in range(band_size)
+    )
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {sh} AS shingles FROM {table}
+),
+nonempty AS (SELECT * FROM docs WHERE len(shingles) > 0),
+sig AS (
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, {n_hashes - 1}), i ->
+           list_min(list_transform(shingles, s ->
+             substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 16)))) AS sig
+  FROM nonempty
+),
+bands AS (
+  SELECT doc_id, g.b AS band_id, {band_key.format(b='g.b')} AS band_hash
+  FROM sig CROSS JOIN generate_series(0, {n_bands - 1}) g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+         CAST(len(list_intersect(sa.shingles, sb.shingles))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           AS DECIMAL(18,6)) AS jaccard
+  FROM cand c
+  JOIN nonempty sa ON sa.doc_id = c.doc_a
+  JOIN nonempty sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b
 """
