@@ -91,3 +91,16 @@ def test_index_pipeline_example(spark):
     assert any(q < 9000 for q in qids)  # dataset split matched
     for r in out:
         assert 1 <= r["rank"] <= 5
+
+
+def test_hybrid_retrieval_example(spark):
+    out = _mod("hybrid_retrieval").run(spark).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        assert 1 <= r["rank"] <= 3
+        by_q.setdefault(r["query_id"], []).append(r)
+    # every query's own doc is a fused candidate; overlap rerank puts the
+    # (identical-prefix) source doc at a valid rank with a positive score
+    for qid, rows in by_q.items():
+        assert any(r["score"] > 0 for r in rows)
