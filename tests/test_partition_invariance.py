@@ -33,6 +33,9 @@ INVARIANT_QUERIES = [
     "q97_pagerank",             # iterative float fixpoint (decimal-stable)
     "q133_connected_components",  # iterative hash-min fixpoint
     "q135_cms_heavy_hitters",   # sketch build via hash-aggregate
+    "q137_minhash_estimate",    # portable signatures + pair join
+    "q138_hybrid_rrf",          # decimal-rounded rank-fusion sums
+    "q142_temperature_mix",     # in-plan derived weights + keyed fan-out
 ]
 
 
