@@ -40,6 +40,7 @@ from warp_pipes_spark.pipes.pipelines import (
 )
 from warp_pipes_spark.pipes.tokenizer import RegexTokenizer
 from warp_pipes_spark.search.topk import TopkSearch
+from warp_pipes_spark.text.packing import SpanCorruption
 from warp_pipes_spark.text.analysis import (
     DocFingerprint,
     GopherQualityFilter,
@@ -98,6 +99,7 @@ def instantiate_all():
         MinHashEstimate(),
         SimHashDedup(),
         TopkSearch(k=5),
+        SpanCorruption(),
     ]
 
 

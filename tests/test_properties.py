@@ -214,3 +214,35 @@ def test_minhash_estimate_vs_python_oracle(spark):
         matches = sum(x == y for x, y in zip(sigs[a], sigs[b]))
         assert r["n_matches"] == matches, (a, b)
         assert r["est_jaccard"] == matches / 32.0
+
+
+def test_span_corruption_reconstruction(spark):
+    """Input + target reassemble the original token stream: replacing
+    <extra_id_i> in the input with target span i yields the original
+    tokens; n_masked + unmasked input tokens == doc length."""
+    import re
+
+    from warp_pipes_spark.text.packing import SpanCorruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(chr(97 + j // 26) + chr(97 + j % 26) for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = SpanCorruption(start_rate=0.2, max_span=3, seed=1)(docs).collect()
+    assert any(r["n_spans"] > 0 for r in out)
+    for r in out:
+        spans = {}
+        for m in re.finditer(r"<extra_id_(\d+)> ((?:(?!<extra_id_)\S+ ?)*)", r["target_text"]):
+            spans[int(m.group(1))] = m.group(2).strip().split()
+        rebuilt = []
+        for piece in r["input_text"].split():
+            m = re.match(r"<extra_id_(\d+)>$", piece)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(piece)
+        expected = [chr(97 + j // 26) + chr(97 + j % 26) for j in range(40)]
+        assert rebuilt == expected, r["doc_id"]
+        assert r["n_spans"] == len(spans)
+        n_unmasked = sum(1 for p in r["input_text"].split() if not p.startswith("<extra_id_"))
+        assert n_unmasked + r["n_masked"] == 40

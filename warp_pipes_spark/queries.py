@@ -3251,6 +3251,21 @@ def q143_relative_quality(spark, sf):
     )
 
 
+def q144_span_corruption(spark, sf):
+    """T5-style span corruption (the denoising-objective example
+    generator): hash-gated span starts open masked spans of hash-derived
+    length, overlapping spans merge, the i-th masked run becomes
+    <extra_id_i> in the input and prefixes its tokens in the target.
+    Every random choice is a pure function of (doc_id, position, seed), so
+    examples are reproducible across engines/reruns/partitionings and the
+    generator is bit-exact oracled; shuffles key on doc_id only."""
+    from warp_pipes_spark.text.packing import SpanCorruption
+
+    return SpanCorruption(start_rate=0.08, max_span=4, seed=0)(
+        T(spark, sf, "documents")
+    )
+
+
 def _gopher_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql
 
@@ -3835,6 +3850,12 @@ def _round2b_oracles():
     ORACLES_EXT["q142_temperature_mix"] = temperature_mixture_sql(
         "documents", temperature=0.7, columns="doc_id, source"
     )
+
+    from warp_pipes_spark.text.packing import span_corruption_sql
+
+    ORACLES_EXT["q144_span_corruption"] = span_corruption_sql(
+        start_rate=0.08, max_span=4, seed=0
+    )
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4069,6 +4090,7 @@ def _register():
         "q141_rerank_cascade": q141_rerank_cascade,
         "q142_temperature_mix": q142_temperature_mix,
         "q143_relative_quality": q143_relative_quality,
+        "q144_span_corruption": q144_span_corruption,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -192,3 +192,225 @@ SELECT {shard}, {order}, n_tokens, batch_id,
             AS BIGINT) AS pad_cost
 FROM batched
 """
+
+
+class SpanCorruption(Pipe):
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4), deterministic:
+    hash-gated span starts (rate ``start_rate`` per token position) open
+    masked spans of hash-derived length 1..``max_span``; overlapping spans
+    merge; the i-th masked run becomes ``<extra_id_i>`` in the input and
+    prefixes its tokens in the target — the denoising-objective example
+    generator, as pure relational algebra.
+
+    Every random choice is a pure function of (doc_id, position, seed)
+    through md5, so examples are reproducible across engines, reruns and
+    partitionings (and the whole generator is SQL-oracle-able). Plan
+    shape: one explode to (doc, pos), one bounded explode of span starts
+    to covered positions, gaps-and-islands numbering via windows, one
+    per-doc re-assembly — shuffles keyed on doc_id only.
+
+    Output per doc: ``input_text`` (uncovered tokens + sentinels),
+    ``target_text`` (sentinel-prefixed masked spans), ``n_spans``,
+    ``n_masked`` (count of masked token positions)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        start_rate: float = 0.08,
+        max_span: int = 4,
+        seed: int = 0,
+        **kwargs,
+    ):
+        if not 0 < start_rate < 1:
+            raise ValueError(f"start_rate must be in (0,1), got {start_rate}")
+        if max_span < 1:
+            raise ValueError(f"max_span must be >= 1, got {max_span}")
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.start_rate = start_rate
+        self.max_span = max_span
+        self.seed = seed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.pipes.sampling import _threshold_hex
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        toks = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokens_expr(F.col(self.text_col)).alias("toks"),
+        ).filter(F.size("toks") > 0)
+        pos = toks.select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.posexplode("toks").alias("p", "tok"),
+        )
+        gate = F.substring(
+            F.md5(F.concat_ws(":", "doc_id", "p", F.lit(f"s{self.seed}"))), 1, 12
+        )
+        span_len = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "doc_id", "p", F.lit(f"l{self.seed}"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % self.max_span
+            + 1
+        )
+        starts = pos.filter(gate < F.lit(_threshold_hex(self.start_rate))).select(
+            "doc_id", "n", "p", span_len.alias("len")
+        )
+        covered = starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("p"), F.least(F.col("p") + F.col("len") - 1, F.col("n") - 1)
+                )
+            ).alias("p"),
+        ).distinct()
+        # gaps-and-islands: consecutive covered positions share (p - rn)
+        wd = Window.partitionBy("doc_id").orderBy("p")
+        islands = covered.withColumn(
+            "island_key", F.col("p") - F.row_number().over(wd)
+        )
+        island_ids = (
+            islands.groupBy("doc_id", "island_key")
+            .agg(F.min("p").alias("start_p"))
+            .withColumn("span_id", F.dense_rank().over(
+                Window.partitionBy("doc_id").orderBy("start_p")
+            ) - 1)
+        )
+        marked = (
+            pos.join(islands.select("doc_id", "p", "island_key"), ["doc_id", "p"], "left")
+            .join(island_ids.select("doc_id", "island_key", "start_p", "span_id"),
+                  ["doc_id", "island_key"], "left")
+        )
+        sentinel = F.concat(F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">"))
+        # input: uncovered tokens verbatim; each island contributes ONE
+        # sentinel at its start position
+        input_piece = F.when(F.col("island_key").isNull(), F.col("tok")).when(
+            F.col("p") == F.col("start_p"), sentinel
+        )
+        # target: covered tokens, each island prefixed by its sentinel
+        target_piece = F.when(
+            F.col("island_key").isNotNull() & (F.col("p") == F.col("start_p")),
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        ).when(F.col("island_key").isNotNull(), F.col("tok"))
+        pieces = marked.select(
+            "doc_id", "p",
+            input_piece.alias("inp"),
+            target_piece.alias("tgt"),
+            F.col("island_key").isNotNull().cast("int").alias("is_masked"),
+        )
+        return (
+            pieces.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("inp").isNotNull(), F.struct("p", F.col("inp").alias("v")))
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    " ",
+                ).alias("input_text"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("tgt").isNotNull(), F.struct("p", F.col("tgt").alias("v")))
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    " ",
+                ).alias("target_text"),
+                F.countDistinct(F.when(F.col("is_masked") == 1, F.col("p"))).alias("__nm"),
+                F.countDistinct(
+                    F.when(F.col("inp").rlike("^<extra_id_"), F.col("p"))
+                ).cast("long").alias("n_spans"),
+            )
+            .withColumn("n_masked", F.col("__nm").cast("long"))
+            .drop("__nm")
+        )
+
+
+def span_corruption_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    start_rate: float = 0.08,
+    max_span: int = 4,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle for :class:`SpanCorruption` — identical md5 gates,
+    span lengths, island merging and sentinel assembly."""
+    from warp_pipes_spark.pipes.sampling import _threshold_hex
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    toks = tokens_sql(text)
+    thr = _threshold_hex(start_rate)
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+),
+pos AS (
+  SELECT doc_id, len(toks) AS n, u.i - 1 AS p, toks[u.i] AS tok
+  FROM docs, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE len(toks) > 0
+),
+starts AS (
+  SELECT doc_id, n, p,
+         CAST(('0x' || substring(md5(doc_id || ':' || p || ':l{seed}'), 1, 4))::BIGINT
+              AS INTEGER) % {max_span} + 1 AS span_len
+  FROM pos
+  WHERE substring(md5(doc_id || ':' || p || ':s{seed}'), 1, 12) < '{thr}'
+),
+covered AS (
+  SELECT DISTINCT doc_id, u.cp AS p
+  FROM starts, UNNEST(range(p, least(p + span_len - 1, n - 1) + 1)) AS u(cp)
+),
+islands AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS island_key
+  FROM covered
+),
+island_ids AS (
+  SELECT doc_id, island_key, MIN(p) AS start_p,
+         DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY MIN(p)) - 1 AS span_id
+  FROM islands GROUP BY doc_id, island_key
+),
+marked AS (
+  SELECT pos.doc_id, pos.p, pos.tok, i.island_key, ii.start_p, ii.span_id
+  FROM pos
+  LEFT JOIN islands i ON i.doc_id = pos.doc_id AND i.p = pos.p
+  LEFT JOIN island_ids ii ON ii.doc_id = pos.doc_id AND ii.island_key = i.island_key
+),
+pieces AS (
+  SELECT doc_id, p,
+         CASE WHEN island_key IS NULL THEN tok
+              WHEN p = start_p THEN '<extra_id_' || span_id || '>'
+         END AS inp,
+         CASE WHEN island_key IS NOT NULL AND p = start_p
+                THEN '<extra_id_' || span_id || '> ' || tok
+              WHEN island_key IS NOT NULL THEN tok
+         END AS tgt,
+         CASE WHEN island_key IS NOT NULL THEN 1 ELSE 0 END AS is_masked
+  FROM marked
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(inp ORDER BY p) FILTER (inp IS NOT NULL), ' '), '') AS input_text,
+       COALESCE(array_to_string(list(tgt ORDER BY p) FILTER (tgt IS NOT NULL), ' '), '') AS target_text,
+       CAST(COUNT(DISTINCT CASE WHEN inp LIKE '<extra_id_%' THEN p END) AS BIGINT) AS n_spans,
+       CAST(SUM(is_masked) AS BIGINT) AS n_masked
+FROM pieces
+GROUP BY doc_id
+ORDER BY doc_id
+"""
