@@ -3266,6 +3266,111 @@ def q144_span_corruption(spark, sf):
     )
 
 
+def q145_corpus_datasheet(spark, sf):
+    """Per-source corpus datasheet (the datasheets-for-datasets /
+    dataset-card summary a curation pipeline publishes): document and
+    token counts, token-length mean, claimed-vs-predicted language
+    agreement (q25's LangId), exact-duplicate rate (docs whose text
+    repeats within the source), and the q140 quality-gate keep rate —
+    every signal a pure column expression feeding ONE per-source
+    aggregation; the dup rate adds one narrow (source, text-hash)
+    pre-aggregation. Fractions are decimal-rounded so per-source sums
+    are order-free."""
+    from warp_pipes_spark.text.analysis import (
+        GopherQualityFilter,
+        LangId,
+        tokens_expr,
+    )
+
+    docs = T(spark, sf, "documents")
+    enriched = GopherQualityFilter()(LangId()(docs)).select(
+        "doc_id",
+        "source",
+        "lang",
+        "pred_lang",
+        "keep",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("text")).alias("__th"),
+    )
+    dup = (
+        enriched.groupBy("source", "__th")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("source")
+        .agg(
+            (F.sum("__c") - F.count(F.lit(1))).cast("long").alias("n_dup_docs")
+        )
+    )
+    per_src = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast(D186)
+        .cast("double")
+        .alias("mean_tokens"),
+        (
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast(D186)
+        .cast("double")
+        .alias("lang_agreement"),
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast(D186)
+        .cast("double")
+        .alias("keep_rate"),
+    )
+    return per_src.join(dup, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mean_tokens",
+        "lang_agreement",
+        "keep_rate",
+        "n_dup_docs",
+    )
+
+
+def _corpus_datasheet_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import gopher_sql, langid_sql, tokens_sql
+
+    keep = gopher_sql()["keep"]
+    return f"""
+WITH e AS (
+  SELECT doc_id, source, lang,
+         ({langid_sql()}) AS pred_lang,
+         {keep} AS keep,
+         len({tokens_sql('text')}) AS n_tokens,
+         md5(text) AS th
+  FROM documents
+),
+dup AS (
+  SELECT source, CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, th, COUNT(*) AS c FROM e GROUP BY 1, 2)
+  GROUP BY source
+),
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens,
+         CAST(CAST(CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS lang_agreement,
+         CAST(CAST(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS keep_rate
+  FROM e GROUP BY source
+)
+SELECT p.source, p.n_docs, p.total_tokens, p.mean_tokens,
+       p.lang_agreement, p.keep_rate, d.n_dup_docs
+FROM per_src p JOIN dup d USING (source)
+ORDER BY source
+"""
+
+
 def _gopher_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql
 
@@ -3856,6 +3961,7 @@ def _round2b_oracles():
     ORACLES_EXT["q144_span_corruption"] = span_corruption_sql(
         start_rate=0.08, max_span=4, seed=0
     )
+    ORACLES_EXT["q145_corpus_datasheet"] = _corpus_datasheet_oracle_sql()
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4091,6 +4197,7 @@ def _register():
         "q142_temperature_mix": q142_temperature_mix,
         "q143_relative_quality": q143_relative_quality,
         "q144_span_corruption": q144_span_corruption,
+        "q145_corpus_datasheet": q145_corpus_datasheet,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
