@@ -18,6 +18,12 @@ from warp_pipes_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Oracles that embed data-derived literals (q47's IVF centroids) must be
+# generated for the SAME sf the harness queries run at. The driver compares
+# at sf0.01 (the queries.py default); the local harness re-points generation
+# at its own sf dir before warp_pipes_spark.queries is first imported.
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():

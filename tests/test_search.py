@@ -138,6 +138,49 @@ def test_ivf_recall_against_exact(spark, vectors):
     assert hits >= 0.6 * len(top1), f"IVF recall too low: {hits}/{len(top1)}"
 
 
+def test_ivf_local_trainer_matches_spark_trainer(spark, sf_dir):
+    """The oracle's centroid literals are honest: the pure-Python replica
+    (pyarrow + hashlib + numpy, no Spark) retrains BIT-IDENTICAL centroids
+    from the raw Parquet — same md5 sample order, same seeded k-means."""
+    import numpy as np
+
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.ml.similarity import (
+        IvfCosineTopK,
+        train_ivf_centroids_local,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = IvfCosineTopK(
+        corpus=emb, n_centroids=8, train_sample=200, kmeans_iters=5, seed=7,
+        materialize_centroids=False, materialize_index=False,
+    )
+    C_spark = ivf._train_centroids()
+    C_local = train_ivf_centroids_local(
+        f"{sf_dir}/embeddings.parquet",
+        n_centroids=8, train_sample=200, kmeans_iters=5, seed=7,
+    )
+    assert C_spark.shape == C_local.shape
+    assert np.array_equal(C_spark, C_local), "trainers diverged (not bit-exact)"
+
+
+def test_ivf_expr_and_blas_families_agree(spark, vectors):
+    """Both cell-assignment kernels (JVM fold expressions vs pandas-BLAS)
+    produce the same top-k on the same trained centroids."""
+    from warp_pipes_spark.ml.similarity import IvfCosineTopK
+
+    _, df = vectors
+    queries = df.filter(F.col("vec_id") < 20)
+    mk = lambda fam: IvfCosineTopK(  # noqa: E731
+        corpus=df, k=5, n_centroids=8, n_probe=3, exclude_self=True,
+        assign_family=fam, materialize_centroids=False, materialize_index=False,
+    )(queries)
+    rows = lambda out: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in out.collect()
+    )
+    assert rows(mk("expr")) == rows(mk("blas"))
+
+
 def test_bm25_temperature_scales_scores(spark):
     from warp_pipes_spark.search.bm25 import Bm25Search
 

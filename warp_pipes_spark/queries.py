@@ -2094,8 +2094,11 @@ def q51_sliding_window(spark, sf):
 def q47_ivf_topk(spark, sf):
     """IVF ANN: seeded coarse k-means cells + n_probe cell join + exact
     re-rank — the second scale path next to q39's LSH (faiss-IVF structure,
-    relational execution). Rows-only driver check (k-means training is not
-    SQL-expressible); recall vs exact is asserted in tests."""
+    relational execution). Fully oracled: training is deterministic
+    (md5-ordered sample + seeded numpy k-means), so ``ivf_topk_sql``
+    retrains bit-identical centroids straight from the Parquet and replays
+    assignment/probing/re-rank in DuckDB; recall vs the exact engine is
+    additionally asserted in tests."""
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return IvfCosineTopK(
@@ -2425,7 +2428,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "GROUP BY n_name ORDER BY n_name"
     ),
-    "q47_ivf_topk": None,  # k-means cells; recall asserted in tests
+    "q47_ivf_topk": None,  # replaced in _register() by ivf_topk_sql (centroid literals)
     "q48_asof_join": (
         "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
         "views AS (SELECT user_id, ts, MAX(value) AS vval FROM events "
@@ -3925,6 +3928,24 @@ def _round2b_oracles():
     from warp_pipes_spark.ml.quantize import sq8_topk_sql
 
     ORACLES_EXT["q67_quantized_topk"] = sq8_topk_sql(dim=64, k=5)
+
+    from warp_pipes_spark.ml.similarity import ivf_topk_sql
+
+    # The q47 oracle embeds centroid literals retrained (bit-identically,
+    # pure pyarrow+numpy) from the sf the driver compares at — sf0.01 by
+    # default; the local harness points SPARK_GRAFT_ORACLE_SF_DIR at its
+    # own sf dir. If that Parquet is absent (unexpected environment), q47
+    # degrades to the rows-only check instead of breaking registration.
+    try:
+        ORACLES_EXT["q47_ivf_topk"] = ivf_topk_sql(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            k=5,
+            n_centroids=16,
+            n_probe=4,
+            seed=42,
+        )
+    except Exception:
+        pass
 
     from warp_pipes_spark.ml.similarity import lsh_topk_sql
 
