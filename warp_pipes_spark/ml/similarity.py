@@ -295,7 +295,9 @@ class LshCosineTopK(Pipe):
             }
         )
         if not manager.exists(fp):
-            manager.store(ce, fp)
+            # write-behind: this call queries the in-memory hash tables
+            # while the artifact publishes concurrently; later sessions load
+            return manager.store_async(ce, fp)
         return manager.load(self.corpus.sparkSession, fp)
 
     def _planes(self) -> np.ndarray:
@@ -455,7 +457,8 @@ def ivf_topk_sql(
     queries_where: str = "vec_id % 25 = 0",
     table: str = "embeddings",
 ) -> str:
-    """DuckDB oracle for :class:`IvfCosineTopK` with ``assign_family='expr'``:
+    """DuckDB oracle for :class:`IvfCosineTopK` (either assign family —
+    both order cells ``sim DESC, cell ASC``):
     retrains the centroids bit-identically from ``{sf_dir}/{table}.parquet``
     (:func:`train_ivf_centroids_local`), embeds them as literals, and
     replays argmax-cell assignment, n_probe probing (both tie-broken
@@ -549,14 +552,17 @@ class IvfCosineTopK(Pipe):
     the raw Parquet and :func:`ivf_topk_sql` emits a DuckDB oracle that
     replays cell assignment + probing + exact re-rank against them.
 
-    ``assign_family`` picks the cell-assignment kernel:
+    ``assign_family`` picks the cell-assignment kernel; both implement the
+    same ``(sim DESC, cell ASC)`` ordering the SQL oracle replays:
 
-    - ``'expr'`` (default): per-cell dot products as JVM fold expressions
-      over literal centroid arrays — whole-stage codegen, no Python in the
-      path, and explicit ``(sim DESC, cell ASC)`` tie-breaks that the SQL
-      oracle reproduces exactly.
-    - ``'blas'``: Arrow-batched pandas UDF, one BLAS matmul per batch —
-      the better kernel when ``n_centroids × dim`` is large."""
+    - ``'blas'`` (default): Arrow-batched pandas UDF, one BLAS matmul per
+      batch with a STABLE argsort (ties -> lowest cell). The fast kernel:
+      higher-order array expressions are interpreted in Spark, so a fold
+      per (row, cell) costs ~100x a matmul lane.
+    - ``'expr'``: per-cell dot products as JVM fold expressions over
+      literal centroid arrays — no Python workers at all, at interpreted-
+      expression speed. The oracle-shaped reference kernel; parity between
+      the two families is asserted in tests."""
 
     def __init__(
         self,
@@ -573,7 +579,7 @@ class IvfCosineTopK(Pipe):
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
         broadcast_queries: bool = True,
-        assign_family: str = "expr",
+        assign_family: str = "blas",
         centroid_cache_dir: Optional[str] = None,
         materialize_centroids: bool = True,
         index_cache_dir: Optional[str] = None,
@@ -644,9 +650,13 @@ class IvfCosineTopK(Pipe):
         if not manager.exists(fp):
             C = self._train_centroids()
             rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
-            manager.store(
+            # write-behind: the freshly trained matrix IS what a reload
+            # would return (float64 -> Parquet double round-trips exactly),
+            # so serve it directly while the artifact publishes
+            manager.store_async(
                 spark.createDataFrame(rows, "cell int, centroid array<double>"), fp
             )
+            return C
         loaded = sorted(
             manager.load(spark, fp).collect(), key=lambda r: r["cell"]
         )
@@ -693,7 +703,10 @@ class IvfCosineTopK(Pipe):
             V = np.stack(vecs.to_numpy()).astype(np.float64)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = V @ centroids.T
-            top = np.argsort(-sims, axis=1)[:, :n_cells]
+            # stable argsort: exact ties resolve to the LOWEST cell index,
+            # the same (sim DESC, cell ASC) order the 'expr' kernel and the
+            # DuckDB oracle use
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
             return pd.Series(list(top.astype(np.int64)))
 
         cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -766,7 +779,9 @@ class IvfCosineTopK(Pipe):
             }
         )
         if not manager.exists(fp):
-            manager.store(ce, fp)
+            # write-behind: serve this call from the in-memory lists while
+            # the artifact publishes concurrently; later sessions load
+            return manager.store_async(ce, fp)
         return manager.load(self.corpus.sparkSession, fp)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:

@@ -72,6 +72,36 @@ class CacheManager:
             shutil.rmtree(staging, ignore_errors=True)
         return df.sparkSession.read.parquet(path)
 
+    def store_async(
+        self, df: DataFrame, fingerprint: str, meta: Optional[dict] = None
+    ) -> DataFrame:
+        """Write-behind publish: kick the Parquet write to a background
+        thread and return ``df`` itself immediately, so the FIRST query
+        over a freshly built artifact (LSH tables, IVF lists) is served
+        from the in-memory plan while the artifact publishes concurrently
+        — later sessions ``load`` it. The atomic staging-dir rename makes
+        racing writers (including a second cold caller in this session)
+        safe: one publishes, the others discard content-identical staging
+        dirs. Falls back to a synchronous ``store`` if the Spark thread
+        machinery is unavailable. Publish failures are swallowed (the
+        cache is a memo, not the result): the next cold call simply
+        rebuilds."""
+
+        def _publish():
+            try:
+                self.store(df, fingerprint, meta)
+            except Exception:
+                pass
+
+        try:
+            from pyspark import InheritableThread
+
+            t = InheritableThread(target=_publish, daemon=True)
+            t.start()
+        except Exception:
+            return self.store(df, fingerprint, meta)
+        return df
+
     def get_or_compute(
         self,
         spark: SparkSession,
