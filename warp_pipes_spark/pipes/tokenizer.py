@@ -2,12 +2,17 @@
 
 Capability parity with ``warp_pipes/pipes/tokenizer.py:13-55`` (HF tokenizer
 over a text column emitting ``input_ids`` / ``attention_mask``, re-prefixed
-by field). Two tiers:
+by field). Three tiers:
 
 - **HFTokenizer** — wraps a HuggingFace fast tokenizer in an Arrow-batched
   pandas UDF (the slow path, but vectorized; the tokenizer object is lazily
   constructed per executor, not shipped per row). Gated behind an import-try
   since ``transformers`` may not be installed.
+- **WordPieceTokenizer** — self-contained WordPiece (greedy longest-prefix
+  match, ``##`` continuations, ``[UNK]``/``[CLS]``/``[SEP]``, offsets)
+  with the same output surface as HFTokenizer, no third-party dependency;
+  vocabularies come from ``text/bpe.py``'s ``train_wordpiece_vocab`` or
+  any word-piece list.
 - **RegexTokenizer** — pure-SQL whitespace/regex tokenization with a
   vocabulary join or hash-based ids; JVM-side, codegen'd, the 100 TB path
   for corpus statistics, BM25, dedup shingling, etc.
@@ -126,7 +131,8 @@ class HFTokenizer(Pipe):
         except ImportError as exc:  # pragma: no cover - env without HF
             raise NotImplementedError(
                 "HFTokenizer requires the 'transformers' package; use "
-                "RegexTokenizer for the pure-Spark path"
+                "WordPieceTokenizer (self-contained, same output columns) "
+                "or RegexTokenizer for the pure-Spark path"
             ) from exc
         import pandas as pd
         from pyspark.sql.types import (
@@ -190,6 +196,177 @@ class HFTokenizer(Pipe):
                         [{"start": int(a), "end": int(b)} for a, b in spans]
                         for spans in enc["offset_mapping"]
                     ]
+                yield pdf
+
+        return df.mapInPandas(tokenize, schema=out_schema)
+
+
+class WordPieceTokenizer(Pipe):
+    """Self-contained WordPiece encoder with the EXACT HFTokenizer output
+    surface (``{prefix}input_ids`` / ``{prefix}attention_mask`` /
+    ``{prefix}offset_mapping`` / ``{prefix}tokens``), so HF-shaped
+    tokenization executes with no third-party dependency — closing the one
+    environment-gated reference path (``warp_pipes/pipes/tokenizer.py:13-55``;
+    the HF wrapper below stays for real model vocabs when ``transformers``
+    is installed).
+
+    Semantics (BERT WordPiece):
+
+    - pre-tokenize: lowercase + split on the same ``TOKEN_SPLIT_RE`` class
+      as :class:`RegexTokenizer`, keeping [start, end) character spans into
+      the ORIGINAL text (ASCII lowering is length-preserving);
+    - per word: greedy longest-prefix match against the vocabulary,
+      continuation pieces carry the ``##`` mark; un-encodable words become
+      ``[UNK]`` spanning the whole word;
+    - optional ``[CLS]``/``[SEP]`` wrapping (special tokens get (0, 0)
+      offsets, as HF fast tokenizers emit) and ``max_length`` truncation
+      (content is cut BEFORE the closing ``[SEP]`` is placed).
+
+    Execution: ``mapInPandas`` over Arrow batches; the vocabulary rides the
+    closure once per task and a per-batch word->pieces cache exploits the
+    Zipfian word distribution. No shuffle, no driver participation — a map
+    over any corpus size."""
+
+    def __init__(
+        self,
+        vocab,
+        text_col: str = "text",
+        prefix: str = "",
+        max_length: Optional[int] = None,
+        return_offsets_mapping: bool = False,
+        add_special_tokens: bool = True,
+        lowercase: bool = True,
+        unk_token: str = "[UNK]",
+        cls_token: str = "[CLS]",
+        sep_token: str = "[SEP]",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.vocab = list(vocab)
+        self.text_col = text_col
+        self.prefix = prefix
+        self.max_length = max_length
+        self.return_offsets_mapping = return_offsets_mapping
+        self.add_special_tokens = add_special_tokens
+        self.lowercase = lowercase
+        self.unk_token = unk_token
+        self.cls_token = cls_token
+        self.sep_token = sep_token
+        for t in (unk_token,) + ((cls_token, sep_token) if add_special_tokens else ()):
+            if t not in self.vocab:
+                raise ValueError(f"special token {t!r} missing from vocab")
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
+
+        prefix = self.prefix
+        extra = [
+            StructField(f"{prefix}tokens", ArrayType(StringType()), True),
+            StructField(f"{prefix}input_ids", ArrayType(LongType()), True),
+            StructField(f"{prefix}attention_mask", ArrayType(IntegerType()), True),
+        ]
+        if self.return_offsets_mapping:
+            extra.append(
+                StructField(
+                    f"{prefix}offset_mapping",
+                    ArrayType(
+                        StructType(
+                            [
+                                StructField("start", IntegerType(), True),
+                                StructField("end", IntegerType(), True),
+                            ]
+                        )
+                    ),
+                    True,
+                )
+            )
+        out_schema = StructType(list(df.schema.fields) + extra)
+
+        ids = {p: i for i, p in enumerate(self.vocab)}
+        vocab_set = set(self.vocab)
+        text_col = self.text_col
+        lowercase = self.lowercase
+        unk, cls_, sep = self.unk_token, self.cls_token, self.sep_token
+        add_special = self.add_special_tokens
+        max_length = self.max_length
+        want_offsets = self.return_offsets_mapping
+        split_re = re.compile(TOKEN_SPLIT_RE)
+
+        def encode_word(w):
+            """greedy longest-prefix match -> (pieces, in-word offsets)"""
+            pieces, offs, pos = [], [], 0
+            while pos < len(w):
+                end, hit = len(w), None
+                while end > pos:
+                    cand = w[pos:end] if pos == 0 else "##" + w[pos:end]
+                    if cand in vocab_set:
+                        hit = (cand, end)
+                        break
+                    end -= 1
+                if hit is None:
+                    return [unk], [(0, len(w))]
+                pieces.append(hit[0])
+                offs.append((pos, hit[1]))
+                pos = hit[1]
+            return pieces, offs
+
+        def tokenize(batches):
+            cache: dict = {}
+            for pdf in batches:
+                toks_col, ids_col, mask_col, offs_col = [], [], [], []
+                for t in pdf[text_col]:
+                    s = (t or "")
+                    norm = s.lower() if lowercase else s
+                    pieces, spans = [], []
+                    # spans of split-complement runs in the ORIGINAL text
+                    pos = 0
+                    words = []
+                    for m in split_re.finditer(norm):
+                        if m.start() > pos:
+                            words.append((pos, m.start()))
+                        pos = m.end()
+                    if pos < len(norm):
+                        words.append((pos, len(norm)))
+                    for a, b in words:
+                        w = norm[a:b]
+                        if w not in cache:
+                            cache[w] = encode_word(w)
+                        wp, wo = cache[w]
+                        pieces.extend(wp)
+                        spans.extend((a + x, a + y) for x, y in wo)
+                    if max_length is not None:
+                        budget = max_length - (2 if add_special else 0)
+                        pieces = pieces[:budget]
+                        spans = spans[: len(pieces)]
+                    if add_special:
+                        pieces = [cls_] + pieces + [sep]
+                        spans = [(0, 0)] + spans + [(0, 0)]
+                    toks_col.append(pieces)
+                    ids_col.append([ids[p] for p in pieces])
+                    mask_col.append([1] * len(pieces))
+                    offs_col.append(
+                        [{"start": int(a), "end": int(b)} for a, b in spans]
+                    )
+                pdf[f"{prefix}tokens"] = pd.Series(toks_col, index=pdf.index)
+                pdf[f"{prefix}input_ids"] = pd.Series(ids_col, index=pdf.index)
+                pdf[f"{prefix}attention_mask"] = pd.Series(mask_col, index=pdf.index)
+                if want_offsets:
+                    pdf[f"{prefix}offset_mapping"] = pd.Series(
+                        offs_col, index=pdf.index
+                    )
                 yield pdf
 
         return df.mapInPandas(tokenize, schema=out_schema)

@@ -3338,6 +3338,91 @@ def q145_corpus_datasheet(spark, sf):
     )
 
 
+# Fixed (data-independent) WordPiece vocabulary for q146: single chars and
+# their continuations guarantee zero [UNK]; the multi-char pieces force real
+# greedy longest-match decisions on the corpus words (e.g. tab+##le,
+# wind+##ow, cust+##omer). Shared verbatim between the Spark pipe and the
+# DuckDB recursive-CTE oracle.
+WORDPIECE_VOCAB = (
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    + [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [f"##{c}" for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [
+        "sc", "##an", "tab", "##le", "val", "##ue", "wind", "##ow",
+        "cust", "##omer", "fil", "##ter", "str", "##eam", "vec", "##tor",
+        "sp", "##ark", "batch", "merge", "the", "key", "agg", "row",
+        "##umn", "col", "ord", "##er", "gro", "##up", "quer", "##y",
+    ]
+)
+
+
+def q146_wordpiece(spark, sf):
+    """Self-contained WordPiece tokenization (the un-gated HF-tokenizer
+    path, ``pipes/tokenizer.py:WordPieceTokenizer``): greedy longest-prefix
+    match over a fixed vocabulary, executed as an Arrow-batched
+    ``mapInPandas`` with a per-batch word cache. The DuckDB oracle replays
+    the greedy matcher with a recursive CTE over the same vocabulary
+    literals — the PYTHON ENCODER ITSELF is differentially tested, not
+    just counted."""
+    from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    out = WordPieceTokenizer(WORDPIECE_VOCAB, add_special_tokens=False)(docs)
+    return out.select("doc_id", "tokens", F.size("tokens").alias("n_pieces"))
+
+
+def _wordpiece_oracle_sql() -> str:
+    vocab_sql = ", ".join(f"'{p}'" for p in WORDPIECE_VOCAB if p not in ("[PAD]", "[CLS]", "[SEP]"))
+    # the scalar best-match subquery is repeated (DuckDB's recursive term
+    # cannot LATERAL-reuse it); vocab is ~90 rows so each probe is trivial
+    best = """(
+      SELECT v.piece FROM vocab v
+      WHERE CASE WHEN e.pos = 0
+                 THEN v.piece NOT LIKE '##%' AND v.piece <> '[UNK]'
+                      AND substr(e.word, 1, length(v.piece)) = v.piece
+                 ELSE v.piece LIKE '##%'
+                      AND substr(e.word, e.pos + 1, length(v.piece) - 2) = substr(v.piece, 3)
+            END
+      ORDER BY length(v.piece) DESC LIMIT 1)"""
+    return f"""
+WITH RECURSIVE vocab(piece) AS (SELECT unnest([{vocab_sql}])),
+docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+wlists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '[^a-z]+'), x -> length(x) > 0) AS ws
+  FROM docs
+),
+words AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx
+  FROM wlists
+),
+enc(doc_id, widx, word, pos, pieces) AS (
+  SELECT doc_id, widx, word, 0, []::VARCHAR[] FROM words
+  UNION ALL
+  SELECT e.doc_id, e.widx, e.word,
+         CASE WHEN {best} IS NULL THEN length(e.word)
+              ELSE e.pos + length({best})
+                   - CASE WHEN e.pos = 0 THEN 0 ELSE 2 END
+         END AS pos,
+         CASE WHEN {best} IS NULL THEN ['[UNK]']
+              ELSE list_append(e.pieces, {best})
+         END AS pieces
+  FROM enc e
+  WHERE e.pos < length(e.word)
+),
+done AS (SELECT doc_id, widx, pieces FROM enc WHERE pos >= length(word)),
+per_doc AS (
+  SELECT doc_id, flatten(list(pieces ORDER BY widx)) AS tokens
+  FROM done GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.tokens, []::VARCHAR[]) AS tokens,
+       CAST(len(COALESCE(p.tokens, []::VARCHAR[])) AS INTEGER) AS n_pieces
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _corpus_datasheet_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql, langid_sql, tokens_sql
 
@@ -3983,6 +4068,7 @@ def _round2b_oracles():
         start_rate=0.08, max_span=4, seed=0
     )
     ORACLES_EXT["q145_corpus_datasheet"] = _corpus_datasheet_oracle_sql()
+    ORACLES_EXT["q146_wordpiece"] = _wordpiece_oracle_sql()
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4219,6 +4305,7 @@ def _register():
         "q143_relative_quality": q143_relative_quality,
         "q144_span_corruption": q144_span_corruption,
         "q145_corpus_datasheet": q145_corpus_datasheet,
+        "q146_wordpiece": q146_wordpiece,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -147,3 +147,79 @@ class BpeTokenizer(Pipe):
         return df.withColumn("bpe_tokens", enc(F.col(self.text_col))).withColumn(
             "n_bpe_tokens", F.size("bpe_tokens")
         )
+
+
+def train_wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 10000,
+    specials: Tuple[str, ...] = ("[PAD]", "[UNK]", "[CLS]", "[SEP]"),
+) -> List[str]:
+    """Derive a WordPiece-style vocabulary from the BPE trainer (the
+    classic way a BERT vocab is bootstrapped): train ``n_merges`` merges
+    over the corpus word frequencies, re-encode the frequency vocabulary,
+    and collect every produced piece — word-initial pieces as-is,
+    continuations prefixed ``##``. The returned list is ordered
+    deterministically (specials, then single characters, then longer
+    pieces lexicographically) so vocab ids are stable across runs and
+    cluster layouts.
+
+    Scale: identical to :func:`train_bpe` — the only wide op is the word
+    frequency groupBy; the driver holds ``max_words`` rows, never the
+    corpus. (Reference capability: ``warp_pipes/pipes/tokenizer.py:13-55``
+    delegates vocab construction to HF; this is the self-contained
+    equivalent.)"""
+    rows = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: Dict[Tuple[str, ...], int] = {
+        tuple(list(r["w"]) + [END]): r["c"] for r in rows
+    }
+    merges: List[Tuple[str, str]] = []
+    work = dict(vocab)
+    for _ in range(n_merges):
+        pairs: Dict[Tuple[str, str], int] = {}
+        for word, c in work.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_work: Dict[Tuple[str, ...], int] = {}
+        for word, c in work.items():
+            out: List[str] = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_work[tuple(out)] = new_work.get(tuple(out), 0) + c
+        work = new_work
+    ranks = {m: i for i, m in enumerate(merges)}
+    pieces = set()
+    cache: dict = {}
+    for word_tuple in vocab:
+        w = "".join(word_tuple[:-1])  # strip END sentinel
+        parts = encode_word(w, ranks, cache)
+        clean = [p[: -len(END)] if p.endswith(END) else p for p in parts]
+        clean = [p for p in clean if p]
+        for i, p in enumerate(clean):
+            pieces.add(p if i == 0 else f"##{p}")
+        # single characters always present (UNK only for unseen chars)
+        for ch in w:
+            pieces.add(ch)
+            pieces.add(f"##{ch}")
+    singles = sorted(p for p in pieces if len(p.lstrip("#")) == 1 or len(p) == 1)
+    longer = sorted(p for p in pieces if p not in set(singles))
+    return list(specials) + singles + longer
