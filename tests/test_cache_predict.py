@@ -133,3 +133,72 @@ def test_cache_vacuum_removes_only_old_entries(spark, docs, tmp_path):
     assert sorted(deleted) == ["stale", "x.staging-dead"]
     assert mgr.exists("fresh") and not mgr.exists("stale")
     assert len(mgr.load(spark, "fresh").collect()) == docs.count()
+
+
+def test_cache_concurrent_writers_race(spark, docs, tmp_path):
+    """Two writers publishing the same fingerprint: one atomic rename wins,
+    the loser discards its (content-identical) staging dir — no partial
+    state, no error, artifact readable throughout."""
+    import os as _os
+    import threading
+
+    from warp_pipes_spark.pipes.cache import CacheManager
+
+    mgr = CacheManager(str(tmp_path / "race"))
+    errs = []
+
+    def writer():
+        try:
+            mgr.store(docs, "contended")
+        except Exception as e:  # pragma: no cover - the assertion target
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert mgr.exists("contended")
+    # exactly one published dir, zero staging leftovers
+    entries = _os.listdir(str(tmp_path / "race"))
+    assert entries == ["contended"]
+    assert len(mgr.load(spark, "contended").collect()) == docs.count()
+    # a late (losing) writer after publish is also safe
+    mgr.store(docs, "contended")
+    assert mgr.exists("contended")
+
+
+def test_store_async_serves_frame_and_publishes(spark, docs, tmp_path):
+    import time as _time
+
+    from warp_pipes_spark.pipes.cache import CacheManager
+
+    mgr = CacheManager(str(tmp_path / "wb"))
+    out = mgr.store_async(docs, "behind")
+    # the caller's frame is usable immediately (write-behind)
+    assert out.count() == docs.count()
+    deadline = _time.time() + 30
+    while not mgr.exists("behind") and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert mgr.exists("behind"), "background publish never landed"
+    assert len(mgr.load(spark, "behind").collect()) == docs.count()
+
+
+def test_bounded_query_collect_guard(spark):
+    """The pandas-BLAS / PQ query paths broadcast the collected query
+    batch; the contract is now a CHECK, not a comment."""
+    import pytest as _pytest
+
+    from warp_pipes_spark.ml.similarity import BruteForceCosineTopK
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eng = BruteForceCosineTopK(corpus=emb, k=2, strategy="pandas", max_query_rows=10)
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        eng(emb)
+    # under the cap it works
+    small = emb.limit(5)
+    assert BruteForceCosineTopK(
+        corpus=emb, k=2, strategy="pandas", max_query_rows=10
+    )(small).count() > 0

@@ -104,3 +104,19 @@ def test_hybrid_retrieval_example(spark):
     # (identical-prefix) source doc at a valid rank with a positive score
     for qid, rows in by_q.items():
         assert any(r["score"] > 0 for r in rows)
+
+
+def test_predict_with_model_example(spark, tmp_path):
+    out = _mod("predict_with_model").run(spark, cache_dir=str(tmp_path / "pc"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(len(r["mlp_vector"]) == 8 for r in rows)
+    # deterministic weights -> deterministic outputs
+    first = sorted(rows, key=lambda r: r["row_id"])[0]
+    import numpy as np
+
+    from predict_with_model import build_model
+
+    mlp, _, _ = build_model(spark)
+    expect = mlp(np.array([first["embedding"]], dtype=object))[0]
+    assert np.allclose(np.array(first["mlp_vector"]), expect)

@@ -86,12 +86,30 @@ def test_merge_results_random_vs_dict_oracle(spark, a, b):
         (r["query_id"], r["idx"]): r["score"]
         for r in merge_results(da, db).collect()
     }
-    acc = defaultdict(float)
-    for q, i, s in [*a, *b]:
-        if i >= 0:  # -1 sentinels never acquire mass
-            acc[(q, i)] += s
-    assert got.keys() == acc.keys()
-    assert all(abs(got[k] - acc[k]) < 1e-9 for k in acc)
+    # reference offset-by-min semantics (result.py:199-239): within-side
+    # sums; an absent side contributes its per-query finite min (else 0);
+    # -1 sentinels never acquire mass
+    import math
+
+    def side(rows):
+        acc = defaultdict(float)
+        for q, i, s in rows:
+            if i >= 0:
+                acc[(q, i)] += s
+        mins = {}
+        for (q, _), s in acc.items():
+            if math.isfinite(s):
+                mins[q] = min(mins.get(q, s), s)
+        return acc, mins
+
+    sa, ma = side(a)
+    sb, mb = side(b)
+    oracle = {
+        k: sa.get(k, ma.get(k[0], 0.0)) + sb.get(k, mb.get(k[0], 0.0))
+        for k in {*sa, *sb}
+    }
+    assert got.keys() == oracle.keys()
+    assert all(abs(got[k] - oracle[k]) < 1e-9 for k in oracle)
 
 
 @settings(**SETTINGS)

@@ -24,19 +24,59 @@ def vectors(spark):
     return corpus, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def _merge_oracle(a_rows, b_rows):
+    """Dict replica of the reference's offset-by-min merge
+    (``result.py:199-239``): within-side sums, then each (query, idx)
+    takes score_side or that side's per-query finite min when absent."""
+    import math
+
+    def side(rows):
+        acc = {}
+        for q, i, s in rows:
+            if i >= 0:
+                acc[(q, i)] = acc.get((q, i), 0.0) + s
+        mins = {}
+        for (q, _), s in acc.items():
+            if math.isfinite(s):
+                mins[q] = min(mins.get(q, s), s)
+        return acc, mins
+
+    sa, ma = side(a_rows)
+    sb, mb = side(b_rows)
+    oracle = {}
+    for q, i in {*sa, *sb}:
+        oracle[(q, i)] = sa.get((q, i), ma.get(q, 0.0)) + sb.get(
+            (q, i), mb.get(q, 0.0)
+        )
+    return oracle
+
+
 def test_merge_results_dict_oracle(spark):
     a_rows = [(0, 1, 1.0), (0, 2, 2.0), (1, 5, 1.5), (1, -1, float("-inf"))]
     b_rows = [(0, 2, 3.0), (0, 7, 0.5), (1, 5, 0.5)]
     a = spark.createDataFrame(a_rows, "query_id long, idx long, score double")
     b = spark.createDataFrame(b_rows, "query_id long, idx long, score double")
     merged = {(r["query_id"], r["idx"]): r["score"] for r in merge_results(a, b).collect()}
-    # dict-accumulation oracle (as the reference's test_search_result.py)
-    oracle = {}
-    for q, i, s in a_rows + b_rows:
-        if i < 0:
-            continue
-        oracle[(q, i)] = oracle.get((q, i), 0.0) + s
-    assert merged == oracle
+    assert merged == _merge_oracle(a_rows, b_rows)
+    # the offset-by-min property concretely: q0 idx=1 is a-only, so it takes
+    # b's min (0.5) on top of its own 1.0; idx=7 is b-only -> + a's min 1.0
+    assert merged[(0, 1)] == 1.0 + 0.5
+    assert merged[(0, 7)] == 0.5 + 1.0
+
+
+def test_merge_results_mixed_sign_scales(spark):
+    """An engine scoring in negatives cannot be out-ranked by absence: with
+    raw sums, idx=9 (absent from b, a-score -0.1) would beat idx=2 (in both,
+    b-score -3.0) only by accident; under offset-by-min both carry b-mass."""
+    a_rows = [(0, 2, 1.0), (0, 9, 0.9)]
+    b_rows = [(0, 2, -3.0), (0, 4, -0.5)]
+    a = spark.createDataFrame(a_rows, "query_id long, idx long, score double")
+    b = spark.createDataFrame(b_rows, "query_id long, idx long, score double")
+    merged = {(r["query_id"], r["idx"]): r["score"] for r in merge_results(a, b).collect()}
+    assert merged == _merge_oracle(a_rows, b_rows)
+    assert merged[(0, 2)] == 1.0 + -3.0
+    assert merged[(0, 9)] == 0.9 + -3.0  # absent from b -> b's min, not 0
+    assert merged[(0, 4)] == 0.9 + -0.5  # absent from a -> a's min (0.9)
 
 
 def test_topk_and_pad(spark):

@@ -59,8 +59,14 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     the media libraries — and, unlike an RNG-seeded stub, is reproducible
     in SQL (md5 + hex arithmetic), so the Arrow-batched UDF seam itself is
     differentially testable end to end. 16^12 = 2^48 makes every component
-    a dyadic rational: component sums are EXACT doubles in any fold
-    order."""
+    a dyadic rational (granularity 2^-48, magnitude < 1), so sums are EXACT
+    doubles in any fold order while the running total stays within a 53-bit
+    mantissa — guaranteed for dim <= 32 (the oracled q42 uses dim=8); above
+    that, exactness would depend on the low bits actually summed."""
+    if dim > 32:
+        raise ValueError(
+            "fake_decode guarantees order-free exact sums only for dim <= 32"
+        )
     p = payload or b""
     return np.array(
         [

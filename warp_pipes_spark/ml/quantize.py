@@ -206,12 +206,14 @@ class PqCosineTopK(Pipe):
         exclude_self: bool = True,
         index_cache_dir: str | None = None,
         materialize_index: bool = True,
+        max_query_rows: int = 100_000,
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.corpus = corpus
         self.k = k
         self.m = m
+        self.max_query_rows = max_query_rows
         self.n_codes = n_codes
         self.train_sample = train_sample
         self.seed = seed
@@ -312,10 +314,16 @@ class PqCosineTopK(Pipe):
             self.corpus.select(self.corpus_vec).first()[0]
         )  # bounded probe: one row
         codebooks, codes = self._index(dim)
-        q_rows = df.select(
-            F.col(self.query_id).alias("query_id"),
-            F.col(self.query_vec).cast("array<double>").alias("qv"),
-        ).collect()  # bounded by contract: the query batch is the small side
+        from warp_pipes_spark.ml.similarity import collect_bounded
+
+        q_rows = collect_bounded(
+            df.select(
+                F.col(self.query_id).alias("query_id"),
+                F.col(self.query_vec).cast("array<double>").alias("qv"),
+            ),
+            self.max_query_rows,
+            "PqCosineTopK",
+        )
         qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
         qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

@@ -49,6 +49,24 @@ def _norm(a):
     )
 
 
+def collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
+    """Enforce the bounded-query-batch contract BEFORE collecting: the
+    pandas-BLAS and PQ query paths broadcast the query matrix, which is
+    only sane for a bounded batch. The guard is a ``limit(max+1).count()``
+    probe (cheap — the scan stops at max_rows + 1), so a caller pointing a
+    corpus-sized table at the query side gets a clear error instead of a
+    driver OOM mid-collect."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: query batch exceeds max_query_rows={max_rows} "
+            f"(got > {max_rows} rows). The query side is collected and "
+            "broadcast — point the CORPUS at the big table, or raise "
+            "max_query_rows explicitly if the driver can hold the batch."
+        )
+    return df.collect()
+
+
 def cosine_expr(a, b):
     """Cosine similarity of two array<double> columns, computed as a
     left-to-right fold (deterministic summation order → oracle-exact)."""
@@ -69,6 +87,7 @@ class BruteForceCosineTopK(Pipe):
         corpus_vec: str = "embedding",
         exclude_self: bool = True,
         strategy: str = "join",
+        max_query_rows: int = 100_000,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -80,6 +99,7 @@ class BruteForceCosineTopK(Pipe):
         self.corpus_vec = corpus_vec
         self.exclude_self = exclude_self
         self.strategy = strategy
+        self.max_query_rows = max_query_rows
 
     _no_fingerprint = ("corpus",)
 
@@ -141,10 +161,14 @@ class BruteForceCosineTopK(Pipe):
         batch)."""
         import pandas as pd
 
-        q_rows = df.select(
-            F.col(self.query_id).alias("query_id"),
-            F.col(self.query_vec).cast("array<double>").alias("qv"),
-        ).collect()  # bounded by contract: the query batch is the small side
+        q_rows = collect_bounded(
+            df.select(
+                F.col(self.query_id).alias("query_id"),
+                F.col(self.query_vec).cast("array<double>").alias("qv"),
+            ),
+            self.max_query_rows,
+            "BruteForceCosineTopK(strategy='pandas')",
+        )
         qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
         qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

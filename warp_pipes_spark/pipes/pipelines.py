@@ -106,14 +106,7 @@ class Parallel(Pipe):
             add = [c for c in branch.columns if c not in merged.columns]
             if not add:
                 continue
-            if set(branch.columns) & set(merged.columns):
-                # branch preserves some input columns -> column expressions;
-                # rebuild via select on the branch then join-free merge is not
-                # generally possible, so keep the branch plan and join on a
-                # row id if present.
-                merged = _merge_branch(merged, branch, add)
-            else:
-                merged = _merge_branch(merged, branch, add)
+            merged = _merge_branch(merged, branch, add)
         if self.update:
             return merged
         keep = [c for c in merged.columns if c in seen]

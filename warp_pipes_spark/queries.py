@@ -673,8 +673,10 @@ def q37_index_rerank(spark, sf):
 
 
 def q38_merge_scores(spark, sf):
-    """Score-merge algebra (the reference's SearchResult.__add__): cosine
-    top-5 results + label-match bonus (0.5) summed per (query, idx), then
+    """Score-merge algebra (the reference's SearchResult.__add__ with its
+    offset-by-min semantics): cosine top-5 results merged with a
+    label-match bonus engine (0.5) — duplicate (query, idx) pairs sum,
+    single-engine pairs take the absent engine's per-query minimum — then
     top-3."""
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -2304,9 +2306,16 @@ ORACLES_EXT: Dict[str, Optional[str]] = {
         "  FROM q JOIN emb c ON q.vec_id <> c.vec_id) t WHERE rk <= 5), "
         "bonus AS (SELECT q.vec_id AS query_id, c.vec_id AS idx, 0.5 AS score "
         "  FROM q JOIN emb c ON q.label = c.label AND q.vec_id <> c.vec_id), "
-        "unioned AS (SELECT query_id, idx, CAST(score AS DOUBLE) AS score FROM cos "
-        "  UNION ALL SELECT query_id, idx, score FROM bonus), "
-        "merged AS (SELECT query_id, idx, SUM(score) AS score FROM unioned GROUP BY 1, 2), "
+        "cosd AS (SELECT query_id, idx, CAST(score AS DOUBLE) AS score FROM cos), "
+        "mins_a AS (SELECT query_id, MIN(score) AS m FROM cosd GROUP BY 1), "
+        "mins_b AS (SELECT query_id, MIN(score) AS m FROM bonus GROUP BY 1), "
+        "pairs AS (SELECT COALESCE(c.query_id, b.query_id) AS query_id, "
+        "  COALESCE(c.idx, b.idx) AS idx, c.score AS sa, b.score AS sb "
+        "  FROM cosd c FULL OUTER JOIN bonus b ON c.query_id = b.query_id AND c.idx = b.idx), "
+        "merged AS (SELECT p.query_id, p.idx, "
+        "  COALESCE(p.sa, ma.m, 0) + COALESCE(p.sb, mb.m, 0) AS score "
+        "  FROM pairs p LEFT JOIN mins_a ma ON ma.query_id = p.query_id "
+        "  LEFT JOIN mins_b mb ON mb.query_id = p.query_id), "
         "ranked AS (SELECT query_id, idx, score, "
         "  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, idx) AS INTEGER) AS rank FROM merged) "
         "SELECT query_id, rank, idx, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score "

@@ -29,13 +29,60 @@ RESULT_COLS = ("query_id", "idx", "score")
 
 
 def merge_results(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Union two result sets, summing scores of duplicate (query, idx) pairs
-    — same semantics as the reference's ``SearchResult.__add__ + sum_scores``
-    dict-accumulation oracle. Padding sentinels (idx = -1) are dropped before
-    the merge so they never acquire mass."""
-    u = a.select(*RESULT_COLS).unionByName(b.select(*RESULT_COLS))
-    u = u.filter(F.col("idx") >= 0)
-    return u.groupBy("query_id", "idx").agg(F.sum("score").alias("score"))
+    """Merge two result sets with the reference's FULL ``SearchResult.__add__``
+    semantics (``warp_pipes/search/result.py:199-239``): each side's scores
+    are offset by its per-query finite minimum before the duplicate-index
+    sum and offset back after. Net effect per (query, idx):
+
+    - present in both:   ``score_a + score_b`` (offsets cancel exactly)
+    - present in a only: ``score_a + min_b(query)``
+    - present in b only: ``score_b + min_a(query)``
+
+    i.e. an idx one engine did not return implicitly takes that engine's
+    per-query minimum — so an engine with negative score scales cannot be
+    out-ranked by mere absence (the raw-sum treats absence as 0, which
+    beats any negative score). A side with no finite scores for a query
+    contributes offset 0, mirroring ``_get_real_min``'s inf guard; padding
+    sentinels (idx = -1) are dropped before the merge so they never acquire
+    mass. Duplicate (query, idx) rows WITHIN one side are summed first (the
+    reference's dense rows cannot express within-side duplicates).
+
+    Plan shape: per-side pre-aggregation and the full-outer join share the
+    (query_id, idx) partitioning; the per-query min frames are |Q|-sized
+    narrow joins."""
+    finite = (
+        lambda c: (~F.isnan(c))
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+
+    def side(df, name):
+        rows = (
+            df.select(*RESULT_COLS)
+            .filter(F.col("idx") >= 0)
+            .groupBy("query_id", "idx")
+            .agg(F.sum("score").alias(name))
+        )
+        mins = (
+            rows.filter(finite(F.col(name)))
+            .groupBy("query_id")
+            .agg(F.min(name).alias(f"min_{name}"))
+        )
+        return rows, mins
+
+    fa, ma = side(a, "score_a")
+    fb, mb = side(b, "score_b")
+    j = (
+        fa.join(fb, ["query_id", "idx"], "full_outer")
+        .join(ma, "query_id", "left")
+        .join(mb, "query_id", "left")
+    )
+    # an absent side contributes its own per-query minimum (reference:
+    # offset-by-min, sum, offset-back algebra reduces to exactly this)
+    score = F.coalesce(F.col("score_a"), F.col("min_score_a"), F.lit(0.0)) + F.coalesce(
+        F.col("score_b"), F.col("min_score_b"), F.lit(0.0)
+    )
+    return j.select("query_id", "idx", score.alias("score"))
 
 
 def topk_results(results: DataFrame, k: int) -> DataFrame:
@@ -98,7 +145,9 @@ def rrf_fuse(*ranked: DataFrame, c: float = 60.0, k: int = 10) -> DataFrame:
     rrf DOUBLE)`` with deterministic idx tie-break. One narrow shuffle on
     (query_id, idx) over inputs already truncated to k rows per engine."""
     contribs = [
-        r.select(
+        # drop pad_results' idx = -1 sentinels (mirrors merge_results):
+        # padding must not accrue reciprocal-rank mass
+        r.filter(F.col("idx") >= 0).select(
             "query_id",
             "idx",
             (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))

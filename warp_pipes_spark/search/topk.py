@@ -53,19 +53,31 @@ class PairwiseRerank(Pipe):
         super().__init__(**kwargs)
         self.corpus = corpus
         self.score_expr = score_expr
+        # the Column object itself cannot be JSON-reflected, but its
+        # expression string can: fold it into the fingerprint so two
+        # reranks with different scorers are never fingerprint-identical
+        # (they'd otherwise collide if this pipe ever keys an artifact
+        # cache the way the LSH/BM25/SimHash indexes do)
+        self.score_expr_desc = str(score_expr)
         self.k = k
         self.corpus_id = corpus_id
         self.corpus_cols = tuple(corpus_cols)
         self.query_cols = tuple(query_cols)
         self.merge_previous_results = False
         self._queries = None
+        self.queries_fp = None
 
     _no_fingerprint = ("corpus", "score_expr", "_queries")
 
     def bind_queries(self, queries: DataFrame) -> "PairwiseRerank":
         """Attach the query batch (an Index chain hands re-rankers only the
-        previous results; the pair scorer also needs the query columns)."""
+        previous results; the pair scorer also needs the query columns).
+        The bound batch's fingerprint folds into the pipe fingerprint —
+        rebinding different queries changes the pipe identity."""
+        from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
+
         self._queries = queries
+        self.queries_fp = fingerprint_dataframe(queries)
         return self
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
