@@ -35,9 +35,21 @@ def main() -> None:
     # warm up the JVM + parquet footers with a trivial action
     spark.range(1).count()
 
+    # optional subset filter (comma-separated names or a regex), e.g. the
+    # sf1 soak runs only the most expensive families
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    items = QUERIES.items()
+    if only:
+        if "," in only or only in QUERIES:
+            names = {n.strip() for n in only.split(",")}
+            items = [(n, s) for n, s in items if n in names]
+        else:
+            pat = re.compile(only)
+            items = [(n, s) for n, s in items if pat.search(n)]
+
     timings = {}
     failures = {}
-    for qi, (name, spec) in enumerate(QUERIES.items()):
+    for qi, (name, spec) in enumerate(items):
         if qi and qi % 15 == 0:
             # nudge the JVM so ContextCleaner promptly drops the previous
             # queries' shuffle files / broadcasts (cleanup is weak-ref
