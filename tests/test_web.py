@@ -114,3 +114,36 @@ def test_length_bucket_deterministic_across_partitionings(spark):
 def test_length_bucket_rejects_bad_batch_size():
     with pytest.raises(ValueError):
         LengthBucketBatches(batch_size=0)
+
+
+def test_fix_encoding_repairs_classic_mojibake(spark):
+    from warp_pipes_spark.text.web import FixEncoding
+
+    rows = [
+        (0, "cafÃ©"),                      # Ã© -> é
+        (1, "donâ€™t"),               # â€™ -> ’
+        (2, "itâ€“orâ€”"),  # en/em dash forms
+        (3, "a​b﻿c"),                      # zero-width + BOM
+        (4, "x y"),                             # nbsp -> space
+        (5, "p\x07q\x00r"),                          # control chars
+        (6, "plain text"),                           # unchanged
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["fixed_text"], r["changed"])
+           for r in FixEncoding()(df).collect()}
+    assert got[0] == ("café", True)
+    assert got[1] == ("don’t", True)
+    assert got[2] == ("it–or—", True)
+    assert got[3] == ("abc", True)
+    assert got[4] == ("x y", True)
+    assert got[5] == ("pqr", True)
+    assert got[6] == ("plain text", False)
+
+
+def test_mojibake_map_is_derived_and_longest_first(spark):
+    from warp_pipes_spark.text.web import MOJIBAKE_MAP
+
+    lens = [len(b) for b, _ in MOJIBAKE_MAP]
+    assert lens == sorted(lens, reverse=True)
+    for bad, good in MOJIBAKE_MAP:
+        assert good.encode("utf-8").decode("cp1252") == bad

@@ -3432,6 +3432,83 @@ ORDER BY d.doc_id
 """
 
 
+# q147: deterministic encoding-artifact injection exercising every fixer
+# stage — cp1252 mojibake (2- and 3-byte), zero-width chars, nbsp, a
+# control char, and one already-clean sample (changed must stay False).
+ENCODING_SAMPLES = [
+    "caf\u00c3\u00a9 menu",  # mojibake e-acute ("\u00c3\u00a9") -> "\u00e9"
+    "don\u00e2\u20ac\u2122t stop",  # mojibake right-quote -> "\u2019"
+    "\u00c2\u00abquoted\u00c2\u00bb",  # mojibake guillemets -> "\u00ab \u00bb"
+    "zero\u200bwidth\ufeffmark",  # ZWSP + BOM stripped
+    "hard\u00a0space",  # nbsp -> plain space
+    "bell\x07char",  # control char stripped
+    "already clean",  # no-op row
+]
+
+
+def q147_fix_encoding(spark, sf):
+    """Encoding-artifact repair (ftfy-lite, ``text/web.py FixEncoding``):
+    every doc gets a deterministic corrupted prefix (mojibake / zero-width
+    / nbsp / control-char sample by doc_id), the fixer repairs it at
+    scan speed (pure literal/regex replace chain, no Python), and the
+    output exposes the repaired head + audit columns. The oracle replays
+    the identical replacement chain in DuckDB (samples reconstructed
+    codepoint-by-codepoint so no encoding ambiguity rides the SQL text)."""
+    from warp_pipes_spark.text.web import FixEncoding
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    prefix = F.element_at(
+        F.array(*[F.lit(s) for s in ENCODING_SAMPLES]),
+        (F.col("doc_id") % len(ENCODING_SAMPLES) + 1).cast("int"),
+    )
+    corrupted = docs.select(
+        "doc_id", F.concat(prefix, F.lit(" "), F.col("text")).alias("text")
+    )
+    out = FixEncoding()(corrupted)
+    return out.select(
+        "doc_id",
+        "changed",
+        F.substring("fixed_text", 1, 12).alias("fixed_head"),
+        (F.length("text") - F.length("fixed_text")).cast("int").alias("delta"),
+    )
+
+
+def _fix_encoding_oracle_sql() -> str:
+    from warp_pipes_spark.text.web import fix_text_sql
+
+    def lit(s: str) -> str:
+        # codepoint-safe SQL literal: ascii runs quoted, the rest chr(n)
+        parts, run = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts) if parts else "''"
+
+    samples = ", ".join(lit(s) for s in ENCODING_SAMPLES)
+    n = len(ENCODING_SAMPLES)
+    fixed = fix_text_sql("text")
+    return f"""
+WITH corrupted AS (
+  SELECT doc_id,
+         ([{samples}])[CAST(doc_id % {n} AS INTEGER) + 1] || ' ' || text AS text
+  FROM documents
+),
+fixed AS (SELECT doc_id, text, {fixed} AS fixed_text FROM corrupted)
+SELECT doc_id,
+       (fixed_text <> text) AS changed,
+       substr(fixed_text, 1, 12) AS fixed_head,
+       CAST(length(text) - length(fixed_text) AS INTEGER) AS delta
+FROM fixed ORDER BY doc_id
+"""
+
+
 def _corpus_datasheet_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql, langid_sql, tokens_sql
 
@@ -4078,6 +4155,7 @@ def _round2b_oracles():
     )
     ORACLES_EXT["q145_corpus_datasheet"] = _corpus_datasheet_oracle_sql()
     ORACLES_EXT["q146_wordpiece"] = _wordpiece_oracle_sql()
+    ORACLES_EXT["q147_fix_encoding"] = _fix_encoding_oracle_sql()
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4315,6 +4393,7 @@ def _register():
         "q144_span_corruption": q144_span_corruption,
         "q145_corpus_datasheet": q145_corpus_datasheet,
         "q146_wordpiece": q146_wordpiece,
+        "q147_fix_encoding": q147_fix_encoding,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

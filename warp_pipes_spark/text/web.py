@@ -161,6 +161,85 @@ class HtmlStrip(Pipe):
         return {self.out_col: clean, self.count_col: n_tags.cast("int")}
 
 
+# ftfy-lite: UTF-8-bytes-decoded-as-cp1252 mojibake. The map is DERIVED,
+# not hand-typed: bad = good.encode("utf-8").decode("cp1252") — i.e.
+# exactly the artifact a cp1252 mis-decode produces for each intended
+# character. Ordered longest-first so 3-byte artifacts repair before
+# their 2-byte prefixes could match. (Characters whose UTF-8 bytes hit
+# cp1252's five unmapped codepoints — e.g. U+201D — can't round-trip
+# and are excluded.) Final entry: a stray mojibake "\u00c2" before nbsp
+# reduces to nbsp, which the cleanup below folds to a plain space.
+_MOJIBAKE_CHARS = (
+    "\u2019\u2018\u201c\u2013\u2014\u2026\u2022"  # ’ ‘ “ – — … •
+    "\u00e9\u00e8\u00e1\u00f3\u00fa\u00e4\u00f6"  # é è á ó ú ä ö
+    "\u00fc\u00f1\u00e7\u00e0\u00ab\u00bb\u00b0"  # ü ñ ç à « » °
+    "\u00a0"  # nbsp (bad form = "Â" + nbsp)
+)
+MOJIBAKE_MAP = tuple(
+    sorted(
+        ((g.encode("utf-8").decode("cp1252"), g) for g in _MOJIBAKE_CHARS),
+        key=lambda kv: -len(kv[0]),
+    )
+)
+
+_ZERO_WIDTH = "[\u200b\u200c\u200d\ufeff]"
+_CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def fix_text_expr(col: Column) -> Column:
+    """Mojibake repair + invisible-character cleanup as ONE chain of
+    literal/regex replaces — JVM expressions, scan-speed, no Python.
+    Order: mojibake map (longest first), zero-width strip, nbsp -> space,
+    control-char strip. Deliberately conservative: no whitespace collapse,
+    no case/Unicode normalization — those are separate ops."""
+    out = col
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    out = F.regexp_replace(out, _ZERO_WIDTH, "")
+    out = F.replace(out, F.lit("\u00a0"), F.lit(" "))
+    out = F.regexp_replace(out, _CONTROL, "")
+    return out
+
+
+def fix_text_sql(text: str = "text") -> str:
+    """The identical replacement chain as a DuckDB expression."""
+    out = text
+    for bad, good in MOJIBAKE_MAP:
+        out = f"replace({out}, '{bad}', '{good}')"
+    out = f"regexp_replace({out}, '{_ZERO_WIDTH}', '', 'g')"
+    out = f"replace({out}, chr(160), ' ')"
+    out = f"regexp_replace({out}, '{_CONTROL}', '', 'g')"
+    return out
+
+
+class FixEncoding(Pipe):
+    """Encoding-artifact repair (the ftfy pass every web-corpus pipeline
+    runs before tokenization): cp1252-mojibake restoration, zero-width and
+    control character stripping, nbsp normalization. Emits the repaired
+    text plus a ``changed`` audit flag (the corpus-health signal: a spike
+    in ``changed`` rate usually means an upstream decode regression)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        out_col: str = "fixed_text",
+        flag_col: str = "changed",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.out_col = out_col
+        self.flag_col = flag_col
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        fixed = fix_text_expr(F.col(self.text_col))
+        return {
+            self.out_col: fixed,
+            self.flag_col: fixed != F.col(self.text_col),
+        }
+
+
 def html_strip_sql(text: str = "text") -> Dict[str, str]:
     """DuckDB expressions for (clean_text, n_tags) — same patterns, same
     replacement order as :class:`HtmlStrip`."""
