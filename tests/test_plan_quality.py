@@ -362,3 +362,27 @@ def test_connected_components_reuses_materialized_edges(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_fix_encoding_is_pure_codegen(spark, sf_dir):
+    """q147's repair chain must stay a JVM projection: no Python eval, no
+    shuffle — scan-speed at 100 TB."""
+    plan = _plan(QUERIES["q147_fix_encoding"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+    assert "Exchange" not in plan, f"encoding repair must not shuffle:\n{plan}"
+
+
+def test_wordpiece_is_single_python_map_no_shuffle(spark, sf_dir):
+    """q146 is one Arrow-batched mapInPandas over the scan — exactly one
+    Python stage, zero shuffles (the vocab rides the closure)."""
+    plan = _plan(QUERIES["q146_wordpiece"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan, f"wordpiece must not shuffle:\n{plan}"
+
+
+def test_merge_results_no_cartesian_and_min_frames_are_aggregates(spark, sf_dir):
+    """q38's offset-by-min merge: full-outer join + two per-query min
+    aggregates — no cartesian product, no Python."""
+    plan = _plan(QUERIES["q38_merge_scores"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -48,8 +48,10 @@ def merge_results(a: DataFrame, b: DataFrame) -> DataFrame:
     reference's dense rows cannot express within-side duplicates).
 
     Plan shape: per-side pre-aggregation and the full-outer join share the
-    (query_id, idx) partitioning; the per-query min frames are |Q|-sized
-    narrow joins."""
+    (query_id, idx) partitioning; the per-query minimums come from ONE
+    window over the joined frame (each side's rows survive a full-outer
+    join exactly once, so the window min over present values IS the side
+    min — no second scan of either input, no min-frame joins)."""
     finite = (
         lambda c: (~F.isnan(c))
         & (c != F.lit(float("inf")))
@@ -57,30 +59,22 @@ def merge_results(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
     def side(df, name):
-        rows = (
+        return (
             df.select(*RESULT_COLS)
             .filter(F.col("idx") >= 0)
             .groupBy("query_id", "idx")
             .agg(F.sum("score").alias(name))
         )
-        mins = (
-            rows.filter(finite(F.col(name)))
-            .groupBy("query_id")
-            .agg(F.min(name).alias(f"min_{name}"))
-        )
-        return rows, mins
 
-    fa, ma = side(a, "score_a")
-    fb, mb = side(b, "score_b")
-    j = (
-        fa.join(fb, ["query_id", "idx"], "full_outer")
-        .join(ma, "query_id", "left")
-        .join(mb, "query_id", "left")
-    )
+    fa, fb = side(a, "score_a"), side(b, "score_b")
+    j = fa.join(fb, ["query_id", "idx"], "full_outer")
+    w = Window.partitionBy("query_id")
+    min_a = F.min(F.when(finite(F.col("score_a")), F.col("score_a"))).over(w)
+    min_b = F.min(F.when(finite(F.col("score_b")), F.col("score_b"))).over(w)
     # an absent side contributes its own per-query minimum (reference:
     # offset-by-min, sum, offset-back algebra reduces to exactly this)
-    score = F.coalesce(F.col("score_a"), F.col("min_score_a"), F.lit(0.0)) + F.coalesce(
-        F.col("score_b"), F.col("min_score_b"), F.lit(0.0)
+    score = F.coalesce(F.col("score_a"), min_a, F.lit(0.0)) + F.coalesce(
+        F.col("score_b"), min_b, F.lit(0.0)
     )
     return j.select("query_id", "idx", score.alias("score"))
 
