@@ -32,8 +32,22 @@ def main() -> None:
     spark = get_spark(app_name="warp-pipes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + parquet footers with a trivial action
+    # warm up the JVM + parquet footers with a trivial action, and spin up
+    # the Python worker pool once (pandas/numpy import + Arrow channel) so
+    # the first pandas-UDF query is charged for its work, not for
+    # interpreter startup — on a real cluster the pool outlives any query
     spark.range(1).count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm(x):
+        return x
+
+    _warm.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        pandas_udf(_warm, "double")(F.col("id").cast("double"))
+    ).count()
 
     # optional subset filter (comma-separated names or a regex), e.g. the
     # sf1 soak runs only the most expensive families
