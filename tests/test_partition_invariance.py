@@ -36,6 +36,11 @@ INVARIANT_QUERIES = [
     "q137_minhash_estimate",    # portable signatures + pair join
     "q138_hybrid_rrf",          # decimal-rounded rank-fusion sums
     "q142_temperature_mix",     # in-plan derived weights + keyed fan-out
+    # round-3 additions
+    "q38_merge_scores",         # offset-by-min merge (window min + full outer)
+    "q47_ivf_topk",             # md5-sampled k-means train + cell join
+    "q146_wordpiece",           # Arrow-batched greedy matcher w/ word cache
+    "q147_fix_encoding",        # literal/regex repair chain
 ]
 
 
