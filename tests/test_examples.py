@@ -120,3 +120,17 @@ def test_predict_with_model_example(spark, tmp_path):
     mlp, _, _ = build_model(spark)
     expect = mlp(np.array([first["embedding"]], dtype=object))[0]
     assert np.allclose(np.array(first["mlp_vector"]), expect)
+
+
+def test_curation_pipeline_example(spark):
+    mod = _mod("curation_pipeline")
+    out = mod.run(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    # packing invariants: offsets within capacity, monotone pack ids
+    for r in rows:
+        assert 0 <= r["pack_offset"] < mod.SEQ_CAPACITY
+        assert r["end_pack"] >= r["start_pack"]
+    stats = mod.report(spark)
+    assert stats["packed_docs"] <= stats["after_quality"] <= stats["input_docs"]
+    assert stats["n_packs"] >= 1
