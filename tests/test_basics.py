@@ -568,3 +568,38 @@ def test_reference_import_surface():
     missing = [n for n in reference_names if not hasattr(w, n)]
     assert not missing, missing
     assert not [n for n in w.__all__ if not hasattr(w, n)]
+
+
+def test_simhash_sig_edges_connectivity_equivalent(spark):
+    """'sig_edges' emits O(docs + sig_pairs) edges whose connected
+    components EQUAL the full pair set's components — the scale shape for
+    cluster formation over heavily duplicated corpora."""
+    from warp_pipes_spark.text.dedup import DedupClusters, SimHashDedup
+
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near-dup of the first
+        "one two three four five six seven",
+        "totally different words here indeed",
+    ]
+    rows = []
+    # duplicate each base doc 5x -> identical-signature cliques
+    for copy in range(5):
+        for j, t in enumerate(base):
+            rows.append((copy * 10 + j, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(n_bands=8, max_hamming=3, materialize_signatures=False, persist=False)
+    pairs = SimHashDedup(output="pairs", **kw)(df)
+    edges = SimHashDedup(output="sig_edges", **kw)(df)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_edges < n_pairs, (n_edges, n_pairs)
+
+    def comps(pair_df):
+        lab = DedupClusters()(pair_df.select("doc_a", "doc_b")).collect()
+        return sorted((r["doc_id"], r["cluster_id"]) for r in lab)
+
+    assert comps(pairs) == comps(edges)
+    # the 5x clique of doc 3's copies must still cluster
+    labels = dict(comps(edges))
+    assert len({labels[3], labels[13], labels[23], labels[33], labels[43]}) == 1

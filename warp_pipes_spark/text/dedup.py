@@ -706,7 +706,29 @@ class SimHashDedup(Pipe):
     """64-bit SimHash near-dup: signature bit j = sign of sum over distinct
     tokens of (+1 if bit j of xxhash64(token) else -1). Candidate pairs share
     at least one of ``n_bands`` signature bands (bucketed join), then are
-    filtered by Hamming distance <= ``max_hamming``."""
+    filtered by Hamming distance <= ``max_hamming``.
+
+    The banding join runs at SIGNATURE granularity: signatures are
+    deduplicated before the band self-join, verified pairs are computed
+    between distinct signatures, and doc pairs expand back through the
+    doc->signature map. Hamming distance is a pure function of the
+    signatures, so the emitted pair set is IDENTICAL to the naive doc-level
+    join — but a corpus where one document repeats k times contributes ONE
+    signature to the quadratic join instead of k rows (the sf1 soak's
+    10-copy corpus showed exactly this blow-up).
+
+    ``output`` picks the result shape:
+
+    - ``'pairs'`` (default): every verified (doc_a, doc_b, hamming) pair —
+      the oracled reference shape. Inherently O(clique²) rows when the
+      corpus contains large near-identical groups.
+    - ``'sig_edges'``: a connectivity-equivalent sparse edge set — each doc
+      links to its signature's min-doc representative (hamming 0) and
+      representatives of verified signature pairs link to each other.
+      Connected components over these edges equal components over the full
+      pair set (the doc-pair graph is the signature graph blown up by
+      identical-signature cliques), with O(docs + sig_pairs) edges instead
+      of O(Σ clique²) — the shape to feed ``DedupClusters`` at 100 TB."""
 
     def __init__(
         self,
@@ -719,10 +741,14 @@ class SimHashDedup(Pipe):
         materialize_signatures: bool = True,
         signature_cache_dir: Optional[str] = None,
         hash_family: str = "xxhash",
+        output: str = "pairs",
         **kwargs,
     ):
         if hash_family not in ("xxhash", "md5"):
             raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
+        if output not in ("pairs", "sig_edges"):
+            raise ValueError(f"output must be 'pairs' or 'sig_edges', got {output!r}")
+        self.output = output
         super().__init__(**kwargs)
         self.text_col = text_col
         self.id_col = id_col
@@ -769,7 +795,9 @@ class SimHashDedup(Pipe):
         if self.hash_family == "md5":
             tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, 10)  # noqa: E731
         else:
-            tok_hash = F.xxhash64
+            # wrapper: F.xxhash64 itself is *args-variadic, which
+            # F.transform's higher-order signature check rejects
+            tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
         hashed = toks.select(
             "doc_id", F.transform("tokens", tok_hash).alias("hashes")
         )
@@ -834,8 +862,12 @@ class SimHashDedup(Pipe):
                 sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         band_bits = self.bits // self.n_bands
         mask = (1 << band_bits) - 1
-        bands = sig.select(
-            "doc_id",
+        # distinct signatures only: duplicate docs collapse before the
+        # quadratic step (hamming depends on signatures alone, so this is
+        # a pure optimization for 'pairs' and the whole point of
+        # 'sig_edges')
+        usig = sig.select("simhash").distinct()
+        bands = usig.select(
             "simhash",
             F.posexplode(
                 F.array(
@@ -850,24 +882,71 @@ class SimHashDedup(Pipe):
         )
         a = bands.alias("a")
         b = bands.alias("b")
-        cand = (
+        xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        sig_pairs = (
             a.join(b, on=["band_id", "band_val"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .where(F.col("a.simhash") < F.col("b.simhash"))
             .select(
-                F.col("a.doc_id").alias("doc_a"),
                 F.col("a.simhash").alias("sig_a"),
-                F.col("b.doc_id").alias("doc_b"),
                 F.col("b.simhash").alias("sig_b"),
             )
             .distinct()
-        )
-        xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-        hamming = F.bit_count(xor).cast("long")
-        return (
-            cand.withColumn("hamming", hamming)
+            .withColumn("hamming", F.bit_count(xor).cast("long"))
             .filter(F.col("hamming") <= self.max_hamming)
-            .select("doc_a", "doc_b", "hamming")
         )
+        if self.output == "sig_edges":
+            rep = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+            star = (
+                sig.join(rep, "simhash")
+                .where(F.col("doc_id") != F.col("rep"))
+                .select(
+                    F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.lit(0).cast("long").alias("hamming"),
+                )
+            )
+            ra = rep.select(
+                F.col("simhash").alias("sig_a"), F.col("rep").alias("rep_a")
+            )
+            rb = rep.select(
+                F.col("simhash").alias("sig_b"), F.col("rep").alias("rep_b")
+            )
+            cross = (
+                sig_pairs.join(ra, "sig_a")
+                .join(rb, "sig_b")
+                .select(
+                    F.least("rep_a", "rep_b").alias("doc_a"),
+                    F.greatest("rep_a", "rep_b").alias("doc_b"),
+                    "hamming",
+                )
+            )
+            return star.unionByName(cross)
+        # 'pairs': expand verified signature pairs back to doc pairs, plus
+        # the identical-signature cliques (hamming 0, share every band)
+        da = sig.select(F.col("simhash").alias("sig_a"), F.col("doc_id").alias("x"))
+        db = sig.select(F.col("simhash").alias("sig_b"), F.col("doc_id").alias("y"))
+        same = (
+            da.join(
+                sig.select(F.col("simhash").alias("sig_a"), F.col("doc_id").alias("y")),
+                "sig_a",
+            )
+            .where(F.col("x") < F.col("y"))
+            .select(
+                F.col("x").alias("doc_a"),
+                F.col("y").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+        cross = (
+            sig_pairs.join(da, "sig_a")
+            .join(db, "sig_b")
+            .select(
+                F.least("x", "y").alias("doc_a"),
+                F.greatest("x", "y").alias("doc_b"),
+                "hamming",
+            )
+        )
+        return same.unionByName(cross)
 
 
 class DedupClusters(Pipe):
