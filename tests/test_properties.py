@@ -264,3 +264,75 @@ def test_span_corruption_reconstruction(spark):
         assert r["n_spans"] == len(spans)
         n_unmasked = sum(1 for p in r["input_text"].split() if not p.startswith("<extra_id_"))
         assert n_unmasked + r["n_masked"] == 40
+
+
+# ---- round-3 operators ---------------------------------------------------
+
+def _fix_text_py(s: str) -> str:
+    """Independent pure-Python replica of text/web.py's repair chain."""
+    import re as _re
+
+    from warp_pipes_spark.text.web import MOJIBAKE_MAP
+
+    for bad, good in MOJIBAKE_MAP:
+        s = s.replace(bad, good)
+    s = _re.sub("[​‌‍﻿]", "", s)
+    s = s.replace(" ", " ")
+    s = _re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s)
+    return s
+
+
+_artifact_alphabet = st.sampled_from(
+    list("abc XYZ.!?'\n\t")
+    + ["Ã©", "â€™", "Â«", "​",
+       "﻿", " ", "\x07", "Ã", "Â", "â", "€",
+       "cafÃ©"]
+)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(st.lists(_artifact_alphabet, max_size=12).map("".join),
+                      min_size=1, max_size=6))
+def test_fix_encoding_matches_python_replica(spark, texts):
+    from warp_pipes_spark.text.web import FixEncoding
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r["id"]: r["fixed_text"] for r in FixEncoding()(df).collect()}
+    assert got == {i: _fix_text_py(t) for i, t in enumerate(texts)}
+
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=6
+)
+
+
+@settings(**SETTINGS)
+@given(words=_words, vocab_words=_words)
+def test_wordpiece_reassembly_and_offsets(spark, words, vocab_words):
+    """For ANY vocab: non-UNK pieces of a word concatenate (## stripped)
+    back to the word, offsets tile the word left-to-right, and every piece
+    slices the source text at its offsets."""
+    from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+
+    text = " ".join(words)
+    # vocab: all single chars (so encoding always succeeds) + random pieces
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    vocab += sorted({c for w in words for c in w})
+    vocab += sorted({"##" + c for w in words for c in w})
+    vocab += sorted(set(vocab_words) - set(vocab))
+    vocab += sorted({"##" + w for w in vocab_words if "##" + w not in vocab})
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    out = WordPieceTokenizer(
+        vocab, return_offsets_mapping=True, add_special_tokens=False
+    )(df).collect()[0]
+    toks, offs = out["tokens"], out["offset_mapping"]
+    assert len(toks) == len(offs)
+    rebuilt = []
+    for t, o in zip(toks, offs):
+        piece = t[2:] if t.startswith("##") else t
+        assert text[o["start"]:o["end"]] == piece
+        if not t.startswith("##"):
+            rebuilt.append(piece)
+        else:
+            rebuilt[-1] += piece
+    assert rebuilt == words

@@ -670,3 +670,56 @@ def test_streaming_cms_merge_matches_batch(spark, tmp_path):
         for r in merge_sketches(a, b).collect()
     }
     assert via_op == want
+
+
+def test_streaming_curation_ops_match_batch(spark, tmp_path):
+    """The scan-level curation operators (encoding repair, quality gate,
+    langid) are stateless column expressions, so the SAME pipes run
+    unchanged on a stream and agree row-for-row with the batch run."""
+    from warp_pipes_spark.pipes.pipelines import Sequential
+    from warp_pipes_spark.text.analysis import GopherQualityFilter, LangId
+    from warp_pipes_spark.text.web import FixEncoding
+
+    src = str(tmp_path / "cur_stream")
+    os.makedirs(src)
+    docs = [
+        (1, "cafÃ© the a and is of to in it menu plan"),
+        (2, "donâ€™t stop the line keep it all going now"),
+        (3, "zero​width the a of market data value table row scan"),
+    ]
+    for i, chunk in enumerate([docs[:2], docs[2:]]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for did, text in chunk:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    pipe = Sequential(
+        FixEncoding(),
+        GopherQualityFilter(text_col="fixed_text", min_tokens=3),
+        LangId(text_col="fixed_text"),
+    )
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["fixed_text"], r["keep"], r["pred_lang"])
+        for r in pipe(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = pipe(stream)
+    assert out.isStreaming
+    got = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["doc_id"]] = (r["fixed_text"], r["keep"], r["pred_lang"])
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    deadline = time.time() + 60
+    while time.time() < deadline and set(got) != set(want):
+        time.sleep(0.5)
+    q.stop()
+    assert got == want
