@@ -38,7 +38,9 @@ from warp_pipes_spark.pipes.pipelines import (
     ParallelbyField,
     Sequential,
 )
-from warp_pipes_spark.pipes.tokenizer import RegexTokenizer
+from warp_pipes_spark.ml.multimodal import DecodeMedia, ResizeMedia, SampleFrames
+from warp_pipes_spark.pipes.tokenizer import RegexTokenizer, WordPieceTokenizer
+from warp_pipes_spark.text.web import FixEncoding, HtmlStrip, UrlParse
 from warp_pipes_spark.search.topk import TopkSearch
 from warp_pipes_spark.text.packing import SpanCorruption
 from warp_pipes_spark.text.analysis import (
@@ -100,6 +102,13 @@ def instantiate_all():
         SimHashDedup(),
         TopkSearch(k=5),
         SpanCorruption(),
+        WordPieceTokenizer(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a"]),
+        FixEncoding(),
+        HtmlStrip(),
+        UrlParse(),
+        DecodeMedia(),
+        SampleFrames(),
+        ResizeMedia(),
     ]
 
 

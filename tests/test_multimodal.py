@@ -54,3 +54,35 @@ def test_repartition_by_bytes(media):
     out = repartition_by_bytes(media, "payload", target_partition_bytes=300)
     assert out.rdd.getNumPartitions() >= 3
     assert out.count() == 10
+
+
+def test_resize_media_stub_contract(spark):
+    from warp_pipes_spark.ml.multimodal import ResizeMedia
+
+    rows = [
+        (0, b"x" * 10),             # under budget: passthrough
+        (1, bytes(range(256)) * 40),  # over budget: downsampled
+        (2, b""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in ResizeMedia(target_w=16, target_h=4)(df).collect()}
+    budget = 16 * 4
+    assert out[0]["resized"] == b"x" * 10
+    assert len(out[1]["resized"]) <= budget
+    # deterministic: every k-th byte of the source
+    src = bytes(range(256)) * 40
+    step = -(-len(src) // budget)
+    assert bytes(out[1]["resized"]) == src[::step]
+    assert out[2]["resized"] == b"" and out[3]["resized"] == b""
+    for r in out.values():
+        meta = r["resized_meta"]
+        assert meta["target_w"] == 16 and meta["target_h"] == 4
+        assert meta["n_bytes"] == len(r["resized"] or b"")
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="real resizing"):
+        ResizeMedia(fake_resize=False)(df).collect()
+    with _pytest.raises(ValueError, match="positive"):
+        ResizeMedia(target_w=0)

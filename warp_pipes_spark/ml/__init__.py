@@ -1,3 +1,4 @@
+from warp_pipes_spark.ml.multimodal import DecodeMedia, ResizeMedia, SampleFrames
 from warp_pipes_spark.ml.quantize import PqCosineTopK, ProductQuantizer, ScalarQuantizer
 from warp_pipes_spark.ml.semantic import SemanticDedup
 from warp_pipes_spark.ml.pooling import PoolEmbeddings, StandardizeEmbeddings
@@ -21,4 +22,7 @@ __all__ = [
     "MatryoshkaTopK",
     "PoolEmbeddings",
     "StandardizeEmbeddings",
+    "DecodeMedia",
+    "ResizeMedia",
+    "SampleFrames",
 ]

@@ -152,3 +152,77 @@ class SampleFrames(Pipe):
             self.id_col,
             F.posexplode(positions).alias("frame_idx", "byte_offset"),
         )
+
+
+class ResizeMedia(Pipe):
+    """payload binary -> resized payload binary + output-shape metadata:
+    the image/video RESIZE slot in the decode -> transform -> re-encode
+    chain. The Spark-side plumbing is real — Arrow-batched iterator UDF
+    (codec init once per partition), binary in/binary out, emitted size
+    metadata — while the codec itself is env-gated exactly like
+    :class:`DecodeMedia`: with ``fake_resize=True`` the "resize" is a
+    deterministic byte-plane downsample (take every k-th byte so the
+    output length is ``ceil(len * scale)``), standing in for
+    PIL/libvips/ffmpeg which this container lacks. The fake is
+    deterministic and length-exact, so partition-layout invariance and the
+    metadata contract (``out_w * out_h`` accounting at a real decoder's
+    seam) are testable end to end."""
+
+    def __init__(
+        self,
+        target_w: int = 224,
+        target_h: int = 224,
+        payload_col: str = "payload",
+        out_col: str = "resized",
+        fake_resize: bool = True,
+        **kwargs,
+    ):
+        if target_w <= 0 or target_h <= 0:
+            raise ValueError("target dimensions must be positive")
+        super().__init__(**kwargs)
+        self.target_w = target_w
+        self.target_h = target_h
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.fake_resize = fake_resize
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        if not self.fake_resize:
+            raise NotImplementedError(
+                "real resizing requires PIL/libvips/ffmpeg — not available "
+                "in this environment; use fake_resize=True for the "
+                "deterministic stub"
+            )
+        w, h = self.target_w, self.target_h
+
+        def resize(batches):
+            for payloads in batches:
+                out = []
+                for p in payloads:
+                    p = p or b""
+                    budget = w * h
+                    if len(p) <= budget:
+                        out.append(p)
+                    else:
+                        # deterministic byte-plane downsample to <= budget
+                        step = -(-len(p) // budget)  # ceil division
+                        out.append(p[::step])
+                yield pd.Series(out)
+
+        resize.__annotations__ = {
+            "batches": Iterator[pd.Series],
+            "return": Iterator[pd.Series],
+        }
+        udf = pandas_udf(resize, "binary")
+        out = df.withColumn(self.out_col, udf(F.col(self.payload_col)))
+        return out.withColumn(
+            f"{self.out_col}_meta",
+            F.struct(
+                F.lit(w).alias("target_w"),
+                F.lit(h).alias("target_h"),
+                F.length(F.col(self.out_col)).cast("long").alias("n_bytes"),
+            ),
+        )
