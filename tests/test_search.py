@@ -625,3 +625,23 @@ def test_index_rrf_merge_strategy(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, manual.collect()))
     # doc 11 (ranked by both engines) must fuse to the top
     assert out.orderBy("rank").first()["idx"] == 11
+
+
+def test_pq_local_trainer_matches_spark_trainer(spark, sf_dir):
+    """q95's codebook literals are honest: the pure-Python replica retrains
+    BIT-IDENTICAL per-subspace codebooks from the raw Parquet."""
+    import numpy as np
+
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.ml.quantize import ProductQuantizer, train_pq_local
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = ProductQuantizer(dim=64, m=8, k=16, iters=5, seed=9).fit(
+        emb, train_sample=100
+    )
+    local = train_pq_local(
+        f"{sf_dir}/embeddings.parquet", dim=64, m=8, k=16, iters=5, seed=9,
+        train_sample=100,
+    )
+    assert pq.codebooks.shape == local.shape
+    assert np.array_equal(pq.codebooks, local), "PQ trainers diverged"

@@ -96,6 +96,64 @@ def quantized_corpus(
     return sq.encode(corpus, col).drop(col), sq
 
 
+def _pq_kmeans(X, m, k, iters, seed, dsub, normalize):
+    """Per-subspace seeded k-means core shared by the Spark trainer
+    (:meth:`ProductQuantizer.fit`) and the pure-Python replica
+    (:func:`train_pq_local`): same sample matrix in the same row order =>
+    bit-identical float64 codebooks."""
+    import numpy as np
+
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        kk = min(k, len(S))
+        C = S[rng.choice(len(S), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books.append(C)
+    return np.stack(books)  # [m, k, dsub]
+
+
+def train_pq_local(
+    parquet_path: str,
+    dim: int,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+    train_sample: int = 4096,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Bit-exact pure-Python replica of :meth:`ProductQuantizer.fit`
+    reading the raw Parquet directly (pyarrow + hashlib + numpy, no
+    Spark) — the honest-codebook-literals source for the q95 DuckDB
+    oracle, exactly the q47 IVF pattern."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    keyed = sorted(
+        zip(ids, vecs),
+        key=lambda p: hashlib.md5(f"{seed}:{p[0]}".encode()).hexdigest(),
+    )[:train_sample]
+    X = np.array([v for _, v in keyed], dtype=np.float64)
+    return _pq_kmeans(X, m, k, iters, seed, dim // m, normalize)
+
+
 class ProductQuantizer:
     """m-subspace product quantizer (the faiss ``PQm`` shape): the vector
     splits into ``m`` contiguous sub-vectors, each quantized to one of
@@ -128,30 +186,23 @@ class ProductQuantizer:
     ) -> "ProductQuantizer":
         import numpy as np
 
+        # md5-ordered sample: the engine-portable hash family (Spark ==
+        # hashlib == DuckDB on the same strings), so train_pq_local can
+        # reproduce the exact sample order — and therefore bit-identical
+        # codebooks — straight from the Parquet file (same contract as the
+        # IVF trainer)
         rows = (
             corpus.select(F.col(id_col).alias("id"), F.col(col).cast("array<double>").alias("v"))
-            .orderBy(F.xxhash64(F.col("id"), F.lit(self.seed)))
+            .orderBy(
+                F.md5(F.concat(F.lit(f"{self.seed}:"), F.col("id").cast("string")))
+            )
             .limit(train_sample)
             .collect()
         )
         X = np.array([r["v"] for r in rows], dtype=np.float64)
-        if normalize:
-            X = X / np.linalg.norm(X, axis=1, keepdims=True)
-        rng = np.random.RandomState(self.seed)
-        books = []
-        for j in range(self.m):
-            S = X[:, j * self.dsub : (j + 1) * self.dsub]
-            k = min(self.k, len(S))
-            C = S[rng.choice(len(S), size=k, replace=False)]
-            for _ in range(self.iters):
-                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-                assign = d2.argmin(1)
-                for c in range(k):
-                    members = S[assign == c]
-                    if len(members):
-                        C[c] = members.mean(0)
-            books.append(C)
-        self.codebooks = np.stack(books)  # [m, k, dsub]
+        self.codebooks = _pq_kmeans(
+            X, self.m, self.k, self.iters, self.seed, self.dsub, normalize
+        )
         self.normalize = normalize
         return self
 
@@ -263,7 +314,7 @@ class PqCosineTopK(Pipe):
         )
         fp = get_fingerprint(
             {
-                "op": "pq_index_v1",
+                "op": "pq_index_v2",
                 "corpus": fingerprint_dataframe(self.corpus),
                 "vec": self.corpus_vec,
                 "id": self.corpus_id,
@@ -341,8 +392,16 @@ class PqCosineTopK(Pipe):
                     continue
                 cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
                 C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # [n, m]
-                # scores[q, n] = sum_j lut[q, j, C[n, j]]
+                # scores[q, n] = sum_j lut[q, j, C[n, j]], then quantized to
+                # DECIMAL(18,6) semantics (round half away from zero) BEFORE
+                # the per-batch partial selection: ADC scores of distinct
+                # code vectors can collide at 1e-6 granularity, and the
+                # partial top-k must use the same (rounded score,
+                # neighbor_id) order as the global window and the SQL
+                # oracle, or a rounding-tied candidate could be dropped at
+                # a batch boundary
                 scores = lut[:, np.arange(m)[None, :], C].sum(-1)
+                scores = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
                 if exclude_self:
                     scores[qi[:, None] == cids[None, :]] = -np.inf
                 kk = min(k, scores.shape[1])
@@ -422,6 +481,93 @@ ranked AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
   FROM scored
+)
+SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def pq_topk_sql(
+    sf_dir: str,
+    dim: int = 64,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+    train_sample: int = 4096,
+    queries_where: str = "vec_id % 25 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :class:`PqCosineTopK` (q95): retrains the
+    per-subspace codebooks bit-identically from ``{sf_dir}/{table}.parquet``
+    (:func:`train_pq_local`), embeds them as literals, and replays encode
+    (argmin over subspace squared distances, ties -> lowest code, exactly
+    numpy argmin), the per-query subspace lookup table, ADC score
+    accumulation and the DECIMAL(18,6)-quantized (score DESC, neighbor_id)
+    ranking. Sums fold in different orders across engines (~1e-16 apart);
+    a flipped code or rank needs a tie below that — the same measure-zero
+    exposure the LSH/IVF oracles document."""
+    import os as _os
+
+    C = train_pq_local(
+        _os.path.join(sf_dir, f"{table}.parquet"),
+        dim=dim,
+        m=m,
+        k=n_codes,
+        iters=iters,
+        seed=seed,
+        train_sample=train_sample,
+    )
+    dsub = dim // m
+    rows = ",\n  ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join(repr(float(x)) for x in C[j][c])
+        )
+        for j in range(C.shape[0])
+        for c in range(C.shape[1])
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM {table}),
+nrm AS (
+  SELECT vec_id,
+         list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v
+  FROM e
+),
+books(j, c, cv) AS (VALUES
+  {rows}
+),
+dists AS (
+  SELECT n.vec_id, b.j, b.c,
+         list_sum(list_transform(generate_series(1, {dsub}),
+           i -> (list_slice(n.v, b.j * {dsub} + 1, (b.j + 1) * {dsub})[i] - b.cv[i]) ^ 2)) AS d2
+  FROM nrm n CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+    FROM dists) WHERE rk = 1
+),
+q AS (SELECT vec_id, v FROM nrm WHERE {queries_where}),
+lut AS (
+  SELECT q.vec_id AS qid, b.j, b.c,
+         list_dot_product(list_slice(q.v, b.j * {dsub} + 1, (b.j + 1) * {dsub}), b.cv) AS dot
+  FROM q CROSS JOIN books b
+),
+scores AS (
+  SELECT l.qid AS query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.dot) AS DECIMAL(18,6)) AS score
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+  WHERE l.qid <> cd.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scores
 )
 SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
 FROM ranked WHERE rank <= {k}

@@ -1472,10 +1472,12 @@ def q94_cohort(spark, sf):
 def q95_pq_topk(spark, sf):
     """PQ-ADC approximate cosine top-k (faiss IndexPQ shape): corpus as
     m-byte codes (32x smaller than float64), per-query subspace lookup
-    tables, partial top-k + global window merge. Rows-only driver check
-    (k-means codebooks are not SQL-expressible); recall vs exact is
-    pinned in tests. Completes the quantization family next to SQ8 (q67)
-    and the IVF/LSH cell paths."""
+    tables, partial top-k + global window merge. Fully oracled (the q47
+    pattern): training is md5-sample-deterministic, so ``pq_topk_sql``
+    retrains bit-identical codebooks from the raw Parquet and replays
+    encode + ADC scoring + decimal-quantized ranking in DuckDB; recall vs
+    exact is additionally pinned in tests. Completes the quantization
+    family next to SQ8 (q67) and the IVF/LSH cell paths."""
     from warp_pipes_spark.ml.quantize import PqCosineTopK
 
     emb = T(spark, sf, "embeddings")
@@ -4096,9 +4098,20 @@ def _round2b_oracles():
     ORACLES_EXT["q140_gopher_rules"] = _gopher_oracle_sql()
     ORACLES_EXT["q141_rerank_cascade"] = _rerank_cascade_oracle_sql()
 
-    from warp_pipes_spark.ml.quantize import sq8_topk_sql
+    from warp_pipes_spark.ml.quantize import pq_topk_sql, sq8_topk_sql
 
     ORACLES_EXT["q67_quantized_topk"] = sq8_topk_sql(dim=64, k=5)
+    # q95's oracle embeds codebook literals retrained bit-identically from
+    # the compare-scale Parquet (same contract as q47's centroids)
+    try:
+        ORACLES_EXT["q95_pq_topk"] = pq_topk_sql(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            dim=64,
+            k=5,
+            m=8,
+        )
+    except Exception:
+        pass
 
     from warp_pipes_spark.ml.similarity import ivf_topk_sql
 
