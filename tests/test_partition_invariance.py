@@ -39,8 +39,11 @@ INVARIANT_QUERIES = [
     # round-3 additions
     "q38_merge_scores",         # offset-by-min merge (window min + full outer)
     "q47_ivf_topk",             # md5-sampled k-means train + cell join
+    "q95_pq_topk",              # PQ codebook train + decimal-quantized ADC
+    "q92_bpe_tokens",           # trained merges + greedy encode
     "q146_wordpiece",           # Arrow-batched greedy matcher w/ word cache
     "q147_fix_encoding",        # literal/regex repair chain
+    "q148_portable_hll",        # md5 registers + exact-integer harmonics
 ]
 
 

@@ -142,3 +142,154 @@ def merge_sketches(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant; a shared literal on both
+    engines (computed once here, embedded verbatim in the oracle)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+class PortableHll(Pipe):
+    """Engine-portable HyperLogLog distinct-count estimate per group —
+    the ORACLED companion to q53's Spark-native ``approx_count_distinct``
+    (whose HLL++ register layout is engine-internal and can't be replayed
+    elsewhere; this operator's can, the same md5 dual-family pattern as
+    MinHash/LSH/SimHash).
+
+    Register construction is classic HLL over an md5 hash: the first
+    ``p_hex`` hex chars pick the register, the next 12 (48 bits) give
+    ``rho`` = leading-zero position, computed EXACTLY via the binary
+    string length (``bin(w)``) — no float log. The harmonic sum
+    ``Σ 2^-M_j`` is accumulated as the exact integer ``Σ 2^(49-M_j)``
+    (fits a BIGINT: <= m * 2^49), so the only cross-engine float ops are
+    one division, one multiply by the shared alpha literal and (in the
+    small-range branch) one ``ln`` — decimal-rounded at 1e-6, leaving the
+    usual measure-zero boundary exposure.
+
+    Plan shape: one narrow (group, register) pre-aggregation with map-side
+    combine, then a register-sized per-group reduction — sketch-sized
+    shuffles regardless of stream size, mergeable like the CMS."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_cols: Tuple[str, ...] = (),
+        p_hex: int = 2,
+        seed: int = 42,
+        out_col: str = "hll_estimate",
+        **kwargs,
+    ):
+        if p_hex not in (1, 2, 3):
+            raise ValueError("p_hex must be 1..3 (16..4096 registers)")
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.group_cols = tuple(group_cols)
+        self.p_hex = p_hex
+        self.seed = seed
+        self.out_col = out_col
+
+    @property
+    def m(self) -> int:
+        return 16 ** self.p_hex
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        m = self.m
+        alpha = _hll_alpha(m)
+        h = F.md5(
+            F.concat(
+                F.lit(f"{self.seed}:"), F.col(self.value_col).cast("string")
+            )
+        )
+        bucket = F.conv(F.substring(h, 1, self.p_hex), 16, 10).cast("int")
+        w = F.conv(F.substring(h, self.p_hex + 1, 12), 16, 10).cast("long")
+        rho = F.when(w == 0, F.lit(49)).otherwise(
+            F.lit(49) - F.length(F.bin(w))
+        )
+        gcols = list(self.group_cols)
+        regs = (
+            df.select(*gcols, bucket.alias("__b"), rho.alias("__r"))
+            .groupBy(*gcols, "__b")
+            .agg(F.max("__r").alias("__m"))
+        )
+        # exact integer harmonic accumulator: empty registers contribute
+        # 2^49 (F.shiftleft needs a literal shift in this PySpark — use the
+        # SQL form for the column-valued amount)
+        s_present = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - __m)"))
+        n_present = F.count(F.lit(1))
+        agg = regs.groupBy(*gcols).agg(
+            s_present.alias("__s"), n_present.alias("__n")
+        )
+        S = F.col("__s") + (F.lit(m) - F.col("__n")) * F.lit(1 << 49)
+        V = (F.lit(m) - F.col("__n")).cast("double")  # empty-register count
+        e_raw = (
+            F.lit(alpha * m * m * float(1 << 49)) / S.cast("double")
+        )
+        est = F.when(
+            (e_raw <= F.lit(2.5 * m)) & (V > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / V),
+        ).otherwise(e_raw)
+        return agg.select(
+            *gcols,
+            est.cast("decimal(18,6)").cast("double").alias(self.out_col),
+        )
+
+
+def portable_hll_sql(
+    value: str,
+    table: str,
+    group_cols: Tuple[str, ...] = (),
+    p_hex: int = 2,
+    seed: int = 42,
+    out_col: str = "hll_estimate",
+    where: str = "",
+) -> str:
+    """DuckDB replay of :class:`PortableHll`: same md5 registers, same
+    exact-integer harmonic sum, same alpha literal and small-range
+    correction."""
+    m = 16 ** p_hex
+    alpha = _hll_alpha(m)
+    gsel = ", ".join(group_cols)
+    gpfx = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+    wclause = f"WHERE {where}" if where else ""
+    return f"""
+WITH hashed AS (
+  SELECT {gpfx}
+         CAST(('0x' || substr(md5('{seed}:' || CAST({value} AS VARCHAR)), 1, {p_hex}))::BIGINT AS INTEGER) AS b,
+         ('0x' || substr(md5('{seed}:' || CAST({value} AS VARCHAR)), {p_hex} + 1, 12))::BIGINT AS w
+  FROM {table} {wclause}
+),
+regs AS (
+  SELECT {gpfx} b,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mreg
+  FROM hashed GROUP BY {gpfx} b
+),
+agg AS (
+  SELECT {gpfx}
+         SUM((CAST(1 AS BIGINT) << (49 - mreg))) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs {gby}
+),
+est AS (
+  SELECT {gpfx}
+         CAST(s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS S,
+         CAST({m} - n_present AS DOUBLE) AS V
+  FROM agg
+)
+SELECT {gpfx}
+       CAST(CAST(CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(1 << 49)!r} AS DOUBLE)) / S
+                        <= CAST({2.5 * m!r} AS DOUBLE)
+                       AND V > 0
+                 THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / V)
+                 ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({float(1 << 49)!r} AS DOUBLE)) / S
+            END AS DECIMAL(18,6)) AS DOUBLE) AS {out_col}
+FROM est
+{"ORDER BY " + gsel if group_cols else ""}
+"""

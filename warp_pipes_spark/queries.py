@@ -1409,8 +1409,11 @@ def q92_bpe_tokens(spark, sf):
     """Real BPE tokenization (trained merges + greedy lowest-rank encode):
     merge loop trains on the corpus' bounded word-frequency table (the only
     wide op is one explode+groupBy), encoding is an Arrow-batched map with
-    per-executor word caching. Rows-only driver check (the merge loop is
-    not SQL-expressible); round-trip/determinism invariants in tests."""
+    per-executor word caching. Fully oracled (the deterministic-trainer
+    pattern): ``train_bpe_local`` retrains bit-identical merges from the
+    raw Parquet and ``bpe_count_sql`` replays the greedy merge loop with a
+    recursive CTE over a rank-map literal; round-trip/determinism
+    invariants additionally in tests."""
     from warp_pipes_spark.text.bpe import BpeTokenizer, train_bpe
 
     docs = T(spark, sf, "documents")
@@ -3511,6 +3514,39 @@ FROM fixed ORDER BY doc_id
 """
 
 
+def q148_portable_hll(spark, sf):
+    """Engine-portable HyperLogLog (``ml/sketches.py PortableHll``): md5
+    registers, exact-integer harmonic sums, shared alpha literal — the
+    ORACLED companion to q53's Spark-native approx_count_distinct (whose
+    HLL++ internals are engine-specific). Output pairs the estimate with
+    the exact distinct count so the sketch's error is audited in-query."""
+    from warp_pipes_spark.ml.sketches import PortableHll
+
+    li = T(spark, sf, "lineitem")
+    est = PortableHll("l_partkey", group_cols=("l_returnflag",))(li)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    return exact.join(est, "l_returnflag").select(
+        "l_returnflag", "n_exact", "hll_estimate"
+    )
+
+
+def _portable_hll_oracle_sql() -> str:
+    from warp_pipes_spark.ml.sketches import portable_hll_sql
+
+    inner = portable_hll_sql(
+        "l_partkey", "lineitem", group_cols=("l_returnflag",)
+    )
+    return (
+        "WITH est AS (" + inner + "), "
+        "ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT ex.l_returnflag, ex.n_exact, est.hll_estimate "
+        "FROM ex JOIN est USING (l_returnflag) ORDER BY ex.l_returnflag"
+    )
+
+
 def _corpus_datasheet_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql, langid_sql, tokens_sql
 
@@ -4113,6 +4149,19 @@ def _round2b_oracles():
     except Exception:
         pass
 
+    from warp_pipes_spark.text.bpe import bpe_count_sql
+
+    # q92: merges retrained bit-identically from the Parquet; the greedy
+    # encoder replays as a recursive CTE over the rank-map literal
+    try:
+        ORACLES_EXT["q92_bpe_tokens"] = bpe_count_sql(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            n_merges=100,
+            max_words=5000,
+        )
+    except Exception:
+        pass
+
     from warp_pipes_spark.ml.similarity import ivf_topk_sql
 
     # The q47 oracle embeds centroid literals retrained (bit-identically,
@@ -4169,6 +4218,7 @@ def _round2b_oracles():
     ORACLES_EXT["q145_corpus_datasheet"] = _corpus_datasheet_oracle_sql()
     ORACLES_EXT["q146_wordpiece"] = _wordpiece_oracle_sql()
     ORACLES_EXT["q147_fix_encoding"] = _fix_encoding_oracle_sql()
+    ORACLES_EXT["q148_portable_hll"] = _portable_hll_oracle_sql()
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4407,6 +4457,7 @@ def _register():
         "q145_corpus_datasheet": q145_corpus_datasheet,
         "q146_wordpiece": q146_wordpiece,
         "q147_fix_encoding": q147_fix_encoding,
+        "q148_portable_hll": q148_portable_hll,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -35,24 +35,15 @@ from warp_pipes_spark.text.analysis import tokens_expr
 END = "</w>"
 
 
-def train_bpe(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 200,
-    max_words: int = 10000,
+def _merges_from_freqs(
+    freqs: List[Tuple[str, int]], n_merges: int
 ) -> List[Tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from the corpus' word frequencies.
-    The driver holds only the ``max_words``-row frequency table."""
-    rows = (
-        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("w"))
-        .limit(max_words)
-        .collect()
-    )
+    """The Sennrich merge loop over a (word, count) frequency table. Shared
+    by the Spark trainer and the pure-Python replica: same table in any
+    order => identical merges (tie-break (count desc, pair lex asc) is
+    order-free)."""
     vocab: Dict[Tuple[str, ...], int] = {
-        tuple(list(r["w"]) + [END]): r["c"] for r in rows
+        tuple(list(w) + [END]): c for w, c in freqs
     }
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
@@ -79,6 +70,50 @@ def train_bpe(
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
     return merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 10000,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus' word frequencies.
+    The driver holds only the ``max_words``-row frequency table."""
+    rows = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return _merges_from_freqs([(r["w"], r["c"]) for r in rows], n_merges)
+
+
+def train_bpe_local(
+    parquet_path: str,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 10000,
+) -> List[Tuple[str, str]]:
+    """Bit-exact pure-Python replica of :func:`train_bpe` reading the raw
+    Parquet directly (pyarrow + Counter, no Spark): same ``[^a-z]+`` split
+    on lowercased text, same (count desc, word asc) frequency order with
+    the same ``max_words`` cut, same merge loop — the honest
+    merge-literals source for the q92 DuckDB oracle (the q47/q95
+    deterministic-trainer pattern applied to the tokenizer)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[text_col])
+    counts: Counter = Counter()
+    for text in t.column(text_col).to_pylist():
+        counts.update(w for w in re.split("[^a-z]+", (text or "").lower()) if w)
+    freqs = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    return _merges_from_freqs(freqs, n_merges)
 
 
 def encode_word(
@@ -223,3 +258,74 @@ def train_wordpiece_vocab(
     singles = sorted(p for p in pieces if len(p.lstrip("#")) == 1 or len(p) == 1)
     longer = sorted(p for p in pieces if p not in set(singles))
     return list(specials) + singles + longer
+
+
+def bpe_count_sql(
+    sf_dir: str,
+    n_merges: int = 100,
+    max_words: int = 5000,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for q92: retrains the merges bit-identically from
+    ``{sf_dir}/{table}.parquet`` (:func:`train_bpe_local`), embeds them as
+    a rank MAP literal, and replays the greedy lowest-rank merge loop with
+    a recursive CTE over each distinct corpus word (state = the evolving
+    piece list; each step merges the FIRST lowest-rank adjacent pair,
+    exactly :func:`encode_word`'s scan). Per-doc piece counts come from
+    re-joining encoded words to the doc word sequence. The '|' pair
+    separator cannot collide: pieces are [a-z]+ and the '</w>' sentinel."""
+    import os
+
+    merges = train_bpe_local(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        n_merges=n_merges,
+        max_words=max_words,
+    )
+    if not merges:
+        keys_sql, vals_sql = "['__none__']", "[0]"
+    else:
+        keys_sql = "[" + ", ".join(f"'{a}|{b}'" for a, b in merges) + "]"
+        vals_sql = "[" + ", ".join(str(i) for i in range(len(merges))) + "]"
+    big = 10**9
+    return f"""
+WITH RECURSIVE rm AS (SELECT MAP({keys_sql}, {vals_sql}) AS m),
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> length(x) > 0) AS ws
+  FROM {table}
+),
+words AS (SELECT DISTINCT unnest(ws) AS word FROM docs),
+init AS (
+  SELECT word,
+         list_append(
+           list_transform(generate_series(1, length(word)), i -> word[i]),
+           '</w>') AS parts
+  FROM words
+),
+enc AS (
+  SELECT word, parts FROM init
+  UNION ALL
+  SELECT word,
+         list_concat(
+           list_concat(parts[1:bi-1], [parts[bi] || parts[bi+1]]),
+           parts[bi+2:]) AS parts
+  FROM (
+    SELECT e.word, e.parts,
+           list_transform(generate_series(1, len(e.parts) - 1),
+             i -> coalesce(map_extract(rm.m, e.parts[i] || '|' || e.parts[i+1])[1],
+                           {big})) AS rks
+    FROM enc e CROSS JOIN rm
+  ) t, LATERAL (SELECT list_position(t.rks, list_min(t.rks)) AS bi) l
+  WHERE list_min(t.rks) < {big}
+),
+final AS (SELECT word, min(len(parts)) AS n FROM enc GROUP BY word),
+doc_words AS (SELECT doc_id, unnest(ws) AS word FROM docs),
+sums AS (
+  SELECT dw.doc_id, SUM(f.n) AS n FROM doc_words dw
+  JOIN final f USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bpe_tokens
+FROM docs d LEFT JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""
