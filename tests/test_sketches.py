@@ -138,3 +138,28 @@ def test_cms_unseen_key_estimates_from_cells(spark):
     rows = {r["term"]: r["cms_est"] for r in cms.estimate(probe, sk).collect()}
     assert rows["aa"] >= 2
     assert rows["zz"] >= 0
+
+
+def test_portable_hll_merge_equals_whole(spark, sf_dir):
+    """Register merge = set union: estimating the max-merged shard
+    registers equals estimating the whole frame, bit-for-bit."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.ml.sketches import PortableHll, merge_hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hll = PortableHll("l_partkey", group_cols=("l_returnflag",))
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = merge_hll_registers(hll.registers(half_a), hll.registers(half_b))
+    got = sorted(tuple(r) for r in hll.estimate(merged).collect())
+    want = sorted(tuple(r) for r in hll(li).collect())
+    assert got == want
+
+
+def test_portable_hll_estimate_accuracy(spark):
+    from warp_pipes_spark.ml.sketches import PortableHll
+
+    n = 5000
+    df = spark.range(n).selectExpr("id AS v")
+    est = PortableHll("v")(df).collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.15, est

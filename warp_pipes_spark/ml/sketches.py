@@ -199,9 +199,12 @@ class PortableHll(Pipe):
     def m(self) -> int:
         return 16 ** self.p_hex
 
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        m = self.m
-        alpha = _hll_alpha(m)
+    def registers(self, df: DataFrame) -> DataFrame:
+        """The sketch STATE: ``(group_cols..., __b register, __m max-rho)``.
+        This is what makes the sketch distributable and incremental —
+        register frames from shards / days / snapshots merge with
+        :func:`merge_hll_registers` (a register-sized max-aggregation,
+        never a re-scan), and :meth:`estimate` finishes any merged state."""
         h = F.md5(
             F.concat(
                 F.lit(f"{self.seed}:"), F.col(self.value_col).cast("string")
@@ -213,11 +216,18 @@ class PortableHll(Pipe):
             F.lit(49) - F.length(F.bin(w))
         )
         gcols = list(self.group_cols)
-        regs = (
+        return (
             df.select(*gcols, bucket.alias("__b"), rho.alias("__r"))
             .groupBy(*gcols, "__b")
             .agg(F.max("__r").alias("__m"))
         )
+
+    def estimate(self, regs: DataFrame) -> DataFrame:
+        """Finish a register frame (possibly merged) into per-group
+        estimates."""
+        m = self.m
+        alpha = _hll_alpha(m)
+        gcols = list(self.group_cols)
         # exact integer harmonic accumulator: empty registers contribute
         # 2^49 (F.shiftleft needs a literal shift in this PySpark — use the
         # SQL form for the column-valued amount)
@@ -239,6 +249,21 @@ class PortableHll(Pipe):
             *gcols,
             est.cast("decimal(18,6)").cast("double").alias(self.out_col),
         )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        return self.estimate(self.registers(df))
+
+
+def merge_hll_registers(*regs: DataFrame) -> DataFrame:
+    """HLL register merge = per-(group, register) max — the union of the
+    underlying sets, exactly (register-sized aggregation, not a re-scan).
+    ``estimate`` of the merge equals ``estimate`` over the concatenated
+    inputs bit-for-bit (max is associative/commutative)."""
+    u = regs[0]
+    for r in regs[1:]:
+        u = u.unionByName(r)
+    keys = [c for c in u.columns if c != "__m"]
+    return u.groupBy(*keys).agg(F.max("__m").alias("__m"))
 
 
 def portable_hll_sql(
