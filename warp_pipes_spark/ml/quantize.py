@@ -111,13 +111,21 @@ def _pq_kmeans(X, m, k, iters, seed, dsub, normalize):
         S = X[:, j * dsub : (j + 1) * dsub]
         kk = min(k, len(S))
         C = S[rng.choice(len(S), size=kk, replace=False)]
+        s2 = (S**2).sum(1)[:, None]
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            # ||x||^2 + ||c||^2 - 2 x.C^T: one BLAS matmul instead of an
+            # [n, k, dsub] broadcast temporary (the memory-traffic saving
+            # is ~dsub x; argmin is unchanged up to ~1e-14 cancellation,
+            # the usual measure-zero tie exposure)
+            d2 = s2 + (C**2).sum(1)[None, :] - 2.0 * (S @ C.T)
             assign = d2.argmin(1)
-            for c in range(kk):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(0)
+            # vectorized mean update (np.add.at accumulates in row order;
+            # both trainers share this core, so parity is by construction)
+            sums = np.zeros((kk, S.shape[1]))
+            np.add.at(sums, assign, S)
+            counts = np.bincount(assign, minlength=kk)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books.append(C)
     return np.stack(books)  # [m, k, dsub]
 
@@ -191,15 +199,15 @@ class ProductQuantizer:
         # reproduce the exact sample order — and therefore bit-identical
         # codebooks — straight from the Parquet file (same contract as the
         # IVF trainer)
-        rows = (
+        pdf = (
             corpus.select(F.col(id_col).alias("id"), F.col(col).cast("array<double>").alias("v"))
             .orderBy(
                 F.md5(F.concat(F.lit(f"{self.seed}:"), F.col("id").cast("string")))
             )
             .limit(train_sample)
-            .collect()
+            .toPandas()  # Arrow transfer; row order = the sort order
         )
-        X = np.array([r["v"] for r in rows], dtype=np.float64)
+        X = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
         self.codebooks = _pq_kmeans(
             X, self.m, self.k, self.iters, self.seed, self.dsub, normalize
         )
@@ -223,7 +231,12 @@ class ProductQuantizer:
             out = np.empty((len(V), m), dtype=np.int16)
             for j in range(m):
                 S = V[:, j * dsub : (j + 1) * dsub]
-                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                B = books[j]
+                d2 = (
+                    (S**2).sum(1)[:, None]
+                    + (B**2).sum(1)[None, :]
+                    - 2.0 * (S @ B.T)
+                )
                 out[:, j] = d2.argmin(1)
             return pd.Series(list(out))
 
@@ -324,7 +337,11 @@ class PqCosineTopK(Pipe):
                 "seed": self.seed,
             }
         )
-        if not manager.exists(fp + "_codes"):
+        if not (manager.exists(fp + "_codes") and manager.exists(fp + "_books")):
+            # write-behind: the freshly trained codebooks and the in-memory
+            # codes plan serve THIS call while both artifacts publish
+            # concurrently (float64 round-trips Parquet exactly); later
+            # sessions load them
             pq = ProductQuantizer(dim, m=self.m, k=self.n_codes, seed=self.seed).fit(
                 self.corpus, self.corpus_vec, self.corpus_id, self.train_sample
             )
@@ -333,19 +350,20 @@ class PqCosineTopK(Pipe):
                 for j in range(pq.codebooks.shape[0])
                 for c in range(pq.codebooks.shape[1])
             ]
-            manager.store(
+            manager.store_async(
                 spark.createDataFrame(
                     book_rows, "j int, c int, centroid array<double>"
                 ),
                 fp + "_books",
             )
-            manager.store(
+            codes = manager.store_async(
                 self.corpus.select(
                     F.col(self.corpus_id).alias("neighbor_id"),
                     pq.encode_udf()(F.col(self.corpus_vec)).alias("codes"),
                 ),
                 fp + "_codes",
             )
+            return pq.codebooks, codes
         book_rows = sorted(
             manager.load(spark, fp + "_books").collect(),
             key=lambda r: (r["j"], r["c"]),
