@@ -39,6 +39,7 @@ from warp_pipes_spark.pipes.pipelines import (
     Sequential,
 )
 from warp_pipes_spark.ml.multimodal import DecodeMedia, ResizeMedia, SampleFrames
+from warp_pipes_spark.ml.sketches import PortableHll
 from warp_pipes_spark.pipes.tokenizer import RegexTokenizer, WordPieceTokenizer
 from warp_pipes_spark.text.web import FixEncoding, HtmlStrip, UrlParse
 from warp_pipes_spark.search.topk import TopkSearch
@@ -109,6 +110,7 @@ def instantiate_all():
         DecodeMedia(),
         SampleFrames(),
         ResizeMedia(),
+        PortableHll("v"),
     ]
 
 
