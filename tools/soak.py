@@ -1,0 +1,63 @@
+"""sf1 soak runner: time the most expensive catalog queries against a
+scaled dir fabricated by ``tools/gen_scale.py`` and write BENCH_sf1.json.
+
+Usage: python tools/soak.py [scaled_dir] [q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "q32_bm25", "q88_bm25f", "q136_hard_negatives", "q114_bm25_incremental",
+    "q28_minhash_dedup", "q29_simhash_dedup", "q97_pagerank",
+    "q133_connected_components", "q39_lsh_topk", "q85_semdedup",
+    "q138_hybrid_rrf", "q30_cosine_topk", "q95_pq_topk", "q146_wordpiece",
+]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT_QUERIES
+    from warp_pipes_spark.queries import QUERIES
+    from warp_pipes_spark.session import get_spark
+
+    spark = get_spark(app_name="sf-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+    timings, rows = {}, {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            n = QUERIES[name].fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            rows[name] = n
+            print(f"SOAK {name} {timings[name]}s rows={n}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = None
+            print(f"SOAK {name} FAILED {type(e).__name__}: {e}", flush=True)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    out = {
+        "metric": "sf1_soak_wall",
+        "value": round(sum(t for t in timings.values() if t), 2),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": 1.0,
+        "copies": 10,
+        "source": "tools/gen_scale.py from sf0.1; runner tools/soak.py",
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()

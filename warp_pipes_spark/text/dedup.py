@@ -576,7 +576,14 @@ class MinHashDedup(Pipe):
     (band_id, band_hash) bucket become candidates; candidates are verified
     with exact shingle Jaccard so the output is deterministic given the data
     (LSH affects recall only). Shuffles: explode→min (map-side combine),
-    bucket join, verification join — all on compact integer keys."""
+    bucket join, verification join — all on compact integer keys.
+
+    Scale composition: run :class:`ExactDedup` FIRST (as the curation
+    example does). Unlike SimHash — whose Hamming verification is a pure
+    function of the signature, letting its banding join collapse to
+    distinct signatures — MinHash verification needs the shingle SETS, so
+    identical-text duplicates can only be collapsed upstream; k exact
+    copies left in place contribute k rows to every bucket they share."""
 
     def __init__(
         self,
