@@ -11,7 +11,6 @@ import importlib
 import os
 import sys
 
-import pytest
 
 EXAMPLES_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"

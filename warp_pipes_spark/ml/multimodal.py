@@ -16,7 +16,7 @@ Arrow batches stay within executor memory at 100 TB."""
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

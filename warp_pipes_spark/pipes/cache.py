@@ -27,7 +27,6 @@ from warp_pipes_spark.core.fingerprint import (
     combine_fingerprints,
     fingerprint_dataframe,
     fingerprint_path,
-    get_fingerprint,
 )
 from warp_pipes_spark.core.pipe import Pipe
 

@@ -31,7 +31,7 @@ granularity (~4e-15) is far below any sampling tolerance.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

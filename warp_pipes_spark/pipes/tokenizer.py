@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
-from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE, tokens_expr
+from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
 
 
 class RegexTokenizer(Pipe):

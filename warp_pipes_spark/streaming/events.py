@@ -11,7 +11,6 @@ foreachBatch sink, including late-row handling under a watermark."""
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
