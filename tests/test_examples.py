@@ -133,3 +133,27 @@ def test_curation_pipeline_example(spark):
     stats = mod.report(spark)
     assert stats["packed_docs"] <= stats["after_quality"] <= stats["input_docs"]
     assert stats["n_packs"] >= 1
+
+
+def test_incremental_crawl_example(spark):
+    mod = _mod("incremental_crawl")
+    stats = mod.run(spark)
+    # re-crawled duplicates must not survive the incremental dedup
+    assert stats["genuinely_new"] < stats["after_gate"]
+    # snapshot grows by exactly the genuinely-new rows (inserts only)
+    assert stats["next_snapshot_docs"] == stats["corpus_docs"] + stats["genuinely_new"]
+    # appended index answers queries over the merged corpus
+    assert stats["search_results"] > 0
+    # the appended engine's scores are bit-identical to a fresh engine over
+    # the same concatenated corpus
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    queries = stats["snapshot_df"].filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    fresh = Bm25Search(corpus=stats["snapshot_df"], k=5)(queries)
+    a = sorted(tuple(r) for r in stats["results_df"].collect())
+    b = sorted(tuple(r) for r in fresh.collect())
+    assert a == b
