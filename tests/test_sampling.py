@@ -306,3 +306,25 @@ def test_temperature_mixture_flattens_composition(spark):
     a = sorted(map(tuple, mixed.collect()))
     b = sorted(map(tuple, TemperatureMixture(temperature=0.3)(df).collect()))
     assert a == b
+
+
+def test_chat_template_mask_boundary(spark):
+    """Loss mask: exactly 0 over user-marker+prompt+assistant-marker
+    tokens, 1 over response+eos tokens; boundary exact by construction."""
+    from warp_pipes_spark.text.packing import ChatTemplate
+
+    df = spark.createDataFrame(
+        [(0, "what is spark", "a cluster engine"), (1, "hi", "")],
+        "doc_id long, prompt string, response string",
+    )
+    out = {r["doc_id"]: r for r in ChatTemplate()(df).collect()}
+    r0 = out[0]
+    # masked: user + what is spark + assistant = 5; learned: 3 + eos = 4
+    assert r0["n_prompt_tokens"] == 5
+    assert r0["n_response_tokens"] == 4
+    assert r0["loss_mask"] == [0] * 5 + [1] * 4
+    assert len(r0["input_ids"]) == 9
+    # empty response still learns the EOS token
+    r1 = out[1]
+    assert r1["n_response_tokens"] == 1
+    assert r1["loss_mask"][-1] == 1

@@ -3547,6 +3547,60 @@ def _portable_hll_oracle_sql() -> str:
     )
 
 
+def q149_sft_masks(spark, sf):
+    """SFT example construction (``text/packing.py ChatTemplate``): each
+    document splits into a deterministic (prompt, response) pair, renders
+    through a chat template, and emits token ids WITH the loss mask — 0
+    over prompt/control tokens, 1 over response + EOS — the exact array an
+    SFT collator feeds the trainer. Pure column expressions (segment-wise
+    tokenization makes the mask boundary exact by construction); the
+    oracle replays counts and the mask structure with the same split."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+    from warp_pipes_spark.text.packing import ChatTemplate
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("prompt"),
+        F.array_join(
+            F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0))), " "
+        ).alias("response"),
+    )
+    out = ChatTemplate()(pairs)
+    return out.select(
+        "doc_id",
+        "n_prompt_tokens",
+        "n_response_tokens",
+        "loss_mask",
+        F.aggregate("loss_mask", F.lit(0), lambda a, x: a + x)
+        .cast("int")
+        .alias("n_learned"),
+    )
+
+
+def _sft_masks_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import tokens_sql
+    from warp_pipes_spark.text.packing import chat_template_sql
+
+    toks = tokens_sql("text")
+    exprs = chat_template_sql("prompt", "response")
+    return f"""
+WITH pairs AS (
+  SELECT doc_id,
+         array_to_string(list_slice({toks}, 1, 8), ' ') AS prompt,
+         array_to_string(list_slice({toks}, 9, greatest(len({toks}), 9)), ' ') AS response
+  FROM documents
+)
+SELECT doc_id,
+       {exprs['n_prompt_tokens']} AS n_prompt_tokens,
+       {exprs['n_response_tokens']} AS n_response_tokens,
+       {exprs['loss_mask']} AS loss_mask,
+       CAST(list_sum(list_transform({exprs['loss_mask']}, x -> x)) AS INTEGER) AS n_learned
+FROM pairs ORDER BY doc_id
+"""
+
+
 def _corpus_datasheet_oracle_sql() -> str:
     from warp_pipes_spark.text.analysis import gopher_sql, langid_sql, tokens_sql
 
@@ -4219,6 +4273,7 @@ def _round2b_oracles():
     ORACLES_EXT["q146_wordpiece"] = _wordpiece_oracle_sql()
     ORACLES_EXT["q147_fix_encoding"] = _fix_encoding_oracle_sql()
     ORACLES_EXT["q148_portable_hll"] = _portable_hll_oracle_sql()
+    ORACLES_EXT["q149_sft_masks"] = _sft_masks_oracle_sql()
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4458,6 +4513,7 @@ def _register():
         "q146_wordpiece": q146_wordpiece,
         "q147_fix_encoding": q147_fix_encoding,
         "q148_portable_hll": q148_portable_hll,
+        "q149_sft_masks": q149_sft_masks,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

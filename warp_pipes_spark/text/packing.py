@@ -414,3 +414,100 @@ FROM pieces
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+class ChatTemplate(Pipe):
+    """SFT example construction: render a (prompt, response) pair through a
+    chat template and emit the token ids WITH the loss mask — 0 over every
+    prompt/control token, 1 over the response tokens (+ EOS) — the exact
+    array a supervised-fine-tuning collator feeds the trainer.
+
+    The mask is constructed by SEGMENT, not by re-aligning a joint
+    tokenization: the masked segment (user marker + prompt + assistant
+    marker) and the learned segment (response + EOS) tokenize
+    independently (the engine's regex tokenizer — JVM expressions,
+    scan-speed) and concatenate with their known mask values, so the
+    boundary is exact by construction. Ids are xxhash64 of the token text;
+    the role markers are ordinary template tokens, masked 0 like the rest
+    of the prompt.
+
+    Emits: ``sft_text`` (rendered), ``input_ids`` (array<long>),
+    ``loss_mask`` (array<int>), ``n_prompt_tokens``, ``n_response_tokens``.
+    Everything is a pure column expression — no UDF, no shuffle."""
+
+    def __init__(
+        self,
+        prompt_col: str = "prompt",
+        response_col: str = "response",
+        user_marker: str = "<|user|>",
+        assistant_marker: str = "<|assistant|>",
+        eos: str = "<|eos|>",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.prompt_col = prompt_col
+        self.response_col = response_col
+        self.user_marker = user_marker
+        self.assistant_marker = assistant_marker
+        self.eos = eos
+
+    def _columns(self, df: DataFrame, **kwargs):
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        p, r = F.col(self.prompt_col), F.col(self.response_col)
+        rendered = F.concat(
+            F.lit(self.user_marker), F.lit(" "), p,
+            F.lit(" "), F.lit(self.assistant_marker), F.lit(" "), r,
+            F.lit(" "), F.lit(self.eos),
+        )
+        # masked segment = marker + prompt + marker; learned segment =
+        # response + eos. Tokenized independently -> exact mask boundary.
+        masked_txt = F.concat(
+            F.lit(self.user_marker), F.lit(" "), p, F.lit(" "),
+            F.lit(self.assistant_marker),
+        )
+        learned_txt = F.concat(r, F.lit(" "), F.lit(self.eos))
+        masked_toks = tokens_expr(masked_txt)
+        learned_toks = tokens_expr(learned_txt)
+        ids = F.concat(
+            F.transform(masked_toks, lambda t: F.xxhash64(t)),
+            F.transform(learned_toks, lambda t: F.xxhash64(t)),
+        )
+        mask = F.concat(
+            F.transform(masked_toks, lambda t: F.lit(0)),
+            F.transform(learned_toks, lambda t: F.lit(1)),
+        )
+        return {
+            "sft_text": rendered,
+            "input_ids": ids,
+            "loss_mask": mask,
+            "n_prompt_tokens": F.size(masked_toks).cast("int"),
+            "n_response_tokens": F.size(learned_toks).cast("int"),
+        }
+
+
+def chat_template_sql(
+    prompt: str,
+    response: str,
+    user_marker: str = "<|user|>",
+    assistant_marker: str = "<|assistant|>",
+    eos: str = "<|eos|>",
+) -> dict:
+    """DuckDB expressions for the ChatTemplate outputs that are
+    SQL-portable (token COUNTS and the mask structure; the xxhash64 ids
+    are engine-internal — compare counts/mask, as q149 does)."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    masked = f"('{user_marker}' || ' ' || {prompt} || ' ' || '{assistant_marker}')"
+    learned = f"({response} || ' ' || '{eos}')"
+    n_masked = f"CAST(len({tokens_sql(masked)}) AS INTEGER)"
+    n_learned = f"CAST(len({tokens_sql(learned)}) AS INTEGER)"
+    return {
+        "n_prompt_tokens": n_masked,
+        "n_response_tokens": n_learned,
+        "loss_mask": (
+            f"list_concat(list_transform({tokens_sql(masked)}, x -> 0), "
+            f"list_transform({tokens_sql(learned)}, x -> 1))"
+        ),
+    }
