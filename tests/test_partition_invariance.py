@@ -44,6 +44,7 @@ INVARIANT_QUERIES = [
     "q146_wordpiece",           # Arrow-batched greedy matcher w/ word cache
     "q147_fix_encoding",        # literal/regex repair chain
     "q148_portable_hll",        # md5 registers + exact-integer harmonics
+    "q149_sft_masks",           # segment-wise mask construction
 ]
 
 

@@ -380,6 +380,13 @@ def test_wordpiece_is_single_python_map_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, f"wordpiece must not shuffle:\n{plan}"
 
 
+def test_sft_masks_pure_codegen_no_shuffle(spark, sf_dir):
+    """q149 is a scan-level projection: no Python eval, no shuffle."""
+    plan = _plan(QUERIES["q149_sft_masks"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+    assert "Exchange" not in plan, f"sft construction must not shuffle:\n{plan}"
+
+
 def test_merge_results_no_cartesian_and_min_frames_are_aggregates(spark, sf_dir):
     """q38's offset-by-min merge: full-outer join + two per-query min
     aggregates — no cartesian product, no Python."""
