@@ -163,3 +163,20 @@ def test_portable_hll_estimate_accuracy(spark):
     df = spark.range(n).selectExpr("id AS v")
     est = PortableHll("v")(df).collect()[0]["hll_estimate"]
     assert abs(est - n) / n < 0.15, est
+
+
+def test_portable_hll_ungrouped_sql_branch(spark, tmp_path):
+    """The group-less oracle branch (no GROUP BY / ORDER BY clauses) must
+    produce the same estimate as the Spark operator."""
+    import duckdb
+
+    from warp_pipes_spark.ml.sketches import PortableHll, portable_hll_sql
+
+    df = spark.range(3000).selectExpr("id AS v")
+    path = str(tmp_path / "vals.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = PortableHll("v")(spark.read.parquet(path)).collect()[0]["hll_estimate"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
+    want = con.execute(portable_hll_sql("v", "t")).fetchall()[0][0]
+    assert got == want
