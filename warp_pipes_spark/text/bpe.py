@@ -213,39 +213,12 @@ def train_wordpiece_vocab(
         .limit(max_words)
         .collect()
     )
-    vocab: Dict[Tuple[str, ...], int] = {
-        tuple(list(r["w"]) + [END]): r["c"] for r in rows
-    }
-    merges: List[Tuple[str, str]] = []
-    work = dict(vocab)
-    for _ in range(n_merges):
-        pairs: Dict[Tuple[str, str], int] = {}
-        for word, c in work.items():
-            for a, b in zip(word, word[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        merged = best[0] + best[1]
-        new_work: Dict[Tuple[str, ...], int] = {}
-        for word, c in work.items():
-            out: List[str] = []
-            i = 0
-            while i < len(word):
-                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(word[i])
-                    i += 1
-            new_work[tuple(out)] = new_work.get(tuple(out), 0) + c
-        work = new_work
+    freqs = [(r["w"], r["c"]) for r in rows]
+    merges = _merges_from_freqs(freqs, n_merges)
     ranks = {m: i for i, m in enumerate(merges)}
     pieces = set()
     cache: dict = {}
-    for word_tuple in vocab:
-        w = "".join(word_tuple[:-1])  # strip END sentinel
+    for w, _ in freqs:
         parts = encode_word(w, ranks, cache)
         clean = [p[: -len(END)] if p.endswith(END) else p for p in parts]
         clean = [p for p in clean if p]
