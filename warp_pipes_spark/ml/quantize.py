@@ -143,22 +143,12 @@ def train_pq_local(
     vec_col: str = "embedding",
 ):
     """Bit-exact pure-Python replica of :meth:`ProductQuantizer.fit`
-    reading the raw Parquet directly (pyarrow + hashlib + numpy, no
-    Spark) — the honest-codebook-literals source for the q95 DuckDB
+    (the shared md5 Parquet sampler + the shared per-subspace k-means
+    core) — the honest-codebook-literals source for the q95 DuckDB
     oracle, exactly the q47 IVF pattern."""
-    import hashlib
+    from warp_pipes_spark.ml.similarity import md5_sample_parquet
 
-    import numpy as np
-    import pyarrow.parquet as pq_
-
-    t = pq_.read_table(parquet_path, columns=[id_col, vec_col])
-    ids = t.column(id_col).to_pylist()
-    vecs = t.column(vec_col).to_pylist()
-    keyed = sorted(
-        zip(ids, vecs),
-        key=lambda p: hashlib.md5(f"{seed}:{p[0]}".encode()).hexdigest(),
-    )[:train_sample]
-    X = np.array([v for _, v in keyed], dtype=np.float64)
+    X = md5_sample_parquet(parquet_path, seed, train_sample, id_col, vec_col)
     return _pq_kmeans(X, m, k, iters, seed, dim // m, normalize)
 
 

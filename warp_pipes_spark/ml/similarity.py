@@ -440,21 +440,19 @@ def _ivf_kmeans(
     return C
 
 
-def train_ivf_centroids_local(
+def md5_sample_parquet(
     parquet_path: str,
-    n_centroids: int = 16,
-    train_sample: int = 4096,
-    kmeans_iters: int = 10,
-    seed: int = 42,
+    seed: int,
+    train_sample: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Bit-exact pure-Python replica of :meth:`IvfCosineTopK._train_centroids`
-    reading the raw Parquet directly (pyarrow + hashlib + numpy, no Spark).
-    Used to embed honest centroid literals into the DuckDB oracle
-    (:func:`ivf_topk_sql`): sample order = ascending
-    ``md5('{seed}:' || id)`` hex digest, exactly Spark's orderBy on ASCII
-    strings; float32→float64 widening is exact in both readers."""
+    """The trainers' shared deterministic sampler, replicated outside
+    Spark: read the raw Parquet (pyarrow), order rows by ascending
+    ``md5('{seed}:' || id)`` hex digest — exactly Spark's orderBy on ASCII
+    strings — and keep the first ``train_sample``. float32→float64
+    widening is exact in both readers, so the returned matrix is
+    bit-identical to what the Spark-side collect produces."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -466,7 +464,22 @@ def train_ivf_centroids_local(
         zip(ids, vecs),
         key=lambda p: hashlib.md5(f"{seed}:{p[0]}".encode()).hexdigest(),
     )[:train_sample]
-    X = np.array([v for _, v in keyed], dtype=np.float64)
+    return np.array([v for _, v in keyed], dtype=np.float64)
+
+
+def train_ivf_centroids_local(
+    parquet_path: str,
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Bit-exact pure-Python replica of :meth:`IvfCosineTopK._train_centroids`
+    (:func:`md5_sample_parquet` + the shared k-means core). Used to embed
+    honest centroid literals into the DuckDB oracle (:func:`ivf_topk_sql`)."""
+    X = md5_sample_parquet(parquet_path, seed, train_sample, id_col, vec_col)
     return _ivf_kmeans(X, n_centroids, kmeans_iters, seed)
 
 
