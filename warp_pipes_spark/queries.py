@@ -775,8 +775,10 @@ def q53_sketches(spark, sf):
     """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
     counts and approximate percentiles in one pass over lineitem — constant
     memory per group vs exact distinct/sort. Rows-only driver check
-    (sketch internals differ across engines); accuracy vs exact values is
-    tolerance-tested in the suite."""
+    (Spark-NATIVE sketch internals differ across engines — this query
+    deliberately showcases them; q148 is the engine-portable HLL twin that
+    IS bit-exact oracled); accuracy vs exact values is tolerance-tested in
+    the suite."""
     li = T(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
