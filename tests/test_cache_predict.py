@@ -135,6 +135,79 @@ def test_cache_vacuum_removes_only_old_entries(spark, docs, tmp_path):
     assert len(mgr.load(spark, "fresh").collect()) == docs.count()
 
 
+def test_cache_vacuum_bytes_evicts_oldest_until_under_budget(spark, docs, tmp_path):
+    """Size-based retention: oldest-written entries go first until the
+    cache fits the byte budget; newest survives; recent staging dirs from
+    possibly-live writers are left alone."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    mgr = CacheManager(str(tmp_path / "cb"))
+    sizes = {}
+    for i, name in enumerate(["oldest", "middle", "newest"]):
+        mgr.store(docs, name)
+        meta = _os.path.join(mgr.path_for(name), "_wps_meta.json")
+        with open(meta) as f:
+            m = _json.load(f)
+        m["written_at"] = _time.time() - (3 - i) * 1000
+        with open(meta, "w") as f:
+            _json.dump(m, f)
+        sizes[name] = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(mgr.path_for(name))
+            for f in fs
+        )
+    # a live writer's staging dir (recent mtime) must NOT be swept
+    live = _os.path.join(str(tmp_path / "cb"), "y.staging-live")
+    _os.makedirs(live)
+
+    budget = sizes["newest"] + sizes["middle"] + sizes["oldest"] // 2
+    deleted = mgr.vacuum_bytes(budget)
+    assert deleted == ["oldest"]
+    assert not mgr.exists("oldest")
+    assert mgr.exists("middle") and mgr.exists("newest")
+    assert _os.path.isdir(live)
+
+    # everything over budget: evicts oldest-first until under (here: all)
+    deleted = mgr.vacuum_bytes(0)
+    assert deleted == ["middle", "newest"]
+    assert not mgr.exists("middle") and not mgr.exists("newest")
+
+
+def test_cache_store_async_logs_publish_failure(spark, docs, tmp_path, caplog):
+    """A failing write-behind publish must not fail the query but must
+    leave a warning (silent-retrain visibility), and the persist taken for
+    plan-sharing must be released."""
+    import logging
+    import time as _time
+
+    mgr = CacheManager(str(tmp_path / "cf"))
+
+    # force the background store() to fail deterministically (a read-only
+    # cache dir won't do it: tests run as root, which bypasses mode bits)
+    def boom(df, fingerprint, meta=None):
+        raise RuntimeError("disk full")
+
+    mgr.store = boom
+    with caplog.at_level(logging.WARNING, logger="warp_pipes_spark.pipes.cache"):
+        out = mgr.store_async(docs, "doomed")
+        assert out.count() == docs.count()  # foreground query unaffected
+        for _ in range(100):  # wait for the background publish attempt
+            if any("publish failed" in r.message for r in caplog.records):
+                break
+            _time.sleep(0.1)
+    assert any("publish failed" in r.message for r in caplog.records)
+    # the persist taken for plan-sharing was released after the attempt
+    for _ in range(100):
+        lvl = docs.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            break
+        _time.sleep(0.1)
+    lvl = docs.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
 def test_cache_concurrent_writers_race(spark, docs, tmp_path):
     """Two writers publishing the same fingerprint: one atomic rename wins,
     the loser discards its (content-identical) staging dir — no partial

@@ -303,6 +303,40 @@ def test_pq_recall_against_exact(spark, vectors):
     assert hits >= 0.7 * len(top1), f"PQ recall too low: {hits}/{len(top1)}"
 
 
+def test_pq_tied_scores_resolve_by_neighbor_id_across_partitions(spark):
+    """Regression for the per-batch partial top-k: candidates tied at the
+    k-th ROUNDED score boundary must be resolved by (score DESC,
+    neighbor_id ASC) — the same order the global window and the SQL
+    oracle apply — not by argpartition's arbitrary tied-subset pick, and
+    independently of how the corpus is partitioned into Arrow batches."""
+    import numpy as np
+
+    from warp_pipes_spark.ml.quantize import PqCosineTopK
+
+    rng = np.random.RandomState(7)
+    base = [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(50)]  # 50 duplicates: identical codes
+    for i in range(50, 100):
+        v = rng.randn(8)
+        v[0] = 0.0  # orthogonal to the duplicates' direction
+        rows.append((i, [float(x) for x in v]))
+    queries = spark.createDataFrame([(200, base)], "vec_id long, embedding array<double>")
+
+    results = []
+    for nparts in (1, 13):
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(nparts)
+        out = PqCosineTopK(
+            corpus=corpus, k=5, m=4, exclude_self=False, materialize_index=False
+        )(queries)
+        results.append([(r["rank"], r["neighbor_id"]) for r in out.collect()])
+    # among 50 bit-identically-scored duplicates, the 5 smallest ids win
+    assert results[0] == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]
+    # and the answer is invariant to the corpus partition/batch layout
+    assert results[0] == results[1]
+
+
 def test_pq_codes_round_trip_determinism(spark, vectors):
     import numpy as np
 

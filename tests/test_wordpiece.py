@@ -64,6 +64,27 @@ def test_wordpiece_offsets_match_regex_tokenizer_on_ascii(spark):
     assert wp_offs == rx_offs
 
 
+def test_wordpiece_offsets_survive_non_length_preserving_lowercase(spark):
+    """str.lower() is not 1:1 for all Unicode ('İ' lowers to 2 codepoints);
+    offsets are reported against the ORIGINAL text, so lowering must be
+    length-preserving — expanding characters stay unlowered rather than
+    shifting every later span."""
+    vocab = SPECIALS + ["cat", "dog"]
+    # 'İ' (U+0130) lowers to 'i' + U+0307 under plain str.lower()
+    text = "İİİ cat dog"
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    out = WordPieceTokenizer(
+        vocab, return_offsets_mapping=True, add_special_tokens=False
+    )(df).collect()[0]
+    offs = [(o["start"], o["end"]) for o in out["offset_mapping"]]
+    # 'İ' stays unlowered (expanding char) and is split away by [^a-z]+;
+    # under plain str.lower() it would expand to 'i'+combining-dot, emit
+    # spurious 'i' tokens, AND shift every later span by +3
+    assert out["tokens"] == ["cat", "dog"]
+    # spans index the original string: no drift from the 'İ' expansion
+    assert [text[a:b] for a, b in offs] == ["cat", "dog"]
+
+
 def test_trained_vocab_covers_corpus_and_is_deterministic(spark, sf_dir):
     from warp_pipes_spark.io import load_table
 

@@ -416,9 +416,15 @@ class PqCosineTopK(Pipe):
                 part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
                 out = []
                 for i in range(len(qi)):
-                    cand = part[i]
+                    # argpartition picks an ARBITRARY subset among candidates
+                    # tied at the kk-th boundary score; widen to every
+                    # candidate at or above the boundary so the lexsort
+                    # below (not partition luck) resolves rounded-score ties
+                    # by neighbor_id, matching the global window / oracle
+                    boundary = scores[i, part[i]].min()
+                    cand = np.nonzero(scores[i] >= boundary)[0]
                     order = np.lexsort((cids[cand], -scores[i, cand]))
-                    sel = cand[order]
+                    sel = cand[order][:kk]
                     keep = scores[i, sel] > -np.inf
                     out.append(
                         pd.DataFrame(

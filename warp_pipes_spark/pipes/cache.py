@@ -17,9 +17,12 @@ completeness check — no data scan needed.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Callable, Optional
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -82,15 +85,43 @@ class CacheManager:
         racing writers (including a second cold caller in this session)
         safe: one publishes, the others discard content-identical staging
         dirs. Falls back to a synchronous ``store`` if the Spark thread
-        machinery is unavailable. Publish failures are swallowed (the
-        cache is a memo, not the result): the next cold call simply
-        rebuilds."""
+        machinery is unavailable. Publish failures don't fail the query
+        (the cache is a memo, not the result — the next cold call simply
+        rebuilds) but ARE logged at warning level so a persistently
+        failing publish (full disk, bad permissions) is visible instead
+        of silently retraining every session.
+
+        ``df`` is persisted before the fork so the background write and
+        the foreground query share one materialization of the plan —
+        without this an expensive plan (e.g. a PQ encode UDF over the
+        whole corpus) executes at least twice, competing for the same
+        executors. The persist is released once the publish completes."""
+
+        we_persisted = False
+        try:
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                df.persist()
+                we_persisted = True
+        except Exception:
+            pass
 
         def _publish():
             try:
                 self.store(df, fingerprint, meta)
             except Exception:
-                pass
+                logger.warning(
+                    "write-behind cache publish failed for %s (artifact will "
+                    "be rebuilt next session)",
+                    fingerprint,
+                    exc_info=True,
+                )
+            finally:
+                if we_persisted:
+                    try:
+                        df.unpersist(blocking=False)
+                    except Exception:
+                        pass
 
         try:
             from pyspark import InheritableThread
@@ -143,6 +174,58 @@ class CacheManager:
             if now - written > max_age_seconds:
                 shutil.rmtree(path, ignore_errors=True)
                 deleted.append(name)
+        return deleted
+
+    def vacuum_bytes(self, max_total_bytes: int) -> list:
+        """Size-based retention: delete the OLDEST published entries
+        (by ``written_at``) until the cache's total on-disk size fits
+        within ``max_total_bytes``. Complements the age-based ``vacuum``
+        for deployments whose artifact cache lives on a bounded volume:
+        age alone can't stop a hot cache from filling the disk. Orphaned
+        staging dirs are always reclaimable and are swept first. Returns
+        the deleted entry names, oldest first."""
+        import shutil
+
+        def _dir_bytes(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        deleted = []
+        entries = []  # (written_at, name, path, bytes)
+        total = 0
+        for name in sorted(os.listdir(self.cache_dir)):
+            path = os.path.join(self.cache_dir, name)
+            if not os.path.isdir(path):
+                continue
+            if ".staging-" in name:
+                # crashed writers' leftovers: reclaim aggressively under
+                # size pressure, but leave recent staging dirs alone — a
+                # LIVE writer may still be filling one (it publishes via a
+                # single rename only once the write completes)
+                if time.time() - os.path.getmtime(path) > 900:
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(name)
+                continue
+            size = _dir_bytes(path)
+            try:
+                with open(os.path.join(path, "_wps_meta.json")) as f:
+                    written = json.load(f).get("written_at", 0)
+            except (OSError, ValueError):
+                written = os.path.getmtime(path)
+            entries.append((written, name, path, size))
+            total += size
+        for written, name, path, size in sorted(entries):
+            if total <= max_total_bytes:
+                break
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(name)
+            total -= size
         return deleted
 
 

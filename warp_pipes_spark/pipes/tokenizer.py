@@ -323,13 +323,24 @@ class WordPieceTokenizer(Pipe):
                 pos = hit[1]
             return pieces, offs
 
+        def lower_preserving(s):
+            """Length-preserving lowercase: offsets are computed over the
+            lowered string but reported against the ORIGINAL text, so the
+            mapping must be 1:1 per codepoint. str.lower() is not (e.g.
+            'İ' lowers to 'i' + combining dot, 2 codepoints); keep any
+            character whose lowercase expands unchanged instead."""
+            low = s.lower()
+            if len(low) == len(s):  # common case: lowering was 1:1
+                return low
+            return "".join(lc if len(lc := c.lower()) == 1 else c for c in s)
+
         def tokenize(batches):
             cache: dict = {}
             for pdf in batches:
                 toks_col, ids_col, mask_col, offs_col = [], [], [], []
                 for t in pdf[text_col]:
                     s = (t or "")
-                    norm = s.lower() if lowercase else s
+                    norm = lower_preserving(s) if lowercase else s
                     pieces, spans = [], []
                     # spans of split-complement runs in the ORIGINAL text
                     pos = 0
