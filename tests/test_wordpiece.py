@@ -103,6 +103,39 @@ def test_trained_vocab_covers_corpus_and_is_deterministic(spark, sf_dir):
     assert row["unk"] / row["total"] < 0.05, f"UNK rate {row['unk']}/{row['total']}"
 
 
+def test_wordpiece_chat_template_real_vocab_ids(spark):
+    """The q146+q149 composition: input_ids are indices into the WordPiece
+    vocabulary (an embedding table's contract), control tokens inject by
+    reserved id, and the mask boundary is exact by construction."""
+    from warp_pipes_spark.text.packing import WordPieceChatTemplate
+
+    vocab = SPECIALS + ["cat", "dog", "play", "##ing"]
+    df = spark.createDataFrame(
+        [(0, "cat dog", "playing cat")], "id long, prompt string, response string"
+    )
+    tpl = WordPieceChatTemplate(vocab)
+    out = tpl(df).collect()[0]
+    v = tpl.vocab  # controls appended deterministically
+    uid, aid, eid = (v.index(t) for t in ("<|user|>", "<|assistant|>", "<|eos|>"))
+    assert out["input_ids"] == [
+        uid, v.index("cat"), v.index("dog"), aid,
+        v.index("play"), v.index("##ing"), v.index("cat"), eid,
+    ]
+    assert out["loss_mask"] == [0, 0, 0, 0, 1, 1, 1, 1]
+    assert out["n_prompt_tokens"] == 4 and out["n_response_tokens"] == 4
+
+
+def test_wordpiece_chat_template_dedupes_vocab_first_wins(spark):
+    """A duplicated piece must not make piece->id ambiguous: first
+    occurrence wins, matching SQL list_position semantics."""
+    from warp_pipes_spark.text.packing import WordPieceChatTemplate
+
+    vocab = SPECIALS + ["cat", "dog", "cat"]
+    tpl = WordPieceChatTemplate(vocab)
+    assert tpl.vocab.count("cat") == 1
+    assert tpl.vocab.index("cat") == len(SPECIALS)
+
+
 def test_wordpiece_rejects_vocab_missing_specials(spark):
     with pytest.raises(ValueError, match="missing from vocab"):
         WordPieceTokenizer(["just", "words"])

@@ -511,3 +511,91 @@ def chat_template_sql(
             f"list_transform({tokens_sql(learned)}, x -> 1))"
         ),
     }
+
+
+class WordPieceChatTemplate(Pipe):
+    """SFT example construction with REAL vocabulary ids: the composition
+    of :class:`ChatTemplate`'s segment-wise loss masking with the
+    self-contained WordPiece encoder, so ``input_ids`` are indices into a
+    trained (or fixed) WordPiece vocabulary — the array a trainer's
+    embedding table actually consumes — instead of hash placeholders.
+    (Reference analogue: the tokenizer → collate chain,
+    ``warp_pipes/pipes/collate.py:137-178`` feeding HF-tokenized ids.)
+
+    Construction, per row:
+
+    - the prompt and the response tokenize INDEPENDENTLY through
+      :class:`~warp_pipes_spark.pipes.tokenizer.WordPieceTokenizer`
+      (greedy longest-prefix, ``##`` continuations, ``[UNK]`` fallback);
+    - control tokens (``user_token`` / ``assistant_token`` /
+      ``eos_token``) are reserved vocabulary entries injected by id —
+      never re-derived from text, so the template can't be forged by
+      document content;
+    - ``input_ids = [user] + wp(prompt) + [assistant] + wp(response) +
+      [eos]`` and ``loss_mask`` is 0 over the first three segments, 1
+      over ``wp(response) + [eos]`` — exact by construction, no joint
+      re-alignment.
+
+    Control tokens are appended to the vocabulary (deterministic ids) if
+    absent. Execution: two Arrow-batched ``mapInPandas`` passes (one per
+    segment column) + pure column expressions — no shuffle, no driver
+    participation, linear in corpus size."""
+
+    def __init__(
+        self,
+        vocab,
+        prompt_col: str = "prompt",
+        response_col: str = "response",
+        user_token: str = "<|user|>",
+        assistant_token: str = "<|assistant|>",
+        eos_token: str = "<|eos|>",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        # first-occurrence dedupe: a repeated piece would make piece->id
+        # ambiguous (dict building is last-wins) and ids are the contract
+        self.vocab = list(dict.fromkeys(vocab))
+        for t in (user_token, assistant_token, eos_token):
+            if t not in self.vocab:
+                self.vocab.append(t)
+        self.prompt_col = prompt_col
+        self.response_col = response_col
+        self.user_token = user_token
+        self.assistant_token = assistant_token
+        self.eos_token = eos_token
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+
+        uid = self.vocab.index(self.user_token)
+        aid = self.vocab.index(self.assistant_token)
+        eid = self.vocab.index(self.eos_token)
+        df = WordPieceTokenizer(
+            self.vocab,
+            text_col=self.prompt_col,
+            prefix="_sft_p_",
+            add_special_tokens=False,
+        )(df)
+        df = WordPieceTokenizer(
+            self.vocab,
+            text_col=self.response_col,
+            prefix="_sft_r_",
+            add_special_tokens=False,
+        )(df)
+        p_ids, r_ids = F.col("_sft_p_input_ids"), F.col("_sft_r_input_ids")
+        masked_ids = F.concat(
+            F.array(F.lit(uid).cast("long")), p_ids, F.array(F.lit(aid).cast("long"))
+        )
+        learned_ids = F.concat(r_ids, F.array(F.lit(eid).cast("long")))
+        out = df.select(
+            *[c for c in df.columns if not c.startswith("_sft_")],
+            F.concat(masked_ids, learned_ids).alias("input_ids"),
+            F.concat(
+                F.array_repeat(F.lit(0), F.size(masked_ids)),
+                F.array_repeat(F.lit(1), F.size(learned_ids)),
+            ).alias("loss_mask"),
+            F.size(masked_ids).cast("int").alias("n_prompt_tokens"),
+            F.size(learned_ids).cast("int").alias("n_response_tokens"),
+        )
+        return out
