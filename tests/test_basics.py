@@ -533,6 +533,54 @@ def test_dup_span_removal_hand_case(spark):
     assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 4
 
 
+def test_maximal_span_dedup_hand_case(spark):
+    """Lee et al. ExactSubstr semantics: doc 1 repeats 'p q r' WITHIN
+    itself (positions 1-3 and 6-8) — total-occurrence counting flags it
+    even though no other document shares it (q130's distinct-doc rule
+    would not); doc 2/3 share a cross-doc run. Maximal island boundaries
+    are exact, 1-based inclusive."""
+    from warp_pipes_spark.text.dedup import MaximalSpanDedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r z z p q r"),
+            (2, "a b c d e f"),
+            (3, "x y a b c d"),
+            (4, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in MaximalSpanDedup(min_len=3)(df).collect()}
+    # doc 1: grams 'p q r' at 1 and 6 (count 2) -> spans [1,3] and [6,8]
+    assert out[1]["span_starts"] == [1, 6] and out[1]["span_ends"] == [3, 8]
+    assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 6
+    assert out[1]["clean_text"] == "z z"
+    # docs 2/3: shared 4-run 'a b c d' -> one maximal span each
+    assert out[2]["span_starts"] == [1] and out[2]["span_ends"] == [4]
+    assert out[2]["clean_text"] == "e f"
+    assert out[3]["span_starts"] == [3] and out[3]["span_ends"] == [6]
+    assert out[3]["clean_text"] == "x y"
+    # untouched doc: empty spans, full passthrough
+    assert out[4]["span_starts"] == [] and out[4]["n_spans"] == 0
+    assert out[4]["clean_text"] == "nothing shared here at all"
+
+
+def test_maximal_span_dedup_adjacent_islands_merge(spark):
+    """Overlapping duplicated grams coalesce into ONE maximal span (the
+    'maximal' in maximal-span): a 5-token shared run with min_len=3
+    yields a single [start, start+4] island, not three gram-sized ones."""
+    from warp_pipes_spark.text.dedup import MaximalSpanDedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e x"), (2, "y a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in MaximalSpanDedup(min_len=3)(df).collect()}
+    assert out[1]["span_starts"] == [1] and out[1]["span_ends"] == [5]
+    assert out[2]["span_starts"] == [2] and out[2]["span_ends"] == [6]
+    assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 1
+
+
 def test_item_recs_hand_case(spark):
     """Baskets {1,2},{1,2},{1,3},{2,3}: only the (1,2) pair reaches
     support 2; sim = 2/sqrt(3*3); item 3 gets no recommendations."""

@@ -2928,6 +2928,21 @@ def q130_dup_span_removal(spark, sf):
     return DupSpanRemoval(n=5)(T(spark, sf, "documents"))
 
 
+def q151_maximal_spans(spark, sf):
+    """Full-strength exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    the deduplicate-text-datasets capability; ``text/dedup.py``
+    ``MaximalSpanDedup``): every MAXIMAL span of >= 10 consecutive tokens
+    occurring more than once in the corpus — counting within-document
+    repeats, unlike q130's distinct-doc relaxation — reported with exact
+    1-based boundaries and removed. Distributed as one gram groupBy +
+    dup-sized join-back + per-doc array expressions; the suffix array the
+    reference tool builds is a single-node efficiency device the Spark
+    plan doesn't need."""
+    from warp_pipes_spark.text.dedup import MaximalSpanDedup
+
+    return MaximalSpanDedup(min_len=10)(T(spark, sf, "documents"))
+
+
 def q131_item_recs(spark, sf):
     """Item-item collaborative filtering (the neighborhood recommender):
     per-part top-3 co-purchase recommendations by binary-cosine
@@ -4405,6 +4420,10 @@ def _round2b_oracles():
     ORACLES_EXT["q148_portable_hll"] = _portable_hll_oracle_sql()
     ORACLES_EXT["q149_sft_masks"] = _sft_masks_oracle_sql()
     ORACLES_EXT["q150_sft_ids"] = _sft_ids_oracle_sql()
+
+    from warp_pipes_spark.text.dedup import maximal_span_sql
+
+    ORACLES_EXT["q151_maximal_spans"] = maximal_span_sql(min_len=10)
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4646,6 +4665,7 @@ def _register():
         "q148_portable_hll": q148_portable_hll,
         "q149_sft_masks": q149_sft_masks,
         "q150_sft_ids": q150_sft_ids,
+        "q151_maximal_spans": q151_maximal_spans,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

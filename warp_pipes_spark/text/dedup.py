@@ -1844,6 +1844,189 @@ LEFT JOIN ncov USING ({id_col})
 """
 
 
+class MaximalSpanDedup(Pipe):
+    """Full-strength exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 — the deduplicate-text-datasets capability): every
+    MAXIMAL span of >= ``min_len`` consecutive tokens that occurs more
+    than once in the corpus — ANY second occurrence, including a repeat
+    inside the same document — is reported with its exact boundaries and
+    removed.
+
+    Equivalence to the suffix-array formulation: a substring of length
+    exactly ``min_len`` occurring twice IS a duplicated ``min_len``-gram,
+    and every longer duplicated substring is covered by the duplicated
+    ``min_len``-grams inside it; so positions-covered-by-duplicated-grams
+    equals positions-covered-by-duplicated-substrings(>= min_len), and the
+    maximal covered islands are the maximal removable spans. The suffix
+    array is the reference tool's *efficiency* device on one machine; on
+    Spark the same answer falls out of a gram groupBy — fully
+    distributed, no global sort, no suffix construction.
+
+    Differences from :class:`DupSpanRemoval` (q130's counting relaxation):
+    occurrence counting is TOTAL (``count(*) >= min_count``), not
+    distinct-document, so a passage pasted twice into one document is
+    caught; and the maximal spans themselves are first-class output
+    (``span_starts`` / ``span_ends``, 1-based inclusive token positions).
+
+    Output per input row: ``(doc_id, n_tokens, span_starts, span_ends,
+    n_spans, n_removed, clean_text)``.
+
+    Plan shape at 100 TB: one gram-table groupBy (fixed-width md5 keys,
+    map-side combined count), a join back on the DUPLICATED grams only
+    (the small minority — fan-out is sized by duplicated volume), one
+    per-doc covered-set aggregation, then pure array expressions: island
+    boundaries come from comparing the sorted covered array against its
+    shifted self — no per-position shuffle rows, no windows."""
+
+    def __init__(
+        self,
+        min_len: int = 10,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_count: int = 2,
+        **kwargs,
+    ):
+        if min_len < 1:
+            raise ValueError(f"min_len must be >= 1, got {min_len}")
+        if min_count < 2:
+            raise ValueError(f"a span must occur at least twice: min_count >= 2, got {min_count}")
+        super().__init__(**kwargs)
+        self.min_len = min_len
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_count = min_count
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        n = self.min_len
+        toks = tokens_expr(F.col(self.text_col))
+        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        starts = F.when(
+            F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        gram_rows = base.select(
+            "doc_id", F.explode(starts).alias("s"), F.col("__t")
+        ).select(
+            "doc_id",
+            "s",
+            F.md5(F.array_join(F.slice("__t", F.col("s"), n), " ")).alias("gram"),
+        )
+        # TOTAL occurrences (not distinct docs): within-doc repeats count
+        cnt = gram_rows.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+        dup_starts = gram_rows.join(
+            cnt.filter(F.col("__c") >= self.min_count), "gram"
+        ).select("doc_id", "s")
+        covered = (
+            dup_starts.select(
+                "doc_id",
+                F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("p")).alias("__cov"))
+        )
+        with_cov = base.join(covered, "doc_id", "left").withColumn(
+            "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+        )
+        cov = F.col("__cov")
+        # island boundaries: position p starts a span iff p-1 is not
+        # covered; ends one iff p+1 is not covered. Sorted-array shifts,
+        # no window, no extra shuffle.
+        span_starts = F.filter(
+            cov,
+            lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(cov, i) != x - 1
+            ),
+        )
+        span_ends = F.filter(
+            cov,
+            lambda x, i: F.when(i == F.size(cov) - 1, F.lit(True)).otherwise(
+                F.element_at(cov, i + 2) != x + 1
+            ),
+        )
+        indexed = F.transform(
+            F.col("__t"),
+            lambda x, i: F.struct((i + F.lit(1)).alias("p"), x.alias("tok")),
+        )
+        kept = F.filter(
+            indexed, lambda st: ~F.array_contains(cov, st["p"])
+        )
+        return with_cov.select(
+            F.col("doc_id").alias(self.id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            span_starts.alias("span_starts"),
+            span_ends.alias("span_ends"),
+            F.size(span_starts).cast("long").alias("n_spans"),
+            F.size(cov).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda st: st["tok"]), " "
+            ).alias("clean_text"),
+        )
+
+
+def maximal_span_sql(
+    table: str = "documents",
+    min_len: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for :class:`MaximalSpanDedup` — identical md5 gram
+    keys, identical total-occurrence rule, maximal islands via the
+    gaps-and-islands window, re-assembly via ordered string_agg."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {tokens_sql(text)} AS t FROM {table}
+), g AS (
+  SELECT {id_col}, u.i AS s,
+         md5(array_to_string(t[u.i:u.i + {min_len - 1}], ' ')) AS gram
+  FROM toks, UNNEST(CASE WHEN len(t) >= {min_len}
+                         THEN range(1, len(t) - {min_len} + 2)
+                         ELSE [] END) AS u(i)
+), cnt AS (
+  SELECT gram, COUNT(*) AS c FROM g GROUP BY 1
+), dups AS (
+  SELECT g.{id_col}, g.s FROM g JOIN cnt USING (gram) WHERE cnt.c >= {min_count}
+), cov AS (
+  SELECT DISTINCT {id_col}, s + o.j AS p
+  FROM dups, UNNEST(range(0, {min_len})) AS o(j)
+), isl AS (
+  SELECT {id_col}, p,
+         p - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY p) AS k
+  FROM cov
+), spans AS (
+  SELECT {id_col}, MIN(p) AS st, MAX(p) AS en FROM isl GROUP BY {id_col}, k
+), per_doc AS (
+  SELECT {id_col},
+         list_transform(list(st ORDER BY st), x -> CAST(x AS INTEGER)) AS span_starts,
+         list_transform(list(en ORDER BY st), x -> CAST(x AS INTEGER)) AS span_ends,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(en - st + 1) AS BIGINT) AS n_removed
+  FROM spans GROUP BY {id_col}
+), pos AS (
+  SELECT {id_col}, u.i AS p, t[u.i] AS tok
+  FROM toks, UNNEST(CASE WHEN len(t) >= 1 THEN range(1, len(t) + 1)
+                         ELSE [] END) AS u(i)
+), kept AS (
+  SELECT pos.{id_col}, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.{id_col} = cov.{id_col} AND pos.p = cov.p
+  WHERE cov.p IS NULL
+), clean AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT toks.{id_col},
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       COALESCE(per_doc.span_starts, []::INTEGER[]) AS span_starts,
+       COALESCE(per_doc.span_ends, []::INTEGER[]) AS span_ends,
+       COALESCE(per_doc.n_spans, 0) AS n_spans,
+       COALESCE(per_doc.n_removed, 0) AS n_removed,
+       COALESCE(clean.clean_text, '') AS clean_text
+FROM toks
+LEFT JOIN per_doc USING ({id_col})
+LEFT JOIN clean USING ({id_col})
+"""
+
+
 def simhash_sql(
     table: str = "documents",
     text: str = "text",
