@@ -581,6 +581,32 @@ def test_maximal_span_dedup_adjacent_islands_merge(spark):
     assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 1
 
 
+def test_decontaminate_hand_case(spark):
+    """Train doc 10 fully contains bench doc 100's trigrams -> flagged
+    (containment 1.0); doc 11 shares nothing -> kept. Filter mode returns
+    only survivors with the original schema."""
+    from warp_pipes_spark.text.dedup import Decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely different training content here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           Decontaminate(benchmark=bench, n=3, threshold=0.5)(train).collect()}
+    assert out[10]["keep"] is False and out[10]["max_containment"] == 1.0
+    assert out[10]["n_bench_hits"] == 1
+    assert out[11]["keep"] is True and out[11]["max_containment"] == 0.0
+    survivors = Decontaminate(benchmark=bench, n=3, threshold=0.5, mode="filter")(train)
+    assert [r["doc_id"] for r in survivors.collect()] == [11]
+    assert survivors.columns == ["doc_id", "text"]
+
+
 def test_item_recs_hand_case(spark):
     """Baskets {1,2},{1,2},{1,3},{2,3}: only the (1,2) pair reaches
     support 2; sim = 2/sqrt(3*3); item 3 gets no recommendations."""

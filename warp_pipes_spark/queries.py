@@ -705,7 +705,16 @@ def q39_lsh_topk(spark, sf):
     bucket codes, bucket-join candidate generation, re-rank) reproducible
     in SQL, so the approximate engine is now bit-exact ORACLED — the
     candidate set itself is verified, not just sampled for recall (recall
-    vs the exact engine is additionally asserted in tests)."""
+    vs the exact engine is additionally asserted in tests).
+
+    Deliberate trade (round-3 verdict item #2, accepted): the md5 family's
+    slightly worse bucket statistics cost ~2x vs the seeded-randn family
+    at sf0.1 (1.3 s -> 2.5 s; candidate-set work, not the driver-side
+    plane derivation) in exchange for full id-level oracle parity of the
+    approximate path. The cost is flat-factor, sub-linear in data (4.9 s
+    at sf1 = 10x data), and a production user wanting the faster planes
+    passes ``plane_family='randn'`` — same operator, same plan shape,
+    verified by the same recall tests."""
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return LshCosineTopK(
@@ -842,6 +851,23 @@ def q61_contamination(spark, sf):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return CrossCorpusOverlap(benchmark=bench, n=3, threshold=0.3)(train)
+
+
+def q152_decontaminate(spark, sf):
+    """Train/eval decontamination, the ACTING step after q61\'s detection
+    (``text/dedup.py`` ``Decontaminate``): every training doc (sources !=
+    src0) whose trigram containment of any benchmark doc (source = src0)
+    reaches 0.3 is flagged; the corpus comes back with the verdict and
+    evidence (keep, max_containment, n_bench_hits) — the pre-training
+    hygiene pass run before any eval is trusted. Bounded benchmark side
+    broadcast; flags side broadcast back (flagged docs are the minority)."""
+    from warp_pipes_spark.text.dedup import Decontaminate
+
+    docs = T(spark, sf, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    out = Decontaminate(benchmark=bench, n=3, threshold=0.3)(train)
+    return out.select("doc_id", "source", "max_containment", "n_bench_hits", "keep")
 
 
 def q62_repetition(spark, sf):
@@ -4424,6 +4450,17 @@ def _round2b_oracles():
     from warp_pipes_spark.text.dedup import maximal_span_sql
 
     ORACLES_EXT["q151_maximal_spans"] = maximal_span_sql(min_len=10)
+
+    from warp_pipes_spark.text.dedup import decontaminate_sql
+
+    ORACLES_EXT["q152_decontaminate"] = (
+        decontaminate_sql(
+            "SELECT doc_id, source, text FROM documents WHERE source <> 'src0'",
+            "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+            n=3,
+            threshold=0.3,
+        )
+    )
     ORACLES_EXT["q143_relative_quality"] = (
         "WITH scored AS (SELECT s.doc_id, d.source, s.score "
         f"FROM ({_clf_sql()}) s JOIN documents d USING (doc_id)), "
@@ -4666,6 +4703,7 @@ def _register():
         "q149_sft_masks": q149_sft_masks,
         "q150_sft_ids": q150_sft_ids,
         "q151_maximal_spans": q151_maximal_spans,
+        "q152_decontaminate": q152_decontaminate,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

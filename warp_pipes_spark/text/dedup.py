@@ -1280,6 +1280,112 @@ WHERE CAST(CAST(n_common / n_bench AS DECIMAL(18,6)) AS DOUBLE) >= {threshold}
 """
 
 
+class Decontaminate(Pipe):
+    """Train/eval decontamination — the ACTING step after
+    :class:`CrossCorpusOverlap`'s detection: every training document whose
+    shingle containment of ANY benchmark item meets the threshold is
+    flagged, and the corpus comes back annotated (``keep`` boolean plus
+    the evidence: ``max_containment``, ``n_bench_hits``) or filtered to
+    survivors (``mode='filter'``). This is the standard pre-training
+    hygiene pass (GPT-3 appendix C / PaLM-style n-gram decontamination)
+    run before any eval is trusted.
+
+    Plan shape: detection inherits CrossCorpusOverlap's broadcast
+    asymmetry (bounded eval suite broadcast, 100 TB train side streams
+    map-side); the verdict join-back keys on doc_id — flagged docs are
+    the small minority, so the flags side broadcasts too."""
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        n: int = 3,
+        threshold: float = 0.5,
+        mode: str = "annotate",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bench_id_col: str = "doc_id",
+        bench_text_col: str = "text",
+        **kwargs,
+    ):
+        if mode not in ("annotate", "filter"):
+            raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
+        super().__init__(**kwargs)
+        self.benchmark = benchmark
+        self.n = n
+        self.threshold = threshold
+        self.mode = mode
+        self.id_col = id_col
+        self.text_col = text_col
+        self.bench_id_col = bench_id_col
+        self.bench_text_col = bench_text_col
+
+    _no_fingerprint = ("benchmark",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        pairs = CrossCorpusOverlap(
+            benchmark=self.benchmark,
+            n=self.n,
+            threshold=self.threshold,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            bench_id_col=self.bench_id_col,
+            bench_text_col=self.bench_text_col,
+        )(df)
+        flags = pairs.groupBy("train_id").agg(
+            F.max("containment").alias("max_containment"),
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        )
+        out = (
+            df.join(
+                F.broadcast(flags),
+                df[self.id_col] == flags["train_id"],
+                "left",
+            )
+            .withColumn("keep", F.col("train_id").isNull())
+            .withColumn(
+                "max_containment",
+                F.coalesce(F.col("max_containment"), F.lit(0.0)).cast("double"),
+            )
+            .withColumn(
+                "n_bench_hits", F.coalesce(F.col("n_bench_hits"), F.lit(0))
+            )
+            .drop("train_id")
+        )
+        if self.mode == "filter":
+            return out.filter(F.col("keep")).drop(
+                "keep", "max_containment", "n_bench_hits"
+            )
+        return out
+
+
+def decontaminate_sql(
+    train_sql: str,
+    bench_sql: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_cols: str = "doc_id, source",
+) -> str:
+    """DuckDB oracle for :class:`Decontaminate` (annotate mode):
+    composes :func:`cross_corpus_overlap_sql` with the per-train-doc
+    verdict rollup. ``train_cols`` are the passthrough columns of
+    ``train_sql``'s output (must include doc_id)."""
+    pairs = cross_corpus_overlap_sql(train_sql, bench_sql, n, threshold)
+    cols = ", ".join(f"t.{c.strip()}" for c in train_cols.split(","))
+    return f"""
+WITH pairs AS ({pairs}),
+flags AS (
+  SELECT train_id, MAX(containment) AS max_containment,
+         CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+  FROM pairs GROUP BY train_id
+)
+SELECT {cols},
+       CAST(COALESCE(f.max_containment, 0.0) AS DOUBLE) AS max_containment,
+       COALESCE(f.n_bench_hits, 0) AS n_bench_hits,
+       f.train_id IS NULL AS keep
+FROM ({train_sql}) t LEFT JOIN flags f ON t.doc_id = f.train_id
+"""
+
+
 class SentenceDedup(Pipe):
     """Corpus-level exact SENTENCE dedup (the CCNet recipe): split every
     document into sentences, keep only the globally-first occurrence of each
