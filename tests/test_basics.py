@@ -607,6 +607,30 @@ def test_decontaminate_hand_case(spark):
     assert survivors.columns == ["doc_id", "text"]
 
 
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR importance weights: a raw doc written in the target's
+    vocabulary outweighs one written in raw-only vocabulary; k truncates."""
+    from warp_pipes_spark.text.dsir import DsirSelect
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "zz", "alpha beta gamma"),       # target-like
+            (2, "zz", "xx yy zz ww qq"),         # off-distribution
+            (3, "zz", "beta gamma delta alpha"), # target-like
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = DsirSelect(target=target, n_buckets=64, k=2)(raw).collect()
+    assert [r["doc_id"] for r in out] != []
+    ids = {r["doc_id"] for r in out}
+    assert ids <= {1, 3} and len(out) == 2  # the off-distribution doc loses
+    assert all(r["logw"] > 0 for r in out)  # target-like => positive weight
+
+
 def test_item_recs_hand_case(spark):
     """Baskets {1,2},{1,2},{1,3},{2,3}: only the (1,2) pair reaches
     support 2; sim = 2/sqrt(3*3); item 3 gets no recommendations."""

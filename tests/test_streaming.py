@@ -723,3 +723,20 @@ def test_streaming_curation_ops_match_batch(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert got == want
+
+
+def test_stream_soak_state_bounded_smoke(spark):
+    """Short soak through the rate-source pipeline (tools/stream_soak.py):
+    two chained state operators under continuous real-time watermark
+    pressure must plateau, not grow with input — the boundedness property
+    the full soak proves over minutes, checked here in ~20 s."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from stream_soak import run_soak
+
+    result = run_soak(spark, seconds=20, rate=5000)
+    assert result["n_batches"] >= 5
+    assert result["total_input_rows"] > 0
+    assert result["watermark_advanced"], "watermark never advanced"
+    assert result["state_bounded"], f"state grew unbounded: {result['state_ops']}"

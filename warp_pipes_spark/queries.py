@@ -870,6 +870,23 @@ def q152_decontaminate(spark, sf):
     return out.select("doc_id", "source", "max_containment", "n_bench_hits", "keep")
 
 
+def q153_dsir_select(spark, sf):
+    """DSIR data selection (Xie et al. 2023, ``text/dsir.py``
+    ``DsirSelect``): the 100 docs of the raw corpus (sources != src0) most
+    like the target exemplars (source = src0) by hashed-ngram importance
+    weight log w = sum_b count_b (ln p_b - ln q_b) — the pretraining-data
+    curation move that steers a crawl toward a quality domain. Two
+    bucket-sized models broadcast back over one per-(doc,bucket) shuffle;
+    global top-k, no single-partition window; md5 buckets + decimal
+    log-ratios make the whole selection bit-exact in the oracle."""
+    from warp_pipes_spark.text.dsir import DsirSelect
+
+    docs = T(spark, sf, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return DsirSelect(target=target, n_buckets=1024, k=100)(raw)
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4452,6 +4469,14 @@ def _round2b_oracles():
     ORACLES_EXT["q151_maximal_spans"] = maximal_span_sql(min_len=10)
 
     from warp_pipes_spark.text.dedup import decontaminate_sql
+    from warp_pipes_spark.text.dsir import dsir_sql
+
+    ORACLES_EXT["q153_dsir_select"] = dsir_sql(
+        "SELECT doc_id, source, text FROM documents WHERE source <> 'src0'",
+        "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+        n_buckets=1024,
+        k=100,
+    )
 
     ORACLES_EXT["q152_decontaminate"] = (
         decontaminate_sql(
@@ -4704,6 +4729,7 @@ def _register():
         "q150_sft_ids": q150_sft_ids,
         "q151_maximal_spans": q151_maximal_spans,
         "q152_decontaminate": q152_decontaminate,
+        "q153_dsir_select": q153_dsir_select,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
