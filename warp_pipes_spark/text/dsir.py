@@ -29,9 +29,11 @@ from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
 
 
-def _features_expr(text_col):
-    """Unigrams + bigrams of the tokenized text, as one array<string>."""
-    toks = tokens_expr(F.col(text_col))
+def _features_of_tokens(toks):
+    """Unigrams + bigrams from an ALREADY-MATERIALIZED token array column.
+    Taking the column (not the text) matters: referencing the tokenizer
+    expression here would inline split/lower/filter once per mention —
+    five interpreted evaluations per row inside one Generate node."""
     n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.when(
         n_bi > 0,
@@ -90,42 +92,56 @@ class DsirSelect(Pipe):
     _no_fingerprint = ("target",)
 
     def _bucket_counts(self, df: DataFrame, per_doc: bool) -> DataFrame:
-        feats = df.select(
+        toks = df.select(
             F.col(self.id_col).alias("doc_id"),
-            F.explode(_features_expr(self.text_col)).alias("f"),
+            tokens_expr(F.col(self.text_col)).alias("__toks"),
+        )
+        feats = toks.select(
+            "doc_id", F.explode(_features_of_tokens(F.col("__toks"))).alias("f")
         ).select("doc_id", _bucket_expr(F.col("f"), self.n_buckets).alias("b"))
         keys = ["doc_id", "b"] if per_doc else ["b"]
         return feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
         B = self.n_buckets
-        tgt = self._bucket_counts(self.target, per_doc=False)
-        raw = self._bucket_counts(df, per_doc=False)
-        tgt_tot = tgt.agg(F.sum("c").alias("ct"))
-        raw_tot = raw.agg(F.sum("c").alias("cr"))
+        # ONE pass over each corpus: the per-doc bucket table is persisted
+        # (it feeds both the raw model and the scoring join — without the
+        # persist each consumer re-scans and re-hashes the 100 TB side),
+        # and every later quantity (bucket models, corpus totals) derives
+        # from B-bounded tables, never from corpus lineage
+        doc_counts = self._bucket_counts(df, per_doc=True).persist()
+        raw = doc_counts.groupBy("b").agg(F.sum("c").alias("crb"))
+        tgt = self._bucket_counts(self.target, per_doc=False).withColumnRenamed(
+            "c", "ctb"
+        )
+        # corpus totals as windows over the B-sized model join: an
+        # unpartitioned window is fine here because the frame is bounded
+        # at n_buckets rows by construction, and it avoids re-deriving the
+        # corpora through separate agg branches
+        w = Window.partitionBy(F.lit(1))
+        joined = (
+            tgt.join(raw, "b", "full")
+            .na.fill({"ctb": 0, "crb": 0})
+            .withColumn("ct", F.sum("ctb").over(w))
+            .withColumn("cr", F.sum("crb").over(w))
+        )
         # add-1-smoothed bucket log-ratio, DECIMAL(18,6)-rounded once per
         # bucket so downstream sums are exact integers-of-millionths
-        lr = (
-            tgt.withColumnRenamed("c", "ctb")
-            .join(raw.withColumnRenamed("c", "crb"), "b", "full")
-            .na.fill({"ctb": 0, "crb": 0})
-            .crossJoin(F.broadcast(tgt_tot))
-            .crossJoin(F.broadcast(raw_tot))
-            .select(
-                "b",
-                (
-                    F.log(
-                        (F.col("ctb") + 1).cast("double")
-                        / (F.col("ct") + B).cast("double")
-                    ).cast("decimal(18,6)")
-                    - F.log(
-                        (F.col("crb") + 1).cast("double")
-                        / (F.col("cr") + B).cast("double")
-                    ).cast("decimal(18,6)")
-                ).alias("lr"),
-            )
+        lr = joined.select(
+            "b",
+            (
+                F.log(
+                    (F.col("ctb") + 1).cast("double")
+                    / (F.col("ct") + B).cast("double")
+                ).cast("decimal(18,6)")
+                - F.log(
+                    (F.col("crb") + 1).cast("double")
+                    / (F.col("cr") + B).cast("double")
+                ).cast("decimal(18,6)")
+            ).alias("lr"),
         )
-        doc_counts = self._bucket_counts(df, per_doc=True)
         scores = (
             doc_counts.join(F.broadcast(lr), "b")
             .groupBy("doc_id")
