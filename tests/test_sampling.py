@@ -328,3 +328,43 @@ def test_chat_template_mask_boundary(spark):
     r1 = out[1]
     assert r1["n_response_tokens"] == 1
     assert r1["loss_mask"][-1] == 1
+
+
+def test_unimax_waterfall_integer_semantics():
+    """The published UniMax waterfall: ascending visit order, epoch cap
+    binds only low-resource sources, leftover budget flows onward; exact
+    integer floor division."""
+    from warp_pipes_spark.pipes.sampling import UniMaxSample
+
+    counts = {"tiny": 10, "small": 100, "big": 10_000}
+    # budget 5000, cap 2 epochs: tiny capped at 20, small at 200, big
+    # absorbs what's left
+    alloc = UniMaxSample.waterfall(counts, budget=5000, epoch_cap=2)
+    assert alloc["tiny"] == 20      # min(2*10, 5000//3=1666)
+    assert alloc["small"] == 200    # min(2*100, 4980//2=2490)
+    assert alloc["big"] == 4780     # min(2*10000, 4780//1)
+    assert sum(alloc.values()) == 5000
+    # uncapped regime: pure uniform thirds
+    alloc = UniMaxSample.waterfall(counts, budget=30, epoch_cap=100)
+    assert alloc == {"tiny": 10, "small": 10, "big": 10}
+
+
+def test_unimax_sample_respects_allocation(spark):
+    """Doc-level gate: kept fraction per source tracks alloc/c, sources
+    with alloc >= c keep everything ('g' sentinel path)."""
+    from warp_pipes_spark.pipes.sampling import UniMaxSample
+
+    rows = [(i, "rich", "word " * 50) for i in range(40)]
+    rows += [(100 + i, "poor", "tok " + "tok " * 4) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = UniMaxSample(budget_num=1, budget_den=2, epoch_cap=2)(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # poor: c=20 tokens, cap 2*20=40 > share(1010//2=505)? no - share
+    # wins only if smaller; alloc=min(40,505)=40 >= c -> keep ALL poor docs
+    assert len(by_src.get("poor", [])) == 4
+    # rich: alloc = 1010-40=970 of c=2000 -> roughly half the docs survive
+    n_rich = len(by_src.get("rich", []))
+    assert 8 <= n_rich <= 32, f"rich kept {n_rich}/40, expected ~half"
+    assert all(r["source_alloc"] == 970 for r in by_src["rich"])

@@ -563,3 +563,156 @@ def split_assign_sql(
         whens.append(f"WHEN {gate} < '{_threshold_hex(cum)}' THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{default_split}' END"
     return f"SELECT {columns}, {case} AS {out_col} FROM {table}"
+
+
+class UniMaxSample(Pipe):
+    """UniMax source-balanced sampling (Chung et al. 2023, UniMax: Fairer
+    and More Effective Language Sampling) — the principled alternative to
+    temperature mixing (:class:`TemperatureMixture`): allocate a token
+    budget across sources as UNIFORMLY as possible, capping every source
+    at ``epoch_cap`` epochs of its own data so low-resource sources are
+    never over-repeated. The published waterfall, exactly: visit sources
+    by ascending token count; each takes ``min(epoch_cap * c_src,
+    remaining / sources_left)``; its leftover flows to the rest.
+
+    Every quantity is INTEGER arithmetic (floor division), so the
+    allocation replays bit-exactly in the SQL oracle's recursive CTE —
+    no float thresholds anywhere: a document is kept iff its md5 hex gate
+    is below ``(alloc * 16^12) // c_src`` rendered as the same
+    zero-padded hex literal in both engines.
+
+    Scale shape: per-source token counts are a map-side-combined groupBy
+    whose result is SOURCE-CARDINALITY-sized — the waterfall runs on the
+    driver over that bounded table (the same bounded-metadata pattern as
+    the ANN trainers) and rejoins as a broadcast literal table; the corpus
+    itself is touched once, filter-only, no shuffle of document rows.
+
+    Output: the sampled docs ``(doc_id, source, n_tokens, source_tokens,
+    source_alloc)``.
+    """
+
+    def __init__(
+        self,
+        budget_num: int = 2,
+        budget_den: int = 5,
+        epoch_cap: int = 2,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        source_col: str = "source",
+        seed: int = 0,
+        **kwargs,
+    ):
+        if budget_num <= 0 or budget_den <= 0:
+            raise ValueError("budget fraction must be positive")
+        if epoch_cap < 1:
+            raise ValueError(f"epoch_cap must be >= 1, got {epoch_cap}")
+        super().__init__(**kwargs)
+        self.budget_num = budget_num
+        self.budget_den = budget_den
+        self.epoch_cap = epoch_cap
+        self.id_col = id_col
+        self.text_col = text_col
+        self.source_col = source_col
+        self.seed = seed
+
+    @staticmethod
+    def waterfall(counts, budget: int, epoch_cap: int):
+        """The UniMax allocation loop in exact integer arithmetic.
+        ``counts``: {source: token_count}. Returns {source: alloc}."""
+        ordered = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        remaining = budget
+        alloc = {}
+        for i, (src, c) in enumerate(ordered):
+            share = remaining // (len(ordered) - i)
+            a = min(epoch_cap * c, share)
+            alloc[src] = a
+            remaining -= a
+        return alloc
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        tok = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col(self.source_col).alias("source"),
+            F.size(tokens_expr(F.col(self.text_col))).alias("n_tokens"),
+        )
+        # bounded driver-side metadata: one row per SOURCE, not per doc
+        src_rows = tok.groupBy("source").agg(F.sum("n_tokens").alias("c")).collect()
+        counts = {r["source"]: int(r["c"]) for r in src_rows}
+        total = sum(counts.values())
+        budget = total * self.budget_num // self.budget_den
+        alloc = self.waterfall(counts, budget, self.epoch_cap)
+        rows = []
+        for src, c in counts.items():
+            a = alloc[src]
+            thr = (a * _HEX_SPACE) // c if c > 0 else 0
+            thr_hex = "g" if thr >= _HEX_SPACE else format(thr, "0" + str(_HEX_DIGITS) + "x")
+            rows.append((src, c, a, thr_hex))
+        tdf = df.sparkSession.createDataFrame(
+            rows, "source string, source_tokens long, source_alloc long, thr string"
+        )
+        return (
+            tok.join(F.broadcast(tdf), "source")
+            .filter(_gate_col(F.col("doc_id"), self.seed) < F.col("thr"))
+            .select("doc_id", "source", "n_tokens", "source_tokens", "source_alloc")
+        )
+
+
+def unimax_sql(
+    table: str = "documents",
+    budget_num: int = 2,
+    budget_den: int = 5,
+    epoch_cap: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    source_col: str = "source",
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle for :class:`UniMaxSample`: the identical integer
+    waterfall as a recursive CTE (HUGEINT intermediates for the hex
+    threshold product), the identical md5 gate."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    gate = _gate_sql(id_col, seed)
+    E = epoch_cap
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+         CAST(len({tokens_sql(text)}) AS BIGINT) AS n_tokens,
+         {gate} AS g
+  FROM {table}
+),
+src AS (SELECT source, SUM(n_tokens) AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT SUM(c) * {budget_num} // {budget_den} AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM src
+),
+ordered AS (
+  SELECT source, c, ROW_NUMBER() OVER (ORDER BY c ASC, source ASC) AS rn
+  FROM src
+),
+walloc(rn, source, c, a, remaining) AS (
+  SELECT 0, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         (SELECT budget FROM tot)
+  UNION ALL
+  SELECT o.rn, o.source, o.c,
+         LEAST({E} * o.c, w.remaining // ((SELECT n_src FROM tot) - o.rn + 1)),
+         w.remaining
+         - LEAST({E} * o.c, w.remaining // ((SELECT n_src FROM tot) - o.rn + 1))
+  FROM walloc w JOIN ordered o ON o.rn = w.rn + 1
+),
+thr AS (
+  SELECT source, c AS source_tokens, a AS source_alloc,
+         CASE WHEN c = 0 THEN ''
+              WHEN (CAST(a AS HUGEINT) * {_HEX_SPACE}) // c >= {_HEX_SPACE} THEN 'g'
+              ELSE lpad(lower(hex(CAST((CAST(a AS HUGEINT) * {_HEX_SPACE}) // c AS BIGINT))),
+                        {_HEX_DIGITS}, '0')
+         END AS thr_hex
+  FROM walloc WHERE rn >= 1
+)
+SELECT t.doc_id, t.source, t.n_tokens, th.source_tokens, th.source_alloc
+FROM tok t JOIN thr th USING (source)
+WHERE t.g < th.thr_hex
+"""

@@ -887,6 +887,21 @@ def q153_dsir_select(spark, sf):
     return DsirSelect(target=target, n_buckets=1024, k=100)(raw)
 
 
+def q154_unimax(spark, sf):
+    """UniMax source-balanced sampling (Chung et al. 2023;
+    ``pipes/sampling.py`` ``UniMaxSample``): a 40% token budget allocated
+    as uniformly as possible across sources, each capped at 2 epochs of
+    its own data — the principled alternative to q142's temperature mix.
+    All-integer waterfall (replays bit-exactly in the oracle's recursive
+    CTE); per-source counts are bounded driver metadata; the corpus is
+    touched once, filter-only."""
+    from warp_pipes_spark.pipes.sampling import UniMaxSample
+
+    return UniMaxSample(budget_num=2, budget_den=5, epoch_cap=2)(
+        T(spark, sf, "documents")
+    )
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4470,6 +4485,11 @@ def _round2b_oracles():
 
     from warp_pipes_spark.text.dedup import decontaminate_sql
     from warp_pipes_spark.text.dsir import dsir_sql
+    from warp_pipes_spark.pipes.sampling import unimax_sql
+
+    ORACLES_EXT["q154_unimax"] = unimax_sql(
+        "documents", budget_num=2, budget_den=5, epoch_cap=2
+    )
 
     ORACLES_EXT["q153_dsir_select"] = dsir_sql(
         "SELECT doc_id, source, text FROM documents WHERE source <> 'src0'",
@@ -4730,6 +4750,7 @@ def _register():
         "q151_maximal_spans": q151_maximal_spans,
         "q152_decontaminate": q152_decontaminate,
         "q153_dsir_select": q153_dsir_select,
+        "q154_unimax": q154_unimax,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
