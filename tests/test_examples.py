@@ -157,3 +157,16 @@ def test_incremental_crawl_example(spark):
     a = sorted(tuple(r) for r in stats["results_df"].collect())
     b = sorted(tuple(r) for r in fresh.collect())
     assert a == b
+
+
+def test_selection_and_sft_example(spark):
+    out = _mod("selection_and_sft").run(spark)
+    rows = out.collect()
+    assert 0 < len(rows) <= 300  # DSIR k bounds the survivors
+    for r in rows[:20]:
+        assert len(r["input_ids"]) == len(r["loss_mask"])
+        assert r["loss_mask"][: r["n_prompt_tokens"]] == [0] * r["n_prompt_tokens"]
+        assert sum(r["loss_mask"]) == r["n_response_tokens"]
+    # decontamination + UniMax leave multiple sources, none of them src0
+    sources = {r["source"] for r in rows}
+    assert "src0" not in sources and len(sources) > 1
