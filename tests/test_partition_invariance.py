@@ -45,6 +45,11 @@ INVARIANT_QUERIES = [
     "q147_fix_encoding",        # literal/regex repair chain
     "q148_portable_hll",        # md5 registers + exact-integer harmonics
     "q149_sft_masks",           # segment-wise mask construction
+    # round-4 additions
+    "q150_sft_ids",             # WordPiece ids across Arrow batch layouts
+    "q151_maximal_spans",       # gram counts + island merge from sorted arrays
+    "q153_dsir_select",         # decimal log-ratio sums + global top-k ties
+    "q154_unimax",              # driver waterfall + md5 gate
 ]
 
 
