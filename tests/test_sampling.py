@@ -368,3 +368,32 @@ def test_unimax_sample_respects_allocation(spark):
     n_rich = len(by_src.get("rich", []))
     assert 8 <= n_rich <= 32, f"rich kept {n_rich}/40, expected ~half"
     assert all(r["source_alloc"] == 970 for r in by_src["rich"])
+
+
+def test_best_fit_pack_properties(spark):
+    """BFD invariants: no pack over capacity (except dedicated overflow
+    singletons), no example split, offsets are disjoint within a pack,
+    and the pack count is near the lower bound ceil(total/cap)."""
+    import math
+
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    rows = [(i, "s", 30 + (i * 37) % 400) for i in range(60)]
+    rows.append((100, "s", 700))  # oversized: dedicated overflow pack
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = BestFitPack(capacity=512)(df).collect()
+    assert len(out) == 61  # every doc placed exactly once
+    fills = {}
+    for r in out:
+        fills.setdefault(r["pack_id"], []).append((r["pack_offset"], r["n_tokens"]))
+    for pid, spans in fills.items():
+        spans.sort()
+        end = 0
+        for off, n in spans:
+            assert off == end, f"gap/overlap in pack {pid}"
+            end = off + n
+        if len(spans) > 1:
+            assert end <= 512
+    total = sum(n for _, _, n in rows if n <= 512)
+    n_regular = len([p for p, s in fills.items() if not (len(s) == 1 and s[0][1] > 512)])
+    assert n_regular <= math.ceil(total / 512) + 3  # BFD stays near optimum

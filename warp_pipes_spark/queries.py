@@ -902,6 +902,24 @@ def q154_unimax(spark, sf):
     )
 
 
+def q155_bfd_pack(spark, sf):
+    """No-split best-fit-decreasing sequence packing (``text/packing.py``
+    ``BestFitPack``) — the SFT counterpart of q110's concat-and-chunk:
+    every document lands WHOLE in one 512-token pack, BFD keeps padding
+    waste near the bin-packing optimum, oversized docs get dedicated
+    overflow packs. Shard-local (per source) applyInPandas, parallelism =
+    shards; the oracle replays the identical deterministic loop as a
+    recursive CTE carrying the bin-fill list — the packing itself is
+    differentially tested."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    return BestFitPack(capacity=512)(docs)
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4491,6 +4509,16 @@ def _round2b_oracles():
         "documents", budget_num=2, budget_den=5, epoch_cap=2
     )
 
+    from warp_pipes_spark.text.packing import best_fit_pack_sql
+
+    from warp_pipes_spark.text.analysis import tokens_sql as _tok_sql
+
+    ORACLES_EXT["q155_bfd_pack"] = best_fit_pack_sql(
+        f"SELECT doc_id, source, len({_tok_sql('text')}) AS n_tokens "
+        "FROM documents",
+        capacity=512,
+    )
+
     ORACLES_EXT["q153_dsir_select"] = dsir_sql(
         "SELECT doc_id, source, text FROM documents WHERE source <> 'src0'",
         "SELECT doc_id, text FROM documents WHERE source = 'src0'",
@@ -4751,6 +4779,7 @@ def _register():
         "q152_decontaminate": q152_decontaminate,
         "q153_dsir_select": q153_dsir_select,
         "q154_unimax": q154_unimax,
+        "q155_bfd_pack": q155_bfd_pack,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

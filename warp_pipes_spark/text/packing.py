@@ -104,6 +104,141 @@ FROM placed
 """
 
 
+class BestFitPack(Pipe):
+    """NO-SPLIT sequence packing by best-fit-decreasing — the SFT/finetune
+    counterpart of :class:`PackSequences`' concat-and-chunk: every example
+    lands WHOLE in exactly one pack (an attention mask can then separate
+    examples without cross-boundary leakage), and BFD keeps padding waste
+    near the bin-packing optimum (≤ 11/9 OPT + 1 packs, Johnson's bound).
+
+    Deterministic by construction: within a shard, documents place in
+    (n_tokens DESC, id ASC) order; each takes the FULLEST bin that still
+    fits (tie -> lowest bin index), else opens a new bin. A document
+    longer than ``capacity`` gets a dedicated overflow pack (callers gate
+    or truncate upstream if that's unwanted). The exact same loop replays
+    in the SQL oracle as a recursive CTE carrying the bin-fill list as
+    row state — the packing itself is differentially tested, not just its
+    fill statistics.
+
+    Scale shape: packing is SHARD-LOCAL (``shard_col``), the standard
+    distributed bin-packing relaxation — each shard's docs sort and pack
+    inside one ``applyInPandas`` group, so parallelism = shards and no
+    global sequential pass exists. Output: ``(shard, id, n_tokens,
+    pack_id, pack_offset)`` with pack ids local to the shard."""
+
+    def __init__(
+        self,
+        capacity: int,
+        token_col: str = "n_tokens",
+        shard_col: str = "source",
+        id_col: str = "doc_id",
+        **kwargs,
+    ):
+        if capacity <= 0:
+            raise ValueError(f"capacity must be positive, got {capacity}")
+        super().__init__(**kwargs)
+        self.capacity = capacity
+        self.token_col = token_col
+        self.shard_col = shard_col
+        self.id_col = id_col
+
+    @staticmethod
+    def bfd(sizes, capacity: int):
+        """The BFD loop over (size, id)-sorted items. Returns a list of
+        (pack_id, offset) aligned with the input order. Shared verbatim
+        between the Spark kernel and tests."""
+        fills = []
+        placed = []
+        for n in sizes:
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + n <= capacity and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                placed.append((len(fills), 0))
+                fills.append(n)
+            else:
+                placed.append((best, fills[best]))
+                fills[best] += n
+        return placed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        import pandas as pd
+
+        cap = self.capacity
+        sized = df.select(
+            F.col(self.shard_col).alias("shard"),
+            F.col(self.id_col).alias("id"),
+            F.col(self.token_col).cast("long").alias("n_tokens"),
+        )
+        bfd = BestFitPack.bfd
+
+        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["n_tokens", "id"], ascending=[False, True]
+            ).reset_index(drop=True)
+            placed = bfd(pdf["n_tokens"].tolist(), cap)
+            pdf["pack_id"] = [p for p, _ in placed]
+            pdf["pack_offset"] = [o for _, o in placed]
+            return pdf
+
+        return sized.groupBy("shard").applyInPandas(
+            pack_group,
+            schema="shard string, id long, n_tokens long, pack_id int, pack_offset long",
+        )
+
+
+def best_fit_pack_sql(
+    table_sql: str,
+    capacity: int,
+    token_expr: str = "n_tokens",
+    shard: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :class:`BestFitPack`: the identical BFD loop as a
+    recursive CTE whose per-shard state is the bin-fill list. The chosen
+    bin is the first list position holding the max eligible fill — which
+    is exactly BFD's fullest-bin-lowest-index rule, because every bin at
+    the max eligible fill is eligible by construction."""
+    cap = capacity
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT {shard} AS shard, {id_col} AS id, CAST({token_expr} AS BIGINT) AS n
+  FROM ({table_sql}) t
+),
+ordered AS (
+  SELECT shard, id, n,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, id ASC) AS rn
+  FROM sized
+),
+shards AS (SELECT DISTINCT shard FROM ordered),
+pack(shard, rn, fills, id, n, pack_id, pack_offset) AS (
+  SELECT shard, 0, []::BIGINT[], NULL::BIGINT, NULL::BIGINT,
+         NULL::INTEGER, NULL::BIGINT
+  FROM shards
+  UNION ALL
+  SELECT o.shard, o.rn,
+         CASE WHEN best.f IS NULL THEN list_append(p.fills, o.n)
+              ELSE list_transform(p.fills, (x, i) ->
+                     CASE WHEN i = list_position(p.fills, best.f)
+                          THEN x + o.n ELSE x END)
+         END,
+         o.id, o.n,
+         CASE WHEN best.f IS NULL THEN CAST(len(p.fills) AS INTEGER)
+              ELSE CAST(list_position(p.fills, best.f) - 1 AS INTEGER)
+         END,
+         COALESCE(best.f, 0)
+  FROM pack p
+  JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT list_max(list_filter(p.fills, x -> x + o.n <= {cap})) AS f
+  ) best ON TRUE
+)
+SELECT shard, id, n AS n_tokens, pack_id, pack_offset
+FROM pack WHERE rn >= 1
+"""
+
+
 class LengthBucketBatches(Pipe):
     """Deterministic length-bucketed inference micro-batching.
 
