@@ -147,3 +147,25 @@ def test_mojibake_map_is_derived_and_longest_first(spark):
     assert lens == sorted(lens, reverse=True)
     for bad, good in MOJIBAKE_MAP:
         assert good.encode("utf-8").decode("cp1252") == bad
+
+
+def test_badwords_exact_token_matching(spark):
+    """C4 rule: exact token hits only — 'class' must not trip 'ass';
+    filter mode returns survivors with the original schema."""
+    from warp_pipes_spark.text.web import BadWordsFilter
+
+    df = spark.createDataFrame(
+        [
+            (1, "this class is clean"),
+            (2, "what an ass remark"),
+            (3, "Ass capitalized still caught"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in BadWordsFilter(["ass"])(df).collect()}
+    assert out[1]["keep"] is True and out[1]["bad_terms"] == []
+    assert out[2]["keep"] is False and out[2]["bad_terms"] == ["ass"]
+    assert out[3]["keep"] is False  # lowercased tokenization
+    kept = BadWordsFilter(["ass"], mode="filter")(df)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text"]

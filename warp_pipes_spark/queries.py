@@ -920,6 +920,18 @@ def q155_bfd_pack(spark, sf):
     return BestFitPack(capacity=512)(docs)
 
 
+def q156_badwords(spark, sf):
+    """C4-style content blocklist (``text/web.py`` ``BadWordsFilter``,
+    Raffel et al. 2020 badwords step): exact token-level intersection with
+    a bounded blocklist — scan-level expression literal, no join, no
+    shuffle; annotate mode emits the evidence (sorted hits + keep)."""
+    from warp_pipes_spark.text.web import BadWordsFilter
+
+    docs = T(spark, sf, "documents")
+    out = BadWordsFilter(["slow", "broken", "stale"])(docs)
+    return out.select("doc_id", "source", "bad_terms", "keep")
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4513,6 +4525,13 @@ def _round2b_oracles():
 
     from warp_pipes_spark.text.analysis import tokens_sql as _tok_sql
 
+    from warp_pipes_spark.text.web import bad_words_sql
+
+    ORACLES_EXT["q156_badwords"] = bad_words_sql(
+        "SELECT doc_id, source, text FROM documents",
+        ["slow", "broken", "stale"],
+    )
+
     ORACLES_EXT["q155_bfd_pack"] = best_fit_pack_sql(
         f"SELECT doc_id, source, len({_tok_sql('text')}) AS n_tokens "
         "FROM documents",
@@ -4780,6 +4799,7 @@ def _register():
         "q153_dsir_select": q153_dsir_select,
         "q154_unimax": q154_unimax,
         "q155_bfd_pack": q155_bfd_pack,
+        "q156_badwords": q156_badwords,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -258,3 +258,68 @@ def html_strip_sql(text: str = "text") -> Dict[str, str]:
     no_entities = f"regexp_replace({no_tags}, '{esc(_ENTITY)}', ' ', 'g')"
     clean = f"trim(regexp_replace({no_entities}, '{esc(_WS)}', ' ', 'g'))"
     return {"clean_text": clean, "n_tags": n_tags}
+
+
+class BadWordsFilter(Pipe):
+    """C4-style content blocklist (Raffel et al. 2020 §2.2's "Dirty,
+    Naughty ... Word List" step): drop — or annotate — any document whose
+    token set intersects a blocklist. Exact token-level matching (the C4
+    rule), not substring: "class" never trips "ass".
+
+    Output adds ``bad_terms`` (the sorted distinct blocklist hits) and
+    ``keep``; ``mode='filter'`` returns the survivors with the original
+    schema. The blocklist rides the closure as an expression literal
+    (bounded by contract — thousands of terms), so the filter is
+    scan-level: no join, no shuffle, pure codegen'd array intersection."""
+
+    def __init__(
+        self,
+        blocklist,
+        text_col: str = "text",
+        mode: str = "annotate",
+        **kwargs,
+    ):
+        if mode not in ("annotate", "filter"):
+            raise ValueError(f"mode must be 'annotate' or 'filter', got {mode!r}")
+        if not blocklist:
+            raise ValueError("blocklist must be non-empty")
+        kwargs.setdefault("update", mode == "annotate")
+        super().__init__(**kwargs)
+        self.blocklist = sorted({w.lower() for w in blocklist})
+        self.text_col = text_col
+        self.mode = mode
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        bad = F.array(*[F.lit(w) for w in self.blocklist])
+        hits = F.array_sort(
+            F.array_intersect(
+                F.array_distinct(tokens_expr(F.col(self.text_col))), bad
+            )
+        )
+        out = df.withColumn("bad_terms", hits).withColumn(
+            "keep", F.size("bad_terms") == 0
+        )
+        if self.mode == "filter":
+            return out.filter(F.col("keep")).drop("bad_terms", "keep")
+        return out
+
+
+def bad_words_sql(
+    table_sql: str,
+    blocklist,
+    text: str = "text",
+    columns: str = "doc_id, source",
+) -> str:
+    """DuckDB oracle for :class:`BadWordsFilter` (annotate mode):
+    identical tokenization, identical sorted-distinct intersection."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    lits = ", ".join(f"'{w}'" for w in sorted({w.lower() for w in blocklist}))
+    return f"""
+SELECT {columns},
+       list_sort(list_distinct(list_intersect({tokens_sql(text)}, [{lits}]))) AS bad_terms,
+       len(list_distinct(list_intersect({tokens_sql(text)}, [{lits}]))) = 0 AS keep
+FROM ({table_sql}) t
+"""
