@@ -397,3 +397,29 @@ def test_best_fit_pack_properties(spark):
     total = sum(n for _, _, n in rows if n <= 512)
     n_regular = len([p for p, s in fills.items() if not (len(s) == 1 and s[0][1] > 512)])
     assert n_regular <= math.ceil(total / 512) + 3  # BFD stays near optimum
+
+
+def test_best_fit_pack_sub_shards_scales_parallelism(spark):
+    """sub_shards=K salts each shard into K deterministic md5 groups:
+    packing stays valid per group, pack ids stay unique per shard (range
+    offset s << 32), and membership is stable across runs."""
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    rows = [(i, "s", 30 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out1 = BestFitPack(capacity=512, sub_shards=4)(df).collect()
+    out2 = BestFitPack(capacity=512, sub_shards=4)(df).collect()
+    key = lambda rs: sorted((r["id"], r["pack_id"], r["pack_offset"]) for r in rs)
+    assert key(out1) == key(out2)  # deterministic
+    subs = {r["pack_id"] >> 32 for r in out1}
+    assert len(subs) > 1  # really split across sub-shards
+    fills = {}
+    for r in out1:
+        fills.setdefault(r["pack_id"], []).append((r["pack_offset"], r["n_tokens"]))
+    for pid, spans in fills.items():
+        spans.sort()
+        end = 0
+        for off, n in spans:
+            assert off == end
+            end = off + n
+        assert end <= 512

@@ -123,8 +123,15 @@ class BestFitPack(Pipe):
     Scale shape: packing is SHARD-LOCAL (``shard_col``), the standard
     distributed bin-packing relaxation — each shard's docs sort and pack
     inside one ``applyInPandas`` group, so parallelism = shards and no
-    global sequential pass exists. Output: ``(shard, id, n_tokens,
-    pack_id, pack_offset)`` with pack ids local to the shard."""
+    global sequential pass exists. When shards are few or huge (20
+    sources over 100 TB would mean 20 groups holding 5 TB each),
+    ``sub_shards=K`` salts each shard into K deterministic md5 sub-shards
+    — parallelism becomes shards x K, per-group memory drops by K, and
+    the padding-waste bound degrades only by the per-group boundary
+    effect (BFD's guarantee holds within every group). Output: ``(shard,
+    id, n_tokens, pack_id, pack_offset)`` with pack ids local to the
+    (sub-)shard; sub-shard s owns the pack-id range [s * 2^32, ...) so
+    ids stay unique per ``shard_col`` value."""
 
     def __init__(
         self,
@@ -132,15 +139,19 @@ class BestFitPack(Pipe):
         token_col: str = "n_tokens",
         shard_col: str = "source",
         id_col: str = "doc_id",
+        sub_shards: int = 1,
         **kwargs,
     ):
         if capacity <= 0:
             raise ValueError(f"capacity must be positive, got {capacity}")
+        if sub_shards < 1:
+            raise ValueError(f"sub_shards must be >= 1, got {sub_shards}")
         super().__init__(**kwargs)
         self.capacity = capacity
         self.token_col = token_col
         self.shard_col = shard_col
         self.id_col = id_col
+        self.sub_shards = sub_shards
 
     @staticmethod
     def bfd(sizes, capacity: int):
@@ -166,8 +177,16 @@ class BestFitPack(Pipe):
         import pandas as pd
 
         cap = self.capacity
+        K = self.sub_shards
+        sub = (
+            F.conv(F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % K
+            if K > 1
+            else F.lit(0)
+        )
         sized = df.select(
             F.col(self.shard_col).alias("shard"),
+            sub.cast("int").alias("sub"),
             F.col(self.id_col).alias("id"),
             F.col(self.token_col).cast("long").alias("n_tokens"),
         )
@@ -178,13 +197,21 @@ class BestFitPack(Pipe):
                 ["n_tokens", "id"], ascending=[False, True]
             ).reset_index(drop=True)
             placed = bfd(pdf["n_tokens"].tolist(), cap)
-            pdf["pack_id"] = [p for p, _ in placed]
+            base = int(pdf["sub"].iloc[0]) << 32 if len(pdf) else 0
+            pdf["pack_id"] = [base + p for p, _ in placed]
             pdf["pack_offset"] = [o for _, o in placed]
             return pdf
 
-        return sized.groupBy("shard").applyInPandas(
-            pack_group,
-            schema="shard string, id long, n_tokens long, pack_id int, pack_offset long",
+        return (
+            sized.groupBy("shard", "sub")
+            .applyInPandas(
+                pack_group,
+                schema=(
+                    "shard string, sub int, id long, n_tokens long, "
+                    "pack_id long, pack_offset long"
+                ),
+            )
+            .drop("sub")
         )
 
 
@@ -214,7 +241,7 @@ ordered AS (
 shards AS (SELECT DISTINCT shard FROM ordered),
 pack(shard, rn, fills, id, n, pack_id, pack_offset) AS (
   SELECT shard, 0, []::BIGINT[], NULL::BIGINT, NULL::BIGINT,
-         NULL::INTEGER, NULL::BIGINT
+         NULL::BIGINT, NULL::BIGINT
   FROM shards
   UNION ALL
   SELECT o.shard, o.rn,
@@ -224,8 +251,8 @@ pack(shard, rn, fills, id, n, pack_id, pack_offset) AS (
                           THEN x + o.n ELSE x END)
          END,
          o.id, o.n,
-         CASE WHEN best.f IS NULL THEN CAST(len(p.fills) AS INTEGER)
-              ELSE CAST(list_position(p.fills, best.f) - 1 AS INTEGER)
+         CASE WHEN best.f IS NULL THEN CAST(len(p.fills) AS BIGINT)
+              ELSE CAST(list_position(p.fills, best.f) - 1 AS BIGINT)
          END,
          COALESCE(best.f, 0)
   FROM pack p
