@@ -417,3 +417,30 @@ def test_plans_md_in_sync_with_catalog():
     # and every catalog query has a row
     missing = [n for n in QUERIES if f"| {n} |" not in text]
     assert not missing, f"PLANS.md missing rows for: {missing}"
+
+
+def test_round4_operators_plan_shapes(spark, sf_dir):
+    """Scale-relevant plan facts for the round-4 operator family:
+    maximal-span dedup uses aggregations not windows; the blocklist is
+    scan-level (ZERO exchanges); UniMax/BFD shuffle exactly once; DSIR's
+    only window is the bounded B-sized model table and its shared scan is
+    persisted (InMemory reuse), with no nested-loop joins anywhere."""
+    from warp_pipes_spark.queries import QUERIES
+
+    plans = {
+        name: QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution()
+        .executedPlan().toString()
+        for name in (
+            "q151_maximal_spans", "q153_dsir_select", "q154_unimax",
+            "q155_bfd_pack", "q156_badwords",
+        )
+    }
+    assert plans["q151_maximal_spans"].count("Window") == 0
+    assert plans["q156_badwords"].count("Exchange") == 0
+    assert plans["q154_unimax"].count("Exchange") == 1
+    assert plans["q155_bfd_pack"].count("Exchange") == 1
+    assert plans["q153_dsir_select"].count("Window") == 1  # B-sized only
+    assert "InMemory" in plans["q153_dsir_select"]  # shared materialization
+    for name, plan in plans.items():
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
