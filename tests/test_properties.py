@@ -336,3 +336,80 @@ def test_wordpiece_reassembly_and_offsets(spark, words, vocab_words):
         else:
             rebuilt[-1] += piece
     assert rebuilt == words
+
+
+@settings(**SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+    cap=st.integers(min_value=64, max_value=512),
+)
+def test_best_fit_pack_random_vs_python_loop(spark, sizes, cap):
+    """BFD packing on random sizes: the distributed result equals the
+    shared Python loop run over the same deterministic order, and every
+    multi-doc pack respects capacity with gap-free offsets."""
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    rows = [(i, "s", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["id"]: (r["pack_id"], r["pack_offset"])
+        for r in BestFitPack(capacity=cap)(df).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    placed = BestFitPack.bfd([n for _, _, n in order], cap)
+    want = {i: po for (i, _, _), po in zip(order, placed)}
+    assert got == want
+    fills = defaultdict(list)
+    for i, (p, off) in got.items():
+        fills[p].append((off, dict((r[0], r[2]) for r in rows)[i]))
+    for spans in fills.values():
+        spans.sort()
+        end = 0
+        for off, n in spans:
+            assert off == end
+            end = off + n
+        if len(spans) > 1:
+            assert end <= cap
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_maximal_spans_equal_python_gram_coverage(spark, docs, n):
+    """ExactSubstr semantics on random corpora: the maximal spans equal
+    the islands of positions covered by n-grams with total corpus count
+    >= 2, computed by an independent pure-Python replica."""
+    from warp_pipes_spark.text.dedup import MaximalSpanDedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in MaximalSpanDedup(min_len=n)(df).collect()}
+
+    # independent replica: gram counts -> coverage -> islands
+    toks = {i: [w for w in t.split() if w] for i, t in rows}
+    counts = defaultdict(int)
+    for i, ws in toks.items():
+        for s in range(len(ws) - n + 1):
+            counts[tuple(ws[s:s + n])] += 1
+    for i, ws in toks.items():
+        cov = set()
+        for s in range(len(ws) - n + 1):
+            if counts[tuple(ws[s:s + n])] >= 2:
+                cov.update(range(s + 1, s + n + 1))  # 1-based inclusive
+        spans = []
+        for p in sorted(cov):
+            if spans and spans[-1][1] == p - 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        assert out[i]["span_starts"] == [a for a, _ in spans]
+        assert out[i]["span_ends"] == [b for _, b in spans]
+        assert out[i]["n_removed"] == len(cov)
+        kept = [w for j, w in enumerate(ws, start=1) if j not in cov]
+        assert out[i]["clean_text"] == " ".join(kept)
