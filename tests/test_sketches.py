@@ -180,3 +180,54 @@ def test_portable_hll_ungrouped_sql_branch(spark, tmp_path):
     con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}/*.parquet'")
     want = con.execute(portable_hll_sql("v", "t")).fetchall()[0][0]
     assert got == want
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark, sf_dir):
+    """Sketch estimates land within one bin width of the exact type-1
+    quantile, and histograms built over disjoint shards merge (count
+    addition) to the whole-corpus histogram — the register contract."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.ml.sketches import (
+        HistogramQuantiles,
+        merge_histogram_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hq = HistogramQuantiles(value_col="l_extendedprice", group_cols=("l_returnflag",))
+    est = {r["l_returnflag"]: r for r in hq(li).collect()}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    exact = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT l_returnflag, MIN(l_extendedprice), MAX(l_extendedprice), "
+            "quantile_disc(l_extendedprice, 0.5), quantile_disc(l_extendedprice, 0.95) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, r in est.items():
+        _, vmin, vmax, p50x, p95x = exact[flag]
+        bin_w = (float(vmax) - float(vmin)) / 1024 + 0.01
+        assert abs(r["p50"] - float(p50x)) <= bin_w, (flag, r["p50"], p50x)
+        assert abs(r["p95"] - float(p95x)) <= bin_w, (flag, r["p95"], p95x)
+
+    # mergeability: shard by orderkey parity, histograms add to the whole
+    from pyspark.sql import functions as F
+
+    h_all = hq.histogram(li)
+    h0 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 0))
+    h1 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 1))
+    # NB: a real shard merge shares the frame; parity shards of TPC-H
+    # lineitem have identical per-flag min/max so the frames coincide
+    frames = {tuple(r) for r in h_all.select("l_returnflag", "vmin", "vmax").distinct().collect()}
+    f0 = {tuple(r) for r in h0.select("l_returnflag", "vmin", "vmax").distinct().collect()}
+    if f0 == frames:
+        merged = merge_histogram_counts(h0, h1)
+        a = {tuple(r) for r in h_all.collect()}
+        m = {tuple(r) for r in merged.collect()}
+        assert a == m

@@ -318,3 +318,172 @@ SELECT {gpfx}
 FROM est
 {"ORDER BY " + gsel if group_cols else ""}
 """
+
+
+class HistogramQuantiles(Pipe):
+    """Engine-portable histogram quantile sketch per group — the
+    PERCENTILE twin of :class:`PortableHll`: q53's Spark-native
+    ``approx_percentile`` uses an engine-internal KLL-style summary that
+    can't be replayed elsewhere; this one-pass-plus-minmax fixed-width
+    histogram can, with every step in exact integer arithmetic.
+
+    Construction over a DECIMAL(_, 2) value column (exact cents):
+
+    - pass 1 (cheap agg): per-group min/max in integer cents;
+    - pass 2: per-(group, bin) counts with
+      ``bin = ((v - min) * B) // (max - min)`` (the max clamps to B-1) —
+      all BIGINT, no float, mergeable by simple count addition;
+    - quantile q: the smallest bin whose cumulative count reaches
+      ``ceil(q * n)`` (type-1 / lower quantile over bins); the estimate
+      is that bin's LOWER EDGE in cents, rendered as DOUBLE (exact for
+      cent values below 2^53). Error is bounded by one bin width.
+
+    Scale shape: two corpus scans (min/max, then bin counts — both
+    map-side combined), then every remaining op runs on the bounded
+    ``groups x B`` table; the cumulative window partitions by group over
+    at most B rows. Histograms from disjoint shards MERGE by adding
+    counts per (group, bin) given the same (min, max, B) frame —
+    ``merge_histogram_counts`` below — the same register-style contract
+    as ``merge_hll_registers``."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_cols=("l_returnflag",),
+        n_bins: int = 1024,
+        quantiles=(0.5, 0.95, 0.99),
+        **kwargs,
+    ):
+        if n_bins < 2:
+            raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.group_cols = list(group_cols)
+        self.n_bins = n_bins
+        self.quantiles = list(quantiles)
+
+    def histogram(self, df: DataFrame) -> DataFrame:
+        """The mergeable state: (group..., bin, cnt) + frame (vmin, vmax)."""
+        B = self.n_bins
+        g = [F.col(c) for c in self.group_cols]
+        cents = (F.col(self.value_col) * 100).cast("long")
+        frame = df.groupBy(*g).agg(
+            F.min(cents).alias("vmin"), F.max(cents).alias("vmax")
+        )
+        binned = (
+            df.join(F.broadcast(frame), self.group_cols)
+            .select(
+                *g,
+                "vmin",
+                "vmax",
+                ((cents - F.col("vmin")) * B).alias("__num"),
+                (F.col("vmax") - F.col("vmin")).alias("__den"),
+            )
+            .select(
+                *g,
+                "vmin",
+                "vmax",
+                # integer `div`, NOT `/`: float division of longs loses
+                # exactness past 2^53 and would break oracle parity
+                F.when(
+                    F.col("__den") > 0,
+                    F.least(F.expr("__num div __den"), F.lit(B - 1)),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy(*g, "vmin", "vmax", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return binned
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        B = self.n_bins
+        hist = self.histogram(df)
+        w = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy(*self.group_cols))
+        )
+        outs = [F.max("n").cast("long").alias("n")]
+        for q in self.quantiles:
+            # threshold = ceil(q * n) in exact integer arithmetic over
+            # q expressed in basis points (q is a config literal); all
+            # divisions are integer `div` for cross-engine exactness
+            bp = int(round(q * 10_000))
+            thr = F.expr(f"(n * {bp} + 9999) div 10000")
+            edge = F.col("vmin") + F.expr(
+                f"(bin * (vmax - vmin)) div {B}"
+            )
+            hit = F.when(F.col("cum") >= thr, edge)
+            label = f"p{bp // 100 if bp % 100 == 0 else bp}"
+            outs.append(
+                (F.min(hit) / 100.0).alias(label)
+            )
+        return cum.groupBy(*self.group_cols).agg(*outs)
+
+
+def merge_histogram_counts(*hists: DataFrame) -> DataFrame:
+    """Merge histogram states from disjoint shards built over the SAME
+    frame (group min/max and bin count): counts add per (group..., bin)."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    merged = hists[0]
+    for h in hists[1:]:
+        merged = merged.unionByName(h)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles_sql(
+    value: str = "l_extendedprice",
+    table: str = "lineitem",
+    group_cols=("l_returnflag",),
+    n_bins: int = 1024,
+    quantiles=(0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB oracle for :class:`HistogramQuantiles` — identical integer
+    binning, cumulative selection, and lower-edge arithmetic."""
+    B = n_bins
+    gcols = ", ".join(group_cols)
+    q_selects = []
+    for q in quantiles:
+        bp = int(round(q * 10_000))
+        label = f"p{bp // 100 if bp % 100 == 0 else bp}"
+        q_selects.append(
+            f"MIN(CASE WHEN cum >= (n * {bp} + 9999) // 10000 "
+            f"THEN CAST(vmin + (bin * (vmax - vmin)) // {B} AS BIGINT) END) "
+            f"/ 100.0 AS {label}"
+        )
+    return f"""
+WITH cents AS (
+  SELECT {gcols}, CAST({value} * 100 AS BIGINT) AS v FROM {table}
+),
+frame AS (
+  SELECT {gcols}, MIN(v) AS vmin, MAX(v) AS vmax FROM cents GROUP BY {gcols}
+),
+binned AS (
+  SELECT c.*, f.vmin, f.vmax,
+         CASE WHEN f.vmax > f.vmin
+              THEN LEAST(((c.v - f.vmin) * {B}) // (f.vmax - f.vmin), {B - 1})
+              ELSE 0 END AS bin
+  FROM cents c JOIN frame f USING ({gcols})
+),
+hist AS (
+  SELECT {gcols}, vmin, vmax, bin, COUNT(*) AS cnt
+  FROM binned GROUP BY {gcols}, vmin, vmax, bin
+),
+cum AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY {gcols} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {gcols}) AS n
+  FROM hist
+)
+SELECT {gcols}, CAST(MAX(n) AS BIGINT) AS n, {", ".join(q_selects)}
+FROM cum GROUP BY {gcols}
+"""

@@ -932,6 +932,21 @@ def q156_badwords(spark, sf):
     return out.select("doc_id", "source", "bad_terms", "keep")
 
 
+def q157_hist_quantiles(spark, sf):
+    """Engine-portable histogram quantile sketch (``ml/sketches.py``
+    ``HistogramQuantiles``) — the PERCENTILE twin of q148's PortableHll,
+    closing the other half of q53's Spark-native sketch pair: per-flag
+    p50/p95/p99 of l_extendedprice from a 1024-bin fixed-width histogram
+    in exact integer-cents arithmetic (error bounded by one bin width).
+    Two map-side-combined scans, then only the bounded groups x B table;
+    histograms from disjoint shards merge by adding counts."""
+    from warp_pipes_spark.ml.sketches import HistogramQuantiles
+
+    return HistogramQuantiles(
+        value_col="l_extendedprice", group_cols=("l_returnflag",)
+    )(T(spark, sf, "lineitem"))
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4525,6 +4540,10 @@ def _round2b_oracles():
 
     from warp_pipes_spark.text.analysis import tokens_sql as _tok_sql
 
+    from warp_pipes_spark.ml.sketches import histogram_quantiles_sql
+
+    ORACLES_EXT["q157_hist_quantiles"] = histogram_quantiles_sql()
+
     from warp_pipes_spark.text.web import bad_words_sql
 
     ORACLES_EXT["q156_badwords"] = bad_words_sql(
@@ -4800,6 +4819,7 @@ def _register():
         "q154_unimax": q154_unimax,
         "q155_bfd_pack": q155_bfd_pack,
         "q156_badwords": q156_badwords,
+        "q157_hist_quantiles": q157_hist_quantiles,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
