@@ -89,3 +89,54 @@ def test_no_decimal_output_columns(spark, sf_dir, name):
     schema = QUERIES[name].fn(spark, sf_dir).schema
     bad = [f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)]
     assert not bad, f"{name}: DECIMAL output columns {bad} (cast to double)"
+
+
+def test_tokenization_parity_on_non_ascii(spark, tmp_path):
+    """The tokenization contract (ASCII-only translate lowering) is
+    bit-identical across Spark, DuckDB and the Python kernels even on
+    non-ASCII input — the class of text where full Unicode lower()
+    diverges between engines ('İ' expands in Python, simple-folds in
+    utf8proc, and is locale-fraught on the JVM)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.text.analysis import (
+        ascii_lower_py,
+        tokens_expr,
+        tokens_sql,
+    )
+
+    texts = [
+        (0, "İstanbul VISIT"),
+        (1, "naïve CAFÉ café"),
+        (2, "ΣΙΓΜΑ mixedCASE müller"),
+        (3, "KELVINK sign"),      # U+212A lowers to ascii 'k' in full lower()
+        (4, "plain ASCII Words"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    path = str(tmp_path / "nonascii.parquet")
+    df.write.parquet(path)
+
+    spark_toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tokens_expr(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    duck_toks = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {tokens_sql('text')} FROM '{path}/*.parquet'"
+        ).fetchall()
+    }
+    import re
+
+    py_toks = {
+        i: [x for x in re.split("[^a-z]+", ascii_lower_py(t)) if x]
+        for i, t in texts
+    }
+    assert spark_toks == duck_toks == py_toks
+    # and the contract is explicit: non-ASCII letters are separators, so
+    # the Kelvin sign does NOT smuggle a 'k' into the token stream
+    assert spark_toks[3] == ["kelvin", "sign"]
+    assert spark_toks[0] == ["stanbul", "visit"]

@@ -423,3 +423,20 @@ def test_best_fit_pack_sub_shards_scales_parallelism(spark):
             assert off == end
             end = off + n
         assert end <= 512
+
+
+def test_best_fit_pack_string_ids_and_int_shards(spark):
+    """Configurable id/shard columns keep their input types in the output
+    (string ids, integer shards) — the schema is derived, not hardcoded."""
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    df = spark.createDataFrame(
+        [("u1", 7, 100), ("u2", 7, 100), ("u3", 8, 400)],
+        "url string, bucket int, n_tokens long",
+    )
+    out = BestFitPack(capacity=512, id_col="url", shard_col="bucket")(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert dict(out.dtypes)["id"] == "string"
+    assert dict(out.dtypes)["shard"] == "int"
+    assert rows["u1"]["pack_id"] == rows["u2"]["pack_id"]  # co-packed

@@ -216,18 +216,23 @@ def test_histogram_quantiles_accuracy_and_merge(spark, sf_dir):
         assert abs(r["p50"] - float(p50x)) <= bin_w, (flag, r["p50"], p50x)
         assert abs(r["p95"] - float(p95x)) <= bin_w, (flag, r["p95"], p95x)
 
-    # mergeability: shard by orderkey parity, histograms add to the whole
+    # mergeability: shard by orderkey parity, build BOTH shard histograms
+    # over the whole-corpus frame (the real shard-merge contract), and
+    # verify the merged counts equal the whole-corpus histogram
     from pyspark.sql import functions as F
 
-    h_all = hq.histogram(li)
-    h0 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 0))
-    h1 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 1))
-    # NB: a real shard merge shares the frame; parity shards of TPC-H
-    # lineitem have identical per-flag min/max so the frames coincide
-    frames = {tuple(r) for r in h_all.select("l_returnflag", "vmin", "vmax").distinct().collect()}
-    f0 = {tuple(r) for r in h0.select("l_returnflag", "vmin", "vmax").distinct().collect()}
-    if f0 == frames:
-        merged = merge_histogram_counts(h0, h1)
-        a = {tuple(r) for r in h_all.collect()}
-        m = {tuple(r) for r in merged.collect()}
-        assert a == m
+    frame = hq.frame_of(li)
+    h_all = hq.histogram(li, frame=frame)
+    h0 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 0), frame=frame)
+    h1 = hq.histogram(li.filter(F.col("l_orderkey") % 2 == 1), frame=frame)
+    merged = merge_histogram_counts(h0, h1)
+    a = {tuple(r) for r in h_all.collect()}
+    m = {tuple(r) for r in merged.collect()}
+    assert a == m
+
+    # mismatched frames must be a LOUD error, not a silent corrupt merge
+    import pytest
+
+    h_own = hq.histogram(li.filter(F.col("l_orderkey") % 7 == 3))  # own frame
+    with pytest.raises(ValueError, match="frames disagree"):
+        merge_histogram_counts(h0, h_own)

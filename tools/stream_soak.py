@@ -71,7 +71,8 @@ def run_soak(spark, seconds: int = 60, rate: int = 20000) -> dict:
     # sample per-trigger progress; recentProgress keeps a bounded tail, so
     # poll and merge by batchId to cover the full run
     progress_by_batch: dict = {}
-    deadline = time.time() + seconds
+    t_start = time.time()
+    deadline = t_start + seconds
     try:
         while time.time() < deadline:
             time.sleep(1.0)
@@ -80,11 +81,12 @@ def run_soak(spark, seconds: int = 60, rate: int = 20000) -> dict:
     finally:
         query.stop()
         query.awaitTermination(30)
+    dur = round(time.time() - t_start, 1)  # measured, incl. drain
 
+    # every sampled batch counts toward throughput (batch 0 included —
+    # it carries real input rows even before a watermark exists)
     batches = [progress_by_batch[b] for b in sorted(progress_by_batch)]
-    # drop batch 0 (starts before any watermark exists)
     total_rows = sum(int(p.get("numInputRows", 0)) for p in batches)
-    dur = seconds
     # state rows per operator per batch
     op_series: dict = {}
     for p in batches:

@@ -362,14 +362,28 @@ class HistogramQuantiles(Pipe):
         self.n_bins = n_bins
         self.quantiles = list(quantiles)
 
-    def histogram(self, df: DataFrame) -> DataFrame:
-        """The mergeable state: (group..., bin, cnt) + frame (vmin, vmax)."""
+    def frame_of(self, df: DataFrame) -> DataFrame:
+        """The sketch frame: per-group (vmin, vmax) in integer cents.
+        Shard histograms are only mergeable when built over the SAME
+        frame — compute it once over the whole corpus (a cheap min/max
+        agg) and pass it to every shard's ``histogram`` call."""
+        g = [F.col(c) for c in self.group_cols]
+        cents = (F.col(self.value_col) * 100).cast("long")
+        return df.groupBy(*g).agg(
+            F.min(cents).alias("vmin"), F.max(cents).alias("vmax")
+        )
+
+    def histogram(self, df: DataFrame, frame: DataFrame = None) -> DataFrame:
+        """The mergeable state: (group..., bin, cnt) + frame (vmin, vmax).
+        Pass a shared ``frame`` (from :meth:`frame_of` over the WHOLE
+        corpus) when building per-shard histograms for a later merge —
+        a shard's own min/max generally differs, and histograms over
+        different frames are incommensurable."""
         B = self.n_bins
         g = [F.col(c) for c in self.group_cols]
         cents = (F.col(self.value_col) * 100).cast("long")
-        frame = df.groupBy(*g).agg(
-            F.min(cents).alias("vmin"), F.max(cents).alias("vmax")
-        )
+        if frame is None:
+            frame = self.frame_of(df)
         binned = (
             df.join(F.broadcast(frame), self.group_cols)
             .select(
@@ -431,12 +445,34 @@ class HistogramQuantiles(Pipe):
 
 def merge_histogram_counts(*hists: DataFrame) -> DataFrame:
     """Merge histogram states from disjoint shards built over the SAME
-    frame (group min/max and bin count): counts add per (group..., bin)."""
+    frame (group min/max and bin count): counts add per (group..., bin).
+
+    Frames are VERIFIED, not assumed: shards whose (vmin, vmax) disagree
+    for any group would silently mix incommensurable bin scales — that is
+    a loud error here (build shard histograms with a shared
+    ``HistogramQuantiles.frame_of`` frame)."""
     if not hists:
         raise ValueError("need at least one histogram")
     merged = hists[0]
     for h in hists[1:]:
         merged = merged.unionByName(h)
+    group_keys = [
+        c for c in merged.columns if c not in ("cnt", "bin", "vmin", "vmax")
+    ]
+    bad = (
+        merged.groupBy(*group_keys)
+        .agg(F.countDistinct("vmin", "vmax").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "histogram frames disagree across shards for groups "
+            f"{[tuple(r)[:-1] for r in bad]} — build each shard's histogram "
+            "over a shared frame (HistogramQuantiles.frame_of on the whole "
+            "corpus) before merging"
+        )
     keys = [c for c in merged.columns if c != "cnt"]
     return merged.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 

@@ -129,6 +129,13 @@ class CacheManager:
             t = InheritableThread(target=_publish, daemon=True)
             t.start()
         except Exception:
+            # sync fallback: _publish never runs, so release the persist
+            # here — otherwise every fallback call leaks a cached plan
+            if we_persisted:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
             return self.store(df, fingerprint, meta)
         return df
 
@@ -143,47 +150,61 @@ class CacheManager:
             return self.load(spark, fingerprint)
         return self.store(compute(), fingerprint, meta)
 
-    def vacuum(self, max_age_seconds: float) -> list:
-        """Delete published entries whose ``written_at`` is older than
-        ``max_age_seconds`` (content-addressed caches never go stale, but
-        superseded fingerprints — old corpus snapshots, retired configs —
-        accumulate forever without retention). Also sweeps orphaned
-        staging dirs from crashed writers. Returns the deleted entry
-        names."""
+    # staging dirs younger than this may belong to a LIVE writer (it
+    # publishes via a single rename only once the write completes); both
+    # retention paths leave them alone and reclaim older leftovers
+    STAGING_GRACE_SECONDS = 900.0
+
+    def _scan_entries(self, staging_horizon: float):
+        """Shared retention walk: sweeps abandoned staging dirs older
+        than ``staging_horizon`` and yields (written_at, name, path) for
+        every published entry. Returns (entries, swept_names)."""
         import shutil
 
         now = time.time()
-        deleted = []
+        entries, swept = [], []
         for name in sorted(os.listdir(self.cache_dir)):
             path = os.path.join(self.cache_dir, name)
             if not os.path.isdir(path):
                 continue
             if ".staging-" in name:
-                # a concurrent writer publishes with one rename; any staging
-                # dir older than the horizon is a crashed writer's leftovers
-                if now - os.path.getmtime(path) > max_age_seconds:
+                if now - os.path.getmtime(path) > staging_horizon:
                     shutil.rmtree(path, ignore_errors=True)
-                    deleted.append(name)
+                    swept.append(name)
                 continue
-            meta_path = os.path.join(path, "_wps_meta.json")
             try:
-                with open(meta_path) as f:
+                with open(os.path.join(path, "_wps_meta.json")) as f:
                     written = json.load(f).get("written_at", 0)
             except (OSError, ValueError):
                 written = os.path.getmtime(path)
+            entries.append((written, name, path))
+        return entries, swept
+
+    def vacuum(self, max_age_seconds: float) -> list:
+        """Delete published entries whose ``written_at`` is older than
+        ``max_age_seconds`` (content-addressed caches never go stale, but
+        superseded fingerprints — old corpus snapshots, retired configs —
+        accumulate forever without retention). Also sweeps orphaned
+        staging dirs from crashed writers (same age horizon). Returns the
+        deleted entry names."""
+        import shutil
+
+        now = time.time()
+        entries, deleted = self._scan_entries(staging_horizon=max_age_seconds)
+        for written, name, path in entries:
             if now - written > max_age_seconds:
                 shutil.rmtree(path, ignore_errors=True)
                 deleted.append(name)
-        return deleted
+        return sorted(deleted)
 
     def vacuum_bytes(self, max_total_bytes: int) -> list:
         """Size-based retention: delete the OLDEST published entries
         (by ``written_at``) until the cache's total on-disk size fits
         within ``max_total_bytes``. Complements the age-based ``vacuum``
         for deployments whose artifact cache lives on a bounded volume:
-        age alone can't stop a hot cache from filling the disk. Orphaned
-        staging dirs are always reclaimable and are swept first. Returns
-        the deleted entry names, oldest first."""
+        age alone can't stop a hot cache from filling the disk. Abandoned
+        staging dirs (past ``STAGING_GRACE_SECONDS``) are swept first.
+        Returns the deleted entry names, oldest first."""
         import shutil
 
         def _dir_bytes(path: str) -> int:
@@ -196,31 +217,12 @@ class CacheManager:
                         pass
             return total
 
-        deleted = []
-        entries = []  # (written_at, name, path, bytes)
-        total = 0
-        for name in sorted(os.listdir(self.cache_dir)):
-            path = os.path.join(self.cache_dir, name)
-            if not os.path.isdir(path):
-                continue
-            if ".staging-" in name:
-                # crashed writers' leftovers: reclaim aggressively under
-                # size pressure, but leave recent staging dirs alone — a
-                # LIVE writer may still be filling one (it publishes via a
-                # single rename only once the write completes)
-                if time.time() - os.path.getmtime(path) > 900:
-                    shutil.rmtree(path, ignore_errors=True)
-                    deleted.append(name)
-                continue
-            size = _dir_bytes(path)
-            try:
-                with open(os.path.join(path, "_wps_meta.json")) as f:
-                    written = json.load(f).get("written_at", 0)
-            except (OSError, ValueError):
-                written = os.path.getmtime(path)
-            entries.append((written, name, path, size))
-            total += size
-        for written, name, path, size in sorted(entries):
+        entries, deleted = self._scan_entries(
+            staging_horizon=self.STAGING_GRACE_SECONDS
+        )
+        sized = [(w, name, path, _dir_bytes(path)) for w, name, path in entries]
+        total = sum(size for _, _, _, size in sized)
+        for written, name, path, size in sorted(sized):
             if total <= max_total_bytes:
                 break
             shutil.rmtree(path, ignore_errors=True)

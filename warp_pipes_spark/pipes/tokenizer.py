@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
-from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
+from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE, ascii_lower_expr, ascii_lower_py
 
 
 class RegexTokenizer(Pipe):
@@ -66,7 +66,7 @@ class RegexTokenizer(Pipe):
         def offsets(texts):
             out = []
             for t in texts:
-                s = t.lower() if lowercase else t
+                s = ascii_lower_py(t) if lowercase else t
                 spans = []
                 pos = 0
                 for m in pattern.finditer(s):
@@ -84,7 +84,7 @@ class RegexTokenizer(Pipe):
     def _columns(self, df: DataFrame, **kwargs):
         text = F.col(self.text_col)
         if self.lowercase:
-            text = F.lower(text)
+            text = ascii_lower_expr(text)
         toks = F.filter(F.split(text, self.pattern), lambda t: F.length(t) > 0)
         cols = {
             f"{self.prefix}tokens": toks,
@@ -270,7 +270,7 @@ class WordPieceTokenizer(Pipe):
             StructType,
         )
 
-        from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE
+        from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE, ascii_lower_expr, ascii_lower_py
 
         prefix = self.prefix
         extra = [
@@ -323,16 +323,11 @@ class WordPieceTokenizer(Pipe):
                 pos = hit[1]
             return pieces, offs
 
-        def lower_preserving(s):
-            """Length-preserving lowercase: offsets are computed over the
-            lowered string but reported against the ORIGINAL text, so the
-            mapping must be 1:1 per codepoint. str.lower() is not (e.g.
-            'İ' lowers to 'i' + combining dot, 2 codepoints); keep any
-            character whose lowercase expands unchanged instead."""
-            low = s.lower()
-            if len(low) == len(s):  # common case: lowering was 1:1
-                return low
-            return "".join(lc if len(lc := c.lower()) == 1 else c for c in s)
+        # ASCII-only lowering (the engine-wide tokenization contract,
+        # text/analysis.py): length-preserving by construction — offsets
+        # computed on the lowered string index the ORIGINAL text 1:1 —
+        # and bit-identical to the SQL oracle's translate()
+        lower_preserving = ascii_lower_py
 
         def tokenize(batches):
             cache: dict = {}

@@ -3509,10 +3509,15 @@ def q146_wordpiece(spark, sf):
     return out.select("doc_id", "tokens", F.size("tokens").alias("n_pieces"))
 
 
-def _wordpiece_oracle_sql() -> str:
-    vocab_sql = ", ".join(f"'{p}'" for p in WORDPIECE_VOCAB if p not in ("[PAD]", "[CLS]", "[SEP]"))
-    # the scalar best-match subquery is repeated (DuckDB's recursive term
-    # cannot LATERAL-reuse it); vocab is ~90 rows so each probe is trivial
+
+def _wordpiece_enc_cte(keys: str) -> str:
+    """The recursive greedy longest-prefix matcher CTE, shared by every
+    WordPiece oracle (q146 keys on (doc_id, widx); q150 adds seg). One
+    definition so the [UNK]/'##' edge semantics can never drift between
+    the oracles. Expects a ``vocab(piece)`` CTE and a ``words`` CTE with
+    columns ``({keys}, word)`` in scope; the scalar best-match subquery
+    is repeated because DuckDB's recursive term cannot LATERAL-reuse it
+    (vocab is ~90 rows, each probe trivial)."""
     best = """(
       SELECT v.piece FROM vocab v
       WHERE CASE WHEN e.pos = 0
@@ -3522,22 +3527,11 @@ def _wordpiece_oracle_sql() -> str:
                       AND substr(e.word, e.pos + 1, length(v.piece) - 2) = substr(v.piece, 3)
             END
       ORDER BY length(v.piece) DESC LIMIT 1)"""
-    return f"""
-WITH RECURSIVE vocab(piece) AS (SELECT unnest([{vocab_sql}])),
-docs AS (SELECT doc_id, lower(text) AS t FROM documents),
-wlists AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(t, '[^a-z]+'), x -> length(x) > 0) AS ws
-  FROM docs
-),
-words AS (
-  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx
-  FROM wlists
-),
-enc(doc_id, widx, word, pos, pieces) AS (
-  SELECT doc_id, widx, word, 0, []::VARCHAR[] FROM words
+    ekeys = ", ".join(f"e.{k.strip()}" for k in keys.split(","))
+    return f"""enc({keys}, word, pos, pieces) AS (
+  SELECT {keys}, word, 0, []::VARCHAR[] FROM words
   UNION ALL
-  SELECT e.doc_id, e.widx, e.word,
+  SELECT {ekeys}, e.word,
          CASE WHEN {best} IS NULL THEN length(e.word)
               ELSE e.pos + length({best})
                    - CASE WHEN e.pos = 0 THEN 0 ELSE 2 END
@@ -3547,7 +3541,24 @@ enc(doc_id, widx, word, pos, pieces) AS (
          END AS pieces
   FROM enc e
   WHERE e.pos < length(e.word)
+)"""
+
+
+def _wordpiece_oracle_sql() -> str:
+    vocab_sql = ", ".join(f"'{p}'" for p in WORDPIECE_VOCAB if p not in ("[PAD]", "[CLS]", "[SEP]"))
+    return f"""
+WITH RECURSIVE vocab(piece) AS (SELECT unnest([{vocab_sql}])),
+docs AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents),
+wlists AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '[^a-z]+'), x -> length(x) > 0) AS ws
+  FROM docs
 ),
+words AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx
+  FROM wlists
+),
+{_wordpiece_enc_cte("doc_id, widx")},
 done AS (SELECT doc_id, widx, pieces FROM enc WHERE pos >= length(word)),
 per_doc AS (
   SELECT doc_id, flatten(list(pieces ORDER BY widx)) AS tokens
@@ -3773,15 +3784,6 @@ def _sft_ids_oracle_sql() -> str:
     to_ids = (
         f"x -> CAST(list_position({full_vocab}, x) - 1 AS BIGINT)"
     )
-    best = """(
-      SELECT v.piece FROM vocab v
-      WHERE CASE WHEN e.pos = 0
-                 THEN v.piece NOT LIKE '##%' AND v.piece <> '[UNK]'
-                      AND substr(e.word, 1, length(v.piece)) = v.piece
-                 ELSE v.piece LIKE '##%'
-                      AND substr(e.word, e.pos + 1, length(v.piece) - 2) = substr(v.piece, 3)
-            END
-      ORDER BY length(v.piece) DESC LIMIT 1)"""
     toks = tokens_sql("text")
     return f"""
 WITH RECURSIVE vocab(piece) AS (SELECT unnest([{matcher_sql}])),
@@ -3792,9 +3794,9 @@ pairs AS (
   FROM documents
 ),
 segs AS (
-  SELECT doc_id, 0 AS seg, lower(prompt) AS t FROM pairs
+  SELECT doc_id, 0 AS seg, translate(prompt, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM pairs
   UNION ALL
-  SELECT doc_id, 1 AS seg, lower(response) AS t FROM pairs
+  SELECT doc_id, 1 AS seg, translate(response, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM pairs
 ),
 wlists AS (
   SELECT doc_id, seg,
@@ -3805,20 +3807,7 @@ words AS (
   SELECT doc_id, seg, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx
   FROM wlists
 ),
-enc(doc_id, seg, widx, word, pos, pieces) AS (
-  SELECT doc_id, seg, widx, word, 0, []::VARCHAR[] FROM words
-  UNION ALL
-  SELECT e.doc_id, e.seg, e.widx, e.word,
-         CASE WHEN {best} IS NULL THEN length(e.word)
-              ELSE e.pos + length({best})
-                   - CASE WHEN e.pos = 0 THEN 0 ELSE 2 END
-         END AS pos,
-         CASE WHEN {best} IS NULL THEN ['[UNK]']
-              ELSE list_append(e.pieces, {best})
-         END AS pieces
-  FROM enc e
-  WHERE e.pos < length(e.word)
-),
+{_wordpiece_enc_cte("doc_id, seg, widx")},
 done AS (SELECT doc_id, seg, widx, pieces FROM enc WHERE pos >= length(word)),
 per_seg AS (
   SELECT doc_id, seg, flatten(list(pieces ORDER BY widx)) AS toks

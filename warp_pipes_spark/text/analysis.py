@@ -23,6 +23,29 @@ from warp_pipes_spark.core.pipe import Pipe
 # regex used to tokenize: runs of non-lowercase-letters separate tokens.
 TOKEN_SPLIT_RE = "[^a-z]+"
 
+# The tokenization contract lowers ASCII A-Z ONLY, via translate() in every
+# engine. Full Unicode lower() is NOT portable: Python, the JVM and
+# utf8proc disagree on expanding/contracting mappings (e.g. U+0130 'İ'),
+# and Python's str.lower() isn't even length-preserving — which breaks
+# offset mappings. ASCII translate is bit-identical across Spark, DuckDB
+# and Python and length-preserving by construction; non-ASCII letters stay
+# unlowered and fall to the `[^a-z]+` split like any other non-token byte.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_PY_ASCII_LOWER = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_py(s: str) -> str:
+    return s.translate(_PY_ASCII_LOWER)
+
+
+def ascii_lower_expr(text: Column) -> Column:
+    return F.translate(text, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_sql(text: str) -> str:
+    return f"translate({text}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
 # tiny deterministic stopword lists for language scoring (public knowledge)
 LANG_STOPWORDS: Dict[str, tuple] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
@@ -42,12 +65,14 @@ FP_MOD = 1_000_000_007
 def tokens_expr(text: Column) -> Column:
     """lowercase tokens, empty strings removed (split-regex parity with the
     DuckDB oracle is guaranteed because both use RE-class `[^a-z]+`)."""
-    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+    return F.filter(
+        F.split(ascii_lower_expr(text), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
 
 
 def tokens_sql(text: str = "text") -> str:
     return (
-        f"list_filter(string_split_regex(lower({text}), '{TOKEN_SPLIT_RE}'),"
+        f"list_filter(string_split_regex({ascii_lower_sql(text)}, '{TOKEN_SPLIT_RE}'),"
         f" t -> length(t) > 0)"
     )
 
@@ -329,7 +354,9 @@ class DocFingerprint(Pipe):
         self.out_col = out_col
 
     def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
-        normalized = F.regexp_replace(F.lower(F.col(self.text_col)), "[^a-z ]", "")
+        normalized = F.regexp_replace(
+            ascii_lower_expr(F.col(self.text_col)), "[^a-z ]", ""
+        )
         chars = F.filter(F.split(normalized, ""), lambda c: F.length(c) > 0)
         h = F.aggregate(
             chars,
@@ -340,7 +367,7 @@ class DocFingerprint(Pipe):
 
 
 def doc_fingerprint_sql(text: str = "text") -> str:
-    normalized = f"regexp_replace(lower({text}), '[^a-z ]', '', 'g')"
+    normalized = f"regexp_replace({ascii_lower_sql(text)}, '[^a-z ]', '', 'g')"
     codes = (
         f"list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(list_filter(string_split({normalized}, ''), c -> length(c) > 0), "
@@ -516,7 +543,7 @@ class TextFeatures(Pipe):
                     qpuncts.append(0.0)
                     reps.append(0.0)
                     continue
-                toks = [x for x in tok_re.split(t.lower()) if x]
+                toks = [x for x in tok_re.split(ascii_lower_py(t)) if x]
                 counts = [sum(1 for x in toks if x in stop[l]) for l in langs]
                 best = max(counts) if counts else 0
                 if best == 0:

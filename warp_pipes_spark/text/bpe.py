@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
-from warp_pipes_spark.text.analysis import tokens_expr
+from warp_pipes_spark.text.analysis import ascii_lower_py, tokens_expr
 
 END = "</w>"
 
@@ -111,7 +111,9 @@ def train_bpe_local(
     t = pq.read_table(parquet_path, columns=[text_col])
     counts: Counter = Counter()
     for text in t.column(text_col).to_pylist():
-        counts.update(w for w in re.split("[^a-z]+", (text or "").lower()) if w)
+        counts.update(
+            w for w in re.split("[^a-z]+", ascii_lower_py(text or "")) if w
+        )
     freqs = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
     return _merges_from_freqs(freqs, n_merges)
 
@@ -171,7 +173,7 @@ class BpeTokenizer(Pipe):
             out = []
             for t in texts:
                 toks: List[str] = []
-                for w in tok_re.split((t or "").lower()):
+                for w in tok_re.split(ascii_lower_py(t or "")):
                     if w:
                         toks.extend(encode_word(w, ranks, cache))
                 out.append(toks)
@@ -264,7 +266,7 @@ def bpe_count_sql(
 WITH RECURSIVE rm AS (SELECT MAP({keys_sql}, {vals_sql}) AS m),
 docs AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                      x -> length(x) > 0) AS ws
   FROM {table}
 ),

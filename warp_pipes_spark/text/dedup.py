@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from warp_pipes_spark.core.pipe import Pipe
-from warp_pipes_spark.text.analysis import TOKEN_SPLIT_RE, tokens_expr, tokens_sql
+from warp_pipes_spark.text.analysis import (
+    TOKEN_SPLIT_RE,
+    ascii_lower_py,
+    tokens_expr,
+    tokens_sql,
+)
 
 
 def shingles_expr(text, n: int = 3):
@@ -59,7 +64,7 @@ def shingles_udf(n: int = 3):
     def kernel(texts):
         out = []
         for t in texts:
-            toks = [x for x in tok_re.split(t.lower()) if x]
+            toks = [x for x in tok_re.split(ascii_lower_py(t)) if x]
             if len(toks) >= n:
                 out.append(
                     list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
@@ -1876,7 +1881,8 @@ class DupSpanRemoval(Pipe):
                 "doc_id",
                 F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"),
             )
-            .distinct()
+            # collect_set dedupes with map-side partial aggregation; a
+            # distinct here would re-shuffle the exploded positions
             .groupBy("doc_id")
             .agg(F.collect_set("p").alias("__cov"))
         )
@@ -2026,7 +2032,10 @@ class MaximalSpanDedup(Pipe):
                 "doc_id",
                 F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("p"),
             )
-            .distinct()
+            # no .distinct() here: collect_set already dedupes with
+            # map-side partial aggregation — a distinct would shuffle the
+            # exploded positions (the operator's largest intermediate) a
+            # second time for no semantic effect
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_set("p")).alias("__cov"))
         )

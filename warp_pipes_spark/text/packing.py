@@ -202,12 +202,17 @@ class BestFitPack(Pipe):
             pdf["pack_offset"] = [o for _, o in placed]
             return pdf
 
+        # output schema mirrors the INPUT types for the configurable
+        # shard/id columns (string ids and integer shards are both legal);
+        # only the columns this operator invents are fixed
+        shard_t = df.schema[self.shard_col].dataType.simpleString()
+        id_t = df.schema[self.id_col].dataType.simpleString()
         return (
             sized.groupBy("shard", "sub")
             .applyInPandas(
                 pack_group,
                 schema=(
-                    "shard string, sub int, id long, n_tokens long, "
+                    f"shard {shard_t}, sub int, id {id_t}, n_tokens long, "
                     "pack_id long, pack_offset long"
                 ),
             )
