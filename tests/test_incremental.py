@@ -72,3 +72,36 @@ def test_ivf_centroid_cache_round_trips(spark, sf_dir, tmp_path):
 
     published = [d for d in os.listdir(tmp_path) if not d.endswith("_SUCCESS")]
     assert len(published) == 1  # one artifact, shared
+
+
+def test_incremental_minhash_near_dup_gate(spark):
+    """Near-dup pairs are NEW x CORPUS only: paraphrase pairs across sides
+    are found; near-dups WITHIN the new batch or within the corpus are not
+    this operator's business and must not appear."""
+    from warp_pipes_spark.text.dedup import IncrementalMinHashDedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus content about databases"),
+            (3, "the quick brown fox jumps over the lazy dog at dawn"),  # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),   # ~ 1 and 3
+            (11, "the quick brown fox jumps over the lazy dog right now"),  # ~ 10 too
+            (12, "fresh content with no counterpart anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = IncrementalMinHashDedup(
+        corpus=corpus, n=3, threshold=0.3, materialize_shingles=False
+    )(new).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (10, 1) in pairs and (10, 3) in pairs
+    assert all(n in (10, 11) and c in (1, 3) for n, c in pairs)
+    # within-side near-dups (10~11, 1~3) never appear
+    assert (10, 11) not in pairs and (11, 10) not in pairs
+    assert all(r["jaccard"] >= 0.3 for r in out)

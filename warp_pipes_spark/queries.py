@@ -947,6 +947,24 @@ def q157_hist_quantiles(spark, sf):
     )(T(spark, sf, "lineitem"))
 
 
+def q158_incremental_minhash(spark, sf):
+    """Near-dup gate for a corpus increment (``text/dedup.py``
+    ``IncrementalMinHashDedup``) — the MinHash counterpart of q79's
+    exact-hash incremental anti-join: verified Jaccard pairs between a
+    new batch (source = src0) and the existing corpus, via an LSH band
+    join that is never a self-join. The increment's band table
+    broadcasts; the corpus side reuses the shared shingle cache."""
+    from warp_pipes_spark.text.dedup import IncrementalMinHashDedup
+
+    docs = T(spark, sf, "documents")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return IncrementalMinHashDedup(
+        corpus=corpus, n=3, threshold=0.3, hash_family="md5",
+        materialize_shingles=False,
+    )(new)
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4533,6 +4551,15 @@ def _round2b_oracles():
 
     ORACLES_EXT["q157_hist_quantiles"] = histogram_quantiles_sql()
 
+    from warp_pipes_spark.text.dedup import incremental_minhash_sql
+
+    ORACLES_EXT["q158_incremental_minhash"] = incremental_minhash_sql(
+        "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+        "SELECT doc_id, text FROM documents WHERE source <> 'src0'",
+        n=3,
+        threshold=0.3,
+    )
+
     from warp_pipes_spark.text.web import bad_words_sql
 
     ORACLES_EXT["q156_badwords"] = bad_words_sql(
@@ -4809,6 +4836,7 @@ def _register():
         "q155_bfd_pack": q155_bfd_pack,
         "q156_badwords": q156_badwords,
         "q157_hist_quantiles": q157_hist_quantiles,
+        "q158_incremental_minhash": q158_incremental_minhash,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

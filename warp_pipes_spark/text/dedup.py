@@ -573,6 +573,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+
+def minhash_signature_df(
+    docs: DataFrame, n_hashes: int, hash_family: str
+) -> DataFrame:
+    """(doc_id, shingles) -> + signature column. 'md5' = the portable
+    string-min family (SQL-replayable); 'xxhash' = JVM-side (fastest)."""
+    if hash_family == "md5":
+        return docs.select(
+            "doc_id",
+            "shingles",
+            portable_minhash_sig(F.col("shingles"), n_hashes).alias("signature"),
+        )
+
+    def min_hash(seed: int):
+        # closure factory: a 2-param lambda would be read as (element, index)
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    return docs.select(
+        "doc_id",
+        "shingles",
+        F.array(*[min_hash(i) for i in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_band_keys(n_hashes: int, band_size: int, hash_family: str):
+    """The LSH band keys of a ``signature`` column, one per band. md5
+    signatures are strings: the band key is the joined slice itself
+    (SQL-reproducible); xxhash signatures re-hash JVM-side."""
+    n_bands = n_hashes // band_size
+
+    def band_key(b: int):
+        parts = [
+            F.col("signature")[i]
+            for i in range(b * band_size, (b + 1) * band_size)
+        ]
+        if hash_family == "md5":
+            return F.concat_ws("|", *parts)
+        return F.xxhash64(*parts).cast("string")
+
+    return [band_key(b) for b in range(n_bands)]
+
+
+
+
 class MinHashDedup(Pipe):
     """MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
 
@@ -639,47 +686,16 @@ class MinHashDedup(Pipe):
             # sides; materialize once (the materialized path is already
             # Parquet-backed — re-scans are cheap and parallel)
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-        # signature: for each seed, min xxhash64 over the doc's shingles.
-        # Computed per-row with array expressions — no explode, no shuffle.
-        def min_hash(seed: int):
-            # closure factory: a 2-param lambda would be read as (element, index)
-            return F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
-            )
-
-        if self.hash_family == "md5":
-            sig = docs.select(
-                "doc_id",
-                "shingles",
-                portable_minhash_sig(F.col("shingles"), self.n_hashes).alias(
-                    "signature"
-                ),
-            )
-        else:
-            sig = docs.select(
-                "doc_id",
-                "shingles",
-                F.array(*[min_hash(i) for i in range(self.n_hashes)]).alias(
-                    "signature"
-                ),
-            )
-        n_bands = self.n_hashes // self.band_size
-
-        def band_key(b: int):
-            parts = [
-                F.col("signature")[i]
-                for i in range(b * self.band_size, (b + 1) * self.band_size)
-            ]
-            # md5 signatures are strings: the band key is the joined slice
-            # itself (SQL-reproducible); xxhash signatures re-hash JVM-side
-            if self.hash_family == "md5":
-                return F.concat_ws("|", *parts)
-            return F.xxhash64(*parts).cast("string")
-
+        # signature: per-row array expressions — no explode, no shuffle
+        sig = minhash_signature_df(docs, self.n_hashes, self.hash_family)
         bands = sig.select(
             "doc_id",
             F.posexplode(
-                F.array(*[band_key(b) for b in range(n_bands)])
+                F.array(
+                    *minhash_band_keys(
+                        self.n_hashes, self.band_size, self.hash_family
+                    )
+                )
             ).alias("band_id", "band_hash"),
         )
         if self.persist:
@@ -712,6 +728,122 @@ class MinHashDedup(Pipe):
             .select("doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard"))
         )
         return verified
+
+
+
+
+class IncrementalMinHashDedup(Pipe):
+    """NEAR-dup gate for a corpus increment — the MinHash counterpart of
+    :class:`IncrementalDedup`'s exact-hash anti-join: verified near-dup
+    pairs between a NEW batch (the pipe input) and the EXISTING corpus,
+    the check a daily crawl runs before admitting documents that are
+    paraphrases (not byte-copies) of what the corpus already holds.
+
+    Candidates come from an LSH band join between the two sides — never a
+    self-join, never new x new or old x old — and verify with exact
+    shingle Jaccard, so output is deterministic given the data (banding
+    affects recall only). Output: ``(new_id, corpus_id, jaccard)``.
+
+    Scale shape: the corpus side's shingles/signatures are served from
+    the shared fingerprint-keyed shingle cache (built once per corpus
+    snapshot, reused across daily increments); the increment side is
+    small by contract, so its band table BROADCASTS — the corpus streams
+    map-side through the band join and only candidate pairs shuffle."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        n_hashes: int = 32,
+        band_size: int = 4,
+        threshold: float = 0.5,
+        materialize_shingles: bool = True,
+        shingle_cache_dir: Optional[str] = None,
+        hash_family: str = "xxhash",
+        **kwargs,
+    ):
+        if hash_family not in ("xxhash", "md5"):
+            raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
+        if n_hashes % band_size:
+            raise ValueError("n_hashes must divide into bands")
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_hashes = n_hashes
+        self.band_size = band_size
+        self.threshold = threshold
+        self.materialize_shingles = materialize_shingles
+        self.shingle_cache_dir = shingle_cache_dir
+        self.hash_family = hash_family
+
+    _no_fingerprint = ("corpus", "shingle_cache_dir")
+
+    def _bands(self, df: DataFrame, materialize: bool) -> tuple:
+        docs = shingle_table(
+            df,
+            self.n,
+            self.id_col,
+            self.text_col,
+            materialize=materialize,
+            cache_dir=self.shingle_cache_dir,
+        ).filter(F.size("shingles") > 0)
+        sig = minhash_signature_df(docs, self.n_hashes, self.hash_family)
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *minhash_band_keys(
+                        self.n_hashes, self.band_size, self.hash_family
+                    )
+                )
+            ).alias("band_id", "band_hash"),
+        )
+        return docs, bands
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # increment side: small by contract — in-plan, broadcast
+        new_docs, new_bands = self._bands(df, materialize=False)
+        # corpus side: served from the shared shingle cache
+        old_docs, old_bands = self._bands(
+            self.corpus, materialize=self.materialize_shingles
+        )
+        candidates = (
+            old_bands.alias("o")
+            .join(
+                F.broadcast(new_bands.alias("nw")),
+                on=["band_id", "band_hash"],
+            )
+            .where(F.col("nw.doc_id") != F.col("o.doc_id"))
+            .select(
+                F.col("nw.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("corpus_id"),
+            )
+            .distinct()
+        )
+        na = new_docs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+        ob = old_docs.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+        return (
+            candidates.join(F.broadcast(na), "new_id")
+            .join(ob, "corpus_id")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")).cast("double")
+                ).cast("decimal(18,6)"),
+            )
+            .filter(F.col("jaccard") >= F.lit(self.threshold))
+            .select(
+                "new_id", "corpus_id", F.col("jaccard").cast("double").alias("jaccard")
+            )
+        )
+
+
 
 
 class SimHashDedup(Pipe):
@@ -2140,6 +2272,74 @@ FROM toks
 LEFT JOIN per_doc USING ({id_col})
 LEFT JOIN clean USING ({id_col})
 """
+
+
+
+
+def incremental_minhash_sql(
+    new_sql: str,
+    corpus_sql: str,
+    n: int = 3,
+    n_hashes: int = 32,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for :class:`IncrementalMinHashDedup` with
+    ``hash_family='md5'``: identical string-min signatures, identical
+    joined-slice band keys, cross-side (new x corpus) bucket join, exact
+    Jaccard verify. ``new_sql`` / ``corpus_sql`` must yield
+    (doc_id, text)."""
+    sh = shingles_sql("text", n)
+    n_bands = n_hashes // band_size
+    band_key = " || '|' || ".join(
+        f"sig[{{b}} * {band_size} + {i + 1}]" for i in range(band_size)
+    )
+    sig_expr = (
+        f"list_transform(generate_series(0, {n_hashes - 1}), i -> "
+        f"list_min(list_transform(shingles, s -> "
+        f"substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 16))))"
+    )
+    return f"""
+WITH new_docs AS (
+  SELECT doc_id, {sh} AS shingles FROM ({new_sql}) t
+),
+old_docs AS (
+  SELECT doc_id, {sh} AS shingles FROM ({corpus_sql}) t
+),
+new_ne AS (SELECT * FROM new_docs WHERE len(shingles) > 0),
+old_ne AS (SELECT * FROM old_docs WHERE len(shingles) > 0),
+new_sig AS (SELECT doc_id, shingles, {sig_expr} AS sig FROM new_ne),
+old_sig AS (SELECT doc_id, shingles, {sig_expr} AS sig FROM old_ne),
+new_bands AS (
+  SELECT doc_id, g.b AS band_id, {band_key.format(b='g.b')} AS band_hash
+  FROM new_sig CROSS JOIN generate_series(0, {n_bands - 1}) g(b)
+),
+old_bands AS (
+  SELECT doc_id, g.b AS band_id, {band_key.format(b='g.b')} AS band_hash
+  FROM old_sig CROSS JOIN generate_series(0, {n_bands - 1}) g(b)
+),
+cand AS (
+  SELECT DISTINCT nw.doc_id AS new_id, o.doc_id AS corpus_id
+  FROM new_bands nw
+  JOIN old_bands o ON nw.band_id = o.band_id AND nw.band_hash = o.band_hash
+  WHERE nw.doc_id <> o.doc_id
+),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles))
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           AS DECIMAL(18,6)) AS jaccard
+  FROM cand c
+  JOIN new_ne sa ON sa.doc_id = c.new_id
+  JOIN old_ne sb ON sb.doc_id = c.corpus_id
+)
+SELECT new_id, corpus_id, CAST(jaccard AS DOUBLE) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+ORDER BY new_id, corpus_id
+"""
+
+
 
 
 def simhash_sql(
