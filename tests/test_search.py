@@ -679,3 +679,31 @@ def test_pq_local_trainer_matches_spark_trainer(spark, sf_dir):
     )
     assert pq.codebooks.shape == local.shape
     assert np.array_equal(pq.codebooks, local), "PQ trainers diverged"
+
+
+def test_lsh_near_dup_gate_finds_planted_duplicates(spark):
+    """The admission gate finds a planted near-duplicate of a corpus
+    vector (cosine ~0.99 collides in every LSH table) and emits pairs as
+    NEW x CORPUS only."""
+    import numpy as np
+
+    from warp_pipes_spark.ml.similarity import LshCosineNearDup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(50, 16)
+    corpus_rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    near = base[7] + 0.02 * rng.randn(16)  # ~ corpus vector 7
+    new_rows = [
+        (100, [float(x) for x in near]),
+        (101, [float(x) for x in rng.randn(16)]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    out = LshCosineNearDup(
+        corpus=corpus, threshold=0.9, dim=16, n_planes=4, n_tables=8,
+        materialize_index=False,
+    )(new).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (100, 7) in pairs
+    assert all(n in (100, 101) and c < 100 for n, c in pairs)
+    assert all(r["score"] >= 0.9 for r in out)

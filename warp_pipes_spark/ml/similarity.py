@@ -368,7 +368,10 @@ class LshCosineTopK(Pipe):
         buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
         return pandas_udf(buckets, "array<long>")
 
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+    def _scored_candidates(self, df: DataFrame) -> DataFrame:
+        """(query_id, neighbor_id, score DECIMAL(18,6)) for every LSH
+        bucket-collision candidate — shared by the top-k ranking and the
+        threshold gate (:class:`LshCosineNearDup`)."""
         # candidate generation shuffles ONLY (id, table, bucket) — vectors
         # are attached after the distinct, so the bucket join stays narrow
         # no matter the embedding dimension
@@ -405,6 +408,10 @@ class LshCosineTopK(Pipe):
                 .alias("score"),
             )
         )
+        return scored
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        scored = self._scored_candidates(df)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -413,6 +420,36 @@ class LshCosineTopK(Pipe):
                 "query_id",
                 "rank",
                 "neighbor_id",
+                F.col("score").cast("double").alias("score"),
+            )
+        )
+
+
+class LshCosineNearDup(LshCosineTopK):
+    """Embedding-space near-dup gate for a corpus increment — the vector
+    analog of ``IncrementalMinHashDedup``: every (new, corpus) pair whose
+    LSH buckets collide AND whose exact cosine reaches ``threshold``, the
+    check a pipeline runs before admitting embeddings semantically
+    duplicating what the corpus already holds (SemDeDup's admission-time
+    form). Pipe input = the NEW vectors; ``corpus`` = the existing side,
+    whose hash tables are served from the fingerprint-keyed index cache
+    built once per snapshot. Candidates are bucket collisions only (never
+    new x new), scores are exact decimal-rounded cosine, and with
+    ``plane_family='md5'`` the WHOLE gate — planes, buckets, candidate
+    set, scores — replays bit-exactly in the SQL oracle."""
+
+    def __init__(self, corpus: DataFrame, threshold: float = 0.5, **kwargs):
+        kwargs.setdefault("exclude_self", True)
+        super().__init__(corpus=corpus, **kwargs)
+        self.threshold = threshold
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        return (
+            self._scored_candidates(df)
+            .filter(F.col("score") >= F.lit(self.threshold))
+            .select(
+                F.col("query_id").alias("new_id"),
+                F.col("neighbor_id").alias("corpus_id"),
                 F.col("score").cast("double").alias("score"),
             )
         )
@@ -1041,6 +1078,60 @@ SELECT query_id,
 FROM fine
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
+"""
+
+
+def lsh_near_dup_sql(
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    threshold: float = 0.35,
+    new_where: str = "vec_id % 10 = 7",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :class:`LshCosineNearDup` with
+    ``plane_family='md5'``: identical planes/buckets, NEW x CORPUS
+    collision candidates only, decimal-rounded exact cosine threshold."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+planes AS (
+  SELECT t, p, d,
+         (('0x' || substring(md5('{seed}:' || t || ':' || p || ':' || d), 1, 12))::BIGINT)
+           / 281474976710656.0 - 0.5 AS w
+  FROM generate_series(0, {n_tables - 1}) g1(t)
+  CROSS JOIN generate_series(0, {n_planes - 1}) g2(p)
+  CROSS JOIN generate_series(0, {dim - 1}) g3(d)
+),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, SUM(e.v[pl.d + 1] * pl.w) AS s
+  FROM e CROSS JOIN planes pl GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT nc.vec_id AS new_id, cc.vec_id AS corpus_id
+  FROM codes nc
+  JOIN codes cc ON nc.t = cc.t AND nc.bucket = cc.bucket
+  WHERE nc.vec_id IN (SELECT vec_id FROM e WHERE {new_where})
+    AND cc.vec_id NOT IN (SELECT vec_id FROM e WHERE {new_where})
+    AND nc.vec_id <> cc.vec_id
+),
+scored AS (
+  SELECT c.new_id, c.corpus_id,
+         CAST(list_dot_product(q.v, n.v) /
+              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+           AS DECIMAL(18,6)) AS score
+  FROM cand c
+  JOIN e q ON q.vec_id = c.new_id
+  JOIN e n ON n.vec_id = c.corpus_id
+)
+SELECT new_id, corpus_id, CAST(score AS DOUBLE) AS score
+FROM scored WHERE score >= {threshold}
+ORDER BY new_id, corpus_id
 """
 
 

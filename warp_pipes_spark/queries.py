@@ -965,6 +965,29 @@ def q158_incremental_minhash(spark, sf):
     )(new)
 
 
+def q159_embedding_near_dup(spark, sf):
+    """Embedding-space near-dup gate for a corpus increment
+    (``ml/similarity.py`` ``LshCosineNearDup``) — the vector analog of
+    q158: new vectors (vec_id % 10 = 7) vs the existing corpus through
+    the md5-plane LSH tables, exact decimal cosine >= 0.35 — SemDeDup's
+    admission-time form. Candidates are bucket collisions only; the
+    corpus hash tables come from the fingerprint-keyed index cache."""
+    from warp_pipes_spark.ml.similarity import LshCosineNearDup
+
+    emb = T(spark, sf, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    return LshCosineNearDup(
+        corpus=corpus,
+        threshold=0.35,
+        dim=64,
+        n_planes=6,
+        n_tables=8,
+        plane_family="md5",
+        materialize_index=False,
+    )(new)
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4551,6 +4574,10 @@ def _round2b_oracles():
 
     ORACLES_EXT["q157_hist_quantiles"] = histogram_quantiles_sql()
 
+    from warp_pipes_spark.ml.similarity import lsh_near_dup_sql
+
+    ORACLES_EXT["q159_embedding_near_dup"] = lsh_near_dup_sql()
+
     from warp_pipes_spark.text.dedup import incremental_minhash_sql
 
     ORACLES_EXT["q158_incremental_minhash"] = incremental_minhash_sql(
@@ -4837,6 +4864,7 @@ def _register():
         "q156_badwords": q156_badwords,
         "q157_hist_quantiles": q157_hist_quantiles,
         "q158_incremental_minhash": q158_incremental_minhash,
+        "q159_embedding_near_dup": q159_embedding_near_dup,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
