@@ -988,6 +988,35 @@ def q159_embedding_near_dup(spark, sf):
     )(new)
 
 
+def q160_split_leakage(spark, sf):
+    """Train/test split-leakage audit — the eval-hygiene companion to
+    q152's decontamination, composed ENTIRELY from existing operators:
+    near-dup pairs (q28's banded MinHash, md5 family) whose two documents
+    landed in DIFFERENT splits under q57-style deterministic assignment
+    (10% test by md5 gate). A near-duplicate of a training doc sitting in
+    the test split silently inflates eval scores; this emits every such
+    pair with its Jaccard and both split labels. Pairs are the only
+    corpus-sized shuffle; split assignment is scan-level."""
+    from warp_pipes_spark.pipes.sampling import SplitAssign
+    from warp_pipes_spark.text.dedup import MinHashDedup
+
+    docs = T(spark, sf, "documents")
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(docs)
+    splits = SplitAssign({"test": 0.1}, key_col="doc_id", seed=7)(docs).select(
+        "doc_id", "split"
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4574,6 +4603,20 @@ def _round2b_oracles():
 
     ORACLES_EXT["q157_hist_quantiles"] = histogram_quantiles_sql()
 
+    from warp_pipes_spark.pipes.sampling import split_assign_sql as _sas
+    from warp_pipes_spark.text.dedup import minhash_dedup_sql as _mds
+
+    ORACLES_EXT["q160_split_leakage"] = (
+        "WITH pairs AS (" + _mds("documents", n=3, threshold=0.3) + "), "
+        "splits AS (" + _sas("documents", {"test": 0.1}, columns="doc_id",
+                             key_col="doc_id", seed=7) + ") "
+        "SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b "
+        "FROM pairs p "
+        "JOIN splits a ON a.doc_id = p.doc_a "
+        "JOIN splits b ON b.doc_id = p.doc_b "
+        "WHERE a.split <> b.split ORDER BY p.doc_a, p.doc_b"
+    )
+
     from warp_pipes_spark.ml.similarity import lsh_near_dup_sql
 
     ORACLES_EXT["q159_embedding_near_dup"] = lsh_near_dup_sql()
@@ -4865,6 +4908,7 @@ def _register():
         "q157_hist_quantiles": q157_hist_quantiles,
         "q158_incremental_minhash": q158_incremental_minhash,
         "q159_embedding_near_dup": q159_embedding_near_dup,
+        "q160_split_leakage": q160_split_leakage,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
