@@ -1017,6 +1017,79 @@ def q160_split_leakage(spark, sf):
     )
 
 
+def q161_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility/compression report per source — the analytic a
+    tokenizer team runs before committing a vocab: WordPiece pieces per
+    word (fertility), chars per piece (compression), and the [UNK] rate,
+    over the q146 vocabulary. One mapInPandas tokenize pass + one
+    source-sized aggregation; every ratio decimal-rounded for parity."""
+    from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+
+    docs = T(spark, sf, "documents")
+    tok = WordPieceTokenizer(WORDPIECE_VOCAB, add_special_tokens=False)(docs)
+    toks = F.col("tokens")
+    n_pieces = F.size(toks)
+    n_words = F.size(F.filter(toks, lambda t: ~t.startswith("##")))
+    n_unk = F.size(F.filter(toks, lambda t: t == F.lit("[UNK]")))
+    n_chars = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.length(t)
+        - F.when(t.startswith("##"), F.lit(2)).otherwise(F.lit(0)),
+    )
+    per_doc = tok.select(
+        "source",
+        n_pieces.cast("long").alias("np"),
+        n_words.cast("long").alias("nw"),
+        n_unk.cast("long").alias("nu"),
+        n_chars.alias("nc"),
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("np").alias("n_pieces"),
+            F.sum("nw").alias("n_words"),
+            F.sum("nu").alias("n_unk"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_pieces",
+            "n_words",
+            dec(F.col("n_pieces") / F.col("n_words").cast("double")).alias("fertility"),
+            dec(F.col("n_chars") / F.col("n_pieces").cast("double")).alias("chars_per_piece"),
+            dec(F.col("n_unk") / F.col("n_pieces").cast("double")).alias("unk_rate"),
+        )
+    )
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    # reuse the q146 matcher replay, then aggregate per source
+    wp = _wordpiece_oracle_sql()
+    return f"""
+WITH wp AS ({wp}),
+src AS (SELECT doc_id, source FROM documents),
+per_doc AS (
+  SELECT s.source,
+         CAST(len(w.tokens) AS BIGINT) AS np,
+         CAST(len(list_filter(w.tokens, t -> t NOT LIKE '##%')) AS BIGINT) AS nw,
+         CAST(len(list_filter(w.tokens, t -> t = '[UNK]')) AS BIGINT) AS nu,
+         CAST(COALESCE(list_sum(list_transform(w.tokens,
+              t -> length(t) - CASE WHEN t LIKE '##%' THEN 2 ELSE 0 END)), 0) AS BIGINT) AS nc
+  FROM wp w JOIN src s USING (doc_id)
+)
+SELECT source,
+       SUM(np) AS n_pieces,
+       SUM(nw) AS n_words,
+       CAST(CAST(CAST(SUM(np) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS fertility,
+       CAST(CAST(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(np) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS chars_per_piece,
+       CAST(CAST(CAST(SUM(nu) AS DOUBLE) / CAST(SUM(np) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS unk_rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q62_repetition(spark, sf):
     """Intra-document repetition fraction (Gopher-style quality signal):
     1 - distinct/total over word bigrams — codegen'd array expressions,
@@ -4578,6 +4651,7 @@ def _round2b_oracles():
     )
     ORACLES_EXT["q145_corpus_datasheet"] = _corpus_datasheet_oracle_sql()
     ORACLES_EXT["q146_wordpiece"] = _wordpiece_oracle_sql()
+    ORACLES_EXT["q161_tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
     ORACLES_EXT["q147_fix_encoding"] = _fix_encoding_oracle_sql()
     ORACLES_EXT["q148_portable_hll"] = _portable_hll_oracle_sql()
     ORACLES_EXT["q149_sft_masks"] = _sft_masks_oracle_sql()
@@ -4909,6 +4983,7 @@ def _register():
         "q158_incremental_minhash": q158_incremental_minhash,
         "q159_embedding_near_dup": q159_embedding_near_dup,
         "q160_split_leakage": q160_split_leakage,
+        "q161_tokenizer_fertility": q161_tokenizer_fertility,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
