@@ -236,3 +236,75 @@ def test_histogram_quantiles_accuracy_and_merge(spark, sf_dir):
     h_own = hq.histogram(li.filter(F.col("l_orderkey") % 7 == 3))  # own frame
     with pytest.raises(ValueError, match="frames disagree"):
         merge_histogram_counts(h0, h_own)
+
+
+def test_bloom_gate_no_false_negatives(spark, sf_dir):
+    """Every exact duplicate MUST be flagged (bloom guarantee); the
+    truth-audit columns agree with an exact semi-join."""
+    from warp_pipes_spark.ml.sketches import BloomFilterGate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0").select("text")
+    cand = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    out = BloomFilterGate(
+        corpus=corpus, m_bits=4096, k=3, truth_audit=True
+    )(cand).collect()
+    assert out, "gate produced no rows"
+    for r in out:
+        if r["true_dup"]:
+            assert r["bloom_hit"], f"false negative at doc {r['doc_id']}"
+        assert r["false_positive"] == (r["bloom_hit"] and not r["true_dup"])
+
+
+def test_bloom_bits_merge_equals_whole(spark, sf_dir):
+    """Filter state from disjoint history shards ORs (position-set union)
+    into the state built from the whole history."""
+    from warp_pipes_spark.ml.sketches import BloomFilterGate, merge_bloom_bits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = BloomFilterGate(corpus=docs, m_bits=2048, k=4)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_bloom_bits(gate.filter_bits(half_a), gate.filter_bits(half_b))
+    got = sorted(r["pos"] for r in merged.collect())
+    want = sorted(r["pos"] for r in gate.filter_bits(docs).collect())
+    assert got == want
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV distinct estimate within the k=64 theoretical error band, and
+    exact below k."""
+    from warp_pipes_spark.ml.sketches import KmvSketch
+
+    n = 4000
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS source",
+        "'tok' || translate(CAST(id AS STRING), '0123456789', 'abcdefghij') || ' filler' AS text",
+    )
+    out = KmvSketch(group_col="source", k=64)(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # each source holds n/2 distinct 'tokNNN' tokens + 'filler'
+    for est in (r["distinct_a"], r["distinct_b"]):
+        assert abs(est - (n / 2 + 1)) / (n / 2) < 0.4, est
+    # sources share only 'filler' -> jaccard near zero
+    assert r["jaccard_est"] < 0.1, r["jaccard_est"]
+
+
+def test_kmv_merge_equals_whole(spark, sf_dir):
+    """Sketches from disjoint shards merge (union -> bottom-k) into the
+    whole-frame sketch; merged estimates use the h_k path, never a stale
+    exact-count floor."""
+    from warp_pipes_spark.ml.sketches import KmvSketch, merge_kmv_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    kmv = KmvSketch(group_col="source", k=32)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_kmv_sketches(
+        32, kmv.sketches(half_a), kmv.sketches(half_b)
+    )
+    whole = kmv.sketches(docs)
+    got = {r["source"]: r["sketch"] for r in merged.collect()}
+    want = {r["source"]: r["sketch"] for r in whole.collect()}
+    assert got == want

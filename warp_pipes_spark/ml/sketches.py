@@ -523,3 +523,428 @@ cum AS (
 SELECT {gcols}, CAST(MAX(n) AS BIGINT) AS n, {", ".join(q_selects)}
 FROM cum GROUP BY {gcols}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter admission gate (portable md5 bit positions)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions_expr(key: Column, m_bits: int, k: int, seed: int) -> Column:
+    """The k bit positions of ``key`` — md5 over ``seed:i:key`` so any
+    engine (and the DuckDB oracle) derives the identical filter. 8 hex
+    chars (32 bits) per hash, reduced mod ``m_bits``."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:{i}:"), key)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_position_sql(key: str, m_bits: int, i: int, seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}:{i}:' || {key}), 1, 8))::BIGINT % {m_bits})"
+    )
+
+
+class BloomFilterGate(Pipe):
+    """Bloom-filter membership gate for a corpus increment — the
+    constant-memory FIRST PASS of incremental dedup at 100 TB: before the
+    exact anti-join (q79) or the MinHash gate (q158) touch the full
+    history, a bloom filter of the history keys answers "definitely new"
+    at scan speed with ``m_bits`` of state TOTAL, regardless of history
+    size. ``bloom_hit = false`` is definite (no false negatives);
+    ``bloom_hit = true`` is "maybe seen" and only those rows proceed to
+    the expensive verify stage.
+
+    Scale design: the filter is built as the DISTINCT set of md5 bit
+    positions of the history keys — at most ``m_bits`` rows (a bounded,
+    broadcastable table: 2^20 bits = at most ~1M narrow rows, far under
+    the broadcast threshold after dedup), aggregated map-side. The gate
+    side explodes each candidate into its k positions, broadcast-joins
+    the position set and reduces back per candidate: no shuffle of the
+    (huge) history, no driver-side bitset, no UDF. Filters from disjoint
+    history shards merge by position-set union (``merge_bloom_bits``).
+
+    With ``truth_audit=True`` the output also carries the exact-match
+    truth (``true_dup``) and the derived ``false_positive`` flag — the
+    audit a pipeline runs at small scale to size ``m_bits``/``k``
+    before trusting the gate at full scale.
+
+    No reference counterpart (the reference has no sketch operators);
+    extension for the training-data pipeline, same family as
+    :class:`PortableHll` / :class:`CountMinSketch`.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        key_col: str = "text",
+        id_col: str = "doc_id",
+        m_bits: int = 1 << 20,
+        k: int = 4,
+        seed: int = 13,
+        truth_audit: bool = False,
+        **kwargs,
+    ):
+        if m_bits < 2 or k < 1:
+            raise ValueError(f"need m_bits >= 2, k >= 1; got {m_bits}, {k}")
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.key_col = key_col
+        self.id_col = id_col
+        self.m_bits = m_bits
+        self.k = k
+        self.seed = seed
+        self.truth_audit = truth_audit
+
+    def filter_bits(self, corpus: DataFrame) -> DataFrame:
+        """The filter STATE: distinct set bit positions (<= m_bits rows).
+        Shard-local states merge with :func:`merge_bloom_bits`."""
+        pos = bloom_positions_expr(
+            F.col(self.key_col), self.m_bits, self.k, self.seed
+        )
+        return (
+            corpus.select(F.explode(pos).alias("pos")).distinct()
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        bits = self.filter_bits(self.corpus).withColumn("__set", F.lit(1))
+        pos = bloom_positions_expr(
+            F.col(self.key_col), self.m_bits, self.k, self.seed
+        )
+        exploded = df.select(
+            self.id_col, F.explode(pos).alias("pos")
+        )
+        hits = (
+            exploded.join(F.broadcast(bits), "pos", "left")
+            .groupBy(self.id_col)
+            .agg((F.count("__set") == self.k).alias("bloom_hit"))
+        )
+        if not self.truth_audit:
+            return hits
+        truth = (
+            self.corpus.select(F.col(self.key_col).alias("__k"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        audited = (
+            df.select(self.id_col, F.col(self.key_col).alias("__k"))
+            .join(F.broadcast(truth), "__k", "left")
+            .select(
+                self.id_col,
+                F.coalesce(F.col("__dup"), F.lit(False)).alias("true_dup"),
+            )
+        )
+        return (
+            hits.join(audited, self.id_col)
+            .select(
+                self.id_col,
+                "bloom_hit",
+                "true_dup",
+                (F.col("bloom_hit") & ~F.col("true_dup")).alias(
+                    "false_positive"
+                ),
+            )
+        )
+
+
+def merge_bloom_bits(*bits: DataFrame) -> DataFrame:
+    """Bloom-filter merge = union of set-bit positions (the bitwise OR of
+    the filters) — a bounded aggregation, never a history re-scan."""
+    u = bits[0]
+    for b in bits[1:]:
+        u = u.unionByName(b)
+    return u.distinct()
+
+
+def bloom_gate_sql(
+    candidates_sql: str,
+    corpus_sql: str,
+    key: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 13,
+    truth_audit: bool = False,
+) -> str:
+    """DuckDB replay of :class:`BloomFilterGate`: identical md5 positions,
+    identical distinct-position filter, identical k-of-k membership."""
+    pos_union = " UNION ALL ".join(
+        f"SELECT {bloom_position_sql(key, m_bits, i, seed)} AS pos "
+        f"FROM corpus"
+        for i in range(k)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT {id_col}, {bloom_position_sql(key, m_bits, i, seed)} AS pos "
+        f"FROM cand"
+        for i in range(k)
+    )
+    base = f"""
+WITH corpus AS ({corpus_sql}),
+cand AS ({candidates_sql}),
+bits AS (SELECT DISTINCT pos FROM ({pos_union}) p),
+cpos AS ({cand_pos}),
+hits AS (
+  SELECT {id_col},
+         COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) = {k} AS bloom_hit
+  FROM cpos GROUP BY {id_col}
+)"""
+    if not truth_audit:
+        return base + f"\nSELECT {id_col}, bloom_hit FROM hits ORDER BY {id_col}"
+    return base + f""",
+truth AS (
+  SELECT c.{id_col},
+         EXISTS (SELECT 1 FROM corpus x WHERE x.{key} = c.{key}) AS true_dup
+  FROM cand c
+)
+SELECT h.{id_col}, h.bloom_hit, t.true_dup,
+       h.bloom_hit AND NOT t.true_dup AS false_positive
+FROM hits h JOIN truth t USING ({id_col})
+ORDER BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) distinct + set-overlap sketch
+# ---------------------------------------------------------------------------
+
+KMV_DENOM = float(1 << 48)  # md5 hashes are 48-bit -> exact in a double
+
+
+class KmvSketch(Pipe):
+    """K-minimum-values distinct sketch with SET-OPERATION estimates
+    (Beyer et al. 2007, SIGMOD; the theta-sketch family) — the sketch the
+    corpus team uses to answer "how much does source A overlap source B"
+    WITHOUT a vocabulary-sized exact join: per group keep the k smallest
+    48-bit md5 hashes of the distinct values; then for any pair,
+    ``K(A u B)`` = the k smallest of the two sketches' union, and the
+    Jaccard estimate is ``|K(A u B) n K(A) n K(B)| / |K(A u B)|``.
+    Distinct estimate per group is exact below k, else the classic
+    ``(k-1) * 2^48 / h_k`` (both operands exactly representable, ONE
+    IEEE division, decimal-rounded — same portability budget as
+    :class:`PortableHll`).
+
+    Unlike HLL registers, KMV sketches support intersection/Jaccard,
+    which is what cross-source contamination and mixture design need.
+    Fully deterministic (md5, no RNG), so the DuckDB oracle replays it
+    bit-for-bit — no other engine's theta sketch can be compared across
+    engines at all.
+
+    Scale shape: per-doc distinct tokens explode narrow; one
+    distinct-sized shuffle on (group, hash); the per-group bottom-k is a
+    window over that distinct table; the pair stage then touches only
+    ``groups^2 / 2`` sketch rows of k values each — driver-free,
+    broadcastable. Sketches from disjoint shards merge by
+    union-then-bottom-k (:func:`merge_kmv_sketches`)."""
+
+    def __init__(
+        self,
+        group_col: str = "source",
+        text_col: str = "text",
+        k: int = 64,
+        seed: int = 7,
+        **kwargs,
+    ):
+        if k < 2:
+            raise ValueError(f"need k >= 2, got {k}")
+        super().__init__(**kwargs)
+        self.group_col = group_col
+        self.text_col = text_col
+        self.k = k
+        self.seed = seed
+
+    def _hash(self) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{self.seed}:"), F.col("__tok"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def sketches(self, df: DataFrame) -> DataFrame:
+        """The sketch STATE per group: sorted array of the k smallest
+        distinct hashes + the exact distinct count floor (n_distinct is
+        only exact when <= k; the estimate handles the rest)."""
+        from pyspark.sql import Window
+
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        toks = df.select(
+            self.group_col,
+            F.explode(
+                F.array_distinct(tokens_expr(F.col(self.text_col)))
+            ).alias("__tok"),
+        )
+        dh = toks.select(
+            self.group_col, self._hash().alias("__h")
+        ).distinct()
+        w = Window.partitionBy(self.group_col).orderBy("__h")
+        rn = dh.withColumn("__rn", F.row_number().over(w))
+        return rn.groupBy(self.group_col).agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= self.k, F.col("__h")))
+            ).alias("sketch"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+
+    def _est(self, sketch: Column, n: Column) -> Column:
+        """Distinct estimate from a sketch: exact when the sketch holds
+        every distinct value, else (k-1) * 2^48 / h_k."""
+        hk = F.greatest(F.element_at(sketch, self.k), F.lit(1).cast("long"))
+        return (
+            F.when(n <= self.k, n.cast("double"))
+            .otherwise(
+                F.lit(float(self.k - 1) * KMV_DENOM) / hk.cast("double")
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        k = self.k
+        sk = self.sketches(df)
+        a = sk.select(
+            F.col(self.group_col).alias("source_a"),
+            F.col("sketch").alias("__sa"),
+            F.col("n_distinct").alias("__na"),
+        )
+        b = sk.select(
+            F.col(self.group_col).alias("source_b"),
+            F.col("sketch").alias("__sb"),
+            F.col("n_distinct").alias("__nb"),
+        )
+        pairs = a.join(
+            F.broadcast(b), F.col("source_a") < F.col("source_b")
+        )
+        u = F.slice(F.array_sort(F.array_union("__sa", "__sb")), 1, k)
+        inter = F.array_intersect(
+            F.array_intersect(u, F.col("__sa")), F.col("__sb")
+        )
+        union_est = (
+            F.when(F.size(u) < k, F.size(u).cast("double"))
+            .otherwise(
+                F.lit(float(k - 1) * KMV_DENOM)
+                / F.greatest(
+                    F.element_at(u, k), F.lit(1).cast("long")
+                ).cast("double")
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        jac = (
+            (F.size(inter).cast("double") / F.size(u).cast("double"))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        return pairs.select(
+            "source_a",
+            "source_b",
+            self._est(F.col("__sa"), F.col("__na")).alias("distinct_a"),
+            self._est(F.col("__sb"), F.col("__nb")).alias("distinct_b"),
+            union_est.alias("union_est"),
+            jac.alias("jaccard_est"),
+        )
+
+
+def merge_kmv_sketches(k: int, *sketches: DataFrame) -> DataFrame:
+    """KMV merge: union the sketch arrays per group, keep the k smallest.
+    ``n_distinct`` floors add only when shards are value-disjoint; the
+    merged estimate therefore uses the sketch path (n is saturated to
+    k+1 on merge when either side overflowed, keeping ``_est`` honest)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in ("sketch", "n_distinct")]
+    merged = u.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("sketch")))
+            ),
+            1,
+            k,
+        ).alias("sketch"),
+        F.sum("n_distinct").alias("__nsum"),
+        F.max("n_distinct").alias("__nmax"),
+    )
+    n = F.when(
+        F.col("__nmax") > k, F.lit(k + 1).cast("long")
+    ).otherwise(F.least(F.col("__nsum"), F.size("sketch").cast("long") + F.lit(k).cast("long")))
+    # a merged sketch is only provably complete if it has < k entries;
+    # otherwise force the estimator down the h_k path
+    n = F.when(F.size("sketch") < k, F.size("sketch").cast("long")).otherwise(
+        F.greatest(n, F.lit(k + 1).cast("long"))
+    )
+    return merged.select(*keys, "sketch", n.alias("n_distinct"))
+
+
+def kmv_overlap_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text: str = "text",
+    k: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of :class:`KmvSketch`: identical md5 hashes, bottom-k
+    window, union/intersection algebra and decimal rounding."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    denom = float(1 << 48)
+    est = (
+        lambda sk, n: f"CAST(CAST(CASE WHEN {n} <= {k} THEN CAST({n} AS DOUBLE) "
+        f"ELSE CAST({float(k - 1) * denom!r} AS DOUBLE) / "
+        f"CAST(GREATEST({sk}[{k}], 1) AS DOUBLE) END "
+        f"AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g, unnest(list_distinct({tokens_sql(text)})) AS tok
+  FROM {table}
+),
+dh AS (
+  SELECT DISTINCT g, ('0x' || substr(md5('{seed}:' || tok), 1, 12))::BIGINT AS h
+  FROM toks
+),
+rk AS (
+  SELECT g, h,
+         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS cnt
+  FROM dh
+),
+sk AS (
+  SELECT g,
+         list_sort(list(h) FILTER (WHERE rn <= {k})) AS sketch,
+         ANY_VALUE(cnt) AS n_distinct
+  FROM rk GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b,
+         a.sketch AS sa, a.n_distinct AS na,
+         b.sketch AS sb, b.n_distinct AS nb,
+         array_slice(list_sort(list_distinct(a.sketch || b.sketch)), 1, {k}) AS u
+  FROM sk a JOIN sk b ON a.g < b.g
+)
+SELECT source_a, source_b,
+       {est('sa', 'na')} AS distinct_a,
+       {est('sb', 'nb')} AS distinct_b,
+       CAST(CAST(CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE)
+                 ELSE CAST({float(k - 1) * denom!r} AS DOUBLE) /
+                      CAST(GREATEST(u[{k}], 1) AS DOUBLE) END
+            AS DECIMAL(18,6)) AS DOUBLE) AS union_est,
+       CAST(CAST(CAST(len(list_intersect(list_intersect(u, sa), sb)) AS DOUBLE)
+                 / CAST(len(u) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS jaccard_est
+FROM pairs
+ORDER BY source_a, source_b
+"""

@@ -1065,6 +1065,40 @@ def q161_tokenizer_fertility(spark, sf):
     )
 
 
+def q162_bloom_gate(spark, sf):
+    """Bloom-filter admission gate (``ml/sketches.py`` ``BloomFilterGate``)
+    — the constant-memory FIRST PASS in front of q79/q158's incremental
+    dedup: history = every non-src0 document, candidates = src0; the gate
+    answers "definitely new" from ``m_bits`` of broadcast state regardless
+    of history size, and ``truth_audit`` emits the exact-match truth so
+    the false-positive rate that sizes m/k is measured in the same pass.
+    m is deliberately small here (4096 bits for ~480 keys) so the audit
+    exercises real false positives."""
+    from warp_pipes_spark.ml.sketches import BloomFilterGate
+
+    docs = T(spark, sf, "documents")
+    corpus = docs.filter(F.col("source") != "src0").select("text")
+    cand = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    return BloomFilterGate(
+        corpus=corpus, m_bits=4096, k=3, seed=13, truth_audit=True
+    )(cand)
+
+
+def q163_kmv_overlap(spark, sf):
+    """KMV/theta-sketch cross-source overlap matrix (``ml/sketches.py``
+    ``KmvSketch``, Beyer et al. 2007) — per source-pair vocabulary
+    Jaccard + distinct estimates from k=64 minimum md5 hashes: the
+    intersection-capable sketch q148's HLL cannot be (HLL registers
+    union but never intersect). One distinct-sized shuffle, then the
+    pair stage touches only 20 sketch rows; bit-exact oracled because
+    the sketch is deterministic md5, no RNG."""
+    from warp_pipes_spark.ml.sketches import KmvSketch
+
+    return KmvSketch(group_col="source", k=64, seed=7)(
+        T(spark, sf, "documents")
+    )
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -4704,6 +4738,20 @@ def _round2b_oracles():
         threshold=0.3,
     )
 
+    from warp_pipes_spark.ml.sketches import bloom_gate_sql, kmv_overlap_sql
+
+    ORACLES_EXT["q162_bloom_gate"] = bloom_gate_sql(
+        "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+        "SELECT text FROM documents WHERE source <> 'src0'",
+        m_bits=4096,
+        k=3,
+        seed=13,
+        truth_audit=True,
+    )
+    ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
+        "documents", group_col="source", k=64, seed=7
+    )
+
     from warp_pipes_spark.text.web import bad_words_sql
 
     ORACLES_EXT["q156_badwords"] = bad_words_sql(
@@ -4984,6 +5032,8 @@ def _register():
         "q159_embedding_near_dup": q159_embedding_near_dup,
         "q160_split_leakage": q160_split_leakage,
         "q161_tokenizer_fertility": q161_tokenizer_fertility,
+        "q162_bloom_gate": q162_bloom_gate,
+        "q163_kmv_overlap": q163_kmv_overlap,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
