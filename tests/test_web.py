@@ -169,3 +169,30 @@ def test_badwords_exact_token_matching(spark):
     kept = BadWordsFilter(["ass"], mode="filter")(df)
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_line_filter_newline_unit_and_attribution(spark):
+    """Rule precedence (blocklist > punct > words), newline split, doc
+    gate, and reassembly on a hand-built document."""
+    from warp_pipes_spark.text.web import LineFilter
+
+    text = "\n".join(
+        [
+            "the quick brown fox jumps.",      # kept
+            "bad javascript line here now.",   # blocklist (precedence over punct)
+            "no terminal punctuation here",    # no punct
+            "too short.",                      # short
+            "another good line stays here.",   # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = LineFilter(min_words=5, min_lines=3)(df).collect()[0]
+    assert r["n_lines"] == 5
+    assert r["n_kept"] == 2
+    assert r["drop_blocklist"] == 1
+    assert r["drop_no_punct"] == 1
+    assert r["drop_short"] == 1
+    assert not r["keep"]  # 2 < min_lines=3
+    assert r["clean_text"] == (
+        "the quick brown fox jumps.\nanother good line stays here."
+    )

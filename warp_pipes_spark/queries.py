@@ -1099,6 +1099,30 @@ def q163_kmv_overlap(spark, sf):
     )
 
 
+def q164_line_filter(spark, sf):
+    """C4 line-level cleaning (``text/web.py`` ``LineFilter``, Raffel et
+    al. 2020 §2.2) — the within-document ACT step q140's doc-level gate
+    doesn't do: terminal punctuation is injected every 5 words (the
+    synthetic corpus has none, q72's convention), then lines failing the
+    blocklist / terminal-punct / min-words rules are dropped with
+    per-rule attribution, survivors reassemble into ``clean_text``, and
+    docs keeping < 3 lines are flagged. One projection of higher-order
+    array expressions: no explode, no shuffle, no UDF."""
+    from warp_pipes_spark.text.web import LineFilter
+
+    docs = T(spark, sf, "documents").select("doc_id", "source", "text")
+    punct = docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    return LineFilter(
+        min_words=5,
+        min_lines=3,
+        blocklist=("slow", "javascript"),
+        unit="sentence",
+        join_sep=" ",
+    )(punct)
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -4752,6 +4776,19 @@ def _round2b_oracles():
         "documents", group_col="source", k=64, seed=7
     )
 
+    from warp_pipes_spark.text.web import line_filter_sql
+
+    ORACLES_EXT["q164_line_filter"] = line_filter_sql(
+        r"SELECT doc_id, source,"
+        r" regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS text"
+        r" FROM documents",
+        min_words=5,
+        min_lines=3,
+        blocklist=("slow", "javascript"),
+        unit="sentence",
+        join_sep=" ",
+    )
+
     from warp_pipes_spark.text.web import bad_words_sql
 
     ORACLES_EXT["q156_badwords"] = bad_words_sql(
@@ -5034,6 +5071,7 @@ def _register():
         "q161_tokenizer_fertility": q161_tokenizer_fertility,
         "q162_bloom_gate": q162_bloom_gate,
         "q163_kmv_overlap": q163_kmv_overlap,
+        "q164_line_filter": q164_line_filter,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -323,3 +323,151 @@ SELECT {columns},
        len(list_distinct(list_intersect({tokens_sql(text)}, [{lits}]))) = 0 AS keep
 FROM ({table_sql}) t
 """
+
+
+class LineFilter(Pipe):
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) — the
+    within-document act step the doc-level gates (q140 Gopher/C4 rules)
+    don't do: split each document into lines, drop lines that trip a
+    rule, reassemble the survivors, and audit per-rule drop counts.
+
+    Rules (C4's, parameterized), applied per line with fixed attribution
+    precedence blocklist > terminal-punctuation > min-words:
+
+    - ``blocklist``: any token of the line is a blocked word (C4's
+      "any line with the word Javascript");
+    - ``require_terminal_punct``: line must end in ``. ! ?`` (C4's
+      "only retained lines that ended in a terminal punctuation mark");
+    - ``min_words``: at least N whitespace words (C4 uses 5).
+
+    Documents keeping fewer than ``min_lines`` surviving lines are
+    flagged ``keep = false`` (C4's "discarded any page with fewer than
+    3 sentences").
+
+    ``unit='newline'`` splits on ``\\n``; ``unit='sentence'`` reuses the
+    SentenceSplit boundary convention (terminal punct + space, marker
+    trick — RE2-safe) for corpora without newlines.
+
+    Scale shape: the ENTIRE operator is one projection of higher-order
+    array expressions (split -> transform -> filter -> array_join) —
+    no explode, no shuffle, no UDF; lines never leave their document's
+    row. Reference scope: no counterpart (the reference has no text
+    curation); C4 paper recipe.
+    """
+
+    def __init__(
+        self,
+        min_words: int = 5,
+        min_lines: int = 3,
+        require_terminal_punct: bool = True,
+        blocklist=("javascript",),
+        unit: str = "newline",
+        join_sep: str = "\n",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        if unit not in ("newline", "sentence"):
+            raise ValueError(f"unit must be 'newline' or 'sentence', got {unit!r}")
+        super().__init__(**kwargs)
+        self.min_words = min_words
+        self.min_lines = min_lines
+        self.require_terminal_punct = require_terminal_punct
+        self.blocklist = sorted({w.lower() for w in blocklist})
+        self.unit = unit
+        self.join_sep = join_sep
+        self.text_col = text_col
+
+    def _lines(self, text: Column) -> Column:
+        if self.unit == "newline":
+            parts = F.split(text, "\n")
+        else:
+            from warp_pipes_spark.text.analysis import SENT_BOUNDARY_RE, _SENT_SEP
+
+            marked = F.regexp_replace(text, SENT_BOUNDARY_RE, "$1" + _SENT_SEP)
+            parts = F.split(marked, _SENT_SEP)
+        parts = F.transform(parts, lambda s: F.trim(s))
+        return F.filter(parts, lambda s: F.length(s) > 0)
+
+    def _blocked(self, line: Column) -> Column:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        bad = F.array(*[F.lit(w) for w in self.blocklist])
+        return F.size(F.array_intersect(tokens_expr(line), bad)) > 0
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        mw = self.min_words
+        ends = lambda l: (
+            l.rlike("[.!?]$")
+            if self.require_terminal_punct
+            else F.lit(True)
+        )
+        nw = lambda l: F.size(
+            F.filter(F.split(l, " +"), lambda w: F.length(w) > 0)
+        )
+        lines = self._lines(F.col(self.text_col))
+        kept = F.filter(
+            lines,
+            lambda l: ~self._blocked(l) & ends(l) & (nw(l) >= mw),
+        )
+        n_block = F.size(F.filter(lines, lambda l: self._blocked(l)))
+        n_punct = F.size(
+            F.filter(lines, lambda l: ~self._blocked(l) & ~ends(l))
+        )
+        n_short = F.size(
+            F.filter(
+                lines, lambda l: ~self._blocked(l) & ends(l) & (nw(l) < mw)
+            )
+        )
+        return (
+            df.withColumn("clean_text", F.array_join(kept, self.join_sep))
+            .withColumn("n_lines", F.size(lines))
+            .withColumn("n_kept", F.size(kept))
+            .withColumn("drop_blocklist", n_block)
+            .withColumn("drop_no_punct", n_punct)
+            .withColumn("drop_short", n_short)
+            .withColumn("keep", F.col("n_kept") >= self.min_lines)
+            .drop(self.text_col)
+        )
+
+
+def line_filter_sql(
+    table_sql: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    blocklist=("javascript",),
+    unit: str = "newline",
+    join_sep: str = "\n",
+    text: str = "text",
+    columns: str = "doc_id, source",
+) -> str:
+    """DuckDB oracle for :class:`LineFilter` (require_terminal_punct
+    form): identical split, rule precedence and reassembly."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    if unit == "newline":
+        raw = f"string_split({text}, chr(10))"
+    else:
+        marked = f"regexp_replace({text}, '([.!?]) ', '\\1' || chr(30), 'g')"
+        raw = f"string_split({marked}, chr(30))"
+    lits = ", ".join(f"'{w}'" for w in sorted({w.lower() for w in blocklist}))
+    blocked = f"len(list_intersect({tokens_sql('l')}, [{lits}])) > 0"
+    ends = "regexp_matches(l, '[.!?]$')"
+    nw = "len(list_filter(string_split_regex(l, ' +'), w -> length(w) > 0))"
+    sep = join_sep.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT {columns},
+         list_filter(list_transform({raw}, s -> trim(s)), s -> length(s) > 0) AS ls
+  FROM ({table_sql}) t
+)
+SELECT {columns},
+       COALESCE(array_to_string(list_filter(ls,
+           l -> NOT ({blocked}) AND {ends} AND {nw} >= {min_words}), '{sep}'), '') AS clean_text,
+       CAST(len(ls) AS INTEGER) AS n_lines,
+       CAST(len(list_filter(ls, l -> NOT ({blocked}) AND {ends} AND {nw} >= {min_words})) AS INTEGER) AS n_kept,
+       CAST(len(list_filter(ls, l -> {blocked})) AS INTEGER) AS drop_blocklist,
+       CAST(len(list_filter(ls, l -> NOT ({blocked}) AND NOT {ends})) AS INTEGER) AS drop_no_punct,
+       CAST(len(list_filter(ls, l -> NOT ({blocked}) AND {ends} AND {nw} < {min_words})) AS INTEGER) AS drop_short,
+       len(list_filter(ls, l -> NOT ({blocked}) AND {ends} AND {nw} >= {min_words})) >= {min_lines} AS keep
+FROM base
+"""
