@@ -440,3 +440,28 @@ def test_best_fit_pack_string_ids_and_int_shards(spark):
     assert dict(out.dtypes)["id"] == "string"
     assert dict(out.dtypes)["shard"] == "int"
     assert rows["u1"]["pack_id"] == rows["u2"]["pack_id"]  # co-packed
+
+
+def test_packed_batches_collator_invariants(spark):
+    """q165's packed arrays must satisfy what a packed-attention collator
+    assumes: aligned lengths, position_ids reset to 0 exactly at each
+    doc boundary, segment_ids monotone with one segment per packed doc,
+    and no multi-doc pack exceeding capacity."""
+    from warp_pipes_spark.queries import q165_packed_batches
+
+    rows = q165_packed_batches(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        n = r["n_tokens"]
+        assert len(r["input_ids"]) == len(r["position_ids"]) == len(r["segment_ids"]) == n
+        segs = r["segment_ids"]
+        assert segs == sorted(segs)
+        assert len(set(segs)) == len(r["doc_ids"])
+        # position resets exactly where the segment changes
+        for i, p in enumerate(r["position_ids"]):
+            if i == 0 or segs[i] != segs[i - 1]:
+                assert p == 0, (r["pack_id"], i)
+            else:
+                assert p == r["position_ids"][i - 1] + 1
+        if len(r["doc_ids"]) > 1:
+            assert n <= 128

@@ -1123,6 +1123,116 @@ def q164_line_filter(spark, sf):
     )(punct)
 
 
+def q165_packed_batches(spark, sf):
+    """Packed pretraining batches — the trainer-facing composition of
+    q146 (WordPiece ids) and q155 (no-split BFD packing): per pack, the
+    concatenated ``input_ids`` plus ``position_ids`` that RESET at every
+    document boundary and per-token ``segment_ids`` marking which packed
+    document owns each position (the two arrays a packed-attention
+    collator needs to block cross-document attention). Tokenize is one
+    mapInPandas pass; packing is shard-local applyInPandas; assembly is
+    a single per-pack aggregation of sorted struct arrays — flatten /
+    sequence / indexed-transform expressions, no UDF. The oracle replays
+    tokenizer AND packer (both recursive CTEs) and re-assembles with
+    ordered list aggregates, so the packed arrays are bit-exact."""
+    from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    docs = T(spark, sf, "documents")
+    tok = WordPieceTokenizer(WORDPIECE_VOCAB, add_special_tokens=False)(
+        docs
+    ).select("doc_id", "source", "input_ids")
+    sized = tok.select(
+        "doc_id", "source", F.size("input_ids").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    asg = BestFitPack(capacity=128)(sized)
+    joined = asg.join(
+        tok.select(F.col("doc_id").alias("id"), F.col("input_ids").alias("ids")),
+        "id",
+    ).select(
+        F.col("shard").alias("source"),
+        "pack_id",
+        "pack_offset",
+        F.col("id").alias("doc_id"),
+        "ids",
+    )
+    g = joined.groupBy("source", "pack_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pack_offset").alias("o"),
+                    F.col("doc_id").alias("d"),
+                    F.col("ids").alias("ids"),
+                )
+            )
+        ).alias("s")
+    )
+    return g.select(
+        "source",
+        "pack_id",
+        F.transform(F.col("s"), lambda x: x["d"]).alias("doc_ids"),
+        F.flatten(F.transform(F.col("s"), lambda x: x["ids"])).alias(
+            "input_ids"
+        ),
+        F.flatten(
+            F.transform(
+                F.col("s"),
+                lambda x: F.sequence(F.lit(0), F.size(x["ids"]) - 1),
+            )
+        ).alias("position_ids"),
+        F.flatten(
+            F.transform(
+                F.col("s"),
+                lambda x, i: F.transform(x["ids"], lambda y: i),
+            )
+        ).alias("segment_ids"),
+    ).withColumn("n_tokens", F.size("input_ids"))
+
+
+def _packed_batches_oracle_sql() -> str:
+    from warp_pipes_spark.text.packing import best_fit_pack_sql
+
+    full_vocab = "[" + ", ".join(f"'{p}'" for p in WORDPIECE_VOCAB) + "]"
+    wp = _wordpiece_oracle_sql()  # doc_id, tokens, n_pieces
+    pack = best_fit_pack_sql(
+        "SELECT doc_id, source, n_tokens FROM wp_sized", capacity=128
+    )
+    return f"""
+WITH wp_tok AS ({wp}),
+wp_ids AS (
+  SELECT doc_id,
+         list_transform(tokens,
+             x -> CAST(list_position({full_vocab}, x) - 1 AS BIGINT)) AS ids
+  FROM wp_tok
+),
+wp_sized AS (
+  SELECT d.doc_id, d.source, CAST(len(w.ids) AS BIGINT) AS n_tokens
+  FROM documents d JOIN wp_ids w USING (doc_id)
+  WHERE len(w.ids) > 0
+),
+joined AS (
+  SELECT p.shard AS source, p.pack_id, p.pack_offset, p.id AS doc_id, w.ids
+  FROM ({pack}) p JOIN wp_ids w ON w.doc_id = p.id
+),
+seg AS (
+  SELECT *, CAST(row_number() OVER (
+             PARTITION BY source, pack_id ORDER BY pack_offset, doc_id
+           ) - 1 AS INTEGER) AS segi
+  FROM joined
+)
+SELECT source, pack_id,
+       list(doc_id ORDER BY pack_offset, doc_id) AS doc_ids,
+       flatten(list(ids ORDER BY pack_offset, doc_id)) AS input_ids,
+       flatten(list(list_transform(range(len(ids)), i -> CAST(i AS INTEGER))
+                    ORDER BY pack_offset, doc_id)) AS position_ids,
+       flatten(list(list_transform(ids, x -> segi)
+                    ORDER BY pack_offset, doc_id)) AS segment_ids,
+       CAST(len(flatten(list(ids ORDER BY pack_offset, doc_id))) AS INTEGER) AS n_tokens
+FROM seg GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -4772,6 +4882,7 @@ def _round2b_oracles():
         seed=13,
         truth_audit=True,
     )
+    ORACLES_EXT["q165_packed_batches"] = _packed_batches_oracle_sql()
     ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
         "documents", group_col="source", k=64, seed=7
     )
@@ -5072,6 +5183,7 @@ def _register():
         "q162_bloom_gate": q162_bloom_gate,
         "q163_kmv_overlap": q163_kmv_overlap,
         "q164_line_filter": q164_line_filter,
+        "q165_packed_batches": q165_packed_batches,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
