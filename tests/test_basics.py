@@ -701,3 +701,29 @@ def test_simhash_sig_edges_connectivity_equivalent(spark):
     # the 5x clique of doc 3's copies must still cluster
     labels = dict(comps(edges))
     assert len({labels[3], labels[13], labels[23], labels[33], labels[43]}) == 1
+
+
+def test_pii_pseudonymize_consistency(spark):
+    """Same entity -> same token corpus-wide (case-insensitive for
+    emails); different entities -> different tokens; raw values gone."""
+    from warp_pipes_spark.text.analysis import PiiPseudonymize
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail Admin@Corp.example and 10.0.0.7 now"),
+            (2, "re: admin@corp.example said call +1 (415) 555-0123"),
+            (3, "other person bob@corp.example wrote"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in PiiPseudonymize()(df).collect()}
+    tok1 = [w for w in rows[1]["clean_text"].split() if w.startswith("<EMAIL:")]
+    tok2 = [w for w in rows[2]["clean_text"].split() if w.startswith("<EMAIL:")]
+    tok3 = [w for w in rows[3]["clean_text"].split() if w.startswith("<EMAIL:")]
+    assert tok1 and tok1 == tok2, (tok1, tok2)
+    assert tok3 and tok3 != tok1
+    assert "<IPV4:" in rows[1]["clean_text"]
+    assert "<PHONE:" in rows[2]["clean_text"]
+    assert "corp.example" not in rows[1]["clean_text"].lower()
+    assert rows[1]["n_entities"] == 2
+    assert rows[2]["n_entities"] == 2

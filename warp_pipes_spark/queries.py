@@ -1233,6 +1233,74 @@ ORDER BY source, pack_id
 """
 
 
+def q166_pii_pseudonyms(spark, sf):
+    """Consistent PII pseudonymization (``text/analysis.py``
+    ``PiiPseudonymize``) — the referential-integrity upgrade of q71's
+    scrub: each distinct entity maps to a STABLE salted-md5 token
+    (``<EMAIL:ab12cd34>``), so the same address pseudonymizes
+    identically corpus-wide and dedup/linkage on the column survives
+    redaction. Injection mirrors q71 plus a SHARED address
+    (``admin@corp.example`` on doc_id%5==0) whose token must come out
+    identical across documents. Scan-speed expression fold — no UDF,
+    no shuffle."""
+    from warp_pipes_spark.text.analysis import PiiPseudonymize
+
+    d = T(spark, sf, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1 (415) 555-0"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" escalate to Admin@corp.example"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return PiiPseudonymize()(injected).select(
+        "doc_id", "clean_text", "n_entities"
+    )
+
+
+_PII_INJECT_SHARED_SQL = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call +1 (415) 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' escalate to Admin@corp.example'"
+    " ELSE '' END AS text FROM documents"
+)
+
+
+def _pii_pseudonyms_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import pii_pseudonymize_sql
+
+    exprs = pii_pseudonymize_sql("text")
+    return (
+        f"WITH injected AS ({_PII_INJECT_SHARED_SQL}) "
+        f"SELECT doc_id, {exprs['clean_text']} AS clean_text, "
+        f"{exprs['n_entities']} AS n_entities FROM injected ORDER BY doc_id"
+    )
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -4883,6 +4951,7 @@ def _round2b_oracles():
         truth_audit=True,
     )
     ORACLES_EXT["q165_packed_batches"] = _packed_batches_oracle_sql()
+    ORACLES_EXT["q166_pii_pseudonyms"] = _pii_pseudonyms_oracle_sql()
     ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
         "documents", group_col="source", k=64, seed=7
     )
@@ -5184,6 +5253,7 @@ def _register():
         "q163_kmv_overlap": q163_kmv_overlap,
         "q164_line_filter": q164_line_filter,
         "q165_packed_batches": q165_packed_batches,
+        "q166_pii_pseudonyms": q166_pii_pseudonyms,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -649,6 +649,124 @@ def pii_scrub_sql(text: str = "text") -> Dict[str, str]:
     }
 
 
+class PiiPseudonymize(Pipe):
+    """PII pseudonymization with REFERENTIAL CONSISTENCY — the governance
+    step :class:`PiiScrub` can't do: instead of collapsing every entity
+    to one tag (``<EMAIL>``), each distinct entity maps to a STABLE
+    type-tagged token ``<EMAIL:ab12cd34>`` derived from a salted md5 of
+    the normalized value. The same address tokenizes identically across
+    the whole corpus, so dedup / linkage / conversation-threading built
+    on the column keep working, while the raw value never leaves the
+    expression pipeline (pseudonym inversion needs the salt + a
+    dictionary attack, the standard tokenization-vault trade).
+
+    Mechanics: all three PII patterns extract from the ORIGINAL text in
+    one pass; the combined entity list sorts by (type-rank, length DESC,
+    value) — emails before IPs before phones, longest-first within a
+    type so no literal replacement clobbers a longer match containing
+    it — then a single array fold applies literal replacements.
+    Everything is codegen'd expressions (regexp_extract_all + aggregate
+    + replace): scan-speed, no UDF, no shuffle, and the identical fold
+    replays in DuckDB (``pii_pseudonymize_sql``).
+
+    ``n_entities`` counts distinct extracted entities (an entity of one
+    type nested inside a longer entity of another — a phone inside an
+    email local-part — is counted under both types; replacement order
+    makes the outer one win in the text itself)."""
+
+    TYPE_RANKS = tuple((name, rank) for rank, (name, _, _) in enumerate(PII_PATTERNS))
+
+    def __init__(
+        self,
+        salt: str = "wps",
+        text_col: str = "text",
+        out_col: str = "clean_text",
+        count_col: str = "n_entities",
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.salt = salt
+        self.text_col = text_col
+        self.out_col = out_col
+        self.count_col = count_col
+
+    def _entity_struct_fn(self, rank: int, tag: str, norm):
+        def build(m):
+            return F.struct(
+                F.lit(rank).alias("r"),
+                (F.lit(1000) - F.length(m)).alias("k"),
+                m.alias("v"),
+                F.concat(
+                    F.lit(f"<{tag}:"),
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{self.salt}:{tag}:"), norm(m))
+                        ),
+                        1,
+                        8,
+                    ),
+                    F.lit(">"),
+                ).alias("p"),
+            )
+
+        return build
+
+    def _entities(self, text: Column) -> Column:
+        parts = []
+        for rank, (name, pattern, _) in enumerate(PII_PATTERNS):
+            tag = name.upper()
+            norm = ascii_lower_expr if name == "email" else (lambda m: m)
+            ms = F.array_distinct(F.regexp_extract_all(text, F.lit(pattern), 0))
+            parts.append(
+                F.transform(ms, self._entity_struct_fn(rank, tag, norm))
+            )
+        return F.array_sort(F.concat(*parts))
+
+    def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
+        ents = self._entities(F.col(self.text_col))
+        clean = F.aggregate(
+            ents,
+            F.col(self.text_col),
+            lambda acc, x: F.replace(acc, x["v"], x["p"]),
+        )
+        return {
+            self.out_col: clean,
+            self.count_col: F.size(ents).cast("int"),
+        }
+
+
+def pii_pseudonymize_sql(text: str = "text", salt: str = "wps") -> Dict[str, str]:
+    """DuckDB expressions for (clean_text, n_entities): identical
+    extraction, (rank, -length, value) sort and literal-replace fold.
+    The fold rides a VARCHAR list (``value <US> pseudonym`` joined with
+    the unit separator, text prepended as the accumulator seed) because
+    DuckDB's list_reduce needs a uniform element type."""
+    parts = []
+    for rank, (name, pattern, _) in enumerate(PII_PATTERNS):
+        tag = name.upper()
+        p = pattern.replace("'", "''")
+        norm = ascii_lower_sql("m") if name == "email" else "m"
+        pseudo = (
+            f"'<{tag}:' || substr(md5('{salt}:{tag}:' || {norm}), 1, 8) || '>'"
+        )
+        parts.append(
+            f"list_transform(list_distinct(regexp_extract_all({text}, '{p}')), "
+            f"m -> {{'r': {rank}, 'k': 1000 - length(m), 'v': m, 'p': {pseudo}}})"
+        )
+    ents = "list_sort(" + " || ".join(parts) + ")"
+    pairs = f"list_transform({ents}, x -> x.v || chr(31) || x.p)"
+    clean = (
+        f"list_reduce(list_prepend({text}, {pairs}), "
+        f"(acc, e) -> replace(acc, string_split(e, chr(31))[1], "
+        f"string_split(e, chr(31))[2]))"
+    )
+    return {
+        "clean_text": clean,
+        "n_entities": f"CAST(len({ents}) AS INTEGER)",
+    }
+
+
 # ---------------------------------------------------------------------------
 # sentence splitting (1 doc row -> N sentence rows)
 # ---------------------------------------------------------------------------
