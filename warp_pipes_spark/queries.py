@@ -1301,6 +1301,65 @@ def _pii_pseudonyms_oracle_sql() -> str:
     )
 
 
+def q167_dup_attribution(spark, sf):
+    """Cross-source duplication attribution matrix — the provenance
+    analytic a crawl team reads before re-weighting sources: q28's
+    banded MinHash near-dup pairs rolled up to unordered (source_x,
+    source_y) cells with pair counts and mean Jaccard (decimal-exact
+    sum, one IEEE division). Tells you WHICH feeds mirror each other
+    (mirror sites, syndication) vs which self-duplicate (x = y). Pure
+    composition: the pair table is the only corpus-sized shuffle; the
+    rollup is source^2-bounded."""
+    from warp_pipes_spark.text.dedup import MinHashDedup
+
+    docs = T(spark, sf, "documents")
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            F.col("jaccard").cast("decimal(18,6)").alias("j"),
+        )
+    )
+    return labeled.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("j").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_jaccard"),
+    )
+
+
+def _dup_attribution_oracle_sql() -> str:
+    from warp_pipes_spark.text.dedup import minhash_dedup_sql
+
+    pairs = minhash_dedup_sql("documents", n=3, threshold=0.3)
+    return f"""
+WITH pairs AS ({pairs}),
+labeled AS (
+  SELECT LEAST(a.source, b.source) AS source_x,
+         GREATEST(a.source, b.source) AS source_y,
+         CAST(p.jaccard AS DECIMAL(18,6)) AS j
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.doc_a
+  JOIN documents b ON b.doc_id = p.doc_b
+)
+SELECT source_x, source_y,
+       COUNT(*) AS n_pairs,
+       CAST(CAST(CAST(SUM(j) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_jaccard
+FROM labeled GROUP BY source_x, source_y
+ORDER BY source_x, source_y
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -4952,6 +5011,7 @@ def _round2b_oracles():
     )
     ORACLES_EXT["q165_packed_batches"] = _packed_batches_oracle_sql()
     ORACLES_EXT["q166_pii_pseudonyms"] = _pii_pseudonyms_oracle_sql()
+    ORACLES_EXT["q167_dup_attribution"] = _dup_attribution_oracle_sql()
     ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
         "documents", group_col="source", k=64, seed=7
     )
@@ -5254,6 +5314,7 @@ def _register():
         "q164_line_filter": q164_line_filter,
         "q165_packed_batches": q165_packed_batches,
         "q166_pii_pseudonyms": q166_pii_pseudonyms,
+        "q167_dup_attribution": q167_dup_attribution,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
