@@ -465,3 +465,37 @@ def test_packed_batches_collator_invariants(spark):
                 assert p == r["position_ids"][i - 1] + 1
         if len(r["doc_ids"]) > 1:
             assert n <= 128
+
+
+def test_priority_sample_weight_proportionality(spark):
+    """A-ES: 5x-weighted rows should dominate the sample; the sample is
+    exactly k; determinism across two invocations."""
+    from warp_pipes_spark.pipes.sampling import PrioritySample
+
+    df = spark.range(600).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 300 THEN 'heavy' ELSE 'light' END AS source",
+        "CASE WHEN id < 300 THEN 5.0 ELSE 1.0 END AS weight",
+    )
+    samp = PrioritySample(k=100, seed=3)
+    rows = samp(df).collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r["source"] == "heavy")
+    assert heavy > 2 * (100 - heavy), heavy
+    rows2 = samp(df).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
+
+
+def test_priority_sample_resumable_under_growth(spark):
+    """Priorities are row-local, so growing the corpus only ever REPLACES
+    the tail of the sample: every new-sample member that existed before
+    must have been in the old sample or beaten someone out."""
+    from warp_pipes_spark.pipes.sampling import PrioritySample
+
+    old = spark.range(300).selectExpr("id AS doc_id", "1.0 AS weight")
+    new = spark.range(600).selectExpr("id AS doc_id", "1.0 AS weight")
+    samp = PrioritySample(k=50, seed=3)
+    old_ids = {r["doc_id"] for r in samp(old).collect()}
+    new_rows = samp(new).collect()
+    survivors = {r["doc_id"] for r in new_rows if r["doc_id"] < 300}
+    assert survivors <= old_ids

@@ -716,3 +716,98 @@ SELECT t.doc_id, t.source, t.n_tokens, th.source_tokens, th.source_alloc
 FROM tok t JOIN thr th USING (source)
 WHERE t.g < th.thr_hex
 """
+
+
+class PrioritySample(Pipe):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    A-ES): each row draws priority ``ln(u) / w`` from the deterministic
+    md5 uniform ``u = (h48 + 1) / 2^48`` and the k highest priorities are
+    the sample — one pass, no rejection loop, inclusion probability
+    proportional to weight, and a row's priority never depends on any
+    other row (so the sample is mergeable/resumable: re-running over a
+    grown corpus keeps every survivor whose priority still ranks).
+
+    The classic formulation keeps the k largest ``u^(1/w)``; taking logs
+    gives ``ln(u)/w`` (w > 0), monotone-identical and float-stable. The
+    only cross-engine float ops are one ``ln`` (decimal-rounded at 1e-6,
+    the engine's standard budget) and one division (IEEE, exact-rounded
+    both engines); rounded-priority ties break on the key column, so
+    Spark and the DuckDB oracle select the identical sample.
+
+    Scale shape: priorities are scan-level expressions; global top-k
+    compiles to TakeOrdered (per-partition partial top-k, then a k-sized
+    merge) — no global sort, no single-partition window, no shuffle of
+    the unsampled rows."""
+
+    def __init__(
+        self,
+        k: int,
+        weight_col: str = "weight",
+        key_col: str = "doc_id",
+        seed: int = 11,
+        out_col: str = "priority",
+        **kwargs,
+    ):
+        if k < 1:
+            raise ValueError(f"need k >= 1, got {k}")
+        super().__init__(**kwargs)
+        self.k = k
+        self.weight_col = weight_col
+        self.key_col = key_col
+        self.seed = seed
+        self.out_col = out_col
+
+    def priority_expr(self) -> Column:
+        h48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(self.key_col).cast("string"),
+                        F.lit(f":{self.seed}"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h48 + 1).cast("double") / F.lit(float(1 << 48))
+        lnu = F.log(u).cast("decimal(18,6)")
+        return (
+            (lnu.cast("double") / F.col(self.weight_col).cast("double"))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        scored = df.withColumn(self.out_col, self.priority_expr())
+        return scored.orderBy(
+            F.col(self.out_col).desc(), F.col(self.key_col)
+        ).limit(self.k)
+
+
+def priority_sample_sql(
+    table_sql: str,
+    k: int,
+    weight_expr: str,
+    key: str = "doc_id",
+    seed: int = 11,
+    columns: str = "doc_id, source",
+    out_col: str = "priority",
+) -> str:
+    """DuckDB oracle for :class:`PrioritySample`: identical md5 uniform,
+    rounded log, division and (priority DESC, key) order."""
+    h48 = f"('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{seed}'), 1, 12))::BIGINT"
+    u = f"(CAST({h48} + 1 AS DOUBLE) / {float(1 << 48)!r})"
+    lnu = f"CAST(ln({u}) AS DECIMAL(18,6))"
+    prio = (
+        f"CAST(CAST(CAST({lnu} AS DOUBLE) / CAST({weight_expr} AS DOUBLE) "
+        f"AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    return f"""
+SELECT {columns}, {prio} AS {out_col}
+FROM ({table_sql}) t
+ORDER BY {out_col} DESC, {key}
+LIMIT {k}
+"""

@@ -1360,6 +1360,50 @@ ORDER BY source_x, source_y
 """
 
 
+_PRIORITY_LANG_WEIGHTS = {"en": 3.0, "de": 2.0, "fr": 1.5, "es": 1.0, "zh": 0.5}
+
+
+def q168_priority_sample(spark, sf):
+    """Weighted sampling without replacement (``pipes/sampling.py``
+    ``PrioritySample``, Efraimidis & Spirakis 2006 A-ES) — the
+    exact-k companion to q56's keep-rate gates and q57's epoch copies:
+    ONE pass draws priority ln(u)/w from the deterministic md5 uniform
+    and keeps the k best, inclusion odds proportional to the per-lang
+    weight, no rejection loop, resumable under corpus growth. Global
+    top-k compiles to TakeOrdered (partial per-partition top-k), not a
+    single-partition window."""
+    from warp_pipes_spark.pipes.sampling import PrioritySample
+
+    docs = T(spark, sf, "documents")
+    expr = None
+    for lang, wt in _PRIORITY_LANG_WEIGHTS.items():
+        base = F if expr is None else expr
+        expr = base.when(F.col("lang") == lang, F.lit(wt))
+    weighted = docs.select(
+        "doc_id", "source", "lang", expr.otherwise(F.lit(1.0)).alias("weight")
+    )
+    return PrioritySample(k=100, seed=11)(weighted)
+
+
+def _priority_sample_oracle_sql() -> str:
+    from warp_pipes_spark.pipes.sampling import priority_sample_sql
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {wt!r}"
+        for lang, wt in _PRIORITY_LANG_WEIGHTS.items()
+    )
+    weight = f"CASE {cases} ELSE 1.0 END"
+    return priority_sample_sql(
+        f"SELECT doc_id, source, lang, CAST({weight} AS DOUBLE) AS weight"
+        " FROM documents",
+        k=100,
+        weight_expr="weight",
+        key="doc_id",
+        seed=11,
+        columns="doc_id, source, lang, weight",
+    )
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5012,6 +5056,7 @@ def _round2b_oracles():
     ORACLES_EXT["q165_packed_batches"] = _packed_batches_oracle_sql()
     ORACLES_EXT["q166_pii_pseudonyms"] = _pii_pseudonyms_oracle_sql()
     ORACLES_EXT["q167_dup_attribution"] = _dup_attribution_oracle_sql()
+    ORACLES_EXT["q168_priority_sample"] = _priority_sample_oracle_sql()
     ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
         "documents", group_col="source", k=64, seed=7
     )
@@ -5315,6 +5360,7 @@ def _register():
         "q165_packed_batches": q165_packed_batches,
         "q166_pii_pseudonyms": q166_pii_pseudonyms,
         "q167_dup_attribution": q167_dup_attribution,
+        "q168_priority_sample": q168_priority_sample,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
