@@ -727,3 +727,24 @@ def test_pii_pseudonymize_consistency(spark):
     assert "corp.example" not in rows[1]["clean_text"].lower()
     assert rows[1]["n_entities"] == 2
     assert rows[2]["n_entities"] == 2
+
+
+def test_char_entropy_bands(spark):
+    """Uniform text has maximal entropy ln(k); single-char text has 0;
+    natural-ish text sits between."""
+    import math
+
+    from warp_pipes_spark.text.analysis import CharEntropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaa"),                      # H = 0
+            (2, "abcdefghijklmnopqrstuvwxyz"),        # H = ln(26)
+            (3, "the quick brown fox jumps over it"),  # 0 < H < ln(27)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["entropy"] for r in CharEntropy()(df).collect()}
+    assert rows[1] == 0.0
+    assert abs(rows[2] - math.log(26)) < 1e-4
+    assert 0.5 < rows[3] < math.log(27)

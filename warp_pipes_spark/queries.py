@@ -1404,6 +1404,22 @@ def _priority_sample_oracle_sql() -> str:
     )
 
 
+def q169_char_entropy(spark, sf):
+    """Character-distribution entropy per document (``text/analysis.py``
+    ``CharEntropy``) — the gibberish/boilerplate signal the token-ratio
+    gates (q24/q140) miss: natural text sits in a narrow entropy band,
+    keyboard mash above it, template spam below. One bounded char
+    explode with map-side combine, then a doc-sized reduction; the
+    engine-standard decimal-ln budget makes it bit-exact oracled."""
+    from warp_pipes_spark.text.analysis import CharEntropy
+
+    docs = T(spark, sf, "documents")
+    ent = CharEntropy()(docs)
+    return ent.join(
+        F.broadcast(docs.select("doc_id", "source")), "doc_id"
+    ).select("doc_id", "source", "n_chars_alpha", "entropy")
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5057,6 +5073,14 @@ def _round2b_oracles():
     ORACLES_EXT["q166_pii_pseudonyms"] = _pii_pseudonyms_oracle_sql()
     ORACLES_EXT["q167_dup_attribution"] = _dup_attribution_oracle_sql()
     ORACLES_EXT["q168_priority_sample"] = _priority_sample_oracle_sql()
+
+    from warp_pipes_spark.text.analysis import char_entropy_sql
+
+    ORACLES_EXT["q169_char_entropy"] = (
+        "WITH ent AS (" + char_entropy_sql("documents").strip() + ") "
+        "SELECT e.doc_id, d.source, e.n_chars_alpha, e.entropy "
+        "FROM ent e JOIN documents d USING (doc_id) ORDER BY e.doc_id"
+    )
     ORACLES_EXT["q163_kmv_overlap"] = kmv_overlap_sql(
         "documents", group_col="source", k=64, seed=7
     )
@@ -5361,6 +5385,7 @@ def _register():
         "q166_pii_pseudonyms": q166_pii_pseudonyms,
         "q167_dup_attribution": q167_dup_attribution,
         "q168_priority_sample": q168_priority_sample,
+        "q169_char_entropy": q169_char_entropy,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

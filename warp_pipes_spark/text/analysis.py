@@ -1182,3 +1182,106 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
        -CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_nll
 FROM agg ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# character-level entropy (gibberish / boilerplate quality signal)
+# ---------------------------------------------------------------------------
+
+
+class CharEntropy(Pipe):
+    """Per-document character-distribution entropy over the ``a-z`` +
+    space alphabet — the Gopher-family quality signal the token-ratio
+    gates miss: machine-generated keyboard mash and template boilerplate
+    both sit far from natural-language character entropy (~2.8-3.1 nats
+    for English), so a cheap two-sided entropy band flags them before
+    any model-based scorer runs.
+
+    ``H = ln(n) - (sum_c c * ln c) / n`` over the per-doc counts of
+    in-alphabet characters; the cross-engine float budget is the
+    engine-standard one: each ``ln`` decimal-rounded at 1e-6, count
+    products and their sum exact decimal, then one IEEE division and one
+    subtraction before the final rounding.
+
+    Scale shape: one narrow char explode (bounded 27-way per-doc key
+    space) with full map-side combine on (doc, char), then a doc-sized
+    reduction — the q76-perplexity shuffle profile, nothing
+    vocabulary-global."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        out_col: str = "entropy",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        t = ascii_lower_expr(F.col(self.text_col))
+        chars = F.filter(
+            F.split(t, ""),
+            lambda c: ((c >= "a") & (c <= "z")) | (c == " "),
+        )
+        ex = df.select(self.id_col, F.explode(chars).alias("__ch"))
+        counts = ex.groupBy(self.id_col, "__ch").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        lnc = F.log(F.col("__c").cast("double")).cast("decimal(18,6)")
+        agg = counts.groupBy(self.id_col).agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * lnc).alias("__s"),
+        )
+        h = (
+            (
+                F.log(F.col("__n").cast("double"))
+                .cast("decimal(18,6)")
+                .cast("double")
+                - F.col("__s").cast("double") / F.col("__n").cast("double")
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        return agg.select(
+            self.id_col,
+            F.col("__n").cast("long").alias("n_chars_alpha"),
+            h.alias(self.out_col),
+        )
+
+
+def char_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    out_col: str = "entropy",
+) -> str:
+    """DuckDB replay of :class:`CharEntropy`: identical alphabet filter,
+    rounded logs, exact decimal sum and final float ops."""
+    t = ascii_lower_sql(text)
+    return f"""
+WITH chars AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split({t}, ''),
+                c -> (c >= 'a' AND c <= 'z') OR c = ' ')) AS ch
+  FROM {table}
+),
+counts AS (
+  SELECT {id_col}, ch, COUNT(*) AS c FROM chars GROUP BY {id_col}, ch
+),
+agg AS (
+  SELECT {id_col},
+         SUM(c) AS n,
+         SUM(c * CAST(ln(c) AS DECIMAL(18,6))) AS s
+  FROM counts GROUP BY {id_col}
+)
+SELECT {id_col},
+       CAST(n AS BIGINT) AS n_chars_alpha,
+       CAST(CAST(CAST(CAST(ln(n) AS DECIMAL(18,6)) AS DOUBLE)
+                 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS {out_col}
+FROM agg
+ORDER BY {id_col}
+"""
