@@ -34,3 +34,28 @@ def test_auc_matches_pairwise_definition(spark):
     df = spark.createDataFrame(pairs, "score double, label int")
     got = BinaryAuc()(df).collect()[0]["auc"]
     assert abs(got - _auc_reference(pairs)) < 1e-12
+
+
+def test_rouge_known_values(spark):
+    """Hand-computed ROUGE-1/2 on the classic example pair, plus the
+    clipping rule (repeated grams credit at most ref multiplicity)."""
+    from warp_pipes_spark.ml.metrics import RougeScore
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat lay on the mat"),
+            (2, "the the the the", "the world"),  # clip: 'the' counts once
+        ],
+        ["doc_id", "cand_text", "ref_text"],
+    )
+    rows = {r["doc_id"]: r for r in RougeScore()(df).collect()}
+    r1 = rows[1]
+    assert abs(r1["rouge1_p"] - 5 / 6) < 1e-6
+    assert abs(r1["rouge1_r"] - 5 / 6) < 1e-6
+    assert abs(r1["rouge1_f1"] - 5 / 6) < 1e-6
+    assert abs(r1["rouge2_p"] - 3 / 5) < 1e-6
+    assert abs(r1["rouge2_f1"] - 3 / 5) < 1e-6
+    r2 = rows[2]
+    assert abs(r2["rouge1_p"] - 1 / 4) < 1e-6  # clipped at ref count 1
+    assert abs(r2["rouge1_r"] - 1 / 2) < 1e-6
+    assert r2["rouge2_f1"] == 0.0

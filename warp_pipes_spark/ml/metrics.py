@@ -87,3 +87,180 @@ def binary_auc_sql(scored_sql: str, score: str = "score", label: str = "label") 
                    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
         FROM cum
     """
+
+
+class RougeScore(Pipe):
+    """ROUGE-N between a candidate and a reference text column (Lin 2004)
+    — the n-gram overlap metric summarization/RAG eval pipelines compute
+    at corpus scale: clipped n-gram matches (each gram credits at most
+    min(candidate, reference) multiplicity, the official ROUGE counting),
+    precision, recall and F1 per row for every requested n.
+
+    Shape: n-gram construction is a row-local array expression; the
+    clipped count is explode -> (row, gram) hash aggregate -> inner join
+    -> per-row sum — all codegen'd relational operators with map-side
+    combine. (A pure higher-order-expression fold measured ~50x slower:
+    Spark evaluates lambda bodies interpreted per element, so an
+    O(distinct-grams x grams) fold per row is the wrong shape; the
+    exploded aggregate is what the engine optimizes.) ``id_col`` must be
+    unique per input row. Ratios are one IEEE division over integer
+    counts, decimal-rounded — the DuckDB oracle reproduces every score
+    bit-for-bit."""
+
+    def __init__(
+        self,
+        cand_col: str = "cand_text",
+        ref_col: str = "ref_text",
+        id_col: str = "doc_id",
+        ns=(1, 2),
+        **kwargs,
+    ):
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.cand_col = cand_col
+        self.ref_col = ref_col
+        self.id_col = id_col
+        self.ns = tuple(ns)
+
+    @staticmethod
+    def _ngrams(toks: Column, n: int) -> Column:
+        if n == 1:
+            return toks
+
+        def gram(x, i):
+            parts = [x]
+            for d in range(1, n):
+                parts.extend([F.lit(" "), F.element_at(toks, i + d + 1)])
+            return F.concat(*parts)
+
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            gram,
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        dec = lambda c: c.cast("decimal(18,6)").cast("double")
+        # token arrays FIRST, as columns: _ngrams reads its input per
+        # element (element_at inside the transform lambda), so handing it
+        # the raw tokens_expr would re-tokenize the row once per token
+        # (measured quadratic). A multi-referenced column alias stays a
+        # cheap attribute read.
+        toks = df.select(
+            "*",
+            tokens_expr(F.col(self.cand_col)).alias("__ct"),
+            tokens_expr(F.col(self.ref_col)).alias("__rt"),
+        )
+        grams = toks.select(
+            "*",
+            *[
+                self._ngrams(F.col("__ct"), n).alias(f"__cg{n}")
+                for n in self.ns
+            ],
+            *[
+                self._ngrams(F.col("__rt"), n).alias(f"__rg{n}")
+                for n in self.ns
+            ],
+        ).drop("__ct", "__rt")
+        # four consumers (two explode sides per n, plus the final join
+        # spine) — persist so the scan/tokenize lineage runs once
+        grams = grams.persist()
+        out = grams
+        key = self.id_col
+        for n in self.ns:
+            ce = (
+                grams.select(key, F.explode(f"__cg{n}").alias("__g"))
+                .groupBy(key, "__g")
+                .agg(F.count(F.lit(1)).alias("__cc"))
+            )
+            re_ = (
+                grams.select(key, F.explode(f"__rg{n}").alias("__g"))
+                .groupBy(key, "__g")
+                .agg(F.count(F.lit(1)).alias("__rc"))
+            )
+            clip = (
+                ce.join(re_, [key, "__g"])
+                .groupBy(key)
+                .agg(F.sum(F.least("__cc", "__rc")).alias(f"__clip{n}"))
+            )
+            out = out.join(clip, key, "left").withColumn(
+                f"__clip{n}", F.coalesce(F.col(f"__clip{n}"), F.lit(0))
+            )
+        for n in self.ns:
+            clip = F.col(f"__clip{n}").cast("double")
+            nc = F.size(F.col(f"__cg{n}"))
+            nr = F.size(F.col(f"__rg{n}"))
+            p = F.when(nc > 0, clip / nc.cast("double")).otherwise(F.lit(0.0))
+            r = F.when(nr > 0, clip / nr.cast("double")).otherwise(F.lit(0.0))
+            out = out.withColumn(f"rouge{n}_p", dec(p)).withColumn(
+                f"rouge{n}_r", dec(r)
+            )
+            pc, rc = F.col(f"rouge{n}_p"), F.col(f"rouge{n}_r")
+            f1 = F.when(
+                (pc + rc) > 0, F.lit(2.0) * pc * rc / (pc + rc)
+            ).otherwise(F.lit(0.0))
+            out = out.withColumn(f"rouge{n}_f1", dec(f1))
+        return out.drop(
+            *[f"__cg{n}" for n in self.ns],
+            *[f"__rg{n}" for n in self.ns],
+            *[f"__clip{n}" for n in self.ns],
+        )
+
+
+def rouge_sql(
+    pairs_sql: str,
+    cand: str = "cand_text",
+    ref: str = "ref_text",
+    ns=(1, 2),
+    columns: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :class:`RougeScore`: identical tokenization,
+    n-gram construction, clipped counting and rounding."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    def grams_expr(toks: str, n: int) -> str:
+        if n == 1:
+            return toks
+        joined = " || ' ' || ".join(f"({toks})[i + {d + 1}]" for d in range(n))
+        return (
+            f"list_transform(range(GREATEST(len({toks}) - {n - 1}, 0)), "
+            f"i -> {joined})"
+        )
+
+    dec = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"
+    sels = [columns]
+    for n in ns:
+        cg, rg = f"cg{n}", f"rg{n}"
+        clip = (
+            f"COALESCE(list_sum(list_transform(list_distinct({cg}), "
+            f"g -> LEAST(len(list_filter({cg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))), 0)"
+        )
+        p = (
+            f"CASE WHEN len({cg}) > 0 THEN CAST({clip} AS DOUBLE) / "
+            f"CAST(len({cg}) AS DOUBLE) ELSE 0.0 END"
+        )
+        r = (
+            f"CASE WHEN len({rg}) > 0 THEN CAST({clip} AS DOUBLE) / "
+            f"CAST(len({rg}) AS DOUBLE) ELSE 0.0 END"
+        )
+        pd_, rd = dec(p), dec(r)
+        f1 = (
+            f"CASE WHEN ({pd_}) + ({rd}) > 0 "
+            f"THEN 2.0 * ({pd_}) * ({rd}) / (({pd_}) + ({rd})) ELSE 0.0 END"
+        )
+        sels.append(f"{pd_} AS rouge{n}_p")
+        sels.append(f"{rd} AS rouge{n}_r")
+        sels.append(f"{dec(f1)} AS rouge{n}_f1")
+    gram_cols = ", ".join(
+        [columns]
+        + [f"{grams_expr(tokens_sql(cand), n)} AS cg{n}" for n in ns]
+        + [f"{grams_expr(tokens_sql(ref), n)} AS rg{n}" for n in ns]
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+gr AS (SELECT {gram_cols} FROM pairs)
+SELECT {", ".join(sels)}
+FROM gr
+"""

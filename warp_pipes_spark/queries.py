@@ -1420,6 +1420,55 @@ def q169_char_entropy(spark, sf):
     ).select("doc_id", "source", "n_chars_alpha", "entropy")
 
 
+def q170_rouge_eval(spark, sf):
+    """Corpus-scale ROUGE-1/ROUGE-2 (``ml/metrics.py`` ``RougeScore``,
+    Lin 2004) — the summarization/RAG eval metric as a pure scan:
+    candidate/reference pairs are adjacent same-source documents (lead
+    window, the corpus has no gold summaries), scores are clipped n-gram
+    overlap with official ROUGE counting. Row-local array expressions
+    only — the single shuffle is the pairing window, the metric itself
+    adds none."""
+    from warp_pipes_spark.ml.metrics import RougeScore
+
+    docs = T(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text").alias("cand_text"),
+            F.lead("text").over(w).alias("ref_text"),
+            F.lead("doc_id").over(w).alias("ref_doc_id"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+    )
+    return RougeScore()(pairs).select(
+        "doc_id",
+        "ref_doc_id",
+        "source",
+        "rouge1_p",
+        "rouge1_r",
+        "rouge1_f1",
+        "rouge2_p",
+        "rouge2_r",
+        "rouge2_f1",
+    )
+
+
+def _rouge_eval_oracle_sql() -> str:
+    from warp_pipes_spark.ml.metrics import rouge_sql
+
+    pairs = (
+        "SELECT doc_id, source, text AS cand_text, "
+        "lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref_text, "
+        "lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_doc_id "
+        "FROM documents QUALIFY ref_text IS NOT NULL"
+    )
+    return rouge_sql(
+        pairs, ns=(1, 2), columns="doc_id, ref_doc_id, source"
+    ) + " ORDER BY doc_id"
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5076,6 +5125,7 @@ def _round2b_oracles():
 
     from warp_pipes_spark.text.analysis import char_entropy_sql
 
+    ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
     ORACLES_EXT["q169_char_entropy"] = (
         "WITH ent AS (" + char_entropy_sql("documents").strip() + ") "
         "SELECT e.doc_id, d.source, e.n_chars_alpha, e.entropy "
@@ -5386,6 +5436,7 @@ def _register():
         "q167_dup_attribution": q167_dup_attribution,
         "q168_priority_sample": q168_priority_sample,
         "q169_char_entropy": q169_char_entropy,
+        "q170_rouge_eval": q170_rouge_eval,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
