@@ -48,3 +48,28 @@ def test_explicit_weight_vector(spark):
     expect = sum(weights[_bucket_py(t, dim)] for t in toks) / len(toks)
     assert abs(out["score"] - expect) < 1e-12
     assert out["label"] is True  # threshold -10 < any mean here
+
+
+def test_stupid_backoff_branches(spark):
+    """All three backoff branches on a hand-built corpus: seen trigram
+    (ratio of counts), unseen trigram / seen bigram (0.4 * ratio), and
+    full backoff to the unigram (0.16 * c/N)."""
+    from warp_pipes_spark.text.analysis import StupidBackoffScore
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d"), (101, "b c e")],
+        ["doc_id", "text"],
+    )
+    # N = 7 tokens; trigrams: (a b c), (b c d), (b c e); bigrams incl (c e)
+    score = StupidBackoffScore(corpus=corpus)
+    # doc 1: trigram (a b c) seen once, c(a b)=1 -> S=1, no backoff
+    # doc 2: (a b e): unseen tri, bigram (b e) unseen -> 0.16 * c(e)/7
+    # doc 3: (d c e): unseen tri, bigram (c e) seen, c(c)=2 -> 0.4 * 1/2
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b e"), (3, "d c e")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in score(df).collect()}
+    assert rows[1]["sb_score"] == 1.0 and rows[1]["backoff_rate"] == 0.0
+    assert abs(rows[2]["sb_score"] - 0.16 * 1 / 7) < 1e-5
+    assert rows[2]["backoff_rate"] == 1.0
+    assert abs(rows[3]["sb_score"] - 0.4 * 0.5) < 1e-6

@@ -1469,6 +1469,23 @@ def _rouge_eval_oracle_sql() -> str:
     ) + " ORDER BY doc_id"
 
 
+def q171_stupid_backoff(spark, sf):
+    """Trigram stupid-backoff LM scoring (``text/analysis.py``
+    ``StupidBackoffScore``, Brants et al. 2007) — the word-order model
+    q127's self-trained bigram LM can't reach: the reference model
+    trains on sources != src0 and scores the held-out src0 docs, so
+    unseen trigrams genuinely exercise the 0.4-backoff chain; the
+    backoff rate doubles as a domain-shift signal. Model tables are
+    vocabulary-sized hash aggregates; scoring is a left-join chain off
+    the per-(doc, trigram) tf table."""
+    from warp_pipes_spark.text.analysis import StupidBackoffScore
+
+    docs = T(spark, sf, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    held_out = docs.filter(F.col("source") == "src0")
+    return StupidBackoffScore(corpus=corpus)(held_out)
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5126,6 +5143,13 @@ def _round2b_oracles():
     from warp_pipes_spark.text.analysis import char_entropy_sql
 
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
+
+    from warp_pipes_spark.text.analysis import stupid_backoff_sql
+
+    ORACLES_EXT["q171_stupid_backoff"] = stupid_backoff_sql(
+        "SELECT doc_id, text FROM documents WHERE source = 'src0'",
+        "SELECT doc_id, text FROM documents WHERE source <> 'src0'",
+    )
     ORACLES_EXT["q169_char_entropy"] = (
         "WITH ent AS (" + char_entropy_sql("documents").strip() + ") "
         "SELECT e.doc_id, d.source, e.n_chars_alpha, e.entropy "
@@ -5437,6 +5461,7 @@ def _register():
         "q168_priority_sample": q168_priority_sample,
         "q169_char_entropy": q169_char_entropy,
         "q170_rouge_eval": q170_rouge_eval,
+        "q171_stupid_backoff": q171_stupid_backoff,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

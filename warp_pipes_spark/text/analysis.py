@@ -1285,3 +1285,210 @@ SELECT {id_col},
 FROM agg
 ORDER BY {id_col}
 """
+
+
+class StupidBackoffScore(Pipe):
+    """Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    2007 — the smoothing designed for MapReduce-scale counts): the
+    word-order model q127's bigram LM can't reach, trained on a separate
+    reference ``corpus`` so held-out text actually exercises the backoff
+    chain::
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if the trigram is seen
+                   = 0.4 * c(w2w3)/c(w2)          else if the bigram is
+                   = 0.4 * 0.4 * c(w3)/N          else (0 for OOV w3)
+
+    Scores stay LINEAR (stupid backoff yields scores, not probabilities
+    — no log-space normalization exists); the per-doc output is the mean
+    position score plus the backoff rate (fraction of positions that
+    fell past the trigram level — a crisp domain-shift signal).
+
+    Scale shape: counts are one explode + hash-aggregate per order
+    (vocabulary-sized model tables, never doc-sized); scoring is a chain
+    of LEFT equi-joins from the per-(doc, trigram) tf table into those
+    model tables. Per-position scores round through DECIMAL(18,6) so the
+    tf-weighted sum is exact and order-independent; each branch costs at
+    most two IEEE multiplies and one divide — the engine-standard
+    cross-float budget."""
+
+    ALPHA = 0.4
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def _wgrams(d: DataFrame, n: int, out_cols) -> DataFrame:
+        """Explode each doc's order-n word grams: (doc_id, w1..wn)."""
+        grams = F.transform(
+            F.slice(
+                F.col("l"), 1, F.greatest(F.size("l") - (n - 1), F.lit(0))
+            ),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                *[
+                    F.element_at(F.col("l"), i + F.lit(d + 1)).alias(f"w{d + 1}")
+                    for d in range(1, n)
+                ],
+            ),
+        )
+        ex = d.select("doc_id", F.explode(grams).alias("g"))
+        return ex.select(
+            "doc_id",
+            *[F.col(f"g.w{j + 1}").alias(out_cols[j]) for j in range(n)],
+        )
+
+    def _tok(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokens_expr(F.col(self.text_col)).alias("l"),
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        a = self.ALPHA
+        c = self._tok(self.corpus)
+        tri = (
+            self._wgrams(c, 3, ("w1", "w2", "w3"))
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("c3"))
+        )
+        bi = (
+            self._wgrams(c, 2, ("w1", "w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+        uni = (
+            c.select(F.explode("l").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c1"))
+        )
+        total = c.select(F.explode("l").alias("w")).agg(
+            F.count(F.lit(1)).alias("nn")
+        )
+        tf = (
+            self._wgrams(self._tok(df), 3, ("w1", "w2", "w3"))
+            .groupBy("doc_id", "w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        j = (
+            tf.join(tri, ["w1", "w2", "w3"], "left")
+            .join(bi, ["w1", "w2"], "left")
+            .join(
+                bi.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w2").alias("w3"),
+                    F.col("c2").alias("c2b"),
+                ),
+                ["w2", "w3"],
+                "left",
+            )
+            .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2", "left")
+            .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1c")), "w3", "left")
+            .crossJoin(F.broadcast(total))
+        )
+        s = (
+            F.when(
+                F.col("c3").isNotNull(),
+                F.col("c3").cast("double") / F.col("c2").cast("double"),
+            )
+            .when(
+                F.col("c2b").isNotNull(),
+                F.lit(a)
+                * F.col("c2b").cast("double")
+                / F.col("c1b").cast("double"),
+            )
+            .otherwise(
+                F.lit(a * a)
+                * F.coalesce(F.col("c1c"), F.lit(0)).cast("double")
+                / F.col("nn").cast("double")
+            )
+            .cast("decimal(18,6)")
+        )
+        agg = j.groupBy("doc_id").agg(
+            F.sum(F.col("tf") * s).alias("s"),
+            F.sum("tf").alias("n"),
+            F.sum(F.when(F.col("c3").isNull(), F.col("tf")).otherwise(F.lit(0))).alias(
+                "b"
+            ),
+        )
+        dec = lambda col: col.cast("decimal(18,6)").cast("double")
+        return agg.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_trigrams"),
+            dec(F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "sb_score"
+            ),
+            dec(F.col("b").cast("double") / F.col("n").cast("double")).alias(
+                "backoff_rate"
+            ),
+        )
+
+
+def stupid_backoff_sql(
+    score_sql: str,
+    corpus_sql: str,
+    text: str = "text",
+    alpha: float = 0.4,
+) -> str:
+    """DuckDB replay of :class:`StupidBackoffScore`: identical counts,
+    branch order, float budget and rounding."""
+    toks = tokens_sql(text)
+    return f"""
+WITH ctoks AS (SELECT doc_id, {toks} AS l FROM ({corpus_sql}) c),
+stoks AS (SELECT doc_id, {toks} AS l FROM ({score_sql}) s),
+ctri AS (
+  SELECT l[i + 1] AS w1, l[i + 2] AS w2, l[i + 3] AS w3, COUNT(*) AS c3
+  FROM ctoks, LATERAL (SELECT unnest(range(GREATEST(len(l) - 2, 0))) AS i) g
+  GROUP BY 1, 2, 3
+),
+cbi AS (
+  SELECT l[i + 1] AS w1, l[i + 2] AS w2, COUNT(*) AS c2
+  FROM ctoks, LATERAL (SELECT unnest(range(GREATEST(len(l) - 1, 0))) AS i) g
+  GROUP BY 1, 2
+),
+cuni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS w FROM ctoks) u GROUP BY w
+),
+ctot AS (SELECT COALESCE(SUM(len(l)), 0) AS nn FROM ctoks),
+tf AS (
+  SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2, l[i + 3] AS w3, COUNT(*) AS tf
+  FROM stoks, LATERAL (SELECT unnest(range(GREATEST(len(l) - 2, 0))) AS i) g
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT t.doc_id, t.tf, tr.c3,
+         CAST(CASE
+           WHEN tr.c3 IS NOT NULL
+             THEN CAST(tr.c3 AS DOUBLE) / CAST(b1.c2 AS DOUBLE)
+           WHEN b2.c2 IS NOT NULL
+             THEN {alpha!r} * CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+           ELSE {alpha * alpha!r} * CAST(COALESCE(u3.c1, 0) AS DOUBLE)
+                / CAST(ct.nn AS DOUBLE)
+         END AS DECIMAL(18,6)) AS s
+  FROM tf t
+  LEFT JOIN ctri tr ON tr.w1 = t.w1 AND tr.w2 = t.w2 AND tr.w3 = t.w3
+  LEFT JOIN cbi b1 ON b1.w1 = t.w1 AND b1.w2 = t.w2
+  LEFT JOIN cbi b2 ON b2.w1 = t.w2 AND b2.w2 = t.w3
+  LEFT JOIN cuni u2 ON u2.w = t.w2
+  LEFT JOIN cuni u3 ON u3.w = t.w3
+  CROSS JOIN ctot ct
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       CAST(CAST(CAST(SUM(tf * s) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS sb_score,
+       CAST(CAST(CAST(SUM(CASE WHEN c3 IS NULL THEN tf ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(tf) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS backoff_rate
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
