@@ -1486,6 +1486,63 @@ def q171_stupid_backoff(spark, sf):
     return StupidBackoffScore(corpus=corpus)(held_out)
 
 
+_SWEEP_THRESHOLDS = (-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2)
+
+
+def q172_threshold_sweep(spark, sf):
+    """Classifier-threshold calibration sweep — the report that precedes
+    every FineWeb-style 'keep score > t' decision: q87's classifier
+    scores crossed with a literal threshold grid, per (threshold,
+    source) survivor counts and keep rates. Shows where each source's
+    survival curve bends BEFORE committing a cutoff corpus-wide. One
+    scoring scan, a 7x literal explode, one bounded aggregation."""
+    from warp_pipes_spark.text.classifier import HashedLinearClassifier
+
+    scored = HashedLinearClassifier(dim=64)(T(spark, sf, "documents"))
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    sw = scored.select("source", "score", th)
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return sw.groupBy("threshold", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > F.col("threshold")).cast("int")).alias(
+            "n_kept"
+        ),
+    ).select(
+        "threshold",
+        "source",
+        "n_docs",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        dec(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+        ).alias("keep_rate"),
+    )
+
+
+def _threshold_sweep_oracle_sql() -> str:
+    from warp_pipes_spark.text.classifier import classifier_sql
+
+    ths = ", ".join(repr(t) for t in _SWEEP_THRESHOLDS)
+    scored = classifier_sql("documents")
+    return f"""
+WITH scored AS ({scored}),
+labeled AS (
+  SELECT d.source, s.score, t.threshold
+  FROM scored s
+  JOIN documents d USING (doc_id)
+  CROSS JOIN (SELECT unnest([{ths}]::DOUBLE[]) AS threshold) t
+)
+SELECT threshold, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(CAST(CAST(SUM(CASE WHEN score > threshold THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS keep_rate
+FROM labeled GROUP BY threshold, source
+ORDER BY threshold, source
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5143,6 +5200,7 @@ def _round2b_oracles():
     from warp_pipes_spark.text.analysis import char_entropy_sql
 
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
+    ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
 
     from warp_pipes_spark.text.analysis import stupid_backoff_sql
 
@@ -5462,6 +5520,7 @@ def _register():
         "q169_char_entropy": q169_char_entropy,
         "q170_rouge_eval": q170_rouge_eval,
         "q171_stupid_backoff": q171_stupid_backoff,
+        "q172_threshold_sweep": q172_threshold_sweep,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
