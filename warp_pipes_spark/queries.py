@@ -1543,6 +1543,22 @@ ORDER BY threshold, source
 """
 
 
+def q173_random_projection(spark, sf):
+    """Johnson-Lindenstrauss random projection (``ml/quantize.py``
+    ``RandomProjection``, Achlioptas 2001 sign matrix): 64 -> 16 dims at
+    scan speed — the cheapest pre-ANN compression (4x less shuffle and
+    memory for every downstream cosine), distance-preserving within
+    ~1/sqrt(16). The sign matrix IS the md5 hash function (no stored
+    model artifact); per-coordinate decimal chains make the oracle
+    bit-exact. Companion to SQ8 (q67) / PQ (q95) / Matryoshka (q108)
+    on the compression axis."""
+    from warp_pipes_spark.ml.quantize import RandomProjection
+
+    return RandomProjection(in_dim=64, out_dim=16)(
+        T(spark, sf, "embeddings")
+    ).select("vec_id", "label", "proj")
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5202,6 +5218,14 @@ def _round2b_oracles():
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
 
+    from warp_pipes_spark.ml.quantize import random_projection_sql
+
+    ORACLES_EXT["q173_random_projection"] = random_projection_sql(
+        "SELECT vec_id, label, embedding FROM embeddings",
+        in_dim=64,
+        out_dim=16,
+    )
+
     from warp_pipes_spark.text.analysis import stupid_backoff_sql
 
     ORACLES_EXT["q171_stupid_backoff"] = stupid_backoff_sql(
@@ -5521,6 +5545,7 @@ def _register():
         "q170_rouge_eval": q170_rouge_eval,
         "q171_stupid_backoff": q171_stupid_backoff,
         "q172_threshold_sweep": q172_threshold_sweep,
+        "q173_random_projection": q173_random_projection,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
