@@ -707,3 +707,35 @@ def test_lsh_near_dup_gate_finds_planted_duplicates(spark):
     assert (100, 7) in pairs
     assert all(n in (100, 101) and c < 100 for n, c in pairs)
     assert all(r["score"] >= 0.9 for r in out)
+
+
+def test_prf_expansion_effect_and_shape(spark, sf_dir):
+    """PRF must change at least one query's result set vs plain BM25
+    (the expansion has an effect), keep the Bm25Search output contract
+    (ranks 1..k contiguous per query), and be deterministic. (No
+    seed-retention assertion: the synthetic corpus' tiny shared
+    vocabulary makes 5-token queries non-discriminative even unexpanded
+    — plain BM25 retrieves its seed for only ~25% of queries.)"""
+    from collections import defaultdict
+
+    from warp_pipes_spark.queries import _bm25_queries
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.bm25 import Bm25Search
+    from warp_pipes_spark.search.prf import PrfBm25Search
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = _bm25_queries(spark, sf_dir)
+    plain = Bm25Search(corpus=docs, k=10)(qs)
+    prf = PrfBm25Search(corpus=docs, k=10, fb_k=5, fb_terms=3)
+    p = {(r["query_id"], r["idx"]) for r in plain.collect()}
+    e_rows = prf(qs).collect()
+    e = {(r["query_id"], r["idx"]) for r in e_rows}
+    assert e != p, "expansion had no effect on any query"
+    ranks = defaultdict(list)
+    for r in e_rows:
+        ranks[r["query_id"]].append(r["rank"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), (q, rs)
+        assert len(rs) <= 10
+    e2 = {(r["query_id"], r["idx"]) for r in prf(qs).collect()}
+    assert e2 == e

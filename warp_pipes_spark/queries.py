@@ -1559,6 +1559,22 @@ def q173_random_projection(spark, sf):
     ).select("vec_id", "label", "proj")
 
 
+def q174_prf_expansion(spark, sf):
+    """Pseudo-relevance feedback retrieval (``search/prf.py``
+    ``PrfBm25Search``, RM3 — Lavrenko & Croft 2001 / Abdul-Jaleel 2004):
+    BM25 top-5 feedback docs -> top-3 expansion terms by the exact
+    decimal tf x score relevance-model weight -> second BM25 pass over
+    the expanded queries. Both passes share the fingerprint-cached
+    postings index; the expansion stage is bounded by |queries| x fb_k.
+    The pre-neural recall upgrade for vocabulary-mismatch queries."""
+    from warp_pipes_spark.search.prf import PrfBm25Search
+
+    docs = T(spark, sf, "documents")
+    return PrfBm25Search(corpus=docs, k=10, fb_k=5, fb_terms=3)(
+        _bm25_queries(spark, sf)
+    )
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5218,6 +5234,12 @@ def _round2b_oracles():
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
 
+    from warp_pipes_spark.search.prf import prf_bm25_sql
+
+    ORACLES_EXT["q174_prf_expansion"] = prf_bm25_sql(
+        "documents", BM25_QUERIES_CTE, k=10, fb_k=5, fb_terms=3
+    )
+
     from warp_pipes_spark.ml.quantize import random_projection_sql
 
     ORACLES_EXT["q173_random_projection"] = random_projection_sql(
@@ -5546,6 +5568,7 @@ def _register():
         "q171_stupid_backoff": q171_stupid_backoff,
         "q172_threshold_sweep": q172_threshold_sweep,
         "q173_random_projection": q173_random_projection,
+        "q174_prf_expansion": q174_prf_expansion,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -1,0 +1,195 @@
+"""Pseudo-relevance feedback (RM3-style) query expansion over BM25.
+
+The classic two-pass lexical retrieval upgrade (Lavrenko & Croft 2001
+relevance models; Abdul-Jaleel et al. 2004 RM3): retrieve top ``fb_k``
+feedback documents, mine their highest-weight terms (term weight =
+``sum over feedback docs of tf * doc_score`` — the rank-equivalent
+unnormalized RM1 estimate), append the top ``fb_terms`` new terms to the
+query, retrieve again. Recall goes up on vocabulary-mismatch queries with
+zero model dependencies — the standard pre-neural expansion baseline.
+
+Reference scope: the reference drives ES with fixed query text
+(``support/elasticsearch.py``); expansion is an extension on the same
+engine surface. Both passes ride :class:`~warp_pipes_spark.search.bm25.
+Bm25Search`, so the fingerprint-cached postings index is BUILT ONCE and
+shared (same corpus fingerprint), and the expansion stage touches only
+``|queries| x fb_k`` feedback rows — at 100 TB the second pass costs the
+same as the first, and everything between is bounded by the query batch.
+
+Cross-engine: feedback scores re-enter as DECIMAL(18,6) (exact — they
+were rounded to that), term weights are exact decimal sums of
+``int tf x decimal score``, ties break on the term string, so the DuckDB
+oracle (two nested replays of ``bm25_oracle_sql`` around the identical
+expansion algebra) reproduces the final rankings bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.search.bm25 import Bm25Search, bm25_oracle_sql
+
+
+class PrfBm25Search(Pipe):
+    """BM25 with RM3-style pseudo-relevance feedback expansion.
+
+    Input df = queries (``query_id``, ``text``); output = the second-pass
+    results (query_id, rank, idx, score) exactly like
+    :class:`Bm25Search`, ranked by the expanded query."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        k: int = 10,
+        fb_k: int = 5,
+        fb_terms: int = 3,
+        corpus_id: str = "doc_id",
+        corpus_text: str = "text",
+        query_id: str = "query_id",
+        query_text: str = "text",
+        **kwargs,
+    ):
+        if fb_k < 1 or fb_terms < 1:
+            raise ValueError(
+                f"need fb_k >= 1 and fb_terms >= 1, got {fb_k}, {fb_terms}"
+            )
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.k = k
+        self.fb_k = fb_k
+        self.fb_terms = fb_terms
+        self.corpus_id = corpus_id
+        self.corpus_text = corpus_text
+        self.query_id = query_id
+        self.query_text = query_text
+
+    _no_fingerprint = ("corpus",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        qid, qtext = self.query_id, self.query_text
+        first = Bm25Search(
+            corpus=self.corpus,
+            k=self.fb_k,
+            corpus_id=self.corpus_id,
+            corpus_text=self.corpus_text,
+            query_id=qid,
+            query_text=qtext,
+        )(df)
+        fbtok = first.join(
+            self.corpus.select(
+                F.col(self.corpus_id).alias("idx"),
+                F.col(self.corpus_text).alias("__t"),
+            ),
+            "idx",
+        ).select(
+            qid,
+            "idx",
+            F.col("score").cast("decimal(18,6)").alias("__s"),
+            F.explode(tokens_expr(F.col("__t"))).alias("term"),
+        )
+        tfq = fbtok.groupBy(qid, "idx", "__s", "term").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+        w = tfq.groupBy(qid, "term").agg(
+            F.sum(F.col("__tf") * F.col("__s")).alias("__w")
+        )
+        orig = df.select(
+            qid,
+            F.explode(
+                F.array_distinct(tokens_expr(F.col(qtext)))
+            ).alias("term"),
+        )
+        cand = w.join(orig, [qid, "term"], "left_anti")
+        wnd = Window.partitionBy(qid).orderBy(F.col("__w").desc(), "term")
+        top = cand.withColumn("__rn", F.row_number().over(wnd)).filter(
+            F.col("__rn") <= self.fb_terms
+        )
+        exp = top.groupBy(qid).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__rn"), F.col("term")))
+                    ),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("__exp")
+        )
+        expanded = df.join(exp, qid, "left").select(
+            qid,
+            F.when(
+                F.col("__exp").isNotNull(),
+                F.concat(F.col(qtext), F.lit(" "), F.col("__exp")),
+            )
+            .otherwise(F.col(qtext))
+            .alias(qtext),
+        )
+        return Bm25Search(
+            corpus=self.corpus,
+            k=self.k,
+            corpus_id=self.corpus_id,
+            corpus_text=self.corpus_text,
+            query_id=qid,
+            query_text=qtext,
+        )(expanded)
+
+
+def prf_bm25_sql(
+    corpus_table: str,
+    queries_cte: str,
+    k: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :class:`PrfBm25Search`: first-pass replay ->
+    identical expansion algebra -> second-pass replay over the expanded
+    queries. ``queries_cte`` must yield (query_id, qtext)."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    first = bm25_oracle_sql(
+        corpus_table, queries_cte, k=fb_k, id_col=id_col, text_col=text_col
+    )
+    expanded_cte = f"""
+WITH q0 AS ({queries_cte}),
+first AS ({first}),
+fbtok AS (
+  SELECT f.query_id, f.idx, CAST(f.score AS DECIMAL(18,6)) AS s,
+         unnest({tokens_sql(f'd.{text_col}')}) AS term
+  FROM first f JOIN {corpus_table} d ON d.{id_col} = f.idx
+),
+tfq AS (
+  SELECT query_id, idx, s, term, COUNT(*) AS tf FROM fbtok GROUP BY ALL
+),
+w AS (SELECT query_id, term, SUM(tf * s) AS w FROM tfq GROUP BY 1, 2),
+orig AS (
+  SELECT query_id, unnest(list_distinct({tokens_sql('qtext')})) AS term
+  FROM q0
+),
+cand AS (
+  SELECT w.* FROM w
+  ANTI JOIN orig o ON o.query_id = w.query_id AND o.term = w.term
+),
+top AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY w DESC, term) AS rn
+  FROM cand QUALIFY rn <= {fb_terms}
+),
+exp AS (
+  SELECT query_id, string_agg(term, ' ' ORDER BY rn) AS exp_terms
+  FROM top GROUP BY 1
+)
+SELECT q.query_id,
+       CASE WHEN e.exp_terms IS NULL THEN q.qtext
+            ELSE q.qtext || ' ' || e.exp_terms END AS qtext
+FROM q0 q LEFT JOIN exp e USING (query_id)
+"""
+    return bm25_oracle_sql(
+        corpus_table, expanded_cte, k=k, id_col=id_col, text_col=text_col
+    )
