@@ -1575,6 +1575,90 @@ def q174_prf_expansion(spark, sf):
     )
 
 
+def q175_curation_funnel(spark, sf):
+    """Curation-funnel survivor report — the per-stage audit a corpus
+    release publishes next to its datasheet (q145): the document count
+    after each gate of a standard curation chain (Gopher quality ->
+    badwords -> exact dedup keep-first -> MinHash near-dedup keep-
+    smallest), each stage filtering the previous stage's survivors.
+    Pure composition of existing operators; each count is one
+    aggregation, the near-dup stage runs q28's banded pipeline over the
+    already-filtered survivor set (the realistic ordering — dedup last,
+    on the smallest corpus)."""
+    from warp_pipes_spark.text.analysis import GopherQualityFilter
+    from warp_pipes_spark.text.dedup import MinHashDedup
+    from warp_pipes_spark.text.web import BadWordsFilter
+
+    d0 = T(spark, sf, "documents").select("doc_id", "source", "text")
+    d1 = (
+        GopherQualityFilter()(d0)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+    )
+    d2 = (
+        BadWordsFilter(["slow", "broken", "stale"])(d1)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+    )
+    firsts = d2.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    d3 = d2.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(d3)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d4 = d3.join(drops, "doc_id", "left_anti")
+    stages = [
+        ("ingest", d0),
+        ("gopher_quality", d1),
+        ("badwords", d2),
+        ("exact_dedup", d3),
+        ("near_dedup", d4),
+    ]
+    counts = None
+    for i, (name, frame) in enumerate(stages):
+        row = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+def _curation_funnel_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import gopher_sql, tokens_sql
+    from warp_pipes_spark.text.dedup import minhash_dedup_sql
+
+    keep_g = gopher_sql()["keep"]
+    bad = "['broken', 'slow', 'stale']"
+    keep_b = f"len(list_distinct(list_intersect({tokens_sql('text')}, {bad}))) = 0"
+    pairs = minhash_dedup_sql("d3", n=3, threshold=0.3)
+    return f"""
+WITH d0 AS (SELECT doc_id, source, text FROM documents),
+d1 AS (SELECT * FROM d0 WHERE {keep_g}),
+d2 AS (SELECT * FROM d1 WHERE {keep_b}),
+d3 AS (
+  SELECT * FROM d2
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM d2 GROUP BY text)
+),
+pairs AS ({pairs}),
+d4 AS (
+  SELECT * FROM d3
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+)
+SELECT 0 AS stage_idx, 'ingest' AS stage, (SELECT COUNT(*) FROM d0) AS n_docs
+UNION ALL
+SELECT 1, 'gopher_quality', (SELECT COUNT(*) FROM d1)
+UNION ALL
+SELECT 2, 'badwords', (SELECT COUNT(*) FROM d2)
+UNION ALL
+SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM d3)
+UNION ALL
+SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM d4)
+ORDER BY stage_idx
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5233,6 +5317,7 @@ def _round2b_oracles():
 
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
+    ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
 
     from warp_pipes_spark.search.prf import prf_bm25_sql
 
@@ -5569,6 +5654,7 @@ def _register():
         "q172_threshold_sweep": q172_threshold_sweep,
         "q173_random_projection": q173_random_projection,
         "q174_prf_expansion": q174_prf_expansion,
+        "q175_curation_funnel": q175_curation_funnel,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
