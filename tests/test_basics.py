@@ -748,3 +748,30 @@ def test_char_entropy_bands(spark):
     assert rows[1] == 0.0
     assert abs(rows[2] - math.log(26)) < 1e-4
     assert 0.5 < rows[3] < math.log(27)
+
+
+def test_gopher_repetition_signals(spark):
+    """A looping doc trips the top-2-gram threshold; varied text passes;
+    a doc with a repeated long phrase shows dup-5-gram mass."""
+    from warp_pipes_spark.text.analysis import GopherRepetition
+
+    loop = "spam ham " * 20
+    # long doc of distinct words: on short docs even a count-1 gram
+    # exceeds the top-n char thresholds (Gopher pairs these with the
+    # min-token gate)
+    import itertools
+    import string
+
+    varied = " ".join(
+        a + b for a, b in itertools.product(string.ascii_lowercase[:10], repeat=2)
+    )
+    phrase = "alpha beta gamma delta epsilon zeta "
+    dup = phrase + "filler words here " + phrase + "ending now"
+    df = spark.createDataFrame(
+        [(1, loop), (2, varied), (3, dup)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in GopherRepetition()(df).collect()}
+    assert rows[1]["top_2gram_frac"] > 0.4
+    assert not rows[1]["rep_keep"]
+    assert rows[2]["rep_keep"], rows[2]
+    assert rows[3]["dup_5gram_frac"] > 0.2

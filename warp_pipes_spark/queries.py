@@ -1659,6 +1659,19 @@ ORDER BY stage_idx
 """
 
 
+def q176_gopher_repetition(spark, sf):
+    """The full Gopher repetition-signal suite (``text/analysis.py``
+    ``GopherRepetition``, Rae et al. 2021 Table A1) — the other half of
+    q140's quality gate: per-doc char fraction of the most frequent
+    2/3/4-gram and of duplicated 5..10-grams, all nine thresholds
+    conjoined as ``rep_keep``. Catches looping generations and keyword
+    stuffing that q62's distinct-token fraction misses. One unioned
+    explode -> single (doc, n, gram) hash aggregate -> doc-sized pivot."""
+    from warp_pipes_spark.text.analysis import GopherRepetition
+
+    return GopherRepetition()(T(spark, sf, "documents"))
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5319,6 +5332,10 @@ def _round2b_oracles():
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
 
+    from warp_pipes_spark.text.analysis import gopher_repetition_sql
+
+    ORACLES_EXT["q176_gopher_repetition"] = gopher_repetition_sql("documents")
+
     from warp_pipes_spark.search.prf import prf_bm25_sql
 
     ORACLES_EXT["q174_prf_expansion"] = prf_bm25_sql(
@@ -5655,6 +5672,7 @@ def _register():
         "q173_random_projection": q173_random_projection,
         "q174_prf_expansion": q174_prf_expansion,
         "q175_curation_funnel": q175_curation_funnel,
+        "q176_gopher_repetition": q176_gopher_repetition,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -1492,3 +1492,200 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (top-n-gram / duplicated-n-gram char fractions)
+# ---------------------------------------------------------------------------
+
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+# Gopher Table A1 thresholds: keep iff fraction < threshold
+GOPHER_REP_THRESHOLDS = {
+    ("top", 2): 0.20, ("top", 3): 0.18, ("top", 4): 0.16,
+    ("dup", 5): 0.15, ("dup", 6): 0.14, ("dup", 7): 0.13,
+    ("dup", 8): 0.12, ("dup", 9): 0.11, ("dup", 10): 0.10,
+}
+
+
+class GopherRepetition(Pipe):
+    """The full Gopher repetition-signal suite (Rae et al. 2021 Table A1)
+    — the other half of the quality gate q140 covers: per document, the
+    fraction of characters in the MOST FREQUENT n-gram (n = 2, 3, 4) and
+    in DUPLICATED n-grams (n = 5..10), plus the conjunction of all nine
+    thresholds as ``rep_keep``. These catch looping generations, SEO
+    keyword stuffing and boilerplate splices that token-ratio gates and
+    the distinct-token fraction (q62) miss.
+
+    Character accounting: an n-gram's chars = summed token lengths
+    (``length(joined) - (n-1)`` separators); the duplicated fraction is
+    the standard implementation approximation ``sum over grams with
+    count >= 2 of count x chars / total_chars`` clamped at 1 (the exact
+    each-char-once semantics needs position sets; Dolma/RedPajama use
+    the same relaxation). Ties for "most frequent" break on (chars,
+    gram) so both engines pick the same gram.
+
+    Scale shape: ONE shuffle — the nine per-n gram explodes union into a
+    single (doc, n, gram) hash aggregate with map-side combine, then a
+    doc-sized pivot; totals ride a scan-level column. No window over the
+    exploded table, no join per n."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def _grams(n: int) -> Column:
+        toks = F.col("__l")
+        if n == 1:
+            return toks
+
+        def gram(x, i):
+            parts = [x]
+            for d in range(1, n):
+                parts.extend([F.lit(" "), F.element_at(toks, i + d + 1)])
+            return F.concat(*parts)
+
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            gram,
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
+        d = df.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokens_expr(F.col(self.text_col)).alias("__l"),
+        )
+        totals = d.select(
+            "doc_id",
+            F.aggregate(
+                F.col("__l"),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ).alias("__total"),
+        )
+        ex = None
+        for n in ns:
+            part = d.select(
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.explode(self._grams(n)).alias("gram"),
+            )
+            ex = part if ex is None else ex.unionByName(part)
+        counts = ex.groupBy("doc_id", "n", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        chars = (F.length("gram") - (F.col("n") - 1)).cast("long")
+        per_n = counts.groupBy("doc_id", "n").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    chars.alias("ch"),
+                    F.col("gram"),
+                )
+            ).alias("__top"),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * chars).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("__dupmass"),
+        ).select(
+            "doc_id",
+            "n",
+            (F.col("__top.cnt") * F.col("__top.ch")).alias("__topmass"),
+            "__dupmass",
+        )
+        piv = (
+            per_n.groupBy("doc_id")
+            .pivot("n", ns)
+            .agg(
+                F.first("__topmass").alias("tm"),
+                F.first("__dupmass").alias("dm"),
+            )
+        )
+        out = piv.join(totals, "doc_id")
+        dec = lambda c: c.cast("decimal(18,6)").cast("double")
+        frac = lambda mass: dec(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(mass, F.lit(0)).cast("double")
+                / F.col("__total").cast("double"),
+            )
+        )
+        cols = [F.col("doc_id")]
+        keep = F.lit(True)
+        for n in GOPHER_TOP_NS:
+            c = frac(F.col(f"{n}_tm")).alias(f"top_{n}gram_frac")
+            cols.append(c)
+            keep = keep & (
+                frac(F.col(f"{n}_tm")) < F.lit(GOPHER_REP_THRESHOLDS[("top", n)])
+            )
+        for n in GOPHER_DUP_NS:
+            c = frac(F.col(f"{n}_dm")).alias(f"dup_{n}gram_frac")
+            cols.append(c)
+            keep = keep & (
+                frac(F.col(f"{n}_dm")) < F.lit(GOPHER_REP_THRESHOLDS[("dup", n)])
+            )
+        return out.select(*cols, keep.alias("rep_keep"))
+
+
+def gopher_repetition_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB replay of :class:`GopherRepetition`: identical grams, char
+    accounting, tie-break, clamping and thresholds."""
+    toks = tokens_sql(text)
+    per_n_ctes = []
+    ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
+    for n in ns:
+        joined = " || ' ' || ".join(f"l[i + {d + 1}]" for d in range(n))
+        per_n_ctes.append(
+            f"SELECT doc_id, {n} AS n, ({joined}) AS gram "
+            f"FROM d, LATERAL (SELECT unnest(range(GREATEST(len(l) - {n - 1}, 0))) AS i) g"
+        )
+    grams_union = "\nUNION ALL\n".join(per_n_ctes)
+    sels = [id_col]
+    frac = (
+        lambda mass: f"CAST(CAST(LEAST(1.0, CAST(COALESCE({mass}, 0) AS DOUBLE)"
+        f" / CAST(t.total AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    keeps = []
+    for n in GOPHER_TOP_NS:
+        m = f"MAX(CASE WHEN n = {n} THEN topmass END)"
+        sels.append(f"{frac(m)} AS top_{n}gram_frac")
+        keeps.append(f"{frac(m)} < {GOPHER_REP_THRESHOLDS[('top', n)]!r}")
+    for n in GOPHER_DUP_NS:
+        m = f"MAX(CASE WHEN n = {n} THEN dupmass END)"
+        sels.append(f"{frac(m)} AS dup_{n}gram_frac")
+        keeps.append(f"{frac(m)} < {GOPHER_REP_THRESHOLDS[('dup', n)]!r}")
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {toks} AS l FROM {table}),
+totals AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(l, t -> length(t))), 0) AS total
+  FROM d
+),
+grams AS ({grams_union}),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY ALL
+),
+per_n AS (
+  SELECT doc_id, n,
+         MAX({{'cnt': cnt, 'ch': length(gram) - (n - 1), 'g': gram}}).cnt
+           * MAX({{'cnt': cnt, 'ch': length(gram) - (n - 1), 'g': gram}}).ch AS topmass,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * (length(gram) - (n - 1))
+                  ELSE 0 END) AS dupmass
+  FROM counts GROUP BY doc_id, n
+)
+SELECT p.{id_col}, {", ".join(sels[1:])},
+       {" AND ".join(keeps)} AS rep_keep
+FROM (SELECT DISTINCT doc_id AS {id_col} FROM per_n) p
+JOIN totals t ON t.doc_id = p.{id_col}
+LEFT JOIN per_n pn ON pn.doc_id = p.{id_col}
+GROUP BY p.{id_col}, t.total
+ORDER BY p.{id_col}
+"""
