@@ -442,14 +442,14 @@ def test_best_fit_pack_string_ids_and_int_shards(spark):
     assert rows["u1"]["pack_id"] == rows["u2"]["pack_id"]  # co-packed
 
 
-def test_packed_batches_collator_invariants(spark):
+def test_packed_batches_collator_invariants(spark, sf_dir):
     """q165's packed arrays must satisfy what a packed-attention collator
     assumes: aligned lengths, position_ids reset to 0 exactly at each
     doc boundary, segment_ids monotone with one segment per packed doc,
     and no multi-doc pack exceeding capacity."""
     from warp_pipes_spark.queries import q165_packed_batches
 
-    rows = q165_packed_batches(spark, "/root/testdata/sf0.001").collect()
+    rows = q165_packed_batches(spark, sf_dir).collect()
     assert rows
     for r in rows:
         n = r["n_tokens"]

@@ -96,11 +96,12 @@ class RougeScore(Pipe):
     min(candidate, reference) multiplicity, the official ROUGE counting),
     precision, recall and F1 per row for every requested n.
 
-    Shape: n-gram construction is a row-local array expression; the
-    clipped count is explode -> (row, gram) hash aggregate -> inner join
-    -> per-row sum — all codegen'd relational operators with map-side
-    combine. (A pure higher-order-expression fold measured ~50x slower:
-    Spark evaluates lambda bodies interpreted per element, so an
+    Shape: n-gram construction is a row-local array expression; ONE
+    explode of a side/n-tagged concatenation feeds a (row, n, gram)
+    hash aggregate with map-side combine, so the input is scanned
+    exactly once — no persist, no per-branch lineage re-execution. (A
+    pure higher-order-expression fold measured ~50x slower: Spark
+    evaluates lambda bodies interpreted per element, so an
     O(distinct-grams x grams) fold per row is the wrong shape; the
     exploded aggregate is what the engine optimizes.) ``id_col`` must be
     unique per input row. Ratios are one IEEE division over integer
@@ -141,56 +142,58 @@ class RougeScore(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         from warp_pipes_spark.text.analysis import tokens_expr
 
+        # token arrays as columns first (element_at inside _ngrams'
+        # lambda would otherwise re-tokenize per element), then ONE
+        # explode of a side/n-tagged concatenation: a single pass over
+        # the input feeds every per-n count — no persist, no branch
+        # re-executing the scan lineage
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
-        # token arrays FIRST, as columns: _ngrams reads its input per
-        # element (element_at inside the transform lambda), so handing it
-        # the raw tokens_expr would re-tokenize the row once per token
-        # (measured quadratic). A multi-referenced column alias stays a
-        # cheap attribute read.
         toks = df.select(
             "*",
             tokens_expr(F.col(self.cand_col)).alias("__ct"),
             tokens_expr(F.col(self.ref_col)).alias("__rt"),
         )
-        grams = toks.select(
-            "*",
-            *[
-                self._ngrams(F.col("__ct"), n).alias(f"__cg{n}")
-                for n in self.ns
-            ],
-            *[
-                self._ngrams(F.col("__rt"), n).alias(f"__rg{n}")
-                for n in self.ns
-            ],
-        ).drop("__ct", "__rt")
-        # four consumers (two explode sides per n, plus the final join
-        # spine) — persist so the scan/tokenize lineage runs once
-        grams = grams.persist()
-        out = grams
         key = self.id_col
+
+        def tagged(col: str, side: int, n: int):
+            return F.transform(
+                self._ngrams(F.col(col), n),
+                lambda g: F.struct(
+                    F.lit(n).alias("n"),
+                    F.lit(side).alias("side"),
+                    g.alias("gram"),
+                ),
+            )
+
+        parts = [tagged("__ct", 0, n) for n in self.ns] + [
+            tagged("__rt", 1, n) for n in self.ns
+        ]
+        ex = toks.select(key, F.explode(F.concat(*parts)).alias("t")).select(
+            key, "t.n", "t.side", "t.gram"
+        )
+        counts = ex.groupBy(key, "n", "gram").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("__cc"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("__rc"),
+        )
+        per_n = counts.groupBy(key, "n").agg(
+            F.sum("__cc").alias("nc"),
+            F.sum("__rc").alias("nr"),
+            F.sum(F.least("__cc", "__rc")).alias("clip"),
+        )
+        piv = (
+            per_n.groupBy(key)
+            .pivot("n", list(self.ns))
+            .agg(
+                F.first("nc").alias("nc"),
+                F.first("nr").alias("nr"),
+                F.first("clip").alias("clip"),
+            )
+        )
+        out = df.join(piv, key, "left")
         for n in self.ns:
-            ce = (
-                grams.select(key, F.explode(f"__cg{n}").alias("__g"))
-                .groupBy(key, "__g")
-                .agg(F.count(F.lit(1)).alias("__cc"))
-            )
-            re_ = (
-                grams.select(key, F.explode(f"__rg{n}").alias("__g"))
-                .groupBy(key, "__g")
-                .agg(F.count(F.lit(1)).alias("__rc"))
-            )
-            clip = (
-                ce.join(re_, [key, "__g"])
-                .groupBy(key)
-                .agg(F.sum(F.least("__cc", "__rc")).alias(f"__clip{n}"))
-            )
-            out = out.join(clip, key, "left").withColumn(
-                f"__clip{n}", F.coalesce(F.col(f"__clip{n}"), F.lit(0))
-            )
-        for n in self.ns:
-            clip = F.col(f"__clip{n}").cast("double")
-            nc = F.size(F.col(f"__cg{n}"))
-            nr = F.size(F.col(f"__rg{n}"))
+            nc = F.coalesce(F.col(f"{n}_nc"), F.lit(0))
+            nr = F.coalesce(F.col(f"{n}_nr"), F.lit(0))
+            clip = F.coalesce(F.col(f"{n}_clip"), F.lit(0)).cast("double")
             p = F.when(nc > 0, clip / nc.cast("double")).otherwise(F.lit(0.0))
             r = F.when(nr > 0, clip / nr.cast("double")).otherwise(F.lit(0.0))
             out = out.withColumn(f"rouge{n}_p", dec(p)).withColumn(
@@ -202,9 +205,7 @@ class RougeScore(Pipe):
             ).otherwise(F.lit(0.0))
             out = out.withColumn(f"rouge{n}_f1", dec(f1))
         return out.drop(
-            *[f"__cg{n}" for n in self.ns],
-            *[f"__rg{n}" for n in self.ns],
-            *[f"__clip{n}" for n in self.ns],
+            *[f"{n}_{c}" for n in self.ns for c in ("nc", "nr", "clip")]
         )
 
 

@@ -781,7 +781,13 @@ class PrioritySample(Pipe):
         )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        scored = df.withColumn(self.out_col, self.priority_expr())
+        # A-ES is defined for w > 0 only: a negative weight would flip
+        # ln(u)/w positive and outrank every valid row, and w = 0 yields
+        # a NULL priority — both silently corrupt the sample, so
+        # non-positive weights are excluded up front (mirrored in
+        # priority_sample_sql)
+        valid = df.filter(F.col(self.weight_col) > 0)
+        scored = valid.withColumn(self.out_col, self.priority_expr())
         return scored.orderBy(
             F.col(self.out_col).desc(), F.col(self.key_col)
         ).limit(self.k)
@@ -808,6 +814,7 @@ def priority_sample_sql(
     return f"""
 SELECT {columns}, {prio} AS {out_col}
 FROM ({table_sql}) t
+WHERE {weight_expr} > 0
 ORDER BY {out_col} DESC, {key}
 LIMIT {k}
 """

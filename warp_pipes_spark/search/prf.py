@@ -70,14 +70,19 @@ class PrfBm25Search(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         from warp_pipes_spark.text.analysis import tokens_expr
 
-        qid, qtext = self.query_id, self.query_text
+        # Bm25Search always emits the literal columns (query_id, rank,
+        # idx, score) regardless of its query_id parameter — normalize
+        # the input once so configured column names work end to end
+        qid, qtext = "query_id", "text"
+        df = df.select(
+            F.col(self.query_id).alias(qid),
+            F.col(self.query_text).alias(qtext),
+        )
         first = Bm25Search(
             corpus=self.corpus,
             k=self.fb_k,
             corpus_id=self.corpus_id,
             corpus_text=self.corpus_text,
-            query_id=qid,
-            query_text=qtext,
         )(df)
         fbtok = first.join(
             self.corpus.select(

@@ -674,8 +674,6 @@ class PiiPseudonymize(Pipe):
     email local-part — is counted under both types; replacement order
     makes the outer one win in the text itself)."""
 
-    TYPE_RANKS = tuple((name, rank) for rank, (name, _, _) in enumerate(PII_PATTERNS))
-
     def __init__(
         self,
         salt: str = "wps",
@@ -1326,6 +1324,22 @@ class StupidBackoffScore(Pipe):
         self.text_col = text_col
 
     @staticmethod
+    def _grams_structs(n: int) -> Column:
+        """Expression form over the token COLUMN ``l``: array of
+        (w1..wn) structs (w2/w3 only for n >= 2/3)."""
+        toks = F.col("l")
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                *[
+                    F.element_at(toks, i + F.lit(d + 1)).alias(f"w{d + 1}")
+                    for d in range(1, n)
+                ],
+            ),
+        )
+
+    @staticmethod
     def _wgrams(d: DataFrame, n: int, out_cols) -> DataFrame:
         """Explode each doc's order-n word grams: (doc_id, w1..wn)."""
         grams = F.transform(
@@ -1353,26 +1367,55 @@ class StupidBackoffScore(Pipe):
         )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark import StorageLevel
+
         a = self.ALPHA
         c = self._tok(self.corpus)
-        tri = (
-            self._wgrams(c, 3, ("w1", "w2", "w3"))
-            .groupBy("w1", "w2", "w3")
-            .agg(F.count(F.lit(1)).alias("c3"))
+        # ONE corpus pass: tri/bi/uni grams ride a single order-tagged
+        # explode into one hash aggregate; the resulting model table is
+        # vocabulary-sized, so persisting IT (not the corpus tokens) is
+        # cheap and stops the three order-filters + the total from
+        # re-executing the corpus scan (the q170 lineage lesson)
+        tri_t = F.transform(
+            self._grams_structs(3),
+            lambda x: F.struct(
+                F.lit(3).alias("n"), x["w1"].alias("w1"),
+                x["w2"].alias("w2"), x["w3"].alias("w3"),
+            ),
         )
-        bi = (
-            self._wgrams(c, 2, ("w1", "w2"))
-            .groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).alias("c2"))
+        bi_t = F.transform(
+            self._grams_structs(2),
+            lambda x: F.struct(
+                F.lit(2).alias("n"), x["w1"].alias("w1"),
+                x["w2"].alias("w2"), F.lit(None).cast("string").alias("w3"),
+            ),
         )
-        uni = (
-            c.select(F.explode("l").alias("w"))
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("c1"))
+        uni_t = F.transform(
+            F.col("l"),
+            lambda t: F.struct(
+                F.lit(1).alias("n"), t.alias("w1"),
+                F.lit(None).cast("string").alias("w2"),
+                F.lit(None).cast("string").alias("w3"),
+            ),
         )
-        total = c.select(F.explode("l").alias("w")).agg(
-            F.count(F.lit(1)).alias("nn")
+        ex = c.select(
+            F.explode(F.concat(tri_t, bi_t, uni_t)).alias("t")
+        ).select("t.n", "t.w1", "t.w2", "t.w3")
+        cnts = (
+            ex.groupBy("n", "w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        tri = cnts.filter(F.col("n") == 3).select(
+            "w1", "w2", "w3", F.col("cnt").alias("c3")
+        )
+        bi = cnts.filter(F.col("n") == 2).select(
+            "w1", "w2", F.col("cnt").alias("c2")
+        )
+        uni = cnts.filter(F.col("n") == 1).select(
+            F.col("w1").alias("w"), F.col("cnt").alias("c1")
+        )
+        total = uni.agg(F.sum("c1").alias("nn"))
         tf = (
             self._wgrams(self._tok(df), 3, ("w1", "w2", "w3"))
             .groupBy("doc_id", "w1", "w2", "w3")
@@ -1525,9 +1568,10 @@ class GopherRepetition(Pipe):
     the same relaxation). Ties for "most frequent" break on (chars,
     gram) so both engines pick the same gram.
 
-    Scale shape: ONE shuffle — the nine per-n gram explodes union into a
-    single (doc, n, gram) hash aggregate with map-side combine, then a
-    doc-sized pivot; totals ride a scan-level column. No window over the
+    Scale shape: ONE shuffle and (near-)one scan — a single explode of
+    an n-tagged gram concatenation feeds the (doc, n, gram) hash
+    aggregate with map-side combine, then a doc-sized pivot; totals are
+    the only second consumer of the token frame. No window over the
     exploded table, no join per n."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
@@ -1566,14 +1610,18 @@ class GopherRepetition(Pipe):
                 lambda acc, t: acc + F.length(t),
             ).alias("__total"),
         )
-        ex = None
-        for n in ns:
-            part = d.select(
-                "doc_id",
-                F.lit(n).alias("n"),
-                F.explode(self._grams(n)).alias("gram"),
+        # ONE explode of an n-tagged concatenation — a union of per-n
+        # explodes would re-execute the scan+tokenize lineage once per
+        # branch (the q170 lesson)
+        def tagged(n):
+            return F.transform(
+                self._grams(n),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
             )
-            ex = part if ex is None else ex.unionByName(part)
+
+        ex = d.select(
+            "doc_id", F.explode(F.concat(*[tagged(n) for n in ns])).alias("t")
+        ).select("doc_id", "t.n", "t.gram")
         counts = ex.groupBy("doc_id", "n", "gram").agg(
             F.count(F.lit(1)).alias("cnt")
         )

@@ -404,29 +404,48 @@ class LineFilter(Pipe):
         nw = lambda l: F.size(
             F.filter(F.split(l, " +"), lambda w: F.length(w) > 0)
         )
-        lines = self._lines(F.col(self.text_col))
-        kept = F.filter(
+        # per-line verdict struct materialized ONCE as a column: inlining
+        # the split + per-line tokenization into each of the six output
+        # expressions would re-split the doc ~6x and re-tokenize each
+        # line ~4x (interpreted HOF lambda bodies — the measured q170
+        # lesson); NULL text coalesces to '' so NULL-text rows get the
+        # empty-document outcome instead of engine-divergent NULL algebra
+        lines = self._lines(F.coalesce(F.col(self.text_col), F.lit("")))
+        info = F.transform(
             lines,
-            lambda l: ~self._blocked(l) & ends(l) & (nw(l) >= mw),
+            lambda l: F.struct(
+                l.alias("l"),
+                self._blocked(l).alias("b"),
+                ends(l).alias("e"),
+                (nw(l) >= mw).alias("w"),
+            ),
         )
-        n_block = F.size(F.filter(lines, lambda l: self._blocked(l)))
-        n_punct = F.size(
-            F.filter(lines, lambda l: ~self._blocked(l) & ~ends(l))
-        )
-        n_short = F.size(
-            F.filter(
-                lines, lambda l: ~self._blocked(l) & ends(l) & (nw(l) < mw)
-            )
-        )
+        staged = df.withColumn("__info", info)
+        i = F.col("__info")
+        kept = F.filter(i, lambda x: ~x["b"] & x["e"] & x["w"])
+        n_block = F.size(F.filter(i, lambda x: x["b"]))
+        n_punct = F.size(F.filter(i, lambda x: ~x["b"] & ~x["e"]))
+        n_short = F.size(F.filter(i, lambda x: ~x["b"] & x["e"] & ~x["w"]))
         return (
-            df.withColumn("clean_text", F.array_join(kept, self.join_sep))
-            .withColumn("n_lines", F.size(lines))
-            .withColumn("n_kept", F.size(kept))
+            staged.withColumn(
+                "clean_text",
+                F.array_join(
+                    F.transform(kept, lambda x: x["l"]), self.join_sep
+                ),
+            )
+            .withColumn("n_lines", F.size(i))
             .withColumn("drop_blocklist", n_block)
             .withColumn("drop_no_punct", n_punct)
             .withColumn("drop_short", n_short)
+            .withColumn(
+                "n_kept",
+                F.col("n_lines")
+                - F.col("drop_blocklist")
+                - F.col("drop_no_punct")
+                - F.col("drop_short"),
+            )
             .withColumn("keep", F.col("n_kept") >= self.min_lines)
-            .drop(self.text_col)
+            .drop(self.text_col, "__info")
         )
 
 
@@ -444,10 +463,11 @@ def line_filter_sql(
     form): identical split, rule precedence and reassembly."""
     from warp_pipes_spark.text.analysis import tokens_sql
 
+    safe = f"COALESCE({text}, '')"
     if unit == "newline":
-        raw = f"string_split({text}, chr(10))"
+        raw = f"string_split({safe}, chr(10))"
     else:
-        marked = f"regexp_replace({text}, '([.!?]) ', '\\1' || chr(30), 'g')"
+        marked = f"regexp_replace({safe}, '([.!?]) ', '\\1' || chr(30), 'g')"
         raw = f"string_split({marked}, chr(30))"
     lits = ", ".join(f"'{w}'" for w in sorted({w.lower() for w in blocklist}))
     blocked = f"len(list_intersect({tokens_sql('l')}, [{lits}])) > 0"
