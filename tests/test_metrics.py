@@ -59,3 +59,19 @@ def test_rouge_known_values(spark):
     assert abs(r2["rouge1_p"] - 1 / 4) < 1e-6  # clipped at ref count 1
     assert abs(r2["rouge1_r"] - 1 / 2) < 1e-6
     assert r2["rouge2_f1"] == 0.0
+
+
+def test_kcore_peels_and_converges(spark):
+    """Hand-built graph: a 4-clique (3-core) with pendant chains that
+    must peel away — including a node whose degree only drops below k
+    after its neighbor peels (the iterative case); rounds beyond
+    convergence change nothing."""
+    from warp_pipes_spark.ml.graph import KCore
+
+    # clique 1-2-3-4 + chain 4-5, 5-6 (5 and 6 peel in sequence)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = {r["node"]: r["core_degree"] for r in KCore(k=3, rounds=6)(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    out2 = {r["node"]: r["core_degree"] for r in KCore(k=3, rounds=9)(df).collect()}
+    assert out2 == out

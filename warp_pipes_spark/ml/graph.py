@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from warp_pipes_spark.core.pipe import Pipe
+
 
 def hash_min_components(
     edges: DataFrame,
@@ -84,4 +86,109 @@ def hash_min_components_sql(edges_cte: str, iters: int = 4) -> str:
         "WITH "
         + ", ".join(parts)
         + f" SELECT node, label AS component FROM {prev} ORDER BY node"
+    )
+
+
+class KCore(Pipe):
+    """k-core decomposition by fixed-round peeling (Seidman 1983; the
+    distributed formulation of Montresor et al. 2013): repeatedly drop
+    nodes whose degree within the surviving subgraph is < k; what's left
+    is the k-core — the standard dense-community / spam-farm signal the
+    one-shot structures (components q133, triangles q115) don't give.
+
+    Peeling runs a FIXED ``rounds`` count rather than a data-dependent
+    fixpoint test: once the core stabilizes every further round is a
+    no-op, so a sufficiently large unroll is exact AND replayable as a
+    finite chain of SQL CTEs (a fixpoint loop would make the oracle's
+    iteration count data-dependent). Convergence within ``rounds`` is
+    asserted in tests at small scale; at 100 TB callers size ``rounds``
+    ~ log(peel depth) and can verify convergence by comparing the last
+    two rounds' node counts (one extra cheap aggregate).
+
+    Input df = oriented undirected edges (``u`` < ``v``). Output = k-core
+    members with their within-core degree. Scale shape: per round, two
+    node-keyed semi-joins of the edge list against the (shrinking)
+    survivor set + one map-side-combined degree count; lineage is cut
+    with ``localCheckpoint`` every 3 rounds (the q133 idiom)."""
+
+    def __init__(
+        self,
+        k: int = 2,
+        rounds: int = 8,
+        src: str = "u",
+        dst: str = "v",
+        out_id: str = "node",
+        **kwargs,
+    ):
+        if k < 1 or rounds < 1:
+            raise ValueError(f"need k >= 1 and rounds >= 1, got {k}, {rounds}")
+        super().__init__(**kwargs)
+        self.k = k
+        self.rounds = rounds
+        self.src = src
+        self.dst = dst
+        self.out_id = out_id
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        und = df.select(
+            F.col(self.src).alias("node"), F.col(self.dst).alias("nbr")
+        ).unionByName(
+            df.select(
+                F.col(self.dst).alias("node"), F.col(self.src).alias("nbr")
+            )
+        )
+        deg0 = und.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+        nodes = deg0.filter(F.col("c") >= self.k).select("node")
+        for r in range(1, self.rounds):
+            alive = (
+                und.join(nodes, "node", "left_semi")
+                .join(
+                    nodes.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            nodes = alive.filter(F.col("c") >= self.k).select("node")
+            if r % 3 == 0:
+                nodes = nodes.localCheckpoint(eager=False)
+        core = (
+            und.join(nodes, "node", "left_semi")
+            .join(nodes.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+        return core.select(
+            F.col("node").alias(self.out_id), "core_degree"
+        )
+
+
+def kcore_sql(
+    edges_cte: str,
+    k: int = 2,
+    rounds: int = 8,
+    out_id: str = "node",
+) -> str:
+    """DuckDB oracle for :class:`KCore`: the identical peel unrolled as a
+    finite CTE chain. ``edges_cte`` must yield (u, v) with u < v."""
+    ctes = [
+        f"e AS ({edges_cte})",
+        "und AS (SELECT u AS node, v AS nbr FROM e "
+        "UNION ALL SELECT v, u FROM e)",
+        f"n0 AS (SELECT node FROM (SELECT node, COUNT(*) c FROM und GROUP BY 1) d0 WHERE c >= {k})",
+    ]
+    for r in range(1, rounds):
+        prev = f"n{r - 1}"
+        ctes.append(
+            f"n{r} AS (SELECT node FROM ("
+            f"SELECT d.node, COUNT(*) c FROM und d "
+            f"JOIN {prev} a ON a.node = d.node "
+            f"JOIN {prev} b ON b.node = d.nbr GROUP BY 1) dd WHERE c >= {k})"
+        )
+    last = f"n{rounds - 1}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT d.node AS {out_id}, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM und d JOIN {last} a ON a.node = d.node "
+        f"JOIN {last} b ON b.node = d.nbr "
+        f"GROUP BY 1 ORDER BY 1"
     )

@@ -1672,6 +1672,30 @@ def q176_gopher_repetition(spark, sf):
     return GopherRepetition()(T(spark, sf, "documents"))
 
 
+def q177_kcore(spark, sf):
+    """k-core decomposition of the co-purchase graph (``ml/graph.py``
+    ``KCore``, k=3, 8 peel rounds) — the dense-community / spam-farm
+    signal the one-shot graph queries (q133 components, q115 triangles)
+    don't give: members of the 3-core with their within-core degree.
+    Fixed-round peeling keeps the oracle a finite CTE chain (extra
+    rounds past convergence are no-ops); per round two node-keyed
+    semi-joins + one map-side-combined degree count."""
+    from warp_pipes_spark.ml.graph import KCore
+
+    return KCore(k=3, rounds=8, out_id="part_id")(
+        _copurchase_edges(spark, sf)
+    )
+
+
+_COPURCHASE_EDGES_SQL = (
+    "SELECT a.l_partkey AS u, b.l_partkey AS v "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+)
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5332,6 +5356,12 @@ def _round2b_oracles():
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
 
+    from warp_pipes_spark.ml.graph import kcore_sql
+
+    ORACLES_EXT["q177_kcore"] = kcore_sql(
+        _COPURCHASE_EDGES_SQL, k=3, rounds=8, out_id="part_id"
+    )
+
     from warp_pipes_spark.text.analysis import gopher_repetition_sql
 
     ORACLES_EXT["q176_gopher_repetition"] = gopher_repetition_sql("documents")
@@ -5673,6 +5703,7 @@ def _register():
         "q174_prf_expansion": q174_prf_expansion,
         "q175_curation_funnel": q175_curation_funnel,
         "q176_gopher_repetition": q176_gopher_repetition,
+        "q177_kcore": q177_kcore,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
