@@ -1696,6 +1696,77 @@ _COPURCHASE_EDGES_SQL = (
 )
 
 
+def q178_code_switching(spark, sf):
+    """Per-sentence language-ID voting (CCNet runs langid per paragraph,
+    not per page) — pure composition of SentenceSplit (q72) + LangId
+    (q25): each sentence votes, the majority language and its vote
+    fraction come back per document, and a low majority fraction flags
+    code-switched / mixed-language pages that whole-document langid
+    averages away. Narrow posexplode + two bounded aggregations;
+    majority tie-breaks via min(struct(-count, lang))."""
+    from warp_pipes_spark.text.analysis import LangId, SentenceSplit
+
+    docs = T(spark, sf, "documents")
+    punct = docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    sents = SentenceSplit()(punct)
+    lid = LangId(text_col="sentence", out_col="sent_lang")(sents)
+    counts = lid.groupBy("doc_id", "sent_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    maj = counts.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("sent_lang").alias("lang"))
+        ).alias("m"),
+        F.sum("c").alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    frac = dec((-F.col("m.nc")).cast("double") / F.col("n").cast("double"))
+    return (
+        maj.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("m.lang").alias("majority_lang"),
+            F.col("n").cast("long").alias("n_sentences"),
+            frac.alias("majority_frac"),
+            (frac < 0.8).alias("code_switched"),
+        )
+    )
+
+
+def _code_switching_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import langid_sql, sentence_split_sql
+
+    injected = (
+        r"(SELECT doc_id, regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')"
+        r" AS text FROM documents)"
+    )
+    flat = sentence_split_sql(table=injected)
+    frac = (
+        "CAST(CAST(CAST(-(m.nc) AS DOUBLE) / CAST(n AS DOUBLE)"
+        " AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    return f"""
+WITH flat AS ({flat}),
+lid AS (SELECT doc_id, {langid_sql('sentence')} AS sent_lang FROM flat),
+counts AS (SELECT doc_id, sent_lang, COUNT(*) AS c FROM lid GROUP BY 1, 2),
+maj AS (
+  SELECT doc_id,
+         MIN({{'nc': -c, 'lang': sent_lang}}) AS m,
+         SUM(c) AS n
+  FROM counts GROUP BY 1
+)
+SELECT j.doc_id, d.lang, j.m.lang AS majority_lang,
+       CAST(n AS BIGINT) AS n_sentences,
+       {frac} AS majority_frac,
+       {frac} < 0.8 AS code_switched
+FROM maj j JOIN documents d USING (doc_id)
+ORDER BY j.doc_id
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5355,6 +5426,7 @@ def _round2b_oracles():
     ORACLES_EXT["q170_rouge_eval"] = _rouge_eval_oracle_sql()
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
+    ORACLES_EXT["q178_code_switching"] = _code_switching_oracle_sql()
 
     from warp_pipes_spark.ml.graph import kcore_sql
 
@@ -5704,6 +5776,7 @@ def _register():
         "q175_curation_funnel": q175_curation_funnel,
         "q176_gopher_repetition": q176_gopher_repetition,
         "q177_kcore": q177_kcore,
+        "q178_code_switching": q178_code_switching,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
