@@ -499,3 +499,19 @@ def test_priority_sample_resumable_under_growth(spark):
     new_rows = samp(new).collect()
     survivors = {r["doc_id"] for r in new_rows if r["doc_id"] < 300}
     assert survivors <= old_ids
+
+
+def test_token_budget_sums_exactly(spark, sf_dir):
+    """Apportioned budgets sum exactly to B for several (B, T) configs,
+    shares are monotone in source size, and epochs = budget / n."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.pipes.sampling import TokenBudgetPlan
+
+    docs = load_table(spark, sf_dir, "documents")
+    for B, temp in ((100_000, 0.7), (99_991, 0.3), (17, 1.0)):
+        rows = TokenBudgetPlan(budget_tokens=B, temperature=temp)(docs).collect()
+        assert sum(r["token_budget"] for r in rows) == B, (B, temp)
+    rows = TokenBudgetPlan(budget_tokens=100_000, temperature=0.7)(docs).collect()
+    by_n = sorted(rows, key=lambda r: r["n_tokens"])
+    shares = [r["share"] for r in by_n]
+    assert shares == sorted(shares)

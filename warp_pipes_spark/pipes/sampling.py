@@ -818,3 +818,147 @@ WHERE {weight_expr} > 0
 ORDER BY {out_col} DESC, {key}
 LIMIT {k}
 """
+
+
+class TokenBudgetPlan(Pipe):
+    """Static mixture planner for a fixed training-token budget — the
+    step BEFORE q142's row-level temperature fan-out: given per-source
+    token counts, temperature-smoothed target shares ``p_s ∝ n_s^T``
+    and a total budget ``B``, emit each source's integer token budget
+    (summing EXACTLY to ``B`` by construction) and the implied epoch
+    count — the table a pretraining run pins in its config (the
+    mBERT/XLM-R smoothing with DoReMi-style static budgeting).
+
+    Apportionment: ``alloc_s = B x share_s`` in exact decimal,
+    ``base_s = floor``; the leftover ``L = B - Σ base`` spreads by a
+    second integer waterfall over the largest-remainder ranking
+    (``L // S`` each plus one more for the top ``L mod S`` remainders,
+    ties on source) — exact-sum even when share rounding makes
+    ``Σ share != 1``. The single cross-engine float exposure is the
+    ``pow``/division pair behind ``share`` (decimal-rounded, q142's
+    budget); everything after is integer/decimal-exact.
+
+    Scale shape: one token-count aggregation over the corpus; the plan
+    itself lives on a source-sized table (a broadcast join + one bounded
+    window)."""
+
+    def __init__(
+        self,
+        budget_tokens: int,
+        temperature: float = 0.7,
+        stratum_col: str = "source",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        if budget_tokens < 1:
+            raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+        if not 0 < temperature <= 1:
+            raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+        super().__init__(**kwargs)
+        self.budget_tokens = budget_tokens
+        self.temperature = temperature
+        self.stratum_col = stratum_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        s, B = self.stratum_col, self.budget_tokens
+        stats = df.select(
+            s, F.size(tokens_expr(F.col(self.text_col))).alias("__t")
+        ).groupBy(s).agg(F.sum("__t").alias("n_tokens"))
+        stats = stats.withColumn(
+            "__pw",
+            F.pow(F.col("n_tokens").cast("double"), F.lit(self.temperature)),
+        )
+        tot = stats.agg(
+            F.sum("__pw").alias("__z"),
+            F.count(F.lit(1)).alias("__s"),
+        )
+        shared = stats.crossJoin(F.broadcast(tot)).withColumn(
+            "share",
+            (F.col("__pw") / F.col("__z")).cast("decimal(18,6)"),
+        )
+        alloc = F.col("share") * F.lit(B)
+        based = shared.withColumn(
+            "__base", F.floor(alloc).cast("long")
+        ).withColumn("__rem", alloc - F.floor(alloc))
+        lsum = based.agg(
+            F.sum("__base").alias("__bsum"), F.first("__s").alias("__sn")
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("__rem").desc(), F.col(s))
+        ranked = (
+            based.crossJoin(F.broadcast(lsum))
+            .withColumn("__L", F.lit(B) - F.col("__bsum"))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn(
+                "token_budget",
+                F.col("__base")
+                + (F.col("__L") / F.col("__sn")).cast("long")
+                + F.when(
+                    F.col("__rn") <= F.col("__L") % F.col("__sn"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+        )
+        dec = lambda c: c.cast("decimal(18,6)").cast("double")
+        return ranked.select(
+            s,
+            "n_tokens",
+            dec(F.col("share").cast("double")).alias("share"),
+            "token_budget",
+            dec(
+                F.col("token_budget").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+
+
+def token_budget_sql(
+    table: str = "documents",
+    budget_tokens: int = 1_000_000,
+    temperature: float = 0.7,
+    stratum: str = "source",
+    text: str = "text",
+) -> str:
+    """DuckDB oracle for :class:`TokenBudgetPlan`: identical pow/share
+    rounding, floor apportionment and leftover waterfall."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    B = budget_tokens
+    return f"""
+WITH stats AS (
+  SELECT {stratum}, SUM(len({tokens_sql(text)})) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+pw AS (
+  SELECT *, pow(CAST(n_tokens AS DOUBLE), {temperature!r}) AS p FROM stats
+),
+tot AS (SELECT SUM(p) AS z, COUNT(*) AS s FROM pw),
+shared AS (
+  SELECT pw.*, CAST(pw.p / t.z AS DECIMAL(18,6)) AS share, t.s AS sn
+  FROM pw CROSS JOIN tot t
+),
+based AS (
+  SELECT *,
+         CAST(FLOOR(share * {B}) AS BIGINT) AS base,
+         share * {B} - FLOOR(share * {B}) AS rem
+  FROM shared
+),
+lsum AS (SELECT SUM(base) AS bsum FROM based),
+ranked AS (
+  SELECT b.*, ({B} - l.bsum) AS L,
+         ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.{stratum}) AS rn
+  FROM based b CROSS JOIN lsum l
+)
+SELECT {stratum},
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CAST(CAST(share AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share,
+       CAST(base + (L // sn) + CASE WHEN rn <= L % sn THEN 1 ELSE 0 END AS BIGINT)
+         AS token_budget,
+       CAST(CAST(CAST(base + (L // sn) + CASE WHEN rn <= L % sn THEN 1 ELSE 0 END AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS epochs
+FROM ranked
+ORDER BY {stratum}
+"""

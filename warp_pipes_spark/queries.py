@@ -1767,6 +1767,21 @@ ORDER BY j.doc_id
 """
 
 
+def q179_token_budget(spark, sf):
+    """Static mixture planning under a fixed token budget
+    (``pipes/sampling.py`` ``TokenBudgetPlan``) — the table a
+    pretraining run pins in its config: temperature-smoothed target
+    shares over per-source token counts, integer token budgets summing
+    EXACTLY to B (floor apportionment + leftover waterfall over the
+    largest-remainder ranking), and the implied epochs per source. One
+    corpus token-count aggregation; the plan itself is source-sized."""
+    from warp_pipes_spark.pipes.sampling import TokenBudgetPlan
+
+    return TokenBudgetPlan(budget_tokens=100_000, temperature=0.7)(
+        T(spark, sf, "documents")
+    )
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5428,6 +5443,12 @@ def _round2b_oracles():
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
     ORACLES_EXT["q178_code_switching"] = _code_switching_oracle_sql()
 
+    from warp_pipes_spark.pipes.sampling import token_budget_sql
+
+    ORACLES_EXT["q179_token_budget"] = token_budget_sql(
+        "documents", budget_tokens=100_000, temperature=0.7
+    )
+
     from warp_pipes_spark.ml.graph import kcore_sql
 
     ORACLES_EXT["q177_kcore"] = kcore_sql(
@@ -5777,6 +5798,7 @@ def _register():
         "q176_gopher_repetition": q176_gopher_repetition,
         "q177_kcore": q177_kcore,
         "q178_code_switching": q178_code_switching,
+        "q179_token_budget": q179_token_budget,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
