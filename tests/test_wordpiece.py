@@ -158,3 +158,43 @@ def test_wordpiece_pieces_reassemble_words(spark):
         assert text[off["start"]:off["end"]] == (
             tok[2:] if tok.startswith("##") else tok
         )
+
+
+def test_multiturn_template_mask_boundaries(spark):
+    """Loss mask is 1 exactly over assistant content + eos; role headers
+    and user turns are 0; turns assemble in order; empty contents are
+    well-formed."""
+    from warp_pipes_spark.queries import WORDPIECE_VOCAB
+    from warp_pipes_spark.text.packing import MultiTurnChatTemplate
+
+    op = MultiTurnChatTemplate(WORDPIECE_VOCAB)
+    v = op.vocab
+    uid, aid = v.index("<|user|>"), v.index("<|assistant|>")
+    eid = v.index("<|eos|>")
+    turns = [
+        {"role": "user", "content": "scan table"},
+        {"role": "assistant", "content": "fast merge"},
+        {"role": "user", "content": ""},
+        {"role": "assistant", "content": "done"},
+    ]
+    df = spark.createDataFrame(
+        [(1, turns)],
+        "doc_id long, turns array<struct<role:string,content:string>>",
+    )
+    r = op(df).collect()[0]
+    ids, mask = r["input_ids"], r["loss_mask"]
+    assert r["n_turns"] == 4
+    assert len(ids) == len(mask)
+    # role headers sit exactly where expected and are always masked
+    role_positions = [i for i, t in enumerate(ids) if t in (uid, aid)]
+    assert all(mask[i] == 0 for i in role_positions)
+    # every eos is learned, and there is one per assistant turn
+    eos_positions = [i for i, t in enumerate(ids) if t == eid]
+    assert len(eos_positions) == 2
+    assert all(mask[i] == 1 for i in eos_positions)
+    # mask is 1 exactly on assistant content + eos: reconstruct spans
+    # turn 3 (empty user) contributes exactly one masked role token
+    assert ids.count(uid) == 2 and ids.count(aid) == 2
+    # final turn: [assistant] d ##o ##n ##e ... ends with eos, all 1s
+    last_a = max(i for i, t in enumerate(ids) if t == aid)
+    assert all(m == 1 for m in mask[last_a + 1:]), mask[last_a:]

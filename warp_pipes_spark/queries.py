@@ -1782,6 +1782,116 @@ def q179_token_budget(spark, sf):
     )
 
 
+def q180_multiturn_sft(spark, sf):
+    """Multi-turn SFT construction (``text/packing.py``
+    ``MultiTurnChatTemplate``) — the conversation-shaped generalization
+    of q150: four synthetic turns per document (user/assistant twice),
+    each turn = role control token + WordPiece ids of its content,
+    assistant turns close with eos, and ``loss_mask`` is 1 exactly over
+    assistant content + eos. One posexplode + ONE tokenize pass over
+    all turns + sorted-struct reassembly. The oracle replays the q146
+    greedy matcher over every (doc, turn) segment and reassembles with
+    the identical role/eos/mask algebra."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+    from warp_pipes_spark.text.packing import MultiTurnChatTemplate
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    seg = lambda a, n: F.array_join(F.slice(toks, a, n), " ")
+    turns = F.array(
+        F.struct(F.lit("user").alias("role"), seg(1, 5).alias("content")),
+        F.struct(F.lit("assistant").alias("role"), seg(6, 5).alias("content")),
+        F.struct(F.lit("user").alias("role"), seg(11, 3).alias("content")),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.array_join(
+                F.slice(toks, 14, F.greatest(F.size(toks) - 13, F.lit(0))),
+                " ",
+            ).alias("content"),
+        ),
+    )
+    conv = docs.select("doc_id", turns.alias("turns"))
+    return MultiTurnChatTemplate(WORDPIECE_VOCAB)(conv).select(
+        "doc_id", "input_ids", "loss_mask", "n_turns"
+    )
+
+
+def _multiturn_sft_oracle_sql() -> str:
+    from warp_pipes_spark.text.packing import MultiTurnChatTemplate
+
+    op = MultiTurnChatTemplate(WORDPIECE_VOCAB)
+    vocab = op.vocab
+    rid = {r: vocab.index(t) for r, t in op.ROLE_TOKENS.items()}
+    eid = vocab.index(op.eos_token)
+    controls = set(op.ROLE_TOKENS.values()) | {op.eos_token}
+    matcher = ", ".join(
+        f"'{p}'"
+        for p in vocab
+        if p not in ("[PAD]", "[CLS]", "[SEP]") and p not in controls
+    )
+    full_vocab = "[" + ", ".join(f"'{p}'" for p in vocab) + "]"
+    to_ids = f"x -> CAST(list_position({full_vocab}, x) - 1 AS BIGINT)"
+    toks = tokens_sql("text")
+    seg_defs = [
+        (0, "user", f"({toks})[1:5]"),
+        (1, "assistant", f"({toks})[6:10]"),
+        (2, "user", f"({toks})[11:13]"),
+        (3, "assistant", f"({toks})[14:GREATEST(len({toks}), 14)]"),
+    ]
+    segs = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS seg, '{role}' AS role, "
+        f"array_to_string({sl}, ' ') AS t FROM documents"
+        for i, role, sl in seg_defs
+    )
+    role_case = (
+        "CASE role "
+        + " ".join(f"WHEN '{r}' THEN {i}" for r, i in sorted(rid.items()))
+        + f" ELSE {rid['user']} END"
+    )
+    return f"""
+WITH RECURSIVE vocab(piece) AS (SELECT unnest([{matcher}])),
+segs AS (
+{segs}
+),
+wlists AS (
+  SELECT doc_id, seg, role,
+         list_filter(regexp_split_to_array(t, '[^a-z]+'), x -> length(x) > 0) AS ws
+  FROM segs
+),
+words AS (
+  SELECT doc_id, seg, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx
+  FROM wlists
+),
+{_wordpiece_enc_cte("doc_id, seg, widx")},
+done AS (SELECT doc_id, seg, widx, pieces FROM enc WHERE pos >= length(word)),
+per_seg AS (
+  SELECT doc_id, seg, flatten(list(pieces ORDER BY widx)) AS toks
+  FROM done GROUP BY doc_id, seg
+),
+turns AS (
+  SELECT s.doc_id, s.seg, s.role,
+         list_transform(COALESCE(p.toks, []::VARCHAR[]), {to_ids}) AS cids
+  FROM wlists s LEFT JOIN per_seg p ON p.doc_id = s.doc_id AND p.seg = s.seg
+),
+turn_lists AS (
+  SELECT doc_id, seg,
+         [CAST({role_case} AS BIGINT)] || cids ||
+           CASE WHEN role = 'assistant' THEN [CAST({eid} AS BIGINT)]
+                ELSE []::BIGINT[] END AS ids,
+         [0] || list_transform(cids,
+             x -> CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) ||
+           CASE WHEN role = 'assistant' THEN [1] ELSE []::INTEGER[] END AS mask
+  FROM turns
+)
+SELECT doc_id,
+       flatten(list(ids ORDER BY seg)) AS input_ids,
+       flatten(list(mask ORDER BY seg)) AS loss_mask,
+       CAST(COUNT(*) AS INTEGER) AS n_turns
+FROM turn_lists GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5442,6 +5552,7 @@ def _round2b_oracles():
     ORACLES_EXT["q172_threshold_sweep"] = _threshold_sweep_oracle_sql()
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
     ORACLES_EXT["q178_code_switching"] = _code_switching_oracle_sql()
+    ORACLES_EXT["q180_multiturn_sft"] = _multiturn_sft_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -5799,6 +5910,7 @@ def _register():
         "q177_kcore": q177_kcore,
         "q178_code_switching": q178_code_switching,
         "q179_token_budget": q179_token_budget,
+        "q180_multiturn_sft": q180_multiturn_sft,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -766,3 +766,121 @@ class WordPieceChatTemplate(Pipe):
             F.size(learned_ids).cast("int").alias("n_response_tokens"),
         )
         return out
+
+
+class MultiTurnChatTemplate(Pipe):
+    """Multi-turn SFT construction with real vocabulary ids — the
+    generalization of :class:`WordPieceChatTemplate` from one
+    (prompt, response) pair to a whole conversation: input is an
+    ``array<struct<role, content>>`` column; each turn contributes its
+    role's control token plus the WordPiece ids of its content, every
+    ASSISTANT turn additionally closes with ``eos``, and ``loss_mask``
+    is 1 exactly over assistant content + eos (role headers and
+    user/system turns masked) — the multi-turn training convention,
+    exact by construction because turns tokenize independently.
+
+    Execution: one ``posexplode`` of the turns array, ONE Arrow-batched
+    tokenize pass over all turns of all conversations, then a per-doc
+    reassembly from sorted (turn_idx, ids, mask) structs — the q165
+    sorted-struct idiom; no shuffle beyond the reassembly aggregation.
+    Control tokens are reserved vocabulary entries injected by id.
+
+    (Reference analogue: the tokenizer -> collate chain,
+    ``warp_pipes/pipes/collate.py:137-178``; multi-turn assembly is an
+    extension.)"""
+
+    ROLE_TOKENS = {
+        "system": "<|system|>",
+        "user": "<|user|>",
+        "assistant": "<|assistant|>",
+    }
+
+    def __init__(
+        self,
+        vocab,
+        turns_col: str = "turns",
+        id_col: str = "doc_id",
+        eos_token: str = "<|eos|>",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.vocab = list(dict.fromkeys(vocab))
+        for t in list(self.ROLE_TOKENS.values()) + [eos_token]:
+            if t not in self.vocab:
+                self.vocab.append(t)
+        self.turns_col = turns_col
+        self.id_col = id_col
+        self.eos_token = eos_token
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.pipes.tokenizer import WordPieceTokenizer
+
+        rid = {
+            role: self.vocab.index(tok)
+            for role, tok in self.ROLE_TOKENS.items()
+        }
+        eid = self.vocab.index(self.eos_token)
+        key = self.id_col
+        ex = df.select(
+            key,
+            F.posexplode(self.turns_col).alias("__ti", "__turn"),
+        ).select(
+            key,
+            "__ti",
+            F.col("__turn.role").alias("__role"),
+            F.col("__turn.content").alias("__content"),
+        )
+        tok = WordPieceTokenizer(
+            self.vocab,
+            text_col="__content",
+            prefix="_mt_",
+            add_special_tokens=False,
+        )(ex)
+        role_id = None
+        for role, i in sorted(rid.items()):
+            cond = F.when(F.col("__role") == role, F.lit(i).cast("long"))
+            role_id = cond if role_id is None else role_id.when(
+                F.col("__role") == role, F.lit(i).cast("long")
+            )
+        role_id = role_id.otherwise(F.lit(rid["user"]).cast("long"))
+        is_asst = F.col("__role") == "assistant"
+        cids = F.col("_mt_input_ids")
+        turn_ids = F.concat(
+            F.array(role_id),
+            cids,
+            F.when(is_asst, F.array(F.lit(eid).cast("long"))).otherwise(
+                F.array().cast("array<bigint>")
+            ),
+        )
+        content_mask = F.when(
+            is_asst, F.array_repeat(F.lit(1), F.size(cids))
+        ).otherwise(F.array_repeat(F.lit(0), F.size(cids)))
+        turn_mask = F.concat(
+            F.array(F.lit(0)),
+            content_mask,
+            F.when(is_asst, F.array(F.lit(1))).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+        per_turn = tok.select(
+            key,
+            F.struct(
+                F.col("__ti").alias("ti"),
+                turn_ids.alias("ids"),
+                turn_mask.alias("mask"),
+            ).alias("__t"),
+        )
+        g = per_turn.groupBy(key).agg(
+            F.array_sort(F.collect_list("__t")).alias("__s")
+        )
+        out = g.select(
+            key,
+            F.flatten(F.transform(F.col("__s"), lambda x: x["ids"])).alias(
+                "input_ids"
+            ),
+            F.flatten(F.transform(F.col("__s"), lambda x: x["mask"])).alias(
+                "loss_mask"
+            ),
+            F.size(F.col("__s")).alias("n_turns"),
+        )
+        return df.drop(self.turns_col).join(out, key)
