@@ -75,3 +75,30 @@ def test_kcore_peels_and_converges(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
     out2 = {r["node"]: r["core_degree"] for r in KCore(k=3, rounds=9)(df).collect()}
     assert out2 == out
+
+
+def test_bleu_known_values(spark):
+    """Identity pair scores 1.0; a shortened candidate takes the brevity
+    penalty; any missing 4-gram order zeroes the unsmoothed score."""
+    import math
+
+    from warp_pipes_spark.ml.metrics import BleuScore
+
+    ident = "the quick brown fox jumps over the lazy dog"
+    short = "the quick brown fox"  # perfect precisions, c=4 < r=9
+    df = spark.createDataFrame(
+        [
+            (1, ident, ident),
+            (2, short, ident),
+            (3, "dog lazy the over jumps", ident),  # unigrams only
+        ],
+        ["doc_id", "cand_text", "ref_text"],
+    )
+    rows = {r["doc_id"]: r for r in BleuScore()(df).collect()}
+    assert rows[1]["bleu"] == 1.0 and rows[1]["bp"] == 1.0
+    r2 = rows[2]
+    assert r2["p1"] == 1.0 and r2["p4"] == 1.0
+    assert abs(r2["bp"] - math.exp(1 - 9 / 4)) < 1e-5
+    assert abs(r2["bleu"] - r2["bp"]) < 1e-5
+    assert rows[3]["p1"] == 1.0
+    assert rows[3]["bleu"] == 0.0  # no matching bigram -> unsmoothed 0

@@ -265,3 +265,122 @@ gr AS (SELECT {gram_cols} FROM pairs)
 SELECT {", ".join(sels)}
 FROM gr
 """
+
+
+class BleuScore(RougeScore):
+    """Sentence-level BLEU-4 (Papineni et al. 2002) over candidate /
+    reference pairs — the MT/generation eval companion to
+    :class:`RougeScore`, and (applied to same-corpus pairs) the
+    self-BLEU diversity probe of Zhu et al. 2018: modified n-gram
+    precisions p_1..p_4 (clipped counting — the same exploded-aggregate
+    clip as ROUGE), brevity penalty ``min(1, e^(1 - r/c))``, and
+    ``BLEU = BP * exp(sum 1/4 ln p_n)`` (0 when any p_n is 0, the
+    uns moothed definition).
+
+    Float budget: each precision is one IEEE division decimal-rounded;
+    the geometric mean takes one ln per n (decimal-rounded), an exact
+    decimal weighted sum, one exp; BP adds one division and one exp —
+    all shared-rounding deterministic, same exposure class as the
+    engine's ln-based scores. Output columns: ``bleu``, ``bp``,
+    ``p1..p4``."""
+
+    def __init__(
+        self,
+        cand_col: str = "cand_text",
+        ref_col: str = "ref_text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ):
+        super().__init__(
+            cand_col=cand_col,
+            ref_col=ref_col,
+            id_col=id_col,
+            ns=(1, 2, 3, 4),
+            **kwargs,
+        )
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        scored = super()._transform(df, **kwargs)
+        dec = lambda c: c.cast("decimal(18,6)").cast("double")
+        # recover counts: rougeN_p = clip/nc, rougeN_r = clip/nr are kept
+        # only as rounded ratios — BLEU needs lengths, so recompute the
+        # unigram lengths from the gram columns before they are dropped?
+        # They ARE dropped by super(); instead derive c and r lengths from
+        # token counts directly (identical to nc/nr for n = 1).
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        c_len = F.size(tokens_expr(F.col(self.cand_col)))
+        r_len = F.size(tokens_expr(F.col(self.ref_col)))
+        ps = [F.col(f"rouge{n}_p") for n in (1, 2, 3, 4)]
+        any_zero = None
+        for p in ps:
+            z = p <= 0.0
+            any_zero = z if any_zero is None else (any_zero | z)
+        lnsum = None
+        for p in ps:
+            term = F.log(p).cast("decimal(18,6)") * F.lit(0.25).cast(
+                "decimal(6,2)"
+            )
+            lnsum = term if lnsum is None else lnsum + term
+        geo = F.exp(lnsum.cast("double"))
+        bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+            F.exp(
+                F.lit(1.0)
+                - r_len.cast("double") / c_len.cast("double")
+            )
+        )
+        bp = F.when(c_len > 0, bp).otherwise(F.lit(0.0))
+        bleu = F.when(any_zero | (c_len == 0), F.lit(0.0)).otherwise(
+            dec(dec(bp) * dec(geo))
+        )
+        out = scored.withColumn("bp", dec(bp)).withColumn("bleu", bleu)
+        renames = {f"rouge{n}_p": f"p{n}" for n in (1, 2, 3, 4)}
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return out.drop(
+            *[f"rouge{n}_r" for n in (1, 2, 3, 4)],
+            *[f"rouge{n}_f1" for n in (1, 2, 3, 4)],
+        )
+
+
+def bleu_sql(
+    pairs_sql: str,
+    cand: str = "cand_text",
+    ref: str = "ref_text",
+    columns: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :class:`BleuScore`: the rouge_sql precisions
+    plus the identical BP / geometric-mean algebra."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    inner = rouge_sql(pairs_sql, cand=cand, ref=ref, ns=(1, 2, 3, 4),
+                      columns=columns)
+    key0 = columns.split(",")[0].strip()
+    lens = (
+        f"SELECT {key0}, len({tokens_sql(cand)}) AS c_len, "
+        f"len({tokens_sql(ref)}) AS r_len FROM ({pairs_sql}) t"
+    )
+    dec = lambda e: f"CAST(CAST({e} AS DECIMAL(18,6)) AS DOUBLE)"
+    lnsum = " + ".join(
+        f"CAST(ln(rouge{n}_p) AS DECIMAL(18,6)) * CAST(0.25 AS DECIMAL(6,2))"
+        for n in (1, 2, 3, 4)
+    )
+    any_zero = " OR ".join(f"rouge{n}_p <= 0.0" for n in (1, 2, 3, 4))
+    bp = (
+        "CASE WHEN c_len = 0 THEN 0.0 "
+        "WHEN c_len >= r_len THEN 1.0 "
+        "ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END"
+    )
+    key_cols = columns
+    return f"""
+WITH pr AS ({inner}),
+ln_ AS ({lens}),
+j AS (SELECT pr.*, ln_.c_len, ln_.r_len FROM pr JOIN ln_ USING ({key0}))
+SELECT {key_cols},
+       rouge1_p AS p1, rouge2_p AS p2, rouge3_p AS p3, rouge4_p AS p4,
+       {dec(bp)} AS bp,
+       CASE WHEN {any_zero} OR c_len = 0 THEN 0.0
+            ELSE {dec(f"{dec(bp)} * {dec(f'exp(CAST(({lnsum}) AS DOUBLE))')}")}
+       END AS bleu
+FROM j
+"""

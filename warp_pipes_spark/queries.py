@@ -1892,6 +1892,43 @@ ORDER BY doc_id
 """
 
 
+def q181_self_bleu(spark, sf):
+    """Self-BLEU diversity probe (``ml/metrics.py`` ``BleuScore``,
+    Papineni 2002 metric / Zhu 2018 self-BLEU usage): BLEU-4 of each
+    document against its same-source neighbor (q170's pairing) — high
+    self-BLEU marks template-generated, low-diversity sources before
+    they flood a mixture. Same exploded-aggregate clip machinery as
+    ROUGE plus the brevity-penalty / geometric-mean algebra, all within
+    the engine's shared-rounding float budget."""
+    from warp_pipes_spark.ml.metrics import BleuScore
+
+    docs = T(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text").alias("cand_text"),
+            F.lead("text").over(w).alias("ref_text"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+    )
+    return BleuScore()(pairs).select(
+        "doc_id", "source", "p1", "p2", "p3", "p4", "bp", "bleu"
+    )
+
+
+def _self_bleu_oracle_sql() -> str:
+    from warp_pipes_spark.ml.metrics import bleu_sql
+
+    pairs = (
+        "SELECT doc_id, source, text AS cand_text, "
+        "lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref_text "
+        "FROM documents QUALIFY ref_text IS NOT NULL"
+    )
+    return bleu_sql(pairs, columns="doc_id, source") + " ORDER BY doc_id"
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5553,6 +5590,7 @@ def _round2b_oracles():
     ORACLES_EXT["q175_curation_funnel"] = _curation_funnel_oracle_sql()
     ORACLES_EXT["q178_code_switching"] = _code_switching_oracle_sql()
     ORACLES_EXT["q180_multiturn_sft"] = _multiturn_sft_oracle_sql()
+    ORACLES_EXT["q181_self_bleu"] = _self_bleu_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -5911,6 +5949,7 @@ def _register():
         "q178_code_switching": q178_code_switching,
         "q179_token_budget": q179_token_budget,
         "q180_multiturn_sft": q180_multiturn_sft,
+        "q181_self_bleu": q181_self_bleu,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
