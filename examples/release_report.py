@@ -1,0 +1,113 @@
+"""Corpus RELEASE REPORT: the per-source table a data team publishes
+(and reads) before signing off a training corpus — curation funnel
+survival, diversity and entropy health signals, and the token-budget
+mixture plan for the run that will consume it.
+
+curation funnel (Gopher gate -> badwords -> exact dedup -> MinHash
+near-dedup) -> per-source health (char entropy band, self-BLEU
+diversity) -> temperature mixture plan under a fixed token budget
+
+Everything is a ``Pipe`` over DataFrames. The corpus-sized work is the
+funnel's dedup pass and one tokenize pass for the health metrics;
+the plan itself lives on a source-sized table. This is the reporting
+layer the reference leaves to notebooks, expressed as one Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.ml.metrics import BleuScore
+from warp_pipes_spark.pipes.sampling import TokenBudgetPlan
+from warp_pipes_spark.text.analysis import CharEntropy, GopherQualityFilter
+from warp_pipes_spark.text.dedup import MinHashDedup
+from warp_pipes_spark.text.web import BadWordsFilter
+
+SF_DIR = "/root/testdata/sf0.001"
+TOKEN_BUDGET = 50_000
+
+
+def run(spark: SparkSession) -> DataFrame:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+    # ---- stage 1: curation funnel ----------------------------------------
+    kept = GopherQualityFilter()(docs).filter(F.col("keep")).select(
+        "doc_id", "source", "text"
+    )
+    kept = BadWordsFilter(["slow", "broken", "stale"])(kept).filter(
+        F.col("keep")
+    ).select("doc_id", "source", "text")
+    firsts = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(kept)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = kept.join(drops, "doc_id", "left_anti")
+
+    # ---- stage 2: per-source health signals ------------------------------
+    ent = CharEntropy()(survivors)
+    ent_by_src = (
+        ent.join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.avg("entropy").alias("mean_entropy"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    bleu_pairs = (
+        survivors.select(
+            "doc_id",
+            "source",
+            F.col("text").alias("cand_text"),
+            F.lead("text").over(w).alias("ref_text"),
+        )
+        .filter(F.col("ref_text").isNotNull())
+    )
+    diversity = (
+        BleuScore()(bleu_pairs)
+        .groupBy("source")
+        .agg(F.avg("bleu").alias("mean_self_bleu"))
+    )
+
+    # ---- stage 3: mixture plan under the token budget --------------------
+    plan = TokenBudgetPlan(budget_tokens=TOKEN_BUDGET, temperature=0.7)(
+        survivors
+    )
+
+    # ---- the release table -----------------------------------------------
+    ingest = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
+    return (
+        plan.join(ent_by_src, "source")
+        .join(diversity, "source", "left")
+        .join(F.broadcast(ingest), "source")
+        .select(
+            "source",
+            "n_ingested",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_ingested"))
+            .alias("survival_rate"),
+            "mean_entropy",
+            F.coalesce("mean_self_bleu", F.lit(0.0)).alias("mean_self_bleu"),
+            "n_tokens",
+            "share",
+            "token_budget",
+            "epochs",
+        )
+    )
+
+
+if __name__ == "__main__":
+    from warp_pipes_spark.session import get_spark
+
+    spark = get_spark(app_name="release-report")
+    run(spark).orderBy(F.col("token_budget").desc()).show(30, truncate=False)

@@ -170,3 +170,16 @@ def test_selection_and_sft_example(spark):
     # decontamination + UniMax leave multiple sources, none of them src0
     sources = {r["source"] for r in rows}
     assert "src0" not in sources and len(sources) > 1
+
+
+def test_release_report_example(spark):
+    out = _mod("release_report").run(spark)
+    rows = out.collect()
+    assert rows, "release report is empty"
+    # budgets apportion the full target exactly
+    assert sum(r["token_budget"] for r in rows) == 50_000
+    for r in rows:
+        assert 0 < r["n_docs"] <= r["n_ingested"]
+        assert 0.0 < r["survival_rate"] <= 1.0
+        assert 0.0 <= r["mean_self_bleu"] <= 1.0
+        assert r["mean_entropy"] > 0
