@@ -739,3 +739,23 @@ def test_prf_expansion_effect_and_shape(spark, sf_dir):
         assert len(rs) <= 10
     e2 = {(r["query_id"], r["idx"]) for r in prf(qs).collect()}
     assert e2 == e
+
+
+def test_ann_recall_sweep_monotone(spark, sf_dir):
+    """More LSH tables can only add candidates, so recall@5 must be
+    non-decreasing in n_tables and the counts internally consistent."""
+    from warp_pipes_spark.queries import q182_ann_recall_sweep
+
+    rows = sorted(
+        q182_ann_recall_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["n_tables"],
+    )
+    assert [r["n_tables"] for r in rows] == [2, 4, 8]
+    recalls = [r["recall_at_5"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    for r in rows:
+        assert 0 <= r["n_matched"] <= r["n_exact"]
+    # no absolute bar: at tiny sf the 2^8 buckets dwarf the corpus so
+    # collisions (hence recall) are scarce — the sweep's JOB is to show
+    # exactly this; just require the extra tables to actually help
+    assert recalls[-1] > recalls[0], recalls

@@ -1929,6 +1929,90 @@ def _self_bleu_oracle_sql() -> str:
     return bleu_sql(pairs, columns="doc_id, source") + " ORDER BY doc_id"
 
 
+_ANN_SWEEP_TABLES = (2, 4, 8)
+
+
+def q182_ann_recall_sweep(spark, sf):
+    """ANN tuning sweep — the recall/cost table a deployment reads before
+    pinning LSH parameters: for n_tables in {2, 4, 8} (md5 plane family,
+    8 planes), recall@5 of :class:`LshCosineTopK` against the exact
+    brute-force top-5 over the same queries. Index builds share the
+    fingerprint cache; the exact side runs ONCE; each recall is a
+    pair-join count. More tables -> monotonically more candidates ->
+    higher recall; the sweep shows where it saturates."""
+    from warp_pipes_spark.ml.similarity import (
+        BruteForceCosineTopK,
+        LshCosineTopK,
+    )
+
+    emb = T(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(
+        queries
+    ).select("query_id", "neighbor_id")
+    out = None
+    for nt in _ANN_SWEEP_TABLES:
+        approx = LshCosineTopK(
+            corpus=emb,
+            k=5,
+            n_planes=8,
+            n_tables=nt,
+            seed=42,
+            plane_family="md5",
+        )(queries).select("query_id", "neighbor_id")
+        row = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .crossJoin(
+                F.broadcast(
+                    exact.agg(F.count(F.lit(1)).alias("n_exact"))
+                )
+            )
+            .select(
+                F.lit(nt).alias("n_tables"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                (
+                    F.col("n_matched").cast("double")
+                    / F.col("n_exact").cast("double")
+                )
+                .cast("decimal(18,6)")
+                .cast("double")
+                .alias("recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ann_recall_sweep_oracle_sql() -> str:
+    from warp_pipes_spark.ml.similarity import lsh_topk_sql
+
+    exact = ORACLES_EXT["q30_cosine_topk"].rstrip().rstrip(";")
+    rows = []
+    for nt in _ANN_SWEEP_TABLES:
+        lsh = lsh_topk_sql(dim=64, k=5, n_planes=8, n_tables=nt, seed=42)
+        rows.append(
+            f"SELECT {nt} AS n_tables, "
+            "(SELECT COUNT(*) FROM exact) AS n_exact, "
+            f"(SELECT COUNT(*) FROM ({lsh}) l "
+            " JOIN exact e ON e.query_id = l.query_id"
+            " AND e.neighbor_id = l.neighbor_id) AS n_matched"
+        )
+
+
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH exact AS ({exact})
+SELECT n_tables, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(CAST(CAST(n_matched AS DOUBLE) / CAST(n_exact AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS recall_at_5
+FROM ({union}) sweep
+ORDER BY n_tables
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5591,6 +5675,7 @@ def _round2b_oracles():
     ORACLES_EXT["q178_code_switching"] = _code_switching_oracle_sql()
     ORACLES_EXT["q180_multiturn_sft"] = _multiturn_sft_oracle_sql()
     ORACLES_EXT["q181_self_bleu"] = _self_bleu_oracle_sql()
+    ORACLES_EXT["q182_ann_recall_sweep"] = _ann_recall_sweep_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -5950,6 +6035,7 @@ def _register():
         "q179_token_budget": q179_token_budget,
         "q180_multiturn_sft": q180_multiturn_sft,
         "q181_self_bleu": q181_self_bleu,
+        "q182_ann_recall_sweep": q182_ann_recall_sweep,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
