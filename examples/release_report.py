@@ -20,14 +20,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.ml.metrics import BleuScore
 from warp_pipes_spark.pipes.sampling import TokenBudgetPlan
-from warp_pipes_spark.text.analysis import CharEntropy, GopherQualityFilter
-from warp_pipes_spark.text.dedup import MinHashDedup
-from warp_pipes_spark.text.web import BadWordsFilter
+from warp_pipes_spark.queries import curation_funnel_frames
+from warp_pipes_spark.text.analysis import CharEntropy
 
 SF_DIR = "/root/testdata/sf0.001"
 TOKEN_BUDGET = 50_000
@@ -38,20 +38,13 @@ def run(spark: SparkSession) -> DataFrame:
         "doc_id", "source", "text"
     )
 
-    # ---- stage 1: curation funnel ----------------------------------------
-    kept = GopherQualityFilter()(docs).filter(F.col("keep")).select(
-        "doc_id", "source", "text"
+    # ---- stage 1: the CANONICAL curation funnel (shared with q175, so
+    # this report can never diverge from the published audit); survivors
+    # feed three analytic branches, so pin them — otherwise each branch
+    # re-executes the MinHash dedup lineage
+    survivors = curation_funnel_frames(docs)[-1][1].persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    kept = BadWordsFilter(["slow", "broken", "stale"])(kept).filter(
-        F.col("keep")
-    ).select("doc_id", "source", "text")
-    firsts = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    kept = kept.join(firsts.select("doc_id"), "doc_id", "left_semi")
-    pairs = MinHashDedup(
-        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
-    )(kept)
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = kept.join(drops, "doc_id", "left_anti")
 
     # ---- stage 2: per-source health signals ------------------------------
     ent = CharEntropy()(survivors)

@@ -75,6 +75,11 @@ def test_kcore_peels_and_converges(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
     out2 = {r["node"]: r["core_degree"] for r in KCore(k=3, rounds=9)(df).collect()}
     assert out2 == out
+    # k=2 exercises the ITERATIVE case the k=3 run doesn't: node 6 peels
+    # in round 0 (degree 1), which only then drops node 5 below k
+    out3 = {r["node"]: r["core_degree"] for r in KCore(k=2, rounds=6)(df).collect()}
+    assert out3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert 5 not in out3 and 6 not in out3
 
 
 def test_bleu_known_values(spark):

@@ -515,3 +515,19 @@ def test_token_budget_sums_exactly(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r["n_tokens"])
     shares = [r["share"] for r in by_n]
     assert shares == sorted(shares)
+
+
+def test_token_budget_negative_leftover(spark):
+    """Six equal sources each round HALF_UP to 0.166667, so the floored
+    allocations OVERSHOOT B (leftover L = -2); the signed waterfall must
+    still land exactly on B."""
+    from warp_pipes_spark.pipes.sampling import TokenBudgetPlan
+
+    docs = spark.range(600).selectExpr(
+        "CAST(id % 6 AS STRING) AS source",
+        "'alpha beta gamma delta epsilon' AS text",
+    )
+    rows = TokenBudgetPlan(budget_tokens=1_000_000, temperature=1.0)(
+        docs
+    ).collect()
+    assert sum(r["token_budget"] for r in rows) == 1_000_000

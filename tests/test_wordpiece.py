@@ -198,3 +198,20 @@ def test_multiturn_template_mask_boundaries(spark):
     # final turn: [assistant] d ##o ##n ##e ... ends with eos, all 1s
     last_a = max(i for i, t in enumerate(ids) if t == aid)
     assert all(m == 1 for m in mask[last_a + 1:]), mask[last_a:]
+
+
+def test_multiturn_template_empty_turns_preserved(spark):
+    """A row with an empty turns array must survive as an empty
+    conversation (n_turns=0, empty arrays), not vanish from the output."""
+    from warp_pipes_spark.queries import WORDPIECE_VOCAB
+    from warp_pipes_spark.text.packing import MultiTurnChatTemplate
+
+    df = spark.createDataFrame(
+        [(1, [{"role": "user", "content": "scan table now"}]), (2, [])],
+        "doc_id long, turns array<struct<role:string,content:string>>",
+    )
+    rows = {r["doc_id"]: r for r in MultiTurnChatTemplate(WORDPIECE_VOCAB)(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_turns"] == 0
+    assert rows[2]["input_ids"] == [] and rows[2]["loss_mask"] == []
+    assert rows[1]["n_turns"] == 1

@@ -114,6 +114,7 @@ class RougeScore(Pipe):
         ref_col: str = "ref_text",
         id_col: str = "doc_id",
         ns=(1, 2),
+        keep_counts: bool = False,
         **kwargs,
     ):
         kwargs.setdefault("update", True)
@@ -122,6 +123,10 @@ class RougeScore(Pipe):
         self.ref_col = ref_col
         self.id_col = id_col
         self.ns = tuple(ns)
+        # keep the per-n gram-count columns ({n}_nc/{n}_nr/{n}_clip) in
+        # the output — subclasses (BLEU's brevity penalty needs the
+        # unigram lengths) reuse them instead of re-tokenizing
+        self.keep_counts = keep_counts
 
     @staticmethod
     def _ngrams(toks: Column, n: int) -> Column:
@@ -204,6 +209,8 @@ class RougeScore(Pipe):
                 (pc + rc) > 0, F.lit(2.0) * pc * rc / (pc + rc)
             ).otherwise(F.lit(0.0))
             out = out.withColumn(f"rouge{n}_f1", dec(f1))
+        if self.keep_counts:
+            return out
         return out.drop(
             *[f"{n}_{c}" for n in self.ns for c in ("nc", "nr", "clip")]
         )
@@ -296,21 +303,17 @@ class BleuScore(RougeScore):
             ref_col=ref_col,
             id_col=id_col,
             ns=(1, 2, 3, 4),
+            keep_counts=True,
             **kwargs,
         )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         scored = super()._transform(df, **kwargs)
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
-        # recover counts: rougeN_p = clip/nc, rougeN_r = clip/nr are kept
-        # only as rounded ratios — BLEU needs lengths, so recompute the
-        # unigram lengths from the gram columns before they are dropped?
-        # They ARE dropped by super(); instead derive c and r lengths from
-        # token counts directly (identical to nc/nr for n = 1).
-        from warp_pipes_spark.text.analysis import tokens_expr
-
-        c_len = F.size(tokens_expr(F.col(self.cand_col)))
-        r_len = F.size(tokens_expr(F.col(self.ref_col)))
+        # the unigram gram counts ARE the token lengths — reuse them
+        # (keep_counts=True) instead of re-tokenizing both text columns
+        c_len = F.col("1_nc")
+        r_len = F.col("1_nr")
         ps = [F.col(f"rouge{n}_p") for n in (1, 2, 3, 4)]
         any_zero = None
         for p in ps:
@@ -340,6 +343,7 @@ class BleuScore(RougeScore):
         return out.drop(
             *[f"rouge{n}_r" for n in (1, 2, 3, 4)],
             *[f"rouge{n}_f1" for n in (1, 2, 3, 4)],
+            *[f"{n}_{c}" for n in (1, 2, 3, 4) for c in ("nc", "nr", "clip")],
         )
 
 

@@ -830,11 +830,13 @@ class TokenBudgetPlan(Pipe):
     mBERT/XLM-R smoothing with DoReMi-style static budgeting).
 
     Apportionment: ``alloc_s = B x share_s`` in exact decimal,
-    ``base_s = floor``; the leftover ``L = B - Σ base`` spreads by a
-    second integer waterfall over the largest-remainder ranking
-    (``L // S`` each plus one more for the top ``L mod S`` remainders,
-    ties on source) — exact-sum even when share rounding makes
-    ``Σ share != 1``. The single cross-engine float exposure is the
+    ``base_s = floor``; the leftover ``L = B - Σ base`` (which can be
+    NEGATIVE when the rounded shares sum above 1) spreads by a signed
+    integer waterfall over the largest-remainder ranking: with
+    ``Lm = ((L mod S) + S) mod S`` each source takes ``(L - Lm)/S``
+    plus one more for the top ``Lm`` remainders — deltas sum to L for
+    either sign, so the plan sums EXACTLY to B even when share rounding
+    drifts (a source can absorb a ±1 correction). The single cross-engine float exposure is the
     ``pow``/division pair behind ``share`` (decimal-rounded, q142's
     budget); everything after is integer/decimal-exact.
 
@@ -894,12 +896,21 @@ class TokenBudgetPlan(Pipe):
             .withColumn("__L", F.lit(B) - F.col("__bsum"))
             .withColumn("__rn", F.row_number().over(w))
             .withColumn(
+                # floor-mod the leftover so NEGATIVE L (rounded shares
+                # summing above 1 — e.g. six equal sources each rounding
+                # HALF_UP) distributes correctly too: Lm in [0, S),
+                # Lq = (L - Lm)/S exact, sum of deltas = S*Lq + Lm = L
+                "__Lm",
+                ((F.col("__L") % F.col("__sn")) + F.col("__sn"))
+                % F.col("__sn"),
+            )
+            .withColumn(
                 "token_budget",
                 F.col("__base")
-                + (F.col("__L") / F.col("__sn")).cast("long")
-                + F.when(
-                    F.col("__rn") <= F.col("__L") % F.col("__sn"), F.lit(1)
-                ).otherwise(F.lit(0)),
+                + ((F.col("__L") - F.col("__Lm")) / F.col("__sn")).cast("long")
+                + F.when(F.col("__rn") <= F.col("__Lm"), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
             )
         )
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
@@ -955,9 +966,11 @@ ranked AS (
 SELECT {stratum},
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(CAST(CAST(share AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share,
-       CAST(base + (L // sn) + CASE WHEN rn <= L % sn THEN 1 ELSE 0 END AS BIGINT)
+       CAST(base + ((L - (((L % sn) + sn) % sn)) // sn)
+            + CASE WHEN rn <= ((L % sn) + sn) % sn THEN 1 ELSE 0 END AS BIGINT)
          AS token_budget,
-       CAST(CAST(CAST(base + (L // sn) + CASE WHEN rn <= L % sn THEN 1 ELSE 0 END AS DOUBLE)
+       CAST(CAST(CAST(base + ((L - (((L % sn) + sn) % sn)) // sn)
+                      + CASE WHEN rn <= ((L % sn) + sn) % sn THEN 1 ELSE 0 END AS DOUBLE)
                  / CAST(n_tokens AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS epochs
 FROM ranked
 ORDER BY {stratum}

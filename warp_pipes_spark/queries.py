@@ -1575,28 +1575,29 @@ def q174_prf_expansion(spark, sf):
     )
 
 
-def q175_curation_funnel(spark, sf):
-    """Curation-funnel survivor report — the per-stage audit a corpus
-    release publishes next to its datasheet (q145): the document count
-    after each gate of a standard curation chain (Gopher quality ->
-    badwords -> exact dedup keep-first -> MinHash near-dedup keep-
-    smallest), each stage filtering the previous stage's survivors.
-    Pure composition of existing operators; each count is one
-    aggregation, the near-dup stage runs q28's banded pipeline over the
-    already-filtered survivor set (the realistic ordering — dedup last,
-    on the smallest corpus)."""
+CURATION_BADWORDS = ("slow", "broken", "stale")
+
+
+def curation_funnel_frames(docs):
+    """The CANONICAL curation chain, shared by q175 and
+    ``examples/release_report.py`` so the published audit and the
+    release report can never silently diverge: Gopher quality gate ->
+    badwords blocklist -> exact dedup keep-first -> MinHash near-dedup
+    keep-smallest, each stage filtering the previous survivors. Returns
+    the ordered [(stage_name, frame)] list; frame columns are
+    (doc_id, source, text)."""
     from warp_pipes_spark.text.analysis import GopherQualityFilter
     from warp_pipes_spark.text.dedup import MinHashDedup
     from warp_pipes_spark.text.web import BadWordsFilter
 
-    d0 = T(spark, sf, "documents").select("doc_id", "source", "text")
+    d0 = docs.select("doc_id", "source", "text")
     d1 = (
         GopherQualityFilter()(d0)
         .filter(F.col("keep"))
         .select("doc_id", "source", "text")
     )
     d2 = (
-        BadWordsFilter(["slow", "broken", "stale"])(d1)
+        BadWordsFilter(list(CURATION_BADWORDS))(d1)
         .filter(F.col("keep"))
         .select("doc_id", "source", "text")
     )
@@ -1607,13 +1608,25 @@ def q175_curation_funnel(spark, sf):
     )(d3)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     d4 = d3.join(drops, "doc_id", "left_anti")
-    stages = [
+    return [
         ("ingest", d0),
         ("gopher_quality", d1),
         ("badwords", d2),
         ("exact_dedup", d3),
         ("near_dedup", d4),
     ]
+
+
+def q175_curation_funnel(spark, sf):
+    """Curation-funnel survivor report — the per-stage audit a corpus
+    release publishes next to its datasheet (q145): the document count
+    after each gate of the canonical chain (``curation_funnel_frames``,
+    shared with examples/release_report.py), each stage filtering the
+    previous stage's survivors. Each count is one aggregation; the
+    near-dup stage runs q28's banded pipeline over the already-filtered
+    survivor set (the realistic ordering — dedup last, on the smallest
+    corpus)."""
+    stages = curation_funnel_frames(T(spark, sf, "documents"))
     counts = None
     for i, (name, frame) in enumerate(stages):
         row = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
@@ -1945,11 +1958,19 @@ def q182_ann_recall_sweep(spark, sf):
         LshCosineTopK,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    exact = BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(
-        queries
-    ).select("query_id", "neighbor_id")
+    # the exact side really does run once: persisted (it is |queries| x k
+    # rows) and its count taken as a scalar, so the three sweep branches
+    # reuse it instead of re-running the brute-force cross join
+    exact = (
+        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_exact = exact.count()
     out = None
     for nt in _ANN_SWEEP_TABLES:
         approx = LshCosineTopK(
@@ -1963,18 +1984,13 @@ def q182_ann_recall_sweep(spark, sf):
         row = (
             approx.join(exact, ["query_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).alias("n_matched"))
-            .crossJoin(
-                F.broadcast(
-                    exact.agg(F.count(F.lit(1)).alias("n_exact"))
-                )
-            )
             .select(
                 F.lit(nt).alias("n_tables"),
-                F.col("n_exact").cast("long").alias("n_exact"),
+                F.lit(n_exact).cast("long").alias("n_exact"),
                 F.col("n_matched").cast("long").alias("n_matched"),
                 (
                     F.col("n_matched").cast("double")
-                    / F.col("n_exact").cast("double")
+                    / F.lit(float(n_exact))
                 )
                 .cast("decimal(18,6)")
                 .cast("double")

@@ -883,4 +883,19 @@ class MultiTurnChatTemplate(Pipe):
             ),
             F.size(F.col("__s")).alias("n_turns"),
         )
-        return df.drop(self.turns_col).join(out, key)
+        # LEFT join: a row with an empty/null turns array produces no
+        # exploded rows, but the operator is a per-row transform — it
+        # must come back as an empty conversation, not disappear
+        return (
+            df.drop(self.turns_col)
+            .join(out, key, "left")
+            .withColumn(
+                "input_ids",
+                F.coalesce("input_ids", F.array().cast("array<bigint>")),
+            )
+            .withColumn(
+                "loss_mask",
+                F.coalesce("loss_mask", F.array().cast("array<int>")),
+            )
+            .withColumn("n_turns", F.coalesce("n_turns", F.lit(0)))
+        )
