@@ -196,3 +196,26 @@ def test_line_filter_newline_unit_and_attribution(spark):
     assert r["clean_text"] == (
         "the quick brown fox jumps.\nanother good line stays here."
     )
+
+
+def test_unicode_fold_known_folds(spark):
+    """Each fold family lands on its ASCII form; plain ASCII is a no-op
+    (changed = False); replace mode rewrites in place."""
+    from warp_pipes_spark.text.web import UnicodeFold
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ｈｅｌｌｏ！"),   # fullwidth Hello!
+            (2, "“q” ‘s’ – —"),
+            (3, "wait… ﬁne ßuper"),
+            (4, "plain ascii"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in UnicodeFold()(df).collect()}
+    assert rows[1]["folded_text"] == "Hello!"
+    assert rows[2]["folded_text"] == '"q" \'s\' - -'
+    assert rows[3]["folded_text"] == "wait... fine ssuper"
+    assert rows[4]["folded_text"] == "plain ascii" and not rows[4]["changed"]
+    rep = {r["doc_id"]: r["text"] for r in UnicodeFold(mode="replace")(df).collect()}
+    assert rep[1] == "Hello!"

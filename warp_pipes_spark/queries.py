@@ -2029,6 +2029,80 @@ ORDER BY n_tables
 """
 
 
+FOLD_SAMPLES = [
+    "Ｈｅｌｌｏ！",      # fullwidth "Hello!"
+    "“quoted” ‘single’",     # curly quotes
+    "range 1–2 — dash",                 # en/em dashes
+    "wait… more",                            # ellipsis (1:N)
+    "ﬁne ﬂow ßuper",               # ligatures + sharp s
+    "ideographic　space",                     # U+3000
+    "already plain ascii",                        # no-op row
+]
+
+
+def q183_unicode_fold(spark, sf):
+    """NFKC-lite compatibility folding (``text/web.py`` ``UnicodeFold``)
+    — the q147 sibling for VALID-but-compatibility-form unicode that
+    fragments tokenization and dedup: fullwidth ASCII, curly quotes,
+    dash variants, ideographic space, ellipsis, ligatures, sharp s.
+    Every doc gets a deterministic compatibility-form prefix by doc_id;
+    the fold is one derived translate + a bounded replace chain (no
+    normalization library, no UDF), replayed codepoint-by-codepoint in
+    the oracle."""
+    from warp_pipes_spark.text.web import UnicodeFold
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    prefix = F.element_at(
+        F.array(*[F.lit(s) for s in FOLD_SAMPLES]),
+        (F.col("doc_id") % len(FOLD_SAMPLES) + 1).cast("int"),
+    )
+    staged = docs.select(
+        "doc_id", F.concat(prefix, F.lit(" "), F.col("text")).alias("text")
+    )
+    out = UnicodeFold()(staged)
+    return out.select(
+        "doc_id",
+        "changed",
+        F.substring("folded_text", 1, 16).alias("folded_head"),
+        (F.length("text") - F.length("folded_text")).cast("int").alias("delta"),
+    )
+
+
+def _unicode_fold_oracle_sql() -> str:
+    from warp_pipes_spark.text.web import fold_text_sql
+
+    def lit(s: str) -> str:
+        parts, run = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts) if parts else "''"
+
+    samples = ", ".join(lit(s) for s in FOLD_SAMPLES)
+    n = len(FOLD_SAMPLES)
+    folded = fold_text_sql("text")
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         [{samples}][CAST(doc_id % {n} + 1 AS INTEGER)] || ' ' || text AS text
+  FROM documents
+),
+f AS (SELECT doc_id, text, {folded} AS folded_text FROM staged)
+SELECT doc_id,
+       text <> folded_text AS changed,
+       substring(folded_text, 1, 16) AS folded_head,
+       CAST(length(text) - length(folded_text) AS INTEGER) AS delta
+FROM f ORDER BY doc_id
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5692,6 +5766,7 @@ def _round2b_oracles():
     ORACLES_EXT["q180_multiturn_sft"] = _multiturn_sft_oracle_sql()
     ORACLES_EXT["q181_self_bleu"] = _self_bleu_oracle_sql()
     ORACLES_EXT["q182_ann_recall_sweep"] = _ann_recall_sweep_oracle_sql()
+    ORACLES_EXT["q183_unicode_fold"] = _unicode_fold_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -6052,6 +6127,7 @@ def _register():
         "q180_multiturn_sft": q180_multiturn_sft,
         "q181_self_bleu": q181_self_bleu,
         "q182_ann_recall_sweep": q182_ann_recall_sweep,
+        "q183_unicode_fold": q183_unicode_fold,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

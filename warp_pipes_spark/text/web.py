@@ -491,3 +491,85 @@ SELECT {columns},
        len(list_filter(ls, l -> NOT ({blocked}) AND {ends} AND {nw} >= {min_words})) >= {min_lines} AS keep
 FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# NFKC-lite unicode folding (the FixEncoding sibling for compatibility forms)
+# ---------------------------------------------------------------------------
+
+# 1:1 folds: the fullwidth ASCII block (U+FF01..U+FF5E), ideographic
+# space, curly quotes, dash variants — derived programmatically (no
+# normalization library), translate()-able so folding runs at scan speed
+_FOLD_SRC = '！＂＃＄％＆＇（）＊＋，－．／０１２３４５６７８９：；＜＝＞？＠ＡＢＣＤＥＦＧＨＩＪＫＬＭＮＯＰＱＲＳＴＵＶＷＸＹＺ［＼］＾＿｀ａｂｃｄｅｆｇｈｉｊｋｌｍｎｏｐｑｒｓｔｕｖｗｘｙｚ｛｜｝～\u3000‘’‚“”„–—−'
+_FOLD_DST = '!"#$%&\'()*+,-./0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~ \'\'\'"""---'
+
+# 1:N folds (translate can't grow strings): ellipsis, latin ligatures,
+# sharp s — one literal replace each, bounded chain
+_FOLD_MULTI = (
+    ("\u2026", "..."),
+    ("\ufb01", "fi"),
+    ("\ufb02", "fl"),
+    ("\u0153", "oe"),
+    ("\u0152", "OE"),
+    ("\u00e6", "ae"),
+    ("\u00c6", "AE"),
+    ("\u00df", "ss"),
+)
+
+
+def fold_text_expr(col: Column) -> Column:
+    out = F.translate(col, _FOLD_SRC, _FOLD_DST)
+    for k, v in _FOLD_MULTI:
+        out = F.replace(out, F.lit(k), F.lit(v))
+    return out
+
+
+def fold_text_sql(text: str = "text") -> str:
+    def lit(s: str) -> str:
+        parts, run = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts) if parts else "''"
+
+    out = f"translate({text}, {lit(_FOLD_SRC)}, {lit(_FOLD_DST)})"
+    for k, v in _FOLD_MULTI:
+        out = f"replace({out}, {lit(k)}, '{v}')"
+    return out
+
+
+class UnicodeFold(Pipe):
+    """NFKC-lite compatibility folding — the sibling of
+    :class:`FixEncoding` for text that is VALID unicode but uses
+    compatibility forms that fragment tokenization and dedup: fullwidth
+    ASCII (CJK keyboards emit ``ＡＢＣ１２３``), curly quotes, dash
+    variants, ideographic spaces, ellipsis, latin ligatures. Folding is
+    a DERIVED table (the fullwidth block maps by codepoint arithmetic),
+    not a normalization library, so it is one scan-speed translate plus
+    a bounded literal replace chain — identical in any engine, no UDF.
+
+    Emits ``folded_text`` and ``changed``; ``mode='replace'``
+    overwrites the text column in place."""
+
+    def __init__(self, text_col: str = "text", mode: str = "annotate", **kwargs):
+        if mode not in ("annotate", "replace"):
+            raise ValueError(f"mode must be 'annotate' or 'replace', got {mode!r}")
+        kwargs.setdefault("update", True)
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.mode = mode
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        folded = fold_text_expr(F.col(self.text_col))
+        if self.mode == "replace":
+            return df.withColumn(self.text_col, folded)
+        return df.withColumn("folded_text", folded).withColumn(
+            "changed", F.col(self.text_col) != F.col("folded_text")
+        )
