@@ -50,6 +50,17 @@ INVARIANT_QUERIES = [
     "q151_maximal_spans",       # gram counts + island merge from sorted arrays
     "q153_dsir_select",         # decimal log-ratio sums + global top-k ties
     "q154_unimax",              # driver waterfall + md5 gate
+    # round-4 session-2 additions
+    "q163_kmv_overlap",         # bottom-k window over distinct hashes + pair algebra
+    "q165_packed_batches",      # BFD applyInPandas groups + sorted-struct reassembly
+    "q168_priority_sample",     # TakeOrdered global top-k with rounded-priority ties
+    "q170_rouge_eval",          # tagged explode + clip aggregate + pivot
+    "q171_stupid_backoff",      # order-tagged counts + left-join score chain
+    "q176_gopher_repetition",   # max(struct) most-frequent tie-break + pivot
+    "q177_kcore",               # fixed-round iterative peel (semi-join loop)
+    "q179_token_budget",        # signed leftover waterfall + remainder ranking
+    "q180_multiturn_sft",       # per-turn tokenize + sorted-struct reassembly
+    "q182_ann_recall_sweep",    # persisted exact side + LSH sweep joins
 ]
 
 
