@@ -130,13 +130,16 @@ class KCore(Pipe):
         self.out_id = out_id
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # every peel round (and the final degree pass) consumes the
+        # undirected edge list — persist it or each round re-executes
+        # the upstream edge construction (co-purchase build etc.)
         und = df.select(
             F.col(self.src).alias("node"), F.col(self.dst).alias("nbr")
         ).unionByName(
             df.select(
                 F.col(self.dst).alias("node"), F.col(self.src).alias("nbr")
             )
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         deg0 = und.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
         nodes = deg0.filter(F.col("c") >= self.k).select("node")
         for r in range(1, self.rounds):

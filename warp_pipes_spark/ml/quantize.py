@@ -610,17 +610,22 @@ class RandomProjection(Pipe):
     shuffle/memory for every downstream cosine), distance-preserving in
     expectation with distortion ~ 1/sqrt(out_dim).
 
-    The sign matrix derives from md5(seed:i:j) at PLAN time, so the
-    projection is a pure scan-level expression — per output dim a
-    64-term add/subtract chain over the float32 components in DOUBLE
-    with pinned left-to-right order (IEEE double ops are bit-identical
-    across engines when the order is fixed — the cosine _dot fold
-    precedent; float->decimal casts are NOT, Spark rounds the shortest
-    repr while DuckDB rounds the binary value), then ONE multiply by
-    the 1/sqrt(k) literal and the engine-standard decimal rounding:
-    the DuckDB oracle reproduces every coordinate bit-for-bit. No
-    shuffle, no UDF, no stored model artifact (the matrix is the hash
-    function).
+    The sign matrix derives from md5(seed:i:j) at PLAN time and rides
+    a broadcast literal table: components explode to (row, i, x) once,
+    join the (in_dim x out_dim) sign table, and hash-aggregate back per
+    (row, j) — the shape that scales to arbitrary matrix sizes (an
+    unrolled in_dim x out_dim expression tree was measured spending
+    ~5 s per run in Janino compilation alone at 64x16, and would not
+    compile at all much past that). Components round through
+    DECIMAL(18,6) FIRST — from DOUBLE, never from float32 directly
+    (float->decimal casts disagree across engines: Spark rounds the
+    shortest repr, DuckDB the binary value; float->double is exact and
+    double->decimal can never hit a rounding tie because dyadic values
+    have no finite-5 denominator) — so the per-(row, j) sum is exact
+    decimal in ANY aggregation order. One multiply by the 1/sqrt(k)
+    literal + the engine-standard rounding finishes each coordinate;
+    the DuckDB oracle reproduces all of them bit-for-bit. No UDF, no
+    stored model artifact (the matrix is the hash function).
     """
 
     def __init__(
@@ -648,22 +653,44 @@ class RandomProjection(Pipe):
             for j in range(self.out_dim)
         ]
 
-    def _columns(self, df: DataFrame, **kwargs):
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         import math
 
-        v = F.col(self.vec_col)
+        spark = df.sparkSession
         scale = 1.0 / math.sqrt(self.out_dim)
-        comps = []
-        for row in self.signs():
-            s = None
-            for i, sign in enumerate(row):
-                term = F.element_at(v, i + 1).cast("double")
-                term = term if sign > 0 else -term
-                s = term if s is None else s + term
-            comps.append(
-                (s * F.lit(scale)).cast("decimal(18,6)").cast("double")
-            )
-        return {self.out_col: F.array(*comps)}
+        sign_rows = [
+            (i, j, row[i])
+            for j, row in enumerate(self.signs())
+            for i in range(self.in_dim)
+        ]
+        signs = spark.createDataFrame(sign_rows, "i int, j int, s int")
+        ex = df.select(
+            "*", F.posexplode(self.vec_col).alias("__i", "__x")
+        ).select(
+            *[c for c in df.columns],
+            F.col("__i").alias("i"),
+            F.col("__x").cast("double").cast("decimal(18,6)").alias("__xd"),
+        )
+        keys = [c for c in df.columns if c != self.vec_col]
+        agg = (
+            ex.join(F.broadcast(signs), "i")
+            .groupBy(*keys, "j")
+            .agg(F.sum(F.col("__xd") * F.col("s")).alias("__s"))
+        )
+        comp = (
+            (F.col("__s").cast("double") * F.lit(scale))
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        packed = agg.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), comp.alias("v")))
+                ),
+                lambda x: x["v"],
+            ).alias(self.out_col)
+        )
+        return df.join(packed, keys)
 
 
 def random_projection_sql(
@@ -681,22 +708,28 @@ def random_projection_sql(
 
     rp = RandomProjection(in_dim, out_dim, seed=seed)
     scale = 1.0 / math.sqrt(out_dim)
-    comps = []
-    for row in rp.signs():
-        first = row[0]
-        terms = [
-            ("" if first > 0 else "-")
-            + f"CAST({vec}[1] AS DOUBLE)"
-        ] + [
-            f"{'+' if sign > 0 else '-'} CAST({vec}[{i + 2}] AS DOUBLE)"
-            for i, sign in enumerate(row[1:])
-        ]
-        comps.append(
-            f"CAST(CAST(({' '.join(terms)}) * {scale!r} "
-            f"AS DECIMAL(18,6)) AS DOUBLE)"
-        )
-    arr = "[" + ", ".join(comps) + "]"
+    sign_vals = ", ".join(
+        f"({i}, {j}, {row[i]})"
+        for j, row in enumerate(rp.signs())
+        for i in range(in_dim)
+    )
+    comp = (
+        f"CAST(CAST(CAST(SUM(xd * s) AS DOUBLE) * {scale!r} "
+        f"AS DECIMAL(18,6)) AS DOUBLE)"
+    )
     return f"""
-SELECT {columns}, {arr} AS {out_col}
-FROM ({table_sql}) t
+WITH signs(i, j, s) AS (VALUES {sign_vals}),
+ex AS (
+  SELECT {columns}, g.i,
+         CAST(CAST({vec}[g.i + 1] AS DOUBLE) AS DECIMAL(18,6)) AS xd
+  FROM ({table_sql}) t,
+       LATERAL (SELECT unnest(range({in_dim})) AS i) g
+),
+agg AS (
+  SELECT {columns}, j, {comp} AS v
+  FROM ex JOIN signs USING (i)
+  GROUP BY {columns}, j
+)
+SELECT {columns}, list(v ORDER BY j) AS {out_col}
+FROM agg GROUP BY {columns}
 """
