@@ -173,16 +173,20 @@ def kcore_sql(
 ) -> str:
     """DuckDB oracle for :class:`KCore`: the identical peel unrolled as a
     finite CTE chain. ``edges_cte`` must yield (u, v) with u < v."""
+    # AS MATERIALIZED everywhere: each round references the previous
+    # round TWICE (both join sides), so DuckDB's default CTE inlining
+    # re-evaluates the whole chain 2^rounds times — 67 s instead of
+    # sub-second at sf0.01
     ctes = [
-        f"e AS ({edges_cte})",
-        "und AS (SELECT u AS node, v AS nbr FROM e "
+        f"e AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e "
         "UNION ALL SELECT v, u FROM e)",
-        f"n0 AS (SELECT node FROM (SELECT node, COUNT(*) c FROM und GROUP BY 1) d0 WHERE c >= {k})",
+        f"n0 AS MATERIALIZED (SELECT node FROM (SELECT node, COUNT(*) c FROM und GROUP BY 1) d0 WHERE c >= {k})",
     ]
     for r in range(1, rounds):
         prev = f"n{r - 1}"
         ctes.append(
-            f"n{r} AS (SELECT node FROM ("
+            f"n{r} AS MATERIALIZED (SELECT node FROM ("
             f"SELECT d.node, COUNT(*) c FROM und d "
             f"JOIN {prev} a ON a.node = d.node "
             f"JOIN {prev} b ON b.node = d.nbr GROUP BY 1) dd WHERE c >= {k})"
