@@ -1198,14 +1198,14 @@ def _packed_batches_oracle_sql() -> str:
         "SELECT doc_id, source, n_tokens FROM wp_sized", capacity=128
     )
     return f"""
-WITH wp_tok AS ({wp}),
-wp_ids AS (
+WITH wp_tok AS MATERIALIZED ({wp}),
+wp_ids AS MATERIALIZED (
   SELECT doc_id,
          list_transform(tokens,
              x -> CAST(list_position({full_vocab}, x) - 1 AS BIGINT)) AS ids
   FROM wp_tok
 ),
-wp_sized AS (
+wp_sized AS MATERIALIZED (
   SELECT d.doc_id, d.source, CAST(len(w.ids) AS BIGINT) AS n_tokens
   FROM documents d JOIN wp_ids w USING (doc_id)
   WHERE len(w.ids) > 0
