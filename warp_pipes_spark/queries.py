@@ -2103,6 +2103,83 @@ FROM f ORDER BY doc_id
 """
 
 
+def q184_packing_efficiency(spark, sf):
+    """Packing-efficiency audit — the report that justifies a capacity /
+    sub_shards choice before a training run pays for it: per source,
+    the q155 BFD packing's pack count, mean fill fraction, padding-waste
+    share, and the count of dedicated overflow packs (docs longer than
+    capacity). Pure composition over BestFitPack's assignment table; one
+    pack-sized aggregation after the shard-local packing."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    cap = 512
+    docs = T(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    asg = BestFitPack(capacity=cap)(docs)
+    packs = asg.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return (
+        packs.groupBy(F.col("shard").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("fill").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("fill") > cap, 1).otherwise(0)
+            ).alias("n_overflow"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_overflow").cast("long").alias("n_overflow"),
+            dec(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packs") * cap).cast("double")
+            ).alias("mean_fill"),
+            dec(
+                (F.col("n_packs") * cap - F.col("total_tokens")).cast("double")
+                / (F.col("n_packs") * cap).cast("double")
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def _packing_efficiency_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import tokens_sql
+    from warp_pipes_spark.text.packing import best_fit_pack_sql
+
+    cap = 512
+    pack = best_fit_pack_sql(
+        f"SELECT doc_id, source, len({tokens_sql('text')}) AS n_tokens "
+        "FROM documents",
+        capacity=cap,
+    )
+    return f"""
+WITH asg AS ({pack}),
+packs AS (
+  SELECT shard, pack_id, SUM(n_tokens) AS fill, COUNT(*) AS n_docs
+  FROM asg GROUP BY 1, 2
+)
+SELECT shard AS source,
+       COUNT(*) AS n_packs,
+       CAST(SUM(fill) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN fill > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       CAST(CAST(CAST(SUM(fill) AS DOUBLE)
+                 / CAST(COUNT(*) * {cap} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS mean_fill,
+       CAST(CAST(CAST(COUNT(*) * {cap} - SUM(fill) AS DOUBLE)
+                 / CAST(COUNT(*) * {cap} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS waste_frac
+FROM packs GROUP BY shard
+ORDER BY source
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5767,6 +5844,7 @@ def _round2b_oracles():
     ORACLES_EXT["q181_self_bleu"] = _self_bleu_oracle_sql()
     ORACLES_EXT["q182_ann_recall_sweep"] = _ann_recall_sweep_oracle_sql()
     ORACLES_EXT["q183_unicode_fold"] = _unicode_fold_oracle_sql()
+    ORACLES_EXT["q184_packing_efficiency"] = _packing_efficiency_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -6128,6 +6206,7 @@ def _register():
         "q181_self_bleu": q181_self_bleu,
         "q182_ann_recall_sweep": q182_ann_recall_sweep,
         "q183_unicode_fold": q183_unicode_fold,
+        "q184_packing_efficiency": q184_packing_efficiency,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
