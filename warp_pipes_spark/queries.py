@@ -2180,6 +2180,76 @@ ORDER BY source
 """
 
 
+_GOPHER_RULE_COLS = (
+    "r_token_count",
+    "r_mean_tok_len",
+    "r_punct_ratio",
+    "r_alpha_frac",
+    "r_stopwords",
+)
+
+
+def q185_rule_attribution(spark, sf):
+    """Rule x source attribution matrix — the diagnosis behind q140's
+    gate: for every (quality rule, source) cell, how many docs FAIL that
+    rule and the fail rate. Tells you whether a source is dying to one
+    fixable rule (wrong language list, systematically short docs) or is
+    broadly low-quality — the decision between tuning a threshold and
+    dropping the feed. One scoring scan, a 5x literal explode of the
+    audit columns, one bounded aggregation."""
+    from warp_pipes_spark.text.analysis import GopherQualityFilter
+
+    docs = T(spark, sf, "documents").select("doc_id", "source", "text")
+    scored = GopherQualityFilter()(docs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("rule"), F.col(r).alias("passed"))
+                for r in _GOPHER_RULE_COLS
+            ]
+        )
+    ).alias("rp")
+    flat = scored.select("source", pairs).select(
+        "source", F.col("rp.rule").alias("rule"), F.col("rp.passed").alias("passed")
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return flat.groupBy("rule", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("passed")).cast("int")).alias("n_failed"),
+    ).select(
+        "rule",
+        "source",
+        "n_docs",
+        F.col("n_failed").cast("long").alias("n_failed"),
+        dec(
+            F.col("n_failed").cast("double") / F.col("n_docs").cast("double")
+        ).alias("fail_rate"),
+    )
+
+
+def _rule_attribution_oracle_sql() -> str:
+    from warp_pipes_spark.text.analysis import gopher_sql
+
+    rules = gopher_sql()
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT source, '{r}' AS rule, {rules[r]} AS passed FROM documents"
+        for r in _GOPHER_RULE_COLS
+    )
+    return f"""
+WITH flat AS (
+{branches}
+)
+SELECT rule, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+       CAST(CAST(CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS fail_rate
+FROM flat GROUP BY rule, source
+ORDER BY rule, source
+"""
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5845,6 +5915,7 @@ def _round2b_oracles():
     ORACLES_EXT["q182_ann_recall_sweep"] = _ann_recall_sweep_oracle_sql()
     ORACLES_EXT["q183_unicode_fold"] = _unicode_fold_oracle_sql()
     ORACLES_EXT["q184_packing_efficiency"] = _packing_efficiency_oracle_sql()
+    ORACLES_EXT["q185_rule_attribution"] = _rule_attribution_oracle_sql()
 
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
@@ -6207,6 +6278,7 @@ def _register():
         "q182_ann_recall_sweep": q182_ann_recall_sweep,
         "q183_unicode_fold": q183_unicode_fold,
         "q184_packing_efficiency": q184_packing_efficiency,
+        "q185_rule_attribution": q185_rule_attribution,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
