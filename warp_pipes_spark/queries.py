@@ -996,7 +996,11 @@ def q160_split_leakage(spark, sf):
     (10% test by md5 gate). A near-duplicate of a training doc sitting in
     the test split silently inflates eval scores; this emits every such
     pair with its Jaccard and both split labels. Pairs are the only
-    corpus-sized shuffle; split assignment is scan-level."""
+    corpus-sized shuffle; split assignment is scan-level — ``SplitAssign``
+    is a pure CASE over ``md5(key:seed)``, so both labels are computed
+    directly on the pair table's ``doc_a``/``doc_b`` columns: ZERO joins
+    (the round-4 version broadcast a one-row-per-document split table,
+    which cannot survive 100x)."""
     from warp_pipes_spark.pipes.sampling import SplitAssign
     from warp_pipes_spark.text.dedup import MinHashDedup
 
@@ -1004,14 +1008,10 @@ def q160_split_leakage(spark, sf):
     pairs = MinHashDedup(
         n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
     )(docs)
-    splits = SplitAssign({"test": 0.1}, key_col="doc_id", seed=7)(docs).select(
-        "doc_id", "split"
-    )
-    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
-    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    split_a = SplitAssign({"test": 0.1}, key_col="doc_a", seed=7, out_col="split_a")
+    split_b = SplitAssign({"test": 0.1}, key_col="doc_b", seed=7, out_col="split_b")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        split_b(split_a(pairs))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
@@ -1309,7 +1309,9 @@ def q167_dup_attribution(spark, sf):
     sum, one IEEE division). Tells you WHICH feeds mirror each other
     (mirror sites, syndication) vs which self-duplicate (x = y). Pure
     composition: the pair table is the only corpus-sized shuffle; the
-    rollup is source^2-bounded."""
+    rollup is source^2-bounded. The doc->source lookups carry NO
+    broadcast hint — at sf0.1 AQE broadcasts them anyway, at 100x it
+    degrades to a shuffle join instead of a driver OOM."""
     from warp_pipes_spark.text.dedup import MinHashDedup
 
     docs = T(spark, sf, "documents")
@@ -1320,8 +1322,8 @@ def q167_dup_attribution(spark, sf):
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     labeled = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             F.least("sa", "sb").alias("source_x"),
             F.greatest("sa", "sb").alias("source_y"),
@@ -1410,14 +1412,16 @@ def q169_char_entropy(spark, sf):
     gates (q24/q140) miss: natural text sits in a narrow entropy band,
     keyboard mash above it, template spam below. One bounded char
     explode with map-side combine, then a doc-sized reduction; the
-    engine-standard decimal-ln budget makes it bit-exact oracled."""
+    engine-standard decimal-ln budget makes it bit-exact oracled. The
+    ``source`` label rides through the aggregation keys (``carry_cols``
+    — functionally dependent on doc_id), so the plan has ZERO joins;
+    the round-4 version broadcast-joined a one-row-per-document label
+    table back on, which cannot survive 100x."""
     from warp_pipes_spark.text.analysis import CharEntropy
 
     docs = T(spark, sf, "documents")
-    ent = CharEntropy()(docs)
-    return ent.join(
-        F.broadcast(docs.select("doc_id", "source")), "doc_id"
-    ).select("doc_id", "source", "n_chars_alpha", "entropy")
+    ent = CharEntropy(carry_cols=["source"])(docs)
+    return ent.select("doc_id", "source", "n_chars_alpha", "entropy")
 
 
 def q170_rouge_eval(spark, sf):
@@ -1715,20 +1719,24 @@ def q178_code_switching(spark, sf):
     (q25): each sentence votes, the majority language and its vote
     fraction come back per document, and a low majority fraction flags
     code-switched / mixed-language pages that whole-document langid
-    averages away. Narrow posexplode + two bounded aggregations;
-    majority tie-breaks via min(struct(-count, lang))."""
+    averages away. Narrow posexplode + two bounded aggregations; the
+    document's declared ``lang`` rides the explode and both groupBy keys
+    (functionally dependent on doc_id) so the plan has ZERO joins — the
+    round-4 version broadcast-joined a one-row-per-document label table
+    back on, which cannot survive 100x. Majority tie-breaks via
+    min(struct(-count, lang))."""
     from warp_pipes_spark.text.analysis import LangId, SentenceSplit
 
     docs = T(spark, sf, "documents")
     punct = docs.withColumn(
         "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
     )
-    sents = SentenceSplit()(punct)
+    sents = SentenceSplit(carry_cols=["lang"])(punct)
     lid = LangId(text_col="sentence", out_col="sent_lang")(sents)
-    counts = lid.groupBy("doc_id", "sent_lang").agg(
+    counts = lid.groupBy("doc_id", "lang", "sent_lang").agg(
         F.count(F.lit(1)).alias("c")
     )
-    maj = counts.groupBy("doc_id").agg(
+    maj = counts.groupBy("doc_id", "lang").agg(
         F.min(
             F.struct((-F.col("c")).alias("nc"), F.col("sent_lang").alias("lang"))
         ).alias("m"),
@@ -1736,16 +1744,13 @@ def q178_code_switching(spark, sf):
     )
     dec = lambda c: c.cast("decimal(18,6)").cast("double")
     frac = dec((-F.col("m.nc")).cast("double") / F.col("n").cast("double"))
-    return (
-        maj.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.col("m.lang").alias("majority_lang"),
-            F.col("n").cast("long").alias("n_sentences"),
-            frac.alias("majority_frac"),
-            (frac < 0.8).alias("code_switched"),
-        )
+    return maj.select(
+        "doc_id",
+        "lang",
+        F.col("m.lang").alias("majority_lang"),
+        F.col("n").cast("long").alias("n_sentences"),
+        frac.alias("majority_frac"),
+        (frac < 0.8).alias("code_switched"),
     )
 
 

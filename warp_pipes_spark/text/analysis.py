@@ -13,7 +13,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -783,15 +783,23 @@ class SentenceSplit(Pipe):
     quality filters run on. Boundary regex + explode are JVM expressions;
     the row multiplication is ``posexplode`` semantics, so partitioning
     stays narrow (no shuffle: sentences stay on their document's
-    partition)."""
+    partition). ``carry_cols`` rides document-level label columns along
+    on the exploded rows — free (same partition, a few bytes per row)
+    where a downstream join-back would be corpus-sized."""
 
     def __init__(
-        self, id_col: str = "doc_id", text_col: str = "text", trim: bool = True, **kwargs
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        trim: bool = True,
+        carry_cols: Sequence[str] = (),
+        **kwargs,
     ):
         super().__init__(**kwargs)
         self.id_col = id_col
         self.text_col = text_col
         self.trim = trim
+        self.carry_cols = list(carry_cols)
 
     def sentences_expr(self, text: Column) -> Column:
         marked = F.regexp_replace(text, SENT_BOUNDARY_RE, "$1" + _SENT_SEP)
@@ -803,6 +811,7 @@ class SentenceSplit(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         return df.select(
             F.col(self.id_col),
+            *self.carry_cols,
             F.posexplode(self.sentences_expr(F.col(self.text_col))).alias(
                 "sent_idx", "sentence"
             ),
@@ -1204,19 +1213,27 @@ class CharEntropy(Pipe):
     Scale shape: one narrow char explode (bounded 27-way per-doc key
     space) with full map-side combine on (doc, char), then a doc-sized
     reduction — the q76-perplexity shuffle profile, nothing
-    vocabulary-global."""
+    vocabulary-global.
+
+    ``carry_cols`` passes label columns that are functionally dependent
+    on ``id_col`` (source, lang, split...) THROUGH the aggregation keys
+    instead of forcing the caller to join them back — at 100 TB that
+    join-back is corpus-sized, while widening the groupBy key is free
+    (same shuffle rows, a few label bytes more per row)."""
 
     def __init__(
         self,
         id_col: str = "doc_id",
         text_col: str = "text",
         out_col: str = "entropy",
+        carry_cols: Sequence[str] = (),
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.id_col = id_col
         self.text_col = text_col
         self.out_col = out_col
+        self.carry_cols = list(carry_cols)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         t = ascii_lower_expr(F.col(self.text_col))
@@ -1224,12 +1241,13 @@ class CharEntropy(Pipe):
             F.split(t, ""),
             lambda c: ((c >= "a") & (c <= "z")) | (c == " "),
         )
-        ex = df.select(self.id_col, F.explode(chars).alias("__ch"))
-        counts = ex.groupBy(self.id_col, "__ch").agg(
+        carry = self.carry_cols
+        ex = df.select(self.id_col, *carry, F.explode(chars).alias("__ch"))
+        counts = ex.groupBy(self.id_col, *carry, "__ch").agg(
             F.count(F.lit(1)).alias("__c")
         )
         lnc = F.log(F.col("__c").cast("double")).cast("decimal(18,6)")
-        agg = counts.groupBy(self.id_col).agg(
+        agg = counts.groupBy(self.id_col, *carry).agg(
             F.sum("__c").alias("__n"),
             F.sum(F.col("__c") * lnc).alias("__s"),
         )
@@ -1245,6 +1263,7 @@ class CharEntropy(Pipe):
         )
         return agg.select(
             self.id_col,
+            *carry,
             F.col("__n").cast("long").alias("n_chars_alpha"),
             h.alias(self.out_col),
         )
