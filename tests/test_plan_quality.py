@@ -354,12 +354,13 @@ def test_titled_passages_zero_shuffle_one_scan(spark, sf_dir):
 
 def test_connected_components_reuses_materialized_edges(spark, sf_dir):
     """q133's 4 label-propagation rounds must reference ONE materialized
-    edge subtree (InMemoryTableScan), not re-derive the co-purchase
-    self-join per round; integer MIN rounds stay join+aggregate (no
-    cartesian, no Python)."""
+    edge subtree — an eager localCheckpoint ("Scan ExistingRDD", the
+    GC-released form) or a persisted InMemoryTableScan — not re-derive
+    the co-purchase self-join per round; integer MIN rounds stay
+    join+aggregate (no cartesian, no Python)."""
     df = QUERIES["q133_connected_components"].fn(spark, sf_dir)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan, plan
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
 

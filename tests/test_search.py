@@ -759,3 +759,33 @@ def test_ann_recall_sweep_monotone(spark, sf_dir):
     # collisions (hence recall) are scarce — the sweep's JOB is to show
     # exactly this; just require the extra tables to actually help
     assert recalls[-1] > recalls[0], recalls
+
+
+def test_bm25_threshold_prune_is_lossless(spark, sf_dir):
+    """The seed-threshold prune (maxscore=True, the default) must return
+    BIT-IDENTICAL results to the exhaustive plan for every k, including
+    k=1 and k past the match count — it is a physical optimization, not a
+    semantics change. Covers both physical strategies: the doc-major
+    branch (dense vocabulary — what this corpus exercises) and the
+    term-major fallback (forced via a one-query batch, whose fan-out
+    estimate stays below the index size)."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 10, 40).alias("text"),
+    )
+    one_query = queries.limit(1)
+    for k in (1, 5, 23):
+        for batch in (queries, one_query):
+            fast = Bm25Search(
+                corpus=docs, k=k, maxscore=True, materialize_index=False
+            )(batch)
+            slow = Bm25Search(
+                corpus=docs, k=k, maxscore=False, materialize_index=False
+            )(batch)
+            assert sorted(map(tuple, fast.collect())) == sorted(
+                map(tuple, slow.collect())
+            ), f"prune changed results at k={k}"

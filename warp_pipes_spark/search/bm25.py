@@ -113,6 +113,7 @@ class Bm25Search(Pipe):
         index_cache_dir: str | None = None,
         materialize_index: bool = True,
         champion_size: int | None = None,
+        maxscore: bool = True,
         **kwargs,
     ):
         if champion_size is not None and champion_size < 1:
@@ -152,9 +153,18 @@ class Bm25Search(Pipe):
         # and with `filter_key` the approximation worsens (capping happens
         # before filtering). None = exact.
         self.champion_size = champion_size
+        # MaxScore dynamic pruning (Turtle & Flood 1995; the WAND family,
+        # Broder et al. 2003) — LOSSLESS top-k acceleration, enabled by
+        # default on the plain query path (no aux query, no term filter,
+        # no champion truncation). Results are bit-identical to the
+        # exhaustive join; only the physical plan changes. See
+        # `_transform_maxscore` for the algebra and the safety argument.
+        self.maxscore = maxscore
         self.index_cache_dir = index_cache_dir or _default_index_cache_dir()
 
-    _no_fingerprint = ("corpus", "index_cache_dir")
+    # maxscore is fingerprint-exempt: it is a pure physical-plan choice
+    # (bit-identical results), so it must not invalidate caches
+    _no_fingerprint = ("corpus", "index_cache_dir", "maxscore")
 
     def _postings(self) -> DataFrame:
         return build_inverted_index(self.corpus, self.corpus_id, self.corpus_text)
@@ -211,6 +221,7 @@ class Bm25Search(Pipe):
             index_cache_dir=self.index_cache_dir,
             materialize_index=self.materialize_index,
             champion_size=self.champion_size,
+            maxscore=self.maxscore,
         )
 
     def append(self, new_docs: DataFrame) -> "Bm25Search":
@@ -277,7 +288,10 @@ class Bm25Search(Pipe):
         if not self.materialize_index:
             postings = self._postings()
             if self.persist:
-                postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+                # eager localCheckpoint (not a bare persist): the returned
+                # plan references the postings lazily, so an un-unpersisted
+                # cache would leak for the session's lifetime
+                postings = postings.localCheckpoint()
             return self._champion_cap(self._score_postings(postings))
 
         manager = CacheManager(self.index_cache_dir)
@@ -398,11 +412,220 @@ class Bm25Search(Pipe):
         ).cast("long")
         return joined.select("query_id", F.col("doc_id").alias("idx"), term_score.alias("ts"))
 
+    # --- seed-threshold dynamic pruning (lossless top-k) ----------------
+
+    def _maxscore_eligible(self) -> bool:
+        """The prune applies on the plain path only: auxiliary queries and
+        term filters change per-doc contributions after the join (the
+        threshold bound would need the aux/filter algebra), and champion
+        truncation is already a (stronger, lossy) prune."""
+        return (
+            self.maxscore
+            and self.aux_text_col is None
+            and self.filter_key is None
+            and self.champion_size is None
+        )
+
+    @staticmethod
+    def _ts_long(score_col):
+        """Per-posting contribution in the engine's exact units: the
+        DECIMAL(18,6)-rounded score carried as a scaled long (value*1e6),
+        identical to `_scored` with weight 1.0."""
+        return (score_col.cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+
+    def _seed_table(self, postings: DataFrame) -> DataFrame:
+        """Champion seed lists for the threshold bound: the top
+        ``C = max(k, 16)`` postings per term by baked score (doc_id
+        tiebreak). One window pass over the scored postings, parquet-cached
+        beside the index, so query batches pay zero build cost after the
+        first. Term-sized x C rows — tiny next to the index."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        C = max(self.k, 16)
+        scored = postings.select(
+            "term", "doc_id", self._ts_long(F.col("score_d")).alias("ts")
+        )
+        wc = Window.partitionBy("term").orderBy(F.desc("ts"), F.asc("doc_id"))
+        seed = (
+            scored.withColumn("__cr", F.row_number().over(wc))
+            .filter(F.col("__cr") <= C)
+            .drop("__cr")
+        )
+        if self.materialize_index:
+            manager = CacheManager(self.index_cache_dir)
+            fp_seed = self._index_fingerprint() + f"_seed{C}"
+            if not manager.exists(fp_seed):
+                manager.store(seed, fp_seed)
+            seed = manager.load(self.corpus.sparkSession, fp_seed)
+        return seed
+
+    def _term_stats(self, postings: DataFrame) -> DataFrame:
+        """Per-term document frequency ``(term, df)`` — the vocabulary-sized
+        statistics table the query planner reads to choose between the
+        term-major and doc-major physical strategies. Parquet-cached beside
+        the index (one aggregation pass at build, scalar-sized reads per
+        query batch)."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        stats = (
+            postings.where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        if self.materialize_index:
+            manager = CacheManager(self.index_cache_dir)
+            fp = self._index_fingerprint() + "_termdf"
+            if not manager.exists(fp):
+                manager.store(stats, fp)
+            stats = manager.load(self.corpus.sparkSession, fp)
+        return stats
+
+    def _transform_maxscore(self, df: DataFrame, postings: DataFrame) -> DataFrame:
+        """Top-k retrieval with champion-seeded threshold pruning — the
+        initial-threshold idea of the MaxScore/WAND family (Turtle & Flood
+        1995; Broder et al. 2003), adapted to a shuffle engine:
+        bit-identical results to the exhaustive path, with the top-k
+        window running over ~k rows per query instead of every matching
+        document.
+
+        Algebra (all scores in exact scaled-long units, so every
+        inequality is exact, not float-fuzzy):
+
+        1. theta(q) = the k-th best PARTIAL score over the seed champion
+           lists (top-C postings per term, C >= k). Partials are subset
+           sums of non-negative contributions, so theta is a LOWER bound
+           on the true k-th best score: any true top-k doc scores >=
+           true-kth >= theta.
+        2. The exhaustive join + aggregation runs unchanged (it is the
+           irreducible work — every matching posting contributes to some
+           candidate's exact score), but the per-(query, doc) sums are
+           filtered to ``sum >= theta`` (exact integer compare, >= keeps
+           ties) BEFORE the ranking window. The window — the single most
+           expensive stage of the exhaustive plan at scale, a full sort
+           of every (query, doc) score — collapses to ~k rows per query.
+
+        A full MaxScore essential-term prune (skip postings of low-ceiling
+        terms entirely) was measured on this corpus and rejected: with a
+        synthetic near-uniform vocabulary the ceiling test keeps ~80% of
+        terms essential, so it adds candidate-set stages without removing
+        fan-out. The threshold filter is the part of the family whose win
+        is distribution-independent.
+
+        Queries with fewer than k seed candidates get theta = NULL and
+        keep every scored doc — exactly the queries with almost no
+        matches, so their window input is tiny anyway.
+
+        PHYSICAL STRATEGY — the contribution fan-out (one row per query
+        term x matching posting) must be aggregated per (query, doc); the
+        planner here chooses WHERE that aggregation's exchange happens by
+        comparing the two exact shuffle volumes, both available from the
+        vocabulary-sized df table:
+
+        * term-major (sparse regime, sum df(query terms) <= |postings|):
+          the classic broadcast-terms plan — fan-out rows shuffle to
+          (query)-hash. Right when query terms are selective, i.e. any
+          real Zipf vocabulary at 100 TB.
+        * doc-major (dense regime, sum df(query terms) > |postings|):
+          repartition the POSTINGS by doc (the strictly smaller shuffle),
+          then the per-(query, doc) hash-aggregate runs exchange-free
+          (doc-hash clusters the grouping key subset) and only the
+          theta-survivors — ~k rows per query — ever shuffle again.
+          Measured at the sf1 soak (dense synthetic vocabulary, 360M-row
+          fan-out over a 1.16M-row index): the fan-out shuffle was 20.7 s
+          of a 44 s pass; this plan removes it entirely."""
+        seed = self._seed_table(postings)
+        qterms = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.explode(
+                F.array_distinct(tokens_expr(F.col(self.query_text)))
+            ).alias("term"),
+        )
+        if self.broadcast_queries:
+            qterms = F.broadcast(qterms)
+
+        # theta: k-th best seed partial per query (deterministic)
+        partial = (
+            qterms.join(seed, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("ts").alias("ps"))
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc("ps"), F.asc("doc_id")
+        )
+        theta = (
+            partial.withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") == self.k)
+            .select("query_id", F.col("ps").alias("__theta"))
+        )
+
+        # strategy choice: both sides of the inequality are exact row
+        # counts from the vocabulary-sized df table (two scalar probes)
+        stats = self._term_stats(postings)
+        n_postings = stats.agg(F.sum("df")).collect()[0][0] or 0
+        fan_est = (
+            qterms.join(stats, "term").agg(F.sum("df")).collect()[0][0] or 0
+        )
+        doc_major = fan_est > n_postings
+
+        scored = postings.select(
+            "term", "doc_id", self._ts_long(F.col("score_d")).alias("ts")
+        )
+        if doc_major:
+            # explicit partition count: the repartition exchange moves only
+            # the (small) index, so AQE would coalesce it — and the huge
+            # join + in-place aggregate downstream would inherit that
+            # crippled parallelism (measured: 16 of 32 cores at the sf1
+            # soak). Pin it to the configured shuffle width.
+            n_shuffle = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            scored = scored.repartition(n_shuffle, "doc_id")
+        full = qterms.join(scored, "term").select(
+            "query_id", F.col("doc_id").alias("idx"), "ts"
+        )
+        if not doc_major:
+            full = full.repartition("query_id")
+        sums = full.groupBy("query_id", "idx").agg(F.sum("ts").alias("__sum"))
+        scores = (
+            sums.join(F.broadcast(theta), "query_id", "left")
+            .filter(F.col("__theta").isNull() | (F.col("__sum") >= F.col("__theta")))
+            .select(
+                "query_id",
+                "idx",
+                (F.col("__sum") / F.lit(1000000.0)).alias("score"),
+            )
+        )
+        return self._finalize(scores)
+
+    def _finalize(self, scores: DataFrame) -> DataFrame:
+        """Shared tail: temperature scaling + deterministic top-k window."""
+        if self.temperature != 1.0:
+            # reference parity (elasticsearch.py:289-292); decimal-rounded
+            # for run-to-run stability (no oracled query uses temperature)
+            scores = scores.withColumn(
+                "score",
+                (F.col("score") / F.lit(self.temperature))
+                .cast("decimal(18,6)")
+                .cast("double"),
+            )
+        # score is the exact decimal sum rendered as double (long/1e6 is
+        # correctly rounded); scale-6 decimals at score magnitudes map to
+        # distinct doubles, so ranking on the double matches the oracle's
+        # decimal ranking
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("query_id", "rank", "idx", "score")
+        )
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         # the scored postings come from the fingerprint-keyed Parquet index
         # (built once per corpus); a query batch is then just broadcast-join
         # + weight + sum + window — no corpus pass at all
         postings = self._index()
+        if self._maxscore_eligible():
+            return self._transform_maxscore(df, postings)
         parts = [self._scored(df, self.query_text, 1.0, postings)]
         if self.aux_text_col:
             aux_w = (
@@ -423,25 +646,7 @@ class Bm25Search(Pipe):
         scores = all_terms.repartition("query_id").groupBy("query_id", "idx").agg(
             (F.sum("ts") / F.lit(1000000.0)).alias("score")
         )
-        if self.temperature != 1.0:
-            # reference parity (elasticsearch.py:289-292); decimal-rounded
-            # for run-to-run stability (no oracled query uses temperature)
-            scores = scores.withColumn(
-                "score",
-                (F.col("score") / F.lit(self.temperature))
-                .cast("decimal(18,6)")
-                .cast("double"),
-            )
-        # score is the exact decimal sum rendered as double (long/1e6 is
-        # correctly rounded); scale-6 decimals at score magnitudes map to
-        # distinct doubles, so ranking on the double matches the oracle's
-        # decimal ranking
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("idx"))
-        return (
-            scores.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= self.k)
-            .select("query_id", "rank", "idx", "score")
-        )
+        return self._finalize(scores)
 
 
 class Bm25FSearch(Bm25Search):

@@ -1386,7 +1386,6 @@ class StupidBackoffScore(Pipe):
         )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        from pyspark import StorageLevel
 
         a = self.ALPHA
         c = self._tok(self.corpus)
@@ -1420,10 +1419,13 @@ class StupidBackoffScore(Pipe):
         ex = c.select(
             F.explode(F.concat(tri_t, bi_t, uni_t)).alias("t")
         ).select("t.n", "t.w1", "t.w2", "t.w3")
+        # model counts feed three downstream branches; localCheckpoint
+        # (eager, GC-released) instead of a bare persist, which would leak
+        # the cache entry for the session's lifetime
         cnts = (
             ex.groupBy("n", "w1", "w2", "w3")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         tri = cnts.filter(F.col("n") == 3).select(
             "w1", "w2", "w3", F.col("cnt").alias("c3")

@@ -264,8 +264,11 @@ class NgramJaccardDedup(Pipe):
             # the shingle table feeds the sizes branch and both sides of the
             # inverted-index self-join; without a materialization point Spark
             # recomputes tokenize+shingle per branch (the materialized path
-            # is already Parquet-backed — re-scans are cheap and parallel)
-            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            # is already Parquet-backed — re-scans are cheap and parallel).
+            # localCheckpoint, not persist: the returned pair plan holds the
+            # reference lazily, so a bare persist would leak the cache entry
+            # for the session's lifetime
+            docs = docs.localCheckpoint()
         sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
         inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
         verify_docs = docs
@@ -683,9 +686,8 @@ class MinHashDedup(Pipe):
         ).filter(F.size("shingles") > 0)
         if self.persist and not self.materialize_shingles:
             # shingle arrays feed the signature AND both verification-join
-            # sides; materialize once (the materialized path is already
-            # Parquet-backed — re-scans are cheap and parallel)
-            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            # sides; materialize once, GC-released (see MinHashJoin above)
+            docs = docs.localCheckpoint()
         # signature: per-row array expressions — no explode, no shuffle
         sig = minhash_signature_df(docs, self.n_hashes, self.hash_family)
         bands = sig.select(
@@ -699,7 +701,7 @@ class MinHashDedup(Pipe):
             ).alias("band_id", "band_hash"),
         )
         if self.persist:
-            bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+            bands = bands.localCheckpoint()
         a = bands.alias("a")
         b = bands.alias("b")
         candidates = (
@@ -1003,7 +1005,7 @@ class SimHashDedup(Pipe):
         else:
             sig = self._signatures(df)
             if self.persist:
-                sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+                sig = sig.localCheckpoint()
         band_bits = self.bits // self.n_bands
         mask = (1 << band_bits) - 1
         # distinct signatures only: duplicate docs collapse before the
@@ -1350,7 +1352,7 @@ class CrossCorpusOverlap(Pipe):
         bench = self.benchmark.select(
             F.col(self.bench_id_col).alias("bench_id"),
             shingles_udf(self.n)(F.col(self.bench_text_col)).alias("shingles"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint()
         bench_sizes = bench.select(
             "bench_id", F.size("shingles").alias("n_bench")
         ).filter(F.col("n_bench") > 0)

@@ -111,7 +111,7 @@ class DsirSelect(Pipe):
         # persist each consumer re-scans and re-hashes the 100 TB side),
         # and every later quantity (bucket models, corpus totals) derives
         # from B-bounded tables, never from corpus lineage
-        doc_counts = self._bucket_counts(df, per_doc=True).persist()
+        doc_counts = self._bucket_counts(df, per_doc=True).localCheckpoint()
         raw = doc_counts.groupBy("b").agg(F.sum("c").alias("crb"))
         tgt = self._bucket_counts(self.target, per_doc=False).withColumnRenamed(
             "c", "ctb"
