@@ -775,3 +775,22 @@ def test_gopher_repetition_signals(spark):
     assert not rows[1]["rep_keep"]
     assert rows[2]["rep_keep"], rows[2]
     assert rows[3]["dup_5gram_frac"] > 0.2
+
+
+def test_gopher_repetition_keeps_degenerate_docs(spark):
+    """Docs too short to produce any n-gram (< 2 tokens) and empty docs
+    must still be EMITTED with zero fractions and rep_keep=true — the
+    round-4 advisor found they silently vanished (absent from the pivot,
+    dropped by the inner join), so a filter(rep_keep) pipeline lost them."""
+    from warp_pipes_spark.text.analysis import GopherRepetition
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "spam ham " * 20)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in GopherRepetition()(df).collect()}
+    assert set(rows) == {1, 2, 3}, "degenerate docs dropped from output"
+    for d in (1, 2):
+        assert rows[d]["rep_keep"] is True
+        assert rows[d]["top_2gram_frac"] == 0.0
+        assert rows[d]["dup_5gram_frac"] == 0.0
+    assert not rows[3]["rep_keep"]

@@ -310,6 +310,34 @@ def test_kmv_merge_equals_whole(spark, sf_dir):
     assert got == want
 
 
+def test_random_projection_duplicate_passthrough_tuples(spark):
+    """Rows that collide on every NON-id column must still project
+    independently: the round-4 advisor found the round trip was keyed on
+    the full passthrough tuple, silently combining such rows' decimal
+    sums into one wrong projection."""
+    from warp_pipes_spark.ml.quantize import RandomProjection
+
+    df = spark.createDataFrame(
+        [(1, "same", [1.0] * 8), (2, "same", [2.0] * 8)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["proj"] for r in
+           RandomProjection(in_dim=8, out_dim=4)(df).collect()}
+    assert len(out) == 2
+    import numpy as np
+    assert np.allclose(np.array(out[2]), 2 * np.array(out[1]))
+
+
+def test_random_projection_requires_id_col(spark):
+    import pytest as _pytest
+
+    from warp_pipes_spark.ml.quantize import RandomProjection
+
+    df = spark.createDataFrame([([1.0] * 8,)], "embedding array<double>")
+    with _pytest.raises(ValueError, match="unique row id"):
+        RandomProjection(in_dim=8, out_dim=4)(df)
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     """JL property: projected pairwise distances track the originals
     within the expected 1/sqrt(out_dim) distortion band (checked loosely

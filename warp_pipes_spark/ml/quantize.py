@@ -635,6 +635,7 @@ class RandomProjection(Pipe):
         vec_col: str = "embedding",
         out_col: str = "proj",
         seed: int = 5,
+        id_col: str = "vec_id",
         **kwargs,
     ):
         if not (0 < out_dim <= in_dim):
@@ -646,6 +647,14 @@ class RandomProjection(Pipe):
         self.vec_col = vec_col
         self.out_col = out_col
         self.seed = seed
+        # the explode/aggregate/join-back round trip is keyed on id_col
+        # ALONE — it must be unique and non-null. Keying on every
+        # passthrough column (the pre-round-5 behavior) silently merged
+        # rows that happened to share the passthrough tuple (their decimal
+        # sums combined into one wrong projection) and dropped rows with a
+        # NULL in any passthrough column on the way back (round-4 advisor
+        # finding).
+        self.id_col = id_col
 
     def signs(self):
         return [
@@ -664,14 +673,19 @@ class RandomProjection(Pipe):
             for i in range(self.in_dim)
         ]
         signs = spark.createDataFrame(sign_rows, "i int, j int, s int")
+        if self.id_col not in df.columns:
+            raise ValueError(
+                f"RandomProjection needs a unique row id column "
+                f"({self.id_col!r} not in {df.columns}); pass id_col="
+            )
         ex = df.select(
-            "*", F.posexplode(self.vec_col).alias("__i", "__x")
+            self.id_col, F.posexplode(self.vec_col).alias("__i", "__x")
         ).select(
-            *[c for c in df.columns],
+            self.id_col,
             F.col("__i").alias("i"),
             F.col("__x").cast("double").cast("decimal(18,6)").alias("__xd"),
         )
-        keys = [c for c in df.columns if c != self.vec_col]
+        keys = [self.id_col]
         agg = (
             ex.join(F.broadcast(signs), "i")
             .groupBy(*keys, "j")

@@ -384,8 +384,15 @@ class HistogramQuantiles(Pipe):
         cents = (F.col(self.value_col) * 100).cast("long")
         if frame is None:
             frame = self.frame_of(df)
+        # NULL values are EXCLUDED, not binned: a NULL survives the cents
+        # cast as NULL, F.least would skip it and drop the row into the
+        # top bin, silently counting it toward n and shifting every
+        # quantile (round-4 advisor finding — unhit on lineitem, wrong on
+        # nullable inputs). min/max in frame_of already skip NULLs, so the
+        # filter keeps both paths consistent.
         binned = (
-            df.join(F.broadcast(frame), self.group_cols)
+            df.where(F.col(self.value_col).isNotNull())
+            .join(F.broadcast(frame), self.group_cols)
             .select(
                 *g,
                 "vmin",
@@ -500,6 +507,7 @@ def histogram_quantiles_sql(
     return f"""
 WITH cents AS (
   SELECT {gcols}, CAST({value} * 100 AS BIGINT) AS v FROM {table}
+  WHERE {value} IS NOT NULL
 ),
 frame AS (
   SELECT {gcols}, MIN(v) AS vmin, MAX(v) AS vmax FROM cents GROUP BY {gcols}
@@ -633,6 +641,12 @@ class BloomFilterGate(Pipe):
         )
         if not self.truth_audit:
             return hits
+        # NO broadcast hint on the truth set: it is one row per DISTINCT
+        # history key, i.e. exactly the unbounded table this class's
+        # constant-memory contract exists to avoid holding. Let AQE pick —
+        # it broadcasts when the history is genuinely small and degrades
+        # to a shuffle join (instead of a driver OOM) when audit mode is
+        # ever pointed at real history (round-4 advisor finding).
         truth = (
             self.corpus.select(F.col(self.key_col).alias("__k"))
             .distinct()
@@ -640,7 +654,7 @@ class BloomFilterGate(Pipe):
         )
         audited = (
             df.select(self.id_col, F.col(self.key_col).alias("__k"))
-            .join(F.broadcast(truth), "__k", "left")
+            .join(truth, "__k", "left")
             .select(
                 self.id_col,
                 F.coalesce(F.col("__dup"), F.lit(False)).alias("true_dup"),

@@ -780,13 +780,23 @@ class PrioritySample(Pipe):
             .cast("double")
         )
 
+    # smallest admissible weight: |ln(u)| <= 48*ln(2) ~ 33.3, so any
+    # w >= 1e-9 keeps |priority| < 3.4e10, comfortably inside
+    # DECIMAL(18,6)'s 1e12 range. Below that the decimal cast OVERFLOWS —
+    # silently NULL in Spark (row sorts last) but a hard error in DuckDB —
+    # so the bound is enforced identically on both sides (round-4 advisor
+    # finding). Semantically free: a w < 1e-9 row's inclusion odds in any
+    # realistic top-k are zero anyway.
+    MIN_WEIGHT = 1e-9
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         # A-ES is defined for w > 0 only: a negative weight would flip
         # ln(u)/w positive and outrank every valid row, and w = 0 yields
         # a NULL priority — both silently corrupt the sample, so
         # non-positive weights are excluded up front (mirrored in
-        # priority_sample_sql)
-        valid = df.filter(F.col(self.weight_col) > 0)
+        # priority_sample_sql); sub-MIN_WEIGHT rows go with them to keep
+        # the decimal cast in range on both engines
+        valid = df.filter(F.col(self.weight_col) >= self.MIN_WEIGHT)
         scored = valid.withColumn(self.out_col, self.priority_expr())
         return scored.orderBy(
             F.col(self.out_col).desc(), F.col(self.key_col)
@@ -814,7 +824,7 @@ def priority_sample_sql(
     return f"""
 SELECT {columns}, {prio} AS {out_col}
 FROM ({table_sql}) t
-WHERE {weight_expr} > 0
+WHERE {weight_expr} >= 1e-9
 ORDER BY {out_col} DESC, {key}
 LIMIT {k}
 """

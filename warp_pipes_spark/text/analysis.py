@@ -1215,6 +1215,12 @@ class CharEntropy(Pipe):
     reduction — the q76-perplexity shuffle profile, nothing
     vocabulary-global.
 
+    ROWS-DROPPED SEMANTICS: a document with ZERO in-alphabet characters
+    (empty text, pure digits/punctuation/non-Latin) has no entropy
+    defined and is ABSENT from the output — callers composing a keep/
+    drop gate should anti-join or left-join from the corpus if such
+    rows need an explicit verdict.
+
     ``carry_cols`` passes label columns that are functionally dependent
     on ``id_col`` (source, lang, split...) THROUGH the aggregation keys
     instead of forcing the caller to join them back — at 100 TB that
@@ -1326,7 +1332,12 @@ class StupidBackoffScore(Pipe):
     model tables. Per-position scores round through DECIMAL(18,6) so the
     tf-weighted sum is exact and order-independent; each branch costs at
     most two IEEE multiplies and one divide — the engine-standard
-    cross-float budget."""
+    cross-float budget.
+
+    ROWS-DROPPED SEMANTICS: a held-out document with fewer than 3 tokens
+    has no trigram positions, so no score is defined and it is ABSENT
+    from the output — callers gating on the score should left-join from
+    the corpus if such rows need an explicit verdict."""
 
     ALPHA = 0.4
 
@@ -1674,13 +1685,21 @@ class GopherRepetition(Pipe):
                 F.first("__dupmass").alias("dm"),
             )
         )
-        out = piv.join(totals, "doc_id")
+        # left-join FROM totals: a doc too short to produce ANY gram (< 2
+        # tokens) is absent from the pivot, and an inner join would drop
+        # it from the output entirely — a pipeline filtering on rep_keep
+        # would silently lose those rows (round-4 advisor finding).
+        # Gram-less docs have zero repetition by definition: every
+        # fraction 0.0, rep_keep true.
+        out = totals.join(piv, "doc_id", "left")
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
         frac = lambda mass: dec(
-            F.least(
-                F.lit(1.0),
-                F.coalesce(mass, F.lit(0)).cast("double")
-                / F.col("__total").cast("double"),
+            F.when(F.col("__total") <= 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(mass, F.lit(0)).cast("double")
+                    / F.col("__total").cast("double"),
+                )
             )
         )
         cols = [F.col("doc_id")]
@@ -1719,8 +1738,9 @@ def gopher_repetition_sql(
     grams_union = "\nUNION ALL\n".join(per_n_ctes)
     sels = [id_col]
     frac = (
-        lambda mass: f"CAST(CAST(LEAST(1.0, CAST(COALESCE({mass}, 0) AS DOUBLE)"
-        f" / CAST(t.total AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)"
+        lambda mass: f"CASE WHEN t.total <= 0 THEN 0.0 ELSE "
+        f"CAST(CAST(LEAST(1.0, CAST(COALESCE({mass}, 0) AS DOUBLE)"
+        f" / CAST(t.total AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) END"
     )
     keeps = []
     for n in GOPHER_TOP_NS:
@@ -1750,11 +1770,10 @@ per_n AS (
                   ELSE 0 END) AS dupmass
   FROM counts GROUP BY doc_id, n
 )
-SELECT p.{id_col}, {", ".join(sels[1:])},
+SELECT t.doc_id AS {id_col}, {", ".join(sels[1:])},
        {" AND ".join(keeps)} AS rep_keep
-FROM (SELECT DISTINCT doc_id AS {id_col} FROM per_n) p
-JOIN totals t ON t.doc_id = p.{id_col}
-LEFT JOIN per_n pn ON pn.doc_id = p.{id_col}
-GROUP BY p.{id_col}, t.total
-ORDER BY p.{id_col}
+FROM totals t
+LEFT JOIN per_n pn ON pn.doc_id = t.doc_id
+GROUP BY t.doc_id, t.total
+ORDER BY t.doc_id
 """
