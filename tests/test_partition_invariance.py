@@ -61,6 +61,10 @@ INVARIANT_QUERIES = [
     "q179_token_budget",        # signed leftover waterfall + remainder ranking
     "q180_multiturn_sft",       # per-turn tokenize + sorted-struct reassembly
     "q182_ann_recall_sweep",    # persisted exact side + LSH sweep joins
+    # round-5 additions
+    "q186_embedding_drift",     # integer-numerator PSI decimal sums
+    "q187_vocab_growth",        # per-term min-gate + conditional sums
+    "q188_lsh_s_curve",         # pair set + row-local band bits + bucket agg
 ]
 
 

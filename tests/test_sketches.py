@@ -362,3 +362,83 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     med = sorted(ratios)[len(ratios) // 2]
     assert 0.5 < med < 1.5, med
     assert sum(1 for r in ratios if 0.3 < r < 1.9) >= 0.9 * len(ratios)
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    """A constant +0.5 shift on one dimension must dominate the PSI panel
+    and report the exact mean shift; undrifted dims stay near zero."""
+    import numpy as np
+
+    from warp_pipes_spark.ml.drift import EmbeddingDrift
+
+    rng = np.random.RandomState(7)
+    ref_rows = [(i, [float(x) for x in rng.rand(4)]) for i in range(400)]
+    cur_rows = []
+    for i, v in [(i, list(rng.rand(4))) for i in range(400)]:
+        v[2] += 0.5  # planted drift on dim 2
+        cur_rows.append((i, [float(x) for x in v]))
+    schema = "vec_id long, embedding array<double>"
+    ref = spark.createDataFrame(ref_rows, schema)
+    cur = spark.createDataFrame(cur_rows, schema)
+    out = {r["dim"]: r for r in EmbeddingDrift(reference=ref)(cur).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2]["psi"] > 0.25, out[2]          # action threshold tripped
+    assert abs(out[2]["mean_shift"] - 0.5) < 0.05
+    for d in (0, 1, 3):
+        assert out[d]["psi"] < 0.1, out[d]       # stable dims stay stable
+    # identical snapshots -> PSI exactly 0 on every dim
+    same = {r["dim"]: r["psi"] for r in EmbeddingDrift(reference=ref)(ref).collect()}
+    assert all(v == 0.0 for v in same.values())
+
+
+def test_vocab_growth_monotone_and_exact_at_full(spark):
+    """Nested md5 samples: every column is monotone over pct, and the
+    100% row equals the exact corpus-wide counts."""
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.text.analysis import VocabGrowth, tokens_expr
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = sorted(
+        VocabGrowth(steps=10, seed=17)(docs).collect(), key=lambda r: r["pct"]
+    )
+    assert [r["pct"] for r in rows] == list(range(10, 101, 10))
+    for col in ("n_docs", "n_tokens", "vocab_size"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals), f"{col} not monotone: {vals}"
+    full = rows[-1]
+    exact = docs.select(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.size(tokens_expr(F.col("text")))).alias("t"),
+    ).collect()[0]
+    vocab = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .distinct()
+        .count()
+    )
+    assert full["n_docs"] == exact["d"]
+    assert full["n_tokens"] == exact["t"]
+    assert full["vocab_size"] == vocab
+
+
+def test_lsh_s_curve_planted_extremes(spark):
+    """Near-identical docs (j ~ 1) must be candidates at rate ~1; disjoint
+    low-jaccard pairs must land in a low bucket with theory near 0."""
+    from warp_pipes_spark.text.dedup import LshSCurveAudit
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, dup), (2, dup)]  # j = 1.0 pair
+    # pair sharing exactly one trigram out of many (tokenization strips
+    # digits, so fillers must differ in LETTERS)
+    rows.append((3, "one two three xa ya za wa va ua ta"))
+    rows.append((4, "one two three xb yb zb wb vb ub tb"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["j_lo"]: r for r in
+           LshSCurveAudit(n=3, floor=0.05)(df).collect()}
+    hi = max(out)
+    assert out[hi]["measured_rate"] == 1.0
+    assert out[hi]["theoretical_rate"] > 0.99
+    lo = min(out)
+    assert lo <= 0.2
+    assert out[lo]["theoretical_rate"] < 0.05

@@ -2258,6 +2258,52 @@ ORDER BY rule, source
 """
 
 
+def q186_embedding_drift(spark, sf):
+    """Per-dimension embedding drift panel (``ml/drift.py``
+    ``EmbeddingDrift``): PSI over 10 reference-framed bins + mean shift
+    between two snapshots (deterministic vec_id-parity split stands in
+    for old/new embedding runs). The monitor a pipeline reads BEFORE a
+    re-embedded corpus replaces the live ANN index — a silent
+    normalization or tokenizer change trips PSI long before recall
+    drops. One narrow posexplode per snapshot with map-side combine onto
+    dim x bin keys; everything after is dim-sized."""
+    from warp_pipes_spark.ml.drift import EmbeddingDrift
+
+    emb = T(spark, sf, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return EmbeddingDrift(reference=ref, n_bins=10)(cur)
+
+
+def q187_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth curve (``text/analysis.py``
+    ``VocabGrowth``): distinct-term count at nested deterministic
+    10%..100% corpus samples — the analytic that sizes a tokenizer vocab
+    and predicts OOV decay before committing a training mix. The nested
+    md5 gates make each prefix a SUBSET of the next (the property a
+    random split lacks), so the curve is monotone by construction and
+    the whole thing is one token explode + a vocabulary-sized aggregate;
+    no global sort, no per-checkpoint rescans."""
+    from warp_pipes_spark.text.analysis import VocabGrowth
+
+    return VocabGrowth(steps=10, seed=17)(T(spark, sf, "documents"))
+
+
+def q188_lsh_s_curve(spark, sf):
+    """Banded-LSH S-curve audit (``text/dedup.py`` ``LshSCurveAudit``):
+    measured candidate rate per exact-Jaccard bucket vs the theoretical
+    ``1 - (1 - s^r)^b`` — the plot that picks (bands, rows) BEFORE a
+    100 TB dedup run commits to a parameterization. Ground truth is the
+    q27 inverted-index pair set; the candidate bit is computed row-local
+    on each pair's md5 signatures (identical banding to q28), so the
+    audit adds zero joins beyond the pair table itself."""
+    from warp_pipes_spark.text.dedup import LshSCurveAudit
+
+    return LshSCurveAudit(
+        n=3, n_hashes=32, band_size=4, floor=0.05
+    )(T(spark, sf, "documents"))
+
+
 def _tokenizer_fertility_oracle_sql() -> str:
     # reuse the q146 matcher replay, then aggregate per source
     wp = _wordpiece_oracle_sql()
@@ -5925,6 +5971,26 @@ def _round2b_oracles():
     ORACLES_EXT["q184_packing_efficiency"] = _packing_efficiency_oracle_sql()
     ORACLES_EXT["q185_rule_attribution"] = _rule_attribution_oracle_sql()
 
+    from warp_pipes_spark.ml.drift import embedding_drift_sql
+
+    ORACLES_EXT["q186_embedding_drift"] = embedding_drift_sql(
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
+        n_bins=10,
+    )
+
+    from warp_pipes_spark.text.analysis import vocab_growth_sql
+
+    ORACLES_EXT["q187_vocab_growth"] = vocab_growth_sql(
+        "documents", steps=10, seed=17
+    )
+
+    from warp_pipes_spark.text.dedup import lsh_s_curve_sql
+
+    ORACLES_EXT["q188_lsh_s_curve"] = lsh_s_curve_sql(
+        "documents", n=3, n_hashes=32, band_size=4, floor=0.05
+    )
+
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
     ORACLES_EXT["q179_token_budget"] = token_budget_sql(
@@ -6292,6 +6358,9 @@ def _register():
         "q183_unicode_fold": q183_unicode_fold,
         "q184_packing_efficiency": q184_packing_efficiency,
         "q185_rule_attribution": q185_rule_attribution,
+        "q186_embedding_drift": q186_embedding_drift,
+        "q187_vocab_growth": q187_vocab_growth,
+        "q188_lsh_s_curve": q188_lsh_s_curve,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

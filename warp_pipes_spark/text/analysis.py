@@ -1777,3 +1777,132 @@ LEFT JOIN per_n pn ON pn.doc_id = t.doc_id
 GROUP BY t.doc_id, t.total
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (tokenizer sizing / OOV-decay analytic)
+# ---------------------------------------------------------------------------
+
+
+class VocabGrowth(Pipe):
+    """Vocabulary growth curve over NESTED deterministic corpus samples
+    (Heaps' law, V ~ k*N^beta): at each step p in 10%..100%, the number
+    of documents, tokens and DISTINCT terms inside the md5-gated p-sample
+    — the analytic that sizes a tokenizer vocabulary and predicts OOV
+    decay before a training mix is committed.
+
+    Nesting is the point: ``gate(doc) < t_p`` uses ONE hash per document
+    with increasing thresholds, so every sample is a subset of the next
+    and the curve is monotone by construction (independent random splits
+    are not), reproducible across engines/partitionings/reruns, and
+    stable under corpus appends (q57's SplitAssign property).
+
+    Scale shape: one token explode -> per-term min(gate) (a
+    vocabulary-sized aggregate with map-side combine) -> ``steps``
+    conditional sums in ONE pass over that vocab table (an explode of
+    per-step branches would re-execute the lineage per branch — the
+    engine's measured N-branch lesson). Doc/token counts are one
+    scan-level aggregation. Output = ``steps`` rows."""
+
+    def __init__(
+        self,
+        steps: int = 10,
+        seed: int = 17,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        if steps < 1:
+            raise ValueError(f"steps must be >= 1, got {steps}")
+        super().__init__(**kwargs)
+        self.steps = steps
+        self.seed = seed
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _thresholds(self):
+        from warp_pipes_spark.pipes.sampling import _threshold_hex
+
+        return [
+            (s, _threshold_hex(s / self.steps))
+            for s in range(1, self.steps + 1)
+        ]
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.pipes.sampling import _gate_col
+
+        gate = _gate_col(F.col(self.id_col), self.seed)
+        d = df.select(
+            gate.alias("g"), tokens_expr(F.col(self.text_col)).alias("__l")
+        )
+        # per-term first-inclusion gate: vocabulary-sized, map-side combined
+        term_min = (
+            d.select("g", F.explode("__l").alias("term"))
+            .groupBy("term")
+            .agg(F.min("g").alias("gmin"))
+        )
+        vocab_sums = [
+            F.sum((F.col("gmin") < F.lit(t)).cast("long")).alias(f"v{s}")
+            for s, t in self._thresholds()
+        ]
+        vrow = term_min.agg(*vocab_sums)
+        doc_sums = []
+        for s, t in self._thresholds():
+            inside = F.col("g") < F.lit(t)
+            doc_sums.append(F.sum(inside.cast("long")).alias(f"d{s}"))
+            doc_sums.append(
+                F.sum(
+                    F.when(inside, F.size("__l")).otherwise(F.lit(0)).cast("long")
+                ).alias(f"t{s}")
+            )
+        drow = d.agg(*doc_sums)
+        row = vrow.crossJoin(F.broadcast(drow))
+        stacked = ", ".join(
+            f"{100 * s // self.steps}L, d{s}, t{s}, v{s}"
+            for s, _ in self._thresholds()
+        )
+        return row.select(
+            F.expr(
+                f"stack({self.steps}, {stacked}) "
+                f"AS (pct, n_docs, n_tokens, vocab_size)"
+            )
+        )
+
+
+def vocab_growth_sql(
+    table: str = "documents",
+    steps: int = 10,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB oracle for :class:`VocabGrowth`: identical gate, nested
+    thresholds and conditional sums."""
+    from warp_pipes_spark.pipes.sampling import _gate_sql, _threshold_hex
+
+    gate = _gate_sql(id_col, seed)
+    toks = tokens_sql(text)
+    steps_rows = []
+    for s in range(1, steps + 1):
+        t = _threshold_hex(s / steps)
+        steps_rows.append(
+            f"SELECT {100 * s // steps} AS pct, "
+            f"(SELECT COUNT(*) FROM d WHERE g < '{t}') AS n_docs, "
+            f"(SELECT COALESCE(SUM(len(l)), 0) FROM d WHERE g < '{t}') AS n_tokens, "
+            f"(SELECT COUNT(*) FROM term_min WHERE gmin < '{t}') AS vocab_size"
+        )
+    union = "\nUNION ALL\n".join(steps_rows)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {gate} AS g, {toks} AS l FROM {table}
+),
+term_min AS MATERIALIZED (
+  SELECT term, MIN(g) AS gmin
+  FROM (SELECT g, unnest(l) AS term FROM d) GROUP BY 1
+)
+SELECT CAST(pct AS BIGINT) AS pct, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab_size AS BIGINT) AS vocab_size
+FROM ({union})
+ORDER BY pct
+"""

@@ -2454,3 +2454,169 @@ SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard
 FROM verified WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# banded-LSH S-curve audit (parameter planner for MinHash dedup)
+# ---------------------------------------------------------------------------
+
+
+def _s_curve_theory(n_bands: int, band_size: int, buckets: int):
+    """Theoretical candidate probability 1 - (1 - s^r)^b at each Jaccard
+    bucket midpoint, computed ONCE in Python so the identical double
+    literals embed in both the Spark plan and the DuckDB oracle."""
+    out = []
+    for jb in range(buckets):
+        s = (jb + 0.5) / buckets
+        out.append((jb, 1.0 - (1.0 - s**band_size) ** n_bands))
+    return out
+
+
+class LshSCurveAudit(Pipe):
+    """Banded-LSH S-curve audit: per exact-Jaccard bucket, the MEASURED
+    candidate rate of (bands x rows) MinHash banding next to the
+    THEORETICAL ``1 - (1 - s^r)^b`` — the plot that picks a banding
+    before a 100 TB dedup run commits to one (too steep = missed dups,
+    too flat = quadratic candidate blowup).
+
+    Ground truth: the :class:`NgramJaccardDedup` inverted-index pair set
+    with a low Jaccard ``floor`` (the audit needs sub-threshold pairs —
+    they are where a bad banding over-generates). The candidate bit is
+    evaluated ROW-LOCAL on each pair's portable md5 signatures (array
+    slice equality per band, the exact q28 banding), so the audit's only
+    shuffles are the pair table's own. All rates round through
+    DECIMAL(18,6); theory values are shared Python literals — bit-exact
+    oracle-able end to end."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        n_hashes: int = 32,
+        band_size: int = 4,
+        floor: float = 0.2,
+        buckets: int = 10,
+        **kwargs,
+    ):
+        if n_hashes % band_size != 0:
+            raise ValueError(
+                f"band_size ({band_size}) must divide n_hashes ({n_hashes})"
+            )
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_hashes = n_hashes
+        self.band_size = band_size
+        self.floor = floor
+        self.buckets = buckets
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        pairs = NgramJaccardDedup(
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.floor,
+            prefix_filter=False,
+        )(df)
+        sig = df.select(
+            F.col(self.id_col).alias("__sid"),
+            portable_minhash_sig(
+                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
+            ).alias("__sig"),
+        )
+        a = sig.select(F.col("__sid").alias("doc_a"), F.col("__sig").alias("__sa"))
+        b = sig.select(F.col("__sid").alias("doc_b"), F.col("__sig").alias("__sb"))
+        r, nb = self.band_size, self.n_hashes // self.band_size
+        band_hit = None
+        for i in range(nb):
+            eq = F.slice("__sa", i * r + 1, r) == F.slice("__sb", i * r + 1, r)
+            band_hit = eq if band_hit is None else (band_hit | eq)
+        jb = F.floor(
+            F.least(
+                F.col("jaccard").cast("decimal(18,6)") * 10,
+                F.lit(self.buckets - 1 + 0.5).cast("decimal(18,6)"),
+            )
+        ).cast("long")
+        scored = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(jb.alias("jbucket"), band_hit.cast("long").alias("hit"))
+        )
+        theory = df.sparkSession.createDataFrame(
+            _s_curve_theory(nb, r, self.buckets), "jbucket long, p_theory double"
+        )
+        dec6 = lambda c: c.cast("decimal(18,6)").cast("double")
+        agg = scored.groupBy("jbucket").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_candidates"),
+        )
+        return (
+            agg.join(F.broadcast(theory), "jbucket")
+            .select(
+                (F.col("jbucket").cast("double") / 10.0).alias("j_lo"),
+                "n_pairs",
+                "n_candidates",
+                dec6(
+                    F.col("n_candidates").cast("double")
+                    / F.col("n_pairs").cast("double")
+                ).alias("measured_rate"),
+                dec6(F.col("p_theory")).alias("theoretical_rate"),
+            )
+        )
+
+
+def lsh_s_curve_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    band_size: int = 4,
+    floor: float = 0.2,
+    buckets: int = 10,
+) -> str:
+    """DuckDB oracle for :class:`LshSCurveAudit`: identical pair set, md5
+    signatures, band slices, bucketing and shared theory literals."""
+    pair_sql = ngram_jaccard_sql(table, text, id_col, n, floor)
+    sh = shingles_sql(text, n)
+    r, nb = band_size, n_hashes // band_size
+    sig_elems = ", ".join(
+        f"(SELECT MIN(substring(md5('{i}:' || s.sh), 1, 16)) "
+        f"FROM (SELECT unnest(shingles) AS sh) s)"
+        for i in range(n_hashes)
+    )
+    band_terms = " OR ".join(
+        f"a.sig[{i * r + 1}:{(i + 1) * r}] = b.sig[{i * r + 1}:{(i + 1) * r}]"
+        for i in range(nb)
+    )
+    theory_rows = ", ".join(
+        f"({jb}, {p!r})" for jb, p in _s_curve_theory(nb, r, buckets)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({pair_sql}),
+sigs AS MATERIALIZED (
+  SELECT {id_col} AS sid, [{sig_elems}] AS sig
+  FROM (SELECT {id_col}, {sh} AS shingles FROM {table})
+),
+scored AS (
+  SELECT CAST(FLOOR(LEAST(CAST(p.jaccard AS DECIMAL(18,6)) * 10,
+                          CAST({buckets - 1 + 0.5} AS DECIMAL(18,6))))
+              AS BIGINT) AS jbucket,
+         CASE WHEN {band_terms} THEN 1 ELSE 0 END AS hit
+  FROM pairs p
+  JOIN sigs a ON a.sid = p.doc_a
+  JOIN sigs b ON b.sid = p.doc_b
+),
+theory(jbucket, p_theory) AS (VALUES {theory_rows})
+SELECT CAST(s.jbucket AS DOUBLE) / 10.0 AS j_lo,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_candidates,
+       CAST(CAST(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS measured_rate,
+       CAST(CAST(t.p_theory AS DECIMAL(18,6)) AS DOUBLE) AS theoretical_rate
+FROM scored s JOIN theory t USING (jbucket)
+GROUP BY s.jbucket, t.p_theory
+ORDER BY j_lo
+"""
