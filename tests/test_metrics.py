@@ -107,3 +107,81 @@ def test_bleu_known_values(spark):
     assert abs(r2["bleu"] - r2["bp"]) < 1e-5
     assert rows[3]["p1"] == 1.0
     assert rows[3]["bleu"] == 0.0  # no matching bigram -> unsmoothed 0
+
+
+def test_calibration_report_hand_oracle(spark):
+    """Perfectly calibrated bins have gap 0 and ECE 0; a planted
+    miscalibrated frame reports the exact hand-computed gaps."""
+    from warp_pipes_spark.ml.metrics import CalibrationReport
+
+    # two scores 0.25 / 0.75; labels exactly match the scores' rates
+    rows = []
+    for i in range(8):
+        rows.append((0.25, 1 if i % 4 == 0 else 0))   # frac_pos = 0.25
+        rows.append((0.75, 0 if i % 4 == 0 else 1))   # frac_pos = 0.75
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = CalibrationReport(n_bins=2)(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["gap"] == 0.0 and r["ece"] == 0.0
+
+    # flip all labels: gaps become |0.75 - 0.25| = 0.5 on both bins
+    flipped = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "score double, label int"
+    )
+    out2 = CalibrationReport(n_bins=2)(flipped).collect()
+    for r in out2:
+        assert r["gap"] == 0.5 and r["ece"] == 0.5
+
+
+def test_dedup_agreement_kappa_hand_oracle(spark):
+    """Identical docs agree 'dup' on both methods; unrelated docs agree
+    'not dup'; kappa is computed from the exact 2x2 table."""
+    from warp_pipes_spark.text.dedup import DedupAgreement
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, dup), (2, dup),
+            (3, "one two three xa ya za wa va ua ta"),
+            (4, "one two three xb yb zb wb vb ub tb")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = DedupAgreement(n=3, floor=0.05)(df).collect()[0]
+    assert r["n_pairs"] == r["both_dup"] + r["minhash_only"] + \
+        r["simhash_only"] + r["neither"]
+    assert r["both_dup"] >= 1          # the identical pair
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 <= r["pe"] <= 1.0
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus whose term counts follow count = C / rank exactly must
+    fit slope ~ -1."""
+    from warp_pipes_spark.text.analysis import ZipfFit
+
+    words = []
+    for rank in range(1, 21):
+        words.extend([f"w{chr(96 + rank)}"] * (1200 // rank))
+    docs = [(i, " ".join(words[i::10])) for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    r = ZipfFit(top_r=20)(df).collect()[0]
+    assert r["r_used"] == 20
+    assert abs(r["slope"] + 1.0) < 0.05, r["slope"]
+
+
+def test_source_divergence_extremes(spark):
+    """Identical distributions -> JS = 0; disjoint vocabularies ->
+    JS = ln 2 (both exactly, by the integer algebra)."""
+    import math
+
+    from warp_pipes_spark.text.analysis import SourceDivergence
+
+    rows = [
+        (1, "apple banana cherry", "s1"),
+        (2, "apple banana cherry", "s2"),       # identical to s1
+        (3, "xylo yankee zulu", "s3"),           # disjoint from both
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r["source_a"], r["source_b"]): r["js_divergence"]
+           for r in SourceDivergence()(df).collect()}
+    assert out[("s1", "s2")] == 0.0
+    assert abs(out[("s1", "s3")] - math.log(2)) < 1e-5
+    assert abs(out[("s2", "s3")] - math.log(2)) < 1e-5

@@ -65,6 +65,9 @@ INVARIANT_QUERIES = [
     "q186_embedding_drift",     # integer-numerator PSI decimal sums
     "q187_vocab_growth",        # per-term min-gate + conditional sums
     "q188_lsh_s_curve",         # pair set + row-local band bits + bucket agg
+    "q189_calibration",         # scaled-long binning + exact gap algebra
+    "q191_dedup_agreement",     # two signature verdicts + 2x2 kappa
+    "q193_source_divergence",   # integer-numerator JS decimal sums
 ]
 
 

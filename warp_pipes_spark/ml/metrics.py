@@ -388,3 +388,140 @@ SELECT {key_cols},
        END AS bleu
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# calibration (reliability diagram + ECE)
+# ---------------------------------------------------------------------------
+
+
+class CalibrationReport(Pipe):
+    """Reliability diagram + Expected Calibration Error for a scored,
+    binary-labeled frame — the evaluation AUC (q123) cannot give: AUC
+    only ranks; a gate that THRESHOLDS scores (every quality-classifier
+    pipeline) needs the scores to MEAN something. Guo et al. 2017's
+    equal-width-bin ECE over ``n_bins`` bins framed by the global score
+    min/max.
+
+    Exact cross-engine algebra: scores round through DECIMAL(18,6) into
+    scaled longs (frame, binning and sums all exact integers); per-bin
+    ``frac_pos``, ``mean_score`` and ``|gap|`` are each ONE IEEE division
+    of exact integers, and ECE folds the per-bin absolute gaps as the
+    exact integer ``sum_b |pos_b * 1e6 - ssum_b|`` over ONE division by
+    ``1e6 * N`` — no rounded products anywhere, so no decimal-tie risk
+    (the PSI lesson).
+
+    Scale shape: one scan-level projection, a 2-row frame aggregate, one
+    map-side-combined groupBy onto ``n_bins`` keys, and a bins-sized
+    window for the ECE constant. Nothing row-sized after the first
+    aggregation."""
+
+    def __init__(
+        self,
+        score_col: str = "score",
+        label_col: str = "label",
+        n_bins: int = 10,
+        **kwargs,
+    ):
+        if n_bins < 2:
+            raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+        super().__init__(**kwargs)
+        self.score_col = score_col
+        self.label_col = label_col
+        self.n_bins = n_bins
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        B = self.n_bins
+        s6 = (
+            (F.col(self.score_col).cast("double").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+        )
+        rows = df.select(
+            s6.alias("v"), F.col(self.label_col).cast("long").alias("y")
+        )
+        frame = rows.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        raw = F.expr(f"(v - vmin) * {B} div (vmax - vmin)")
+        bin_ = (
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.greatest(F.lit(0), F.least(raw, F.lit(B - 1))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        per_bin = (
+            rows.crossJoin(F.broadcast(frame))
+            .select(bin_.alias("bin"), "v", "y")
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("pos"),
+                F.sum("v").alias("ssum"),
+            )
+        )
+        w = Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        gap_num = F.abs(F.col("pos") * 1000000 - F.col("ssum"))
+        dec6 = lambda c: c.cast("decimal(18,6)").cast("double")
+        return (
+            per_bin.withColumn("__N", F.sum("n").over(w))
+            .withColumn("__G", F.sum(gap_num).over(w))
+            .select(
+                "bin",
+                F.col("n").cast("long").alias("n"),
+                dec6(
+                    F.col("pos").cast("double") / F.col("n").cast("double")
+                ).alias("frac_pos"),
+                dec6(
+                    F.col("ssum").cast("double")
+                    / (F.col("n") * 1000000).cast("double")
+                ).alias("mean_score"),
+                dec6(
+                    gap_num.cast("double")
+                    / (F.col("n") * 1000000).cast("double")
+                ).alias("gap"),
+                dec6(
+                    F.col("__G").cast("double")
+                    / (F.col("__N") * 1000000).cast("double")
+                ).alias("ece"),
+            )
+        )
+
+
+def calibration_report_sql(
+    scored_sql: str,
+    score: str = "score",
+    label: str = "label",
+    n_bins: int = 10,
+) -> str:
+    """DuckDB oracle for :class:`CalibrationReport`: identical scaled
+    longs, framing, integer binning and exact gap algebra."""
+    B = n_bins
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(CAST(CAST({score} AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+         CAST({label} AS BIGINT) AS y
+  FROM ({scored_sql}) t
+),
+frame AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM rows_),
+binned AS (
+  SELECT CASE WHEN f.vmax > f.vmin
+              THEN GREATEST(0, LEAST(((r.v - f.vmin) * {B}) // (f.vmax - f.vmin), {B - 1}))
+              ELSE 0 END AS bin,
+         r.v, r.y
+  FROM rows_ r CROSS JOIN frame f
+),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS pos, SUM(v) AS ssum
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nn, SUM(ABS(pos * 1000000 - ssum)) AS gg FROM per_bin)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(CAST(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS frac_pos,
+       CAST(CAST(CAST(ssum AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_score,
+       CAST(CAST(CAST(ABS(pos * 1000000 - ssum) AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS gap,
+       CAST(CAST(CAST(gg AS DOUBLE) / CAST(nn * 1000000 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS ece
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""

@@ -2289,6 +2289,112 @@ def q187_vocab_growth(spark, sf):
     return VocabGrowth(steps=10, seed=17)(T(spark, sf, "documents"))
 
 
+def q189_calibration(spark, sf):
+    """Reliability diagram + ECE (``ml/metrics.py`` ``CalibrationReport``,
+    Guo et al. 2017) for the q87 hashed linear classifier predicting
+    lang == 'en' — the evaluation q123's AUC cannot give: a pipeline
+    GATES on a score threshold, so the score must be calibrated, not
+    just rank well. Per-bin stats and ECE are single IEEE divisions of
+    exact scaled-long sums (no rounded products — the PSI tie lesson);
+    one scan, one 10-key aggregation."""
+    from warp_pipes_spark.ml.metrics import CalibrationReport
+    from warp_pipes_spark.text.classifier import HashedLinearClassifier
+
+    docs = T(spark, sf, "documents")
+    scored = HashedLinearClassifier(dim=64)(docs).select(
+        "score",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return CalibrationReport(score_col="score", label_col="y", n_bins=10)(
+        scored
+    )
+
+
+_PACK_SWEEP_CAPS = (256, 512, 1024)
+
+
+def q190_capacity_sweep(spark, sf):
+    """Packing capacity sweep — q184's efficiency audit ACROSS candidate
+    capacities (256/512/1024): corpus-wide pack count, mean fill, waste
+    and overflow share per capacity, the table that picks max_seq_len
+    before committing compute. The doc-size table is localCheckpointed
+    once (three BFD branches would re-tokenize the corpus per branch —
+    the measured N-branch lesson); each sweep point is a shard-local
+    BFD + pack-sized aggregation."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+    from warp_pipes_spark.text.packing import BestFitPack
+
+    docs = T(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    ).localCheckpoint()
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    out = None
+    for cap in _PACK_SWEEP_CAPS:
+        asg = BestFitPack(capacity=cap)(docs)
+        packs = asg.groupBy("shard", "pack_id").agg(
+            F.sum("n_tokens").alias("fill")
+        )
+        row = packs.agg(
+            F.lit(cap).cast("long").alias("capacity"),
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("fill").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("fill") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overflow"),
+        ).select(
+            "capacity",
+            "n_packs",
+            "total_tokens",
+            "n_overflow",
+            dec(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packs") * cap).cast("double")
+            ).alias("mean_fill"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q191_dedup_agreement(spark, sf):
+    """Inter-method duplicate-verdict agreement (``text/dedup.py``
+    ``DedupAgreement``): Cohen's kappa between banded-MinHash and
+    SimHash-hamming verdicts over the exact shared-shingle pair
+    universe — the audit run before swapping dedup methods mid-corpus
+    (raw percent agreement flatters under class imbalance; kappa does
+    not). Both verdicts are row-local signature expressions on the q27
+    pair set; the 2x2 table and kappa are exact-integer algebra with
+    two IEEE divisions."""
+    from warp_pipes_spark.text.dedup import DedupAgreement
+
+    return DedupAgreement(n=3, floor=0.05)(T(spark, sf, "documents"))
+
+
+def q192_zipf_fit(spark, sf):
+    """Zipf rank-frequency fit (``text/analysis.py`` ``ZipfFit``): OLS
+    slope of ln(count) on ln(rank) over the top-R term ranks — the
+    power-law exponent (natural text ~ -1) that q187's Heaps curve
+    complements; template/boilerplate corpora bend it visibly. Exact
+    decimal products of rounded logs, exact sums, one final division —
+    and the ordered pass runs over R = 100 rows, never the vocabulary."""
+    from warp_pipes_spark.text.analysis import ZipfFit
+
+    return ZipfFit(top_r=100)(T(spark, sf, "documents"))
+
+
+def q193_source_divergence(spark, sf):
+    """Pairwise source-vocabulary Jensen-Shannon divergence
+    (``text/analysis.py`` ``SourceDivergence``): per source pair, JS
+    over unigram distributions — the mixture-redundancy matrix (two
+    near-identical feeds waste mixture share; q167 sees literal
+    duplication, this sees DISTRIBUTIONAL overlap). Per-side sums fold
+    as exact integer-count x rounded-log decimals with ONE division per
+    side (denominators are per-source constants), so the matrix is
+    bit-exact oracled."""
+    from warp_pipes_spark.text.analysis import SourceDivergence
+
+    return SourceDivergence(group_col="source")(T(spark, sf, "documents"))
+
+
 def q188_lsh_s_curve(spark, sf):
     """Banded-LSH S-curve audit (``text/dedup.py`` ``LshSCurveAudit``):
     measured candidate rate per exact-Jaccard bucket vs the theoretical
@@ -5991,6 +6097,59 @@ def _round2b_oracles():
         "documents", n=3, n_hashes=32, band_size=4, floor=0.05
     )
 
+    from warp_pipes_spark.ml.metrics import calibration_report_sql
+    from warp_pipes_spark.text.classifier import classifier_sql
+
+    ORACLES_EXT["q189_calibration"] = calibration_report_sql(
+        "SELECT c.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y "
+        f"FROM ({classifier_sql('documents', dim=64)}) c "
+        "JOIN documents d USING (doc_id)",
+        score="score",
+        label="y",
+        n_bins=10,
+    )
+
+    from warp_pipes_spark.text.packing import best_fit_pack_sql
+
+    def _capacity_sweep_oracle_sql() -> str:
+        from warp_pipes_spark.text.analysis import tokens_sql
+
+        sized = (
+            f"SELECT doc_id, source, len({tokens_sql('text')}) AS n_tokens "
+            "FROM documents"
+        )
+        parts = []
+        for cap in _PACK_SWEEP_CAPS:
+            pack = best_fit_pack_sql(sized, capacity=cap)
+            parts.append(f"""
+SELECT {cap} AS capacity, COUNT(*) AS n_packs,
+       CAST(SUM(fill) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN fill > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+       CAST(CAST(CAST(SUM(fill) AS DOUBLE)
+                 / CAST(COUNT(*) * {cap} AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS mean_fill
+FROM (SELECT shard, pack_id, SUM(n_tokens) AS fill
+      FROM ({pack}) a{cap} GROUP BY 1, 2) p{cap}""")
+        return "\nUNION ALL\n".join(parts) + "\nORDER BY capacity"
+
+    ORACLES_EXT["q190_capacity_sweep"] = _capacity_sweep_oracle_sql()
+
+    from warp_pipes_spark.text.dedup import dedup_agreement_sql
+
+    ORACLES_EXT["q191_dedup_agreement"] = dedup_agreement_sql(
+        "documents", n=3, floor=0.05
+    )
+
+    from warp_pipes_spark.text.analysis import (
+        source_divergence_sql,
+        zipf_fit_sql,
+    )
+
+    ORACLES_EXT["q192_zipf_fit"] = zipf_fit_sql("documents", top_r=100)
+    ORACLES_EXT["q193_source_divergence"] = source_divergence_sql(
+        "documents", group="source"
+    )
+
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
     ORACLES_EXT["q179_token_budget"] = token_budget_sql(
@@ -6361,6 +6520,11 @@ def _register():
         "q186_embedding_drift": q186_embedding_drift,
         "q187_vocab_growth": q187_vocab_growth,
         "q188_lsh_s_curve": q188_lsh_s_curve,
+        "q189_calibration": q189_calibration,
+        "q190_capacity_sweep": q190_capacity_sweep,
+        "q191_dedup_agreement": q191_dedup_agreement,
+        "q192_zipf_fit": q192_zipf_fit,
+        "q193_source_divergence": q193_source_divergence,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

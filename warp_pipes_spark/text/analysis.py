@@ -1906,3 +1906,255 @@ SELECT CAST(pct AS BIGINT) AS pct, CAST(n_docs AS BIGINT) AS n_docs,
 FROM ({union})
 ORDER BY pct
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (power-law exponent)
+# ---------------------------------------------------------------------------
+
+
+class ZipfFit(Pipe):
+    """OLS fit of ``ln(count) ~ ln(rank)`` over the top ``top_r`` term
+    ranks — the Zipf exponent (natural language ~ -1; template or
+    machine-generated corpora bend it) complementing :class:`VocabGrowth`
+    on the distribution axis.
+
+    Exactness: x = round6(ln rank) and y = round6(ln count) are
+    DECIMAL(18,6); the OLS moments are exact decimal products/sums, the
+    slope is ONE IEEE division of those exact sums, rounded once. Ranks
+    tie-break on the term string, so both engines rank identically.
+
+    Scale shape: term counts are one explode + vocabulary-sized
+    hash-aggregate; only the top-``top_r`` rows (orderBy + limit — a
+    TakeOrdered, not a global sort materialization) enter the fit."""
+
+    def __init__(
+        self,
+        top_r: int = 100,
+        text_col: str = "text",
+        **kwargs,
+    ):
+        if top_r < 3:
+            raise ValueError(f"top_r must be >= 3, got {top_r}")
+        super().__init__(**kwargs)
+        self.top_r = top_r
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = (
+            df.select(F.explode(tokens_expr(F.col(self.text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term"))
+            .limit(self.top_r)
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+        ranked = counts.withColumn("rank", F.row_number().over(w))
+        x = F.log(F.col("rank").cast("double")).cast("decimal(18,6)")
+        y = F.log(F.col("cnt").cast("double")).cast("decimal(18,6)")
+        m = ranked.agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+        rr = F.col("r").cast("double")
+        num = rr * F.col("sxy").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sy").cast("double")
+        den = rr * F.col("sxx").cast("double") - F.col("sx").cast(
+            "double"
+        ) * F.col("sx").cast("double")
+        return m.select(
+            F.col("r").cast("long").alias("r_used"),
+            (num / den).cast("decimal(18,6)").cast("double").alias("slope"),
+        )
+
+
+def zipf_fit_sql(
+    table: str = "documents", top_r: int = 100, text: str = "text"
+) -> str:
+    """DuckDB oracle for :class:`ZipfFit`: identical ranking, rounded
+    logs, exact decimal moments and final division."""
+    toks = tokens_sql(text)
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT {top_r}
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts
+),
+m AS (
+  SELECT COUNT(*) AS r,
+         SUM(CAST(ln(rank) AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(ln(cnt) AS DECIMAL(18,6))) AS sy,
+         SUM(CAST(ln(rank) AS DECIMAL(18,6)) * CAST(ln(cnt) AS DECIMAL(18,6))) AS sxy,
+         SUM(CAST(ln(rank) AS DECIMAL(18,6)) * CAST(ln(rank) AS DECIMAL(18,6))) AS sxx
+  FROM ranked
+)
+SELECT CAST(r AS BIGINT) AS r_used,
+       CAST(CAST(
+         (CAST(r AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(r AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       AS DECIMAL(18,6)) AS DOUBLE) AS slope
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# pairwise source-vocabulary Jensen-Shannon divergence (mixture redundancy)
+# ---------------------------------------------------------------------------
+
+
+class SourceDivergence(Pipe):
+    """Pairwise Jensen-Shannon divergence between per-group unigram
+    distributions — the mixture-redundancy matrix: two sources with
+    near-zero JS carry the same text distribution and waste mixture
+    share (q167 sees literal duplication; this sees distributional
+    overlap even with zero shared documents). JS in [0, ln 2]; symmetric,
+    finite without smoothing (zero-count terms contribute exactly 0 on
+    their side).
+
+    Exactness (the PSI/integer-numerator pattern): with per-source
+    totals t1, t2 constant within a pair,
+
+        JS = 0.5 * [ (sum_w c1 * L1) / t1 + (sum_w c2 * L2) / t2 ]
+        L1 = round6(ln(2 * c1 * t2 / (c1 * t2 + c2 * t1)))   (c1 > 0)
+
+    — integer-count x rounded-log decimal products summed exactly, ONE
+    IEEE division per side, one final rounding. Log arguments are ratios
+    of exact integers, so both engines feed ln identical doubles.
+
+    Scale shape: one explode into a (group x vocab)-sized count table,
+    then a (pairs x vocab)-bounded grid join — groups are few by
+    construction (sources/languages), so the quadratic factor is the
+    group count, never the corpus."""
+
+    def __init__(
+        self,
+        group_col: str = "source",
+        text_col: str = "text",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.group_col = group_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        g = self.group_col
+        counts = (
+            df.select(
+                F.col(g).alias("grp"),
+                F.explode(tokens_expr(F.col(self.text_col))).alias("term"),
+            )
+            .groupBy("grp", "term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        totals = counts.groupBy("grp").agg(F.sum("c").alias("t"))
+        ga = totals.select(
+            F.col("grp").alias("g1"), F.col("t").alias("t1")
+        )
+        gb = totals.select(
+            F.col("grp").alias("g2"), F.col("t").alias("t2")
+        )
+        pairs = ga.crossJoin(gb).filter(F.col("g1") < F.col("g2"))
+        terms = counts.select("term").distinct()
+        # (pairs x vocab) grid: pairs is groups^2-bounded (broadcast),
+        # terms is vocabulary-sized — the grid streams the vocab once
+        grid = terms.crossJoin(F.broadcast(pairs))
+        c1t = counts.select(
+            F.col("grp").alias("g1"), "term", F.col("c").alias("c1")
+        )
+        c2t = counts.select(
+            F.col("grp").alias("g2"), "term", F.col("c").alias("c2")
+        )
+        cells = (
+            grid.join(c1t, ["g1", "term"], "left")
+            .join(c2t, ["g2", "term"], "left")
+            .na.fill({"c1": 0, "c2": 0})
+            .filter((F.col("c1") > 0) | (F.col("c2") > 0))
+        )
+        arg1 = (2 * F.col("c1") * F.col("t2")).cast("double") / (
+            F.col("c1") * F.col("t2") + F.col("c2") * F.col("t1")
+        ).cast("double")
+        arg2 = (2 * F.col("c2") * F.col("t1")).cast("double") / (
+            F.col("c1") * F.col("t2") + F.col("c2") * F.col("t1")
+        ).cast("double")
+        l1 = F.log(arg1).cast("decimal(18,6)")
+        l2 = F.log(arg2).cast("decimal(18,6)")
+        term1 = F.when(F.col("c1") > 0, F.col("c1") * l1).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+        term2 = F.when(F.col("c2") > 0, F.col("c2") * l2).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+        agg = cells.groupBy("g1", "g2").agg(
+            F.sum(term1).alias("s1"),
+            F.sum(term2).alias("s2"),
+            F.max("t1").alias("t1m"),
+            F.max("t2").alias("t2m"),
+        )
+        js = (
+            0.5
+            * (
+                F.col("s1").cast("double") / F.col("t1m").cast("double")
+                + F.col("s2").cast("double") / F.col("t2m").cast("double")
+            )
+        ).cast("decimal(18,6)").cast("double")
+        return agg.select(
+            F.col("g1").alias("source_a"),
+            F.col("g2").alias("source_b"),
+            js.alias("js_divergence"),
+        )
+
+
+def source_divergence_sql(
+    table: str = "documents",
+    group: str = "source",
+    text: str = "text",
+) -> str:
+    """DuckDB oracle for :class:`SourceDivergence`: identical counts,
+    integer log arguments, rounded logs, exact sums and divisions."""
+    toks = tokens_sql(text)
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT {group} AS grp, term, COUNT(*) AS c
+  FROM (SELECT {group}, unnest({toks}) AS term FROM {table})
+  GROUP BY 1, 2
+),
+totals AS (SELECT grp, SUM(c) AS t FROM counts GROUP BY 1),
+pairs AS (
+  SELECT a.grp AS g1, a.t AS t1, b.grp AS g2, b.t AS t2
+  FROM totals a JOIN totals b ON a.grp < b.grp
+),
+cells AS (
+  SELECT p.g1, p.g2, p.t1, p.t2,
+         COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+  FROM pairs p
+  JOIN (SELECT DISTINCT term FROM counts) v ON TRUE
+  LEFT JOIN counts c1 ON c1.grp = p.g1 AND c1.term = v.term
+  LEFT JOIN counts c2 ON c2.grp = p.g2 AND c2.term = v.term
+  WHERE COALESCE(c1.c, 0) > 0 OR COALESCE(c2.c, 0) > 0
+),
+agg AS (
+  SELECT g1, g2, MAX(t1) AS t1, MAX(t2) AS t2,
+         SUM(CASE WHEN c1 > 0 THEN c1 * CAST(ln(CAST(2 * c1 * t2 AS DOUBLE)
+                    / CAST(c1 * t2 + c2 * t1 AS DOUBLE)) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1,
+         SUM(CASE WHEN c2 > 0 THEN c2 * CAST(ln(CAST(2 * c2 * t1 AS DOUBLE)
+                    / CAST(c1 * t2 + c2 * t1 AS DOUBLE)) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS s2
+  FROM cells GROUP BY 1, 2
+)
+SELECT g1 AS source_a, g2 AS source_b,
+       CAST(CAST(0.5 * (CAST(s1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                        + CAST(s2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS js_divergence
+FROM agg ORDER BY source_a, source_b
+"""

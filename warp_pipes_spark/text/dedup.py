@@ -2620,3 +2620,229 @@ FROM scored s JOIN theory t USING (jbucket)
 GROUP BY s.jbucket, t.p_theory
 ORDER BY j_lo
 """
+
+
+# ---------------------------------------------------------------------------
+# inter-method duplicate-verdict agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> str:
+    """The (doc_id, simhash) signature subquery of :func:`simhash_sql` —
+    factored out so audits (q191) can reuse the identical md5-family
+    signature replay without the banding/pair machinery."""
+    toks = tokens_sql(text)
+    return f"""
+SELECT doc_id,
+       CAST(SUM(CASE WHEN b AND j < {bits - 1} THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            + SUM(CASE WHEN b AND j = {bits - 1} THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) * 2 > COUNT(*) AS b
+  FROM (
+    SELECT doc_id, ('0x' || substring(md5(t.tok), 1, 16))::UBIGINT AS h
+    FROM (SELECT {id_col} AS doc_id, list_distinct({toks}) AS tokens FROM {table}) d,
+         unnest(tokens) AS t(tok)
+    WHERE len(tokens) > 0
+  ) th CROSS JOIN generate_series(0, {bits - 1}) g(j)
+  GROUP BY doc_id, j
+) votes GROUP BY doc_id
+"""
+
+
+class DedupAgreement(Pipe):
+    """Cohen's kappa between two near-duplicate verdicts over the exact
+    shared-shingle pair universe (:class:`NgramJaccardDedup`, Jaccard >=
+    ``floor``): method A = banded md5-MinHash candidacy (the q28/q188
+    banding), method B = SimHash Hamming distance <= ``max_hamming``
+    (the q29 signature algebra, md5 family). The swap-methods audit:
+    percent agreement flatters under imbalance, kappa = (po - pe) /
+    (1 - pe) corrects for chance.
+
+    Both verdicts are ROW-LOCAL expressions over per-doc signatures
+    joined onto the pair table, so beyond the pair set itself the audit
+    adds two doc-sized signature scans and a 4-cell aggregation. The
+    2x2 table is exact integers; po and pe are single IEEE expressions
+    of those integers with DECIMAL(18,6) roundings at the oracle's
+    exact cast points."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        n_hashes: int = 32,
+        band_size: int = 4,
+        max_hamming: int = 3,
+        floor: float = 0.05,
+        **kwargs,
+    ):
+        if n_hashes % band_size != 0:
+            raise ValueError(
+                f"band_size ({band_size}) must divide n_hashes ({n_hashes})"
+            )
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_hashes = n_hashes
+        self.band_size = band_size
+        self.max_hamming = max_hamming
+        self.floor = floor
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        pairs = NgramJaccardDedup(
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.floor,
+            prefix_filter=False,
+        )(df)
+        msig = df.select(
+            F.col(self.id_col).alias("__sid"),
+            portable_minhash_sig(
+                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
+            ).alias("__msig"),
+        )
+        ssig = SimHashDedup(
+            text_col=self.text_col,
+            id_col=self.id_col,
+            hash_family="md5",
+            materialize_signatures=False,
+        )._signatures(df)
+        r, nb = self.band_size, self.n_hashes // self.band_size
+        band_hit = None
+        for i in range(nb):
+            eq = F.slice("__ma", i * r + 1, r) == F.slice("__mb", i * r + 1, r)
+            band_hit = eq if band_hit is None else (band_hit | eq)
+        sim_hit = (
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            <= self.max_hamming
+        )
+        labeled = (
+            pairs.join(
+                msig.select(F.col("__sid").alias("doc_a"), F.col("__msig").alias("__ma")),
+                "doc_a",
+            )
+            .join(
+                msig.select(F.col("__sid").alias("doc_b"), F.col("__msig").alias("__mb")),
+                "doc_b",
+            )
+            .join(
+                ssig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa")),
+                "doc_a",
+            )
+            .join(
+                ssig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb")),
+                "doc_b",
+            )
+            .select(
+                band_hit.cast("long").alias("a"), sim_hit.cast("long").alias("b")
+            )
+        )
+        cells = labeled.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a") * F.col("b")).alias("n11"),
+            F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+            F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        )
+        dec6 = lambda c: c.cast("decimal(18,6)").cast("double")
+        n = F.col("n").cast("double")
+        n11, n10, n01 = (F.col(c).cast("double") for c in ("n11", "n10", "n01"))
+        n00 = n - n11 - n10 - n01
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+        kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).otherwise(
+            F.lit(1.0)
+        )
+        return cells.select(
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("n11").cast("long").alias("both_dup"),
+            F.col("n10").cast("long").alias("minhash_only"),
+            F.col("n01").cast("long").alias("simhash_only"),
+            (F.col("n") - F.col("n11") - F.col("n10") - F.col("n01"))
+            .cast("long")
+            .alias("neither"),
+            dec6(po).alias("po"),
+            dec6(pe).alias("pe"),
+            dec6(kappa).alias("kappa"),
+        )
+
+
+def dedup_agreement_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 32,
+    band_size: int = 4,
+    max_hamming: int = 3,
+    floor: float = 0.05,
+) -> str:
+    """DuckDB oracle for :class:`DedupAgreement`: identical pair set,
+    signatures, verdicts and kappa algebra."""
+    pair_sql = ngram_jaccard_sql(table, text, id_col, n, floor)
+    sh = shingles_sql(text, n)
+    ssig = simhash_signature_sql(table, text, id_col)
+    r, nb = band_size, n_hashes // band_size
+    sig_elems = ", ".join(
+        f"(SELECT MIN(substring(md5('{i}:' || s.sh), 1, 16)) "
+        f"FROM (SELECT unnest(shingles) AS sh) s)"
+        for i in range(n_hashes)
+    )
+    band_terms = " OR ".join(
+        f"ma.sig[{i * r + 1}:{(i + 1) * r}] = mb.sig[{i * r + 1}:{(i + 1) * r}]"
+        for i in range(nb)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED ({pair_sql}),
+msig AS MATERIALIZED (
+  SELECT {id_col} AS sid, [{sig_elems}] AS sig
+  FROM (SELECT {id_col}, {sh} AS shingles FROM {table})
+),
+ssig AS MATERIALIZED ({ssig}),
+labeled AS (
+  SELECT CASE WHEN {band_terms} THEN 1 ELSE 0 END AS a,
+         CASE WHEN bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+              THEN 1 ELSE 0 END AS b
+  FROM pairs p
+  JOIN msig ma ON ma.sid = p.doc_a
+  JOIN msig mb ON mb.sid = p.doc_b
+  JOIN ssig sa ON sa.doc_id = p.doc_a
+  JOIN ssig sb ON sb.doc_id = p.doc_b
+),
+cells AS (
+  SELECT COUNT(*) AS n, SUM(a * b) AS n11, SUM(a * (1 - b)) AS n10,
+         SUM((1 - a) * b) AS n01
+  FROM labeled
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(n11 AS BIGINT) AS both_dup,
+       CAST(n10 AS BIGINT) AS minhash_only, CAST(n01 AS BIGINT) AS simhash_only,
+       CAST(n - n11 - n10 - n01 AS BIGINT) AS neither,
+       CAST(CAST((CAST(n11 AS DOUBLE) + CAST(n - n11 - n10 - n01 AS DOUBLE)) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS po,
+       CAST(CAST((CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                  + CAST((n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+            AS DECIMAL(18,6)) AS DOUBLE) AS pe,
+       CAST(CAST(
+         CASE WHEN (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                    + CAST((n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)) AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+              THEN ((CAST(n11 AS DOUBLE) + CAST(n - n11 - n10 - n01 AS DOUBLE)) / CAST(n AS DOUBLE)
+                    - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                       + CAST((n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)) AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                             + CAST((n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)) AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              ELSE 1.0 END
+       AS DECIMAL(18,6)) AS DOUBLE) AS kappa
+FROM cells
+"""
