@@ -68,6 +68,9 @@ INVARIANT_QUERIES = [
     "q189_calibration",         # scaled-long binning + exact gap algebra
     "q191_dedup_agreement",     # two signature verdicts + 2x2 kappa
     "q193_source_divergence",   # integer-numerator JS decimal sums
+    "q194_hll_rollup",          # register merge across group frames
+    "q195_tfidf_keywords",      # integer tf x rounded idf + ranked ties
+    "q196_cluster_size_profile",  # pointer-jumping clusters + histogram
 ]
 
 

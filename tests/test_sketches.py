@@ -442,3 +442,43 @@ def test_lsh_s_curve_planted_extremes(spark):
     lo = min(out)
     assert lo <= 0.2
     assert out[lo]["theoretical_rate"] < 0.05
+
+
+def test_hll_rollup_merge_equals_rescan(spark):
+    """The '__ALL__' row (register MERGE across sources) must equal the
+    estimate from a direct one-group build over the same rows — the
+    mergeability contract, asserted in-engine (the oracle asserts it
+    cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.ml.sketches import PortableHll
+    from warp_pipes_spark.queries import QUERIES
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    out = {r["source"]: r["hll_estimate"] for r in
+           QUERIES["q194_hll_rollup"].fn(spark, "/root/testdata/sf0.001").collect()}
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tok = docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+    direct = PortableHll("term")(tok).collect()[0]["hll_estimate"]
+    assert out["__ALL__"] == direct
+    assert len(out) >= 3
+
+
+def test_flesch_readability_hand_oracle(spark):
+    """Known sentence structure gives the hand-computed score; empty doc
+    keeps its row with NULL flesch."""
+    from warp_pipes_spark.text.analysis import FleschReadability
+
+    # 6 words, 2 sentences, syllable groups: simple heuristic count
+    rows = [(1, "the cat sat. the dog ran. "), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in FleschReadability()(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6
+    assert r1["n_sentences"] == 3  # split on '. ' -> 3 segments (trailing)
+    assert r1["n_syllables"] == 6  # one vowel group per word
+    wps, spw = 6 / 3, 6 / 6
+    expect = round(206.835 - 1.015 * round(wps, 6) - 84.6 * round(spw, 6), 6)
+    assert abs(r1["flesch"] - expect) < 1e-9
+    assert out[2]["flesch"] is None and out[2]["n_words"] == 0

@@ -2395,6 +2395,127 @@ def q193_source_divergence(spark, sf):
     return SourceDivergence(group_col="source")(T(spark, sf, "documents"))
 
 
+def q194_hll_rollup(spark, sf):
+    """Mergeable-sketch rollup: per-source distinct-token HLL estimates
+    PLUS a global '__ALL__' row computed by MERGING the per-source
+    register frames (a register-sized max — never a corpus re-scan),
+    the property that lets 1000 shards/days/snapshots union for free at
+    100 TB. The oracle computes the global row by direct re-scan, so
+    green PROVES merge == rescan bit-for-bit (max over registers is
+    associative). Companion to q148's error audit."""
+    from warp_pipes_spark.ml.sketches import PortableHll, merge_hll_registers
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    hll = PortableHll("term", group_cols=("source",))
+    regs = hll.registers(tok)
+    per_src = hll.estimate(regs)
+    gregs = merge_hll_registers(regs.drop("source"))
+    gest = (
+        PortableHll("term")
+        .estimate(gregs)
+        .select(F.lit("__ALL__").alias("source"), "hll_estimate")
+    )
+    return per_src.unionByName(gest)
+
+
+def q195_tfidf_keywords(spark, sf):
+    """Per-source TF-IDF keyword extraction (Sparck Jones 1972): top-5
+    terms by ``tf x round6(ln(N_sources / df_sources))`` — the
+    source-characterization table a curation report prints next to
+    q193's divergence matrix. Exact integer tf x rounded-log decimal
+    scores (order-free), ranked per source with a term tie-break; one
+    explode + two vocabulary-sized aggregations + a bounded window."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_expr(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N rides the plan as a broadcast one-row aggregate (no build-time scan)
+    nsrc = tf.agg(F.countDistinct("source").alias("__n"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfs"))
+    idf = F.log(
+        F.col("__n").cast("double") / F.col("dfs").cast("double")
+    ).cast("decimal(18,6)")
+    scored = tf.join(dfc, "term").crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "term",
+        "tf",
+        (F.col("tf") * idf).alias("__s"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("__s"), F.asc("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select(
+            "source",
+            F.col("__rk").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("__s").cast("double").alias("tfidf"),
+        )
+    )
+
+
+def q196_cluster_size_profile(spark, sf):
+    """Duplicate-cluster size profile: the histogram of q55's connected
+    duplicate clusters by size, with each size's document-mass share —
+    the dedup-impact report (a corpus whose dup mass sits in a few huge
+    clusters dedups very differently from one with many pairs). Exact
+    integers + one division; everything after the cluster table is
+    cluster-count-sized."""
+    from warp_pipes_spark.text.dedup import DedupClusters, MinHashDedup
+
+    docs = T(spark, sf, "documents")
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(docs).select("doc_a", "doc_b")
+    clusters = DedupClusters()(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    total = sizes.agg(F.sum("cluster_size").alias("__t"))
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            dec(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("__t").cast("double")
+            ).alias("doc_share"),
+        )
+    )
+
+
+def q197_readability(spark, sf):
+    """Flesch reading ease per document (``text/analysis.py``
+    ``FleschReadability``): the sentence-complexity quality signal the
+    lexical gates (q24/q140/q176) don't measure — vowel-group syllable
+    heuristic, exact integer counts, two rounded divisions. Scan-level,
+    zero shuffle."""
+    from warp_pipes_spark.text.analysis import FleschReadability
+
+    punct = T(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    return FleschReadability()(punct)
+
+
 def q188_lsh_s_curve(spark, sf):
     """Banded-LSH S-curve audit (``text/dedup.py`` ``LshSCurveAudit``):
     measured candidate rate per exact-Jaccard bucket vs the theoretical
@@ -6150,6 +6271,70 @@ FROM (SELECT shard, pack_id, SUM(n_tokens) AS fill
         "documents", group="source"
     )
 
+    from warp_pipes_spark.ml.sketches import portable_hll_sql
+    from warp_pipes_spark.text.analysis import tokens_sql as _toks_sql
+
+    _hll_base = (
+        f"(SELECT source, unnest({_toks_sql('text')}) AS term"
+        " FROM documents) tk"
+    )
+    ORACLES_EXT["q194_hll_rollup"] = (
+        "SELECT * FROM ("
+        + portable_hll_sql("term", _hll_base, group_cols=("source",)).strip()
+        + ") per_src UNION ALL SELECT '__ALL__' AS source, hll_estimate"
+        " FROM (" + portable_hll_sql("term", _hll_base).strip() + ") g"
+        " ORDER BY source"
+    )
+
+    ORACLES_EXT["q195_tfidf_keywords"] = f"""
+WITH tf AS MATERIALIZED (
+  SELECT source, term, COUNT(*) AS tf
+  FROM (SELECT source, unnest({_toks_sql('text')}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+nsrc AS (SELECT COUNT(DISTINCT source) AS n FROM tf),
+dfc AS (SELECT term, COUNT(*) AS dfs FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         tf.tf * CAST(ln(CAST(n AS DOUBLE) / CAST(dfs AS DOUBLE))
+                      AS DECIMAL(18,6)) AS s
+  FROM tf JOIN dfc USING (term) CROSS JOIN nsrc
+)
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY s DESC, term)
+            AS BIGINT) AS rank,
+       term, CAST(tf AS BIGINT) AS tf, CAST(s AS DOUBLE) AS tfidf
+FROM scored
+QUALIFY rank <= 5
+ORDER BY source, rank
+"""
+
+    from warp_pipes_spark.text.dedup import dedup_clusters_sql, minhash_dedup_sql
+
+    _csp_pairs = minhash_dedup_sql("documents", n=3, threshold=0.3)
+    _csp_clusters = dedup_clusters_sql(
+        f"SELECT doc_a, doc_b FROM ({_csp_pairs}) mh"
+    )
+    ORACLES_EXT["q196_cluster_size_profile"] = f"""
+WITH clusters AS MATERIALIZED ({_csp_clusters}),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1),
+tot AS (SELECT SUM(cluster_size) AS t FROM sizes)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(MAX(t) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS doc_share
+FROM sizes CROSS JOIN tot
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+    from warp_pipes_spark.text.analysis import flesch_sql
+
+    ORACLES_EXT["q197_readability"] = flesch_sql(
+        r"(SELECT doc_id, regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',"
+        r" '\1. ', 'g') AS text FROM documents) p"
+    )
+
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
     ORACLES_EXT["q179_token_budget"] = token_budget_sql(
@@ -6525,6 +6710,10 @@ def _register():
         "q191_dedup_agreement": q191_dedup_agreement,
         "q192_zipf_fit": q192_zipf_fit,
         "q193_source_divergence": q193_source_divergence,
+        "q194_hll_rollup": q194_hll_rollup,
+        "q195_tfidf_keywords": q195_tfidf_keywords,
+        "q196_cluster_size_profile": q196_cluster_size_profile,
+        "q197_readability": q197_readability,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

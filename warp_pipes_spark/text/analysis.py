@@ -2158,3 +2158,88 @@ SELECT g1 AS source_a, g2 AS source_b,
             AS DECIMAL(18,6)) AS DOUBLE) AS js_divergence
 FROM agg ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability (syllable-heuristic quality signal)
+# ---------------------------------------------------------------------------
+
+
+class FleschReadability(Pipe):
+    """Flesch reading ease per document (Flesch 1948; the Kincaid-family
+    formula every readability gate uses)::
+
+        206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words)
+
+    Syllables use the standard vowel-group heuristic (maximal
+    ``[aeiouy]+`` runs over the ASCII-lowered text), sentences the
+    engine's ``[.!?] `` boundary (min 1), words the engine tokenizer —
+    all three are exact integers, so the score is two IEEE divisions
+    rounded at DECIMAL(18,6) and one literal-coefficient combination,
+    identical across engines. Docs with zero words emit a NULL score
+    (readability of nothing is undefined — the row is KEPT, the
+    GopherRepetition lesson).
+
+    Pure scan-level expressions: no shuffle, no UDF — scan speed at
+    100 TB like the q24/q140 gates it complements (those measure
+    lexical quality; this measures sentence complexity)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
+        super().__init__(**kwargs)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        low = ascii_lower_expr(F.col(self.text_col))
+        words = F.size(tokens_expr(F.col(self.text_col))).cast("long")
+        sents = F.greatest(
+            F.lit(1).cast("long"),
+            (F.size(F.split(low, r"[.!?] ")) - 0).cast("long"),
+        )
+        syll = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+        dec6 = lambda c: c.cast("decimal(18,6)").cast("double")
+        wps = dec6(words.cast("double") / sents.cast("double"))
+        spw = dec6(syll.cast("double") / words.cast("double"))
+        flesch = dec6(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        )
+        return df.select(
+            F.col(self.id_col),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            syll.alias("n_syllables"),
+            F.when(words > 0, flesch).otherwise(F.lit(None)).alias("flesch"),
+        )
+
+
+def flesch_sql(
+    table: str = "documents", id_col: str = "doc_id", text: str = "text"
+) -> str:
+    """DuckDB oracle for :class:`FleschReadability`: identical token /
+    sentence / vowel-group counting and rounding points."""
+    low = ascii_lower_sql(text)
+    toks = tokens_sql(text)
+    wps = (
+        "CAST(CAST(CAST(w AS DOUBLE) / CAST(s AS DOUBLE) "
+        "AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    spw = (
+        "CAST(CAST(CAST(sy AS DOUBLE) / CAST(w AS DOUBLE) "
+        "AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+         CAST(len({toks}) AS BIGINT) AS w,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(string_split_regex({low}, '[.!?] ')) AS BIGINT)) AS s,
+         CAST(len(regexp_extract_all({low}, '[aeiouy]+')) AS BIGINT) AS sy
+  FROM {table}
+)
+SELECT {id_col}, w AS n_words, s AS n_sentences, sy AS n_syllables,
+       CASE WHEN w > 0
+            THEN CAST(CAST(206.835 - 1.015 * {wps} - 84.6 * {spw}
+                 AS DECIMAL(18,6)) AS DOUBLE)
+            ELSE NULL END AS flesch
+FROM c ORDER BY {id_col}
+"""
