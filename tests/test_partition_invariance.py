@@ -71,6 +71,8 @@ INVARIANT_QUERIES = [
     "q194_hll_rollup",          # register merge across group frames
     "q195_tfidf_keywords",      # integer tf x rounded idf + ranked ties
     "q196_cluster_size_profile",  # pointer-jumping clusters + histogram
+    "q198_pmi_collocations",    # exact-ratio lns + ranked ties
+    "q200_boilerplate_lines",   # carried-label explode + max-struct pick
 ]
 
 

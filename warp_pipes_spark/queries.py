@@ -2516,6 +2516,164 @@ def q197_readability(spark, sf):
     return FleschReadability()(punct)
 
 
+def q198_pmi_collocations(spark, sf):
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990): adjacent-token bigrams with count >= 5 ranked by
+    ``round6(ln(c12 * N / (c1 * c2)))`` — the phrase-mining analytic
+    behind tokenizer merge seeding and stopword diagnosis. All counts
+    exact integers, ln over an exact integer ratio, ranking on the
+    rounded decimal with a bigram tie-break; shuffles are bigram/unigram
+    vocabulary-sized."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    d = docs.select(tokens_expr(F.col("text")).alias("__l"))
+    toks = d.select(F.explode("__l").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("N"))
+    bg = (
+        d.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__l"),
+                        1,
+                        F.greatest(F.size("__l") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("__l"),
+                        2,
+                        F.greatest(F.size("__l") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                (F.col("c12") * F.col("N")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("__pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("__pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 20)
+        .select(
+            F.col("__rk").cast("long").alias("rank"),
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("__pmi").cast("double").alias("pmi"),
+        )
+    )
+
+
+_DEDUP_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q199_dedup_threshold_sweep(spark, sf):
+    """Dedup threshold sensitivity: from ONE MinHash pair table (floor
+    0.3), the pair count, affected-document count and keep-min removal
+    estimate at each candidate Jaccard threshold — the curve a curation
+    run reads before pinning the dedup cutoff (q172's calibration idea
+    on the dedup axis). Pairs compute once; the sweep is a bounded
+    literal explode + per-threshold distinct counts."""
+    from warp_pipes_spark.text.dedup import MinHashDedup
+
+    docs = T(spark, sf, "documents")
+    # the sweep consumes the pair table in TWO aggregation branches —
+    # materialize it once (eager localCheckpoint, GC-released) or each
+    # branch re-executes the banded join (the N-branch lesson)
+    pairs = MinHashDedup(
+        n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
+    )(docs).localCheckpoint()
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _DEDUP_SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    fanned = pairs.select("doc_a", "doc_b", "jaccard", th).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    base = fanned.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_removed_keepmin"),
+    )
+    affected = (
+        fanned.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs_affected"))
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    return base.join(affected, "threshold").select(
+        dec(F.col("threshold")).alias("threshold"),
+        "n_pairs",
+        F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
+        F.col("n_removed_keepmin").cast("long").alias("n_removed_keepmin"),
+    )
+
+
+def q200_boilerplate_lines(spark, sf):
+    """Per-source boilerplate report: sentences repeated across >= 5
+    documents of the same source (nav chrome, legal footers, templates)
+    with their share of the source's sentence mass and the single most
+    repeated line — the CCNet-motivating diagnosis BEFORE q104's
+    sentence-level dedup acts. One carried-label sentence explode, a
+    (source, sentence)-keyed aggregate, and a source-sized rollup with
+    a max(struct) tie-break."""
+    from warp_pipes_spark.text.analysis import SentenceSplit
+
+    docs = T(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"(\w+ \w+ \w+ \w+ \w+) ", "$1. ")
+    )
+    sents = SentenceSplit(carry_cols=["source"])(docs)
+    per_line = sents.groupBy("source", "sentence").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dec = lambda c: c.cast("decimal(18,6)").cast("double")
+    bp = F.col("n_docs") >= 5
+    return per_line.groupBy("source").agg(
+        F.sum(bp.cast("long")).alias("n_boilerplate_lines"),
+        F.sum(F.when(bp, F.col("n_occ")).otherwise(F.lit(0))).alias("__bmass"),
+        F.sum("n_occ").alias("__tmass"),
+        F.max(
+            F.when(
+                bp,
+                F.struct(
+                    F.col("n_occ").alias("occ"),
+                    # invert for min-sentence tie-break inside max()
+                    F.col("sentence").alias("line"),
+                ),
+            )
+        ).alias("__top"),
+    ).select(
+        "source",
+        F.col("n_boilerplate_lines").cast("long").alias("n_boilerplate_lines"),
+        dec(
+            F.col("__bmass").cast("double") / F.col("__tmass").cast("double")
+        ).alias("boilerplate_share"),
+        F.col("__top.line").alias("top_line"),
+        F.coalesce(F.col("__top.occ"), F.lit(0)).cast("long").alias("top_occ"),
+    )
+
+
 def q188_lsh_s_curve(spark, sf):
     """Banded-LSH S-curve audit (``text/dedup.py`` ``LshSCurveAudit``):
     measured candidate rate per exact-Jaccard bucket vs the theoretical
@@ -6335,6 +6493,92 @@ GROUP BY cluster_size ORDER BY cluster_size
         r" '\1. ', 'g') AS text FROM documents) p"
     )
 
+    ORACLES_EXT["q198_pmi_collocations"] = f"""
+WITH d AS MATERIALIZED (SELECT {_toks_sql('text')} AS l FROM documents),
+toks AS MATERIALIZED (SELECT unnest(l) AS w FROM d),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+ntot AS (SELECT COUNT(*) AS N FROM toks),
+bg AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c12
+  FROM d, LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT bg.w1, bg.w2, bg.c12,
+         CAST(ln(CAST(bg.c12 * N AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE)) AS DECIMAL(18,6)) AS pmi
+  FROM bg
+  JOIN uni u1 ON u1.w = bg.w1
+  JOIN uni u2 ON u2.w = bg.w2
+  CROSS JOIN ntot
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank,
+       w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(pmi AS DOUBLE) AS pmi
+FROM scored
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+    _sweep_pairs = minhash_dedup_sql("documents", n=3, threshold=0.3)
+    _sweep_vals = ", ".join(f"({t!r})" for t in _DEDUP_SWEEP_THRESHOLDS)
+    ORACLES_EXT["q199_dedup_threshold_sweep"] = f"""
+WITH pairs AS MATERIALIZED ({_sweep_pairs}),
+ths(threshold) AS (VALUES {_sweep_vals}),
+fanned AS MATERIALIZED (
+  SELECT t.threshold, p.doc_a, p.doc_b
+  FROM pairs p JOIN ths t ON p.jaccard >= t.threshold
+),
+base AS (
+  SELECT threshold, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT doc_b) AS n_removed_keepmin
+  FROM fanned GROUP BY 1
+),
+aff AS (
+  SELECT threshold, COUNT(DISTINCT d) AS n_docs_affected
+  FROM (SELECT threshold, doc_a AS d FROM fanned
+        UNION ALL SELECT threshold, doc_b FROM fanned)
+  GROUP BY 1
+)
+SELECT CAST(CAST(b.threshold AS DECIMAL(18,6)) AS DOUBLE) AS threshold,
+       b.n_pairs,
+       CAST(a.n_docs_affected AS BIGINT) AS n_docs_affected,
+       CAST(b.n_removed_keepmin AS BIGINT) AS n_removed_keepmin
+FROM base b JOIN aff a USING (threshold)
+ORDER BY threshold
+"""
+
+    from warp_pipes_spark.text.analysis import sentence_split_sql
+
+    _bp_flat = sentence_split_sql(
+        table=r"(SELECT doc_id, source,"
+        r" regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')"
+        r" AS text FROM documents)"
+    )
+    ORACLES_EXT["q200_boilerplate_lines"] = f"""
+WITH flat AS MATERIALIZED ({_bp_flat}),
+lab AS (
+  SELECT f.doc_id, d.source, f.sentence
+  FROM flat f JOIN documents d USING (doc_id)
+),
+per_line AS (
+  SELECT source, sentence,
+         COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+  FROM lab GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(CASE WHEN n_docs >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_lines,
+       CAST(CAST(CAST(SUM(CASE WHEN n_docs >= 5 THEN n_occ ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_occ) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS boilerplate_share,
+       MAX(CASE WHEN n_docs >= 5
+                THEN {{'occ': n_occ, 'line': sentence}} END).line AS top_line,
+       CAST(COALESCE(MAX(CASE WHEN n_docs >= 5
+                THEN {{'occ': n_occ, 'line': sentence}} END).occ, 0) AS BIGINT)
+         AS top_occ
+FROM per_line GROUP BY source ORDER BY source
+"""
+
     from warp_pipes_spark.pipes.sampling import token_budget_sql
 
     ORACLES_EXT["q179_token_budget"] = token_budget_sql(
@@ -6714,6 +6958,9 @@ def _register():
         "q195_tfidf_keywords": q195_tfidf_keywords,
         "q196_cluster_size_profile": q196_cluster_size_profile,
         "q197_readability": q197_readability,
+        "q198_pmi_collocations": q198_pmi_collocations,
+        "q199_dedup_threshold_sweep": q199_dedup_threshold_sweep,
+        "q200_boilerplate_lines": q200_boilerplate_lines,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
