@@ -521,3 +521,37 @@ def test_round4_operators_plan_shapes(spark, sf_dir):
     for name, plan in plans.items():
         assert "BroadcastNestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round5_operators_plan_shapes(spark, sf_dir):
+    """Scale-relevant plan facts for the round-5 additions: readability
+    is scan-level (ZERO exchanges, zero Python); the HLL rollup and the
+    dedup threshold sweep materialize their shared frame once (both
+    union/fan branches read an ExistingRDD, no second corpus scan); the
+    drift panel and JS matrix plan no cartesian products or nested-loop
+    joins anywhere."""
+    from warp_pipes_spark.queries import QUERIES
+
+    plans = {
+        name: QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution()
+        .executedPlan().toString()
+        for name in (
+            "q186_embedding_drift", "q193_source_divergence",
+            "q194_hll_rollup", "q197_readability",
+            "q199_dedup_threshold_sweep",
+        )
+    }
+    assert plans["q197_readability"].count("Exchange") == 0
+    assert "EvalPython" not in plans["q197_readability"]
+    assert plans["q194_hll_rollup"].count("FileScan") == 0
+    assert "ExistingRDD" in plans["q194_hll_rollup"]
+    assert plans["q199_dedup_threshold_sweep"].count("FileScan") == 0
+    assert "ExistingRDD" in plans["q199_dedup_threshold_sweep"]
+    for name, plan in plans.items():
+        # q193's (vocab x pairs) grid is a broadcast cross against the
+        # groups^2-bounded pair table — the INTENDED shape (same as the
+        # q30/q31 exact-cosine plans); a CartesianProduct (shuffle-side
+        # cross) is banned everywhere
+        if name != "q193_source_divergence":
+            assert "BroadcastNestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -2411,7 +2411,10 @@ def q194_hll_rollup(spark, sf):
         "source", F.explode(tokens_expr(F.col("text"))).alias("term")
     )
     hll = PortableHll("term", group_cols=("source",))
-    regs = hll.registers(tok)
+    # the register frame feeds BOTH the per-source estimates and the
+    # global merge — localCheckpoint the (register-sized!) state so the
+    # corpus explode runs once, not once per branch
+    regs = hll.registers(tok).localCheckpoint()
     per_src = hll.estimate(regs)
     gregs = merge_hll_registers(regs.drop("source"))
     gest = (
