@@ -2366,7 +2366,9 @@ def q191_dedup_agreement(spark, sf):
     two IEEE divisions."""
     from warp_pipes_spark.text.dedup import DedupAgreement
 
-    return DedupAgreement(n=3, floor=0.05)(T(spark, sf, "documents"))
+    return DedupAgreement(n=3, floor=0.05, sample_fraction=0.3)(
+        T(spark, sf, "documents")
+    )
 
 
 def q192_zipf_fit(spark, sf):
@@ -2688,7 +2690,7 @@ def q188_lsh_s_curve(spark, sf):
     from warp_pipes_spark.text.dedup import LshSCurveAudit
 
     return LshSCurveAudit(
-        n=3, n_hashes=32, band_size=4, floor=0.05
+        n=3, n_hashes=32, band_size=4, floor=0.05, sample_fraction=0.3
     )(T(spark, sf, "documents"))
 
 
@@ -6376,7 +6378,8 @@ def _round2b_oracles():
     from warp_pipes_spark.text.dedup import lsh_s_curve_sql
 
     ORACLES_EXT["q188_lsh_s_curve"] = lsh_s_curve_sql(
-        "documents", n=3, n_hashes=32, band_size=4, floor=0.05
+        "documents", n=3, n_hashes=32, band_size=4, floor=0.05,
+        sample_fraction=0.3,
     )
 
     from warp_pipes_spark.ml.metrics import calibration_report_sql
@@ -6419,7 +6422,7 @@ FROM (SELECT shard, pack_id, SUM(n_tokens) AS fill
     from warp_pipes_spark.text.dedup import dedup_agreement_sql
 
     ORACLES_EXT["q191_dedup_agreement"] = dedup_agreement_sql(
-        "documents", n=3, floor=0.05
+        "documents", n=3, floor=0.05, sample_fraction=0.3
     )
 
     from warp_pipes_spark.text.analysis import (

@@ -2497,6 +2497,8 @@ class LshSCurveAudit(Pipe):
         band_size: int = 4,
         floor: float = 0.2,
         buckets: int = 10,
+        sample_fraction: float | None = None,
+        seed: int = 23,
         **kwargs,
     ):
         if n_hashes % band_size != 0:
@@ -2511,8 +2513,27 @@ class LshSCurveAudit(Pipe):
         self.band_size = band_size
         self.floor = floor
         self.buckets = buckets
+        # an audit ESTIMATES rates — it does not need every pair. The
+        # low-floor pair universe grows near-quadratically with corpus
+        # size (67 s at the 10x soak unsampled), so at scale the audit
+        # runs on a deterministic md5-gated document sample: exact
+        # Jaccard semantics inside the sample, reproducible across
+        # engines/partitionings, and pair cost scales by fraction^2.
+        self.sample_fraction = sample_fraction
+        self.seed = seed
+
+    def _sampled(self, df: DataFrame) -> DataFrame:
+        if self.sample_fraction is None:
+            return df
+        from warp_pipes_spark.pipes.sampling import _gate_col, _threshold_hex
+
+        return df.filter(
+            _gate_col(F.col(self.id_col), self.seed)
+            < F.lit(_threshold_hex(self.sample_fraction))
+        )
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        df = self._sampled(df)
         pairs = NgramJaccardDedup(
             text_col=self.text_col,
             id_col=self.id_col,
@@ -2576,9 +2597,19 @@ def lsh_s_curve_sql(
     band_size: int = 4,
     floor: float = 0.2,
     buckets: int = 10,
+    sample_fraction: float | None = None,
+    seed: int = 23,
 ) -> str:
-    """DuckDB oracle for :class:`LshSCurveAudit`: identical pair set, md5
-    signatures, band slices, bucketing and shared theory literals."""
+    """DuckDB oracle for :class:`LshSCurveAudit`: identical (sampled)
+    pair set, md5 signatures, band slices, bucketing and shared theory
+    literals."""
+    if sample_fraction is not None:
+        from warp_pipes_spark.pipes.sampling import _gate_sql, _threshold_hex
+
+        table = (
+            f"(SELECT * FROM {table} WHERE {_gate_sql(id_col, seed)}"
+            f" < '{_threshold_hex(sample_fraction)}') smp"
+        )
     pair_sql = ngram_jaccard_sql(table, text, id_col, n, floor)
     sh = shingles_sql(text, n)
     r, nb = band_size, n_hashes // band_size
@@ -2681,6 +2712,8 @@ class DedupAgreement(Pipe):
         band_size: int = 4,
         max_hamming: int = 3,
         floor: float = 0.05,
+        sample_fraction: float | None = None,
+        seed: int = 23,
         **kwargs,
     ):
         if n_hashes % band_size != 0:
@@ -2695,8 +2728,23 @@ class DedupAgreement(Pipe):
         self.band_size = band_size
         self.max_hamming = max_hamming
         self.floor = floor
+        # agreement is a RATE estimate — run it on a deterministic
+        # md5-gated doc sample at scale (the LshSCurveAudit rationale:
+        # the low-floor pair universe is near-quadratic unsampled)
+        self.sample_fraction = sample_fraction
+        self.seed = seed
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        if self.sample_fraction is not None:
+            from warp_pipes_spark.pipes.sampling import (
+                _gate_col,
+                _threshold_hex,
+            )
+
+            df = df.filter(
+                _gate_col(F.col(self.id_col), self.seed)
+                < F.lit(_threshold_hex(self.sample_fraction))
+            )
         pairs = NgramJaccardDedup(
             text_col=self.text_col,
             id_col=self.id_col,
@@ -2784,9 +2832,18 @@ def dedup_agreement_sql(
     band_size: int = 4,
     max_hamming: int = 3,
     floor: float = 0.05,
+    sample_fraction: float | None = None,
+    seed: int = 23,
 ) -> str:
-    """DuckDB oracle for :class:`DedupAgreement`: identical pair set,
-    signatures, verdicts and kappa algebra."""
+    """DuckDB oracle for :class:`DedupAgreement`: identical (sampled)
+    pair set, signatures, verdicts and kappa algebra."""
+    if sample_fraction is not None:
+        from warp_pipes_spark.pipes.sampling import _gate_sql, _threshold_hex
+
+        table = (
+            f"(SELECT * FROM {table} WHERE {_gate_sql(id_col, seed)}"
+            f" < '{_threshold_hex(sample_fraction)}') smp"
+        )
     pair_sql = ngram_jaccard_sql(table, text, id_col, n, floor)
     sh = shingles_sql(text, n)
     ssig = simhash_signature_sql(table, text, id_col)
