@@ -35,6 +35,11 @@ DEFAULT_QUERIES = [
     "q146_wordpiece", "q151_maximal_spans", "q153_dsir_select",
     "q165_packed_batches", "q171_stupid_backoff", "q174_prf_expansion",
     "q175_curation_funnel", "q176_gopher_repetition", "q177_kcore",
+    # round-5 heavy additions
+    "q186_embedding_drift", "q188_lsh_s_curve", "q189_calibration",
+    "q190_capacity_sweep", "q191_dedup_agreement", "q193_source_divergence",
+    "q194_hll_rollup", "q196_cluster_size_profile",
+    "q199_dedup_threshold_sweep", "q200_boilerplate_lines",
 ]
 
 TABLES = (
@@ -54,13 +59,33 @@ def main() -> None:
     qs, oracles = queries(), oracle_sql()
     spark = get_spark(app_name="parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
 
-    results, n_pass = {}, 0
+    def fresh_con():
+        # one connection PER QUERY: materialized CTEs and recursive packs
+        # at sf0.1 accumulate across statements and OOM a shared session
+        c = duckdb.connect()
+        # the co-resident Spark JVM holds most of the container's RAM;
+        # cap DuckDB and give it a spill directory so the big oracles
+        # (90M-row gram unions, recursive packs) go out-of-core instead
+        # of OOM-ing
+        c.execute(
+            f"SET memory_limit='{os.environ.get('PARITY_DUCK_MEM', '60GB')}'"
+        )
+        # fewer threads = fewer per-thread operator buffers; the big
+        # gram-union oracles fit at 8 threads where 32 OOM
+        c.execute("SET threads=8")
+        c.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        return c
+
+    # PHASE 1: all Spark results, then STOP the JVM — it holds most of
+    # the container's RAM, and the big oracles (90M-row gram unions,
+    # recursive packs) need it; running the engines sequentially gives
+    # each one the whole machine
+    spark_rows, spark_cols, results, n_pass = {}, {}, {}, 0
     for name in names:
         if name not in oracles:
             results[name] = {"status": "skipped", "reason": "rows-only"}
@@ -69,37 +94,71 @@ def main() -> None:
         try:
             sdf = qs[name](spark, SF_DIR)
             cols = sorted(sdf.columns)
-            srows = sorted(
+            spark_cols[name] = cols
+            spark_rows[name] = sorted(
                 tuple(str(r[c]) for c in cols) for r in sdf.collect()
             )
+            results[name] = {
+                "rows": len(spark_rows[name]),
+                "spark_sec": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            results[name] = {
+                "status": "ERROR",
+                "error": f"spark {type(e).__name__}: {e}"[:300],
+            }
+        print(f"SPARK {name} done", flush=True)
+        spark.catalog.clearCache()
+    spark.stop()
+
+    # PHASE 2: oracles with the full machine
+    for name in names:
+        if name not in oracles or "error" in results.get(name, {}):
+            continue
+        t0 = time.perf_counter()
+        try:
+            con = fresh_con()
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             idx = [ocols.index(c) for c in sorted(ocols)]
             orows = sorted(
                 tuple(str(row[i]) for i in idx) for row in cur.fetchall()
             )
-            ok = srows == orows and sorted(ocols) == cols
-            results[name] = {
-                "status": "pass" if ok else "FAIL",
-                "rows": len(srows),
-                "sec": round(time.perf_counter() - t0, 2),
-            }
+            con.close()
+            ok = (
+                spark_rows[name] == orows
+                and sorted(ocols) == spark_cols[name]
+            )
+            results[name]["status"] = "pass" if ok else "FAIL"
+            results[name]["oracle_sec"] = round(time.perf_counter() - t0, 2)
             n_pass += ok
         except Exception as e:  # noqa: BLE001
             results[name] = {
                 "status": "ERROR",
-                "error": f"{type(e).__name__}: {e}"[:300],
+                "error": f"oracle {type(e).__name__}: {e}"[:300],
             }
-        print(f"PARITY {name} {results[name]['status']}", flush=True)
-        spark.catalog.clearCache()
+        print(f"PARITY {name} {results[name].get('status')}", flush=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "PARITY_sf0.1.json")
+    # MERGE into the existing artifact (subset re-runs must not erase
+    # the other queries' rows)
+    merged = results
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(results)
+        merged = prev
     out = {
         "sf_dir": SF_DIR,
-        "n_pass": n_pass,
-        "n_total": len([n for n in names if n in oracles]),
-        "queries": results,
+        "n_pass": sum(
+            1 for v in merged.values() if v.get("status") == "pass"
+        ),
+        "n_total": len(
+            [n for n in merged if merged[n].get("status") != "skipped"]
+        ),
+        "queries": merged,
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PARITY_sf0.1.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"DONE {n_pass}/{out['n_total']}")
 
