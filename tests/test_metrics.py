@@ -134,6 +134,28 @@ def test_calibration_report_hand_oracle(spark):
         assert r["gap"] == 0.5 and r["ece"] == 0.5
 
 
+def test_calibration_report_drops_null_rows(spark):
+    """NULL scores/labels are excluded entirely: least(NULL, B-1) would
+    otherwise bin a NULL score into the top bin (counted in n, excluded
+    from ssum), corrupting mean_score/gap/ece."""
+    from warp_pipes_spark.ml.metrics import CalibrationReport
+
+    rows = []
+    for i in range(8):
+        rows.append((0.25, 1 if i % 4 == 0 else 0))
+        rows.append((0.75, 0 if i % 4 == 0 else 1))
+    clean = spark.createDataFrame(rows, "score double, label int")
+    dirty = spark.createDataFrame(
+        rows + [(None, 1), (0.9, None), (None, None)],
+        "score double, label int",
+    )
+    want = sorted(CalibrationReport(n_bins=2)(clean).collect())
+    got = sorted(CalibrationReport(n_bins=2)(dirty).collect())
+    assert got == want
+    for r in got:
+        assert r["gap"] == 0.0 and r["ece"] == 0.0 and r["n"] == 8
+
+
 def test_dedup_agreement_kappa_hand_oracle(spark):
     """Identical docs agree 'dup' on both methods; unrelated docs agree
     'not dup'; kappa is computed from the exact 2x2 table."""

@@ -391,6 +391,30 @@ def test_embedding_drift_detects_planted_shift(spark):
     assert all(v == 0.0 for v in same.values())
 
 
+def test_embedding_drift_drops_null_components(spark):
+    """NULL vector components are excluded on both snapshots: least(NULL,
+    B-1) would otherwise land them in the top bin while skipping the
+    frame min/max and mean sums, silently skewing PSI and the means."""
+    from warp_pipes_spark.ml.drift import EmbeddingDrift
+
+    schema = "vec_id long, embedding array<double>"
+    base = [(i, [0.1 * (i % 10), 0.5]) for i in range(100)]
+    ref = spark.createDataFrame(base, schema)
+    # same values, but a handful of NULL components injected on each dim
+    noisy = list(base) + [(100, [None, 0.5]), (101, [0.3, None]),
+                          (102, [None, None])]
+    cur = spark.createDataFrame(noisy, schema)
+    out = {r["dim"]: r for r in EmbeddingDrift(reference=ref)(cur).collect()}
+    # dim 0 gains one real value (0.3) and dim 1 one real value (0.5):
+    # counts reflect only non-NULL components
+    assert out[0]["n_ref"] == 100 and out[0]["n_cur"] == 101
+    assert out[1]["n_ref"] == 100 and out[1]["n_cur"] == 101
+    # psi is not exactly 0: n_cur=101 vs n_ref=100 shifts the Laplace
+    # fractions by ~1e-4 even though every value is identical
+    assert out[1]["mean_cur"] == 0.5 and out[1]["psi"] < 1e-4
+    assert out[0]["psi"] < 0.01
+
+
 def test_vocab_growth_monotone_and_exact_at_full(spark):
     """Nested md5 samples: every column is monotone over pct, and the
     100% row equals the exact corpus-wide counts."""
@@ -442,6 +466,30 @@ def test_lsh_s_curve_planted_extremes(spark):
     lo = min(out)
     assert lo <= 0.2
     assert out[lo]["theoretical_rate"] < 0.05
+
+
+def test_lsh_s_curve_nondefault_buckets(spark):
+    """buckets != 10 must scale the bucket edges and j_lo consistently
+    (the width was once hard-coded to deciles): a j=1.0 pair lands in the
+    TOP bucket (j_lo = (buckets-1)/buckets) and every j_lo is a multiple
+    of 1/buckets below 1."""
+    from warp_pipes_spark.text.dedup import LshSCurveAudit
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, dup), (2, dup),
+            (3, "one two three xa ya za wa va ua ta"),
+            (4, "one two three xb yb zb wb vb ub tb")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for buckets in (5, 20):
+        out = {r["j_lo"]: r for r in
+               LshSCurveAudit(n=3, floor=0.05, buckets=buckets)(df).collect()}
+        assert len(out) == 2  # no rows silently dropped by the theory join
+        hi = max(out)
+        assert abs(hi - (buckets - 1) / buckets) < 1e-9, (buckets, hi)
+        assert out[hi]["measured_rate"] == 1.0
+        assert out[hi]["theoretical_rate"] > 0.99
+        for j_lo in out:
+            assert abs(j_lo * buckets - round(j_lo * buckets)) < 1e-9
 
 
 def test_hll_rollup_merge_equals_rescan(spark):

@@ -70,9 +70,15 @@ class EmbeddingDrift(Pipe):
     _no_fingerprint = ("reference",)
 
     def _components(self, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.posexplode(self.vec_col).alias("dim", "__x")
-        ).select("dim", _v6("__x").alias("v"))
+        # NULL components are dropped on BOTH engines: least(NULL, B-1)
+        # would otherwise bin a NULL into the top bin while excluding it
+        # from the frame min/max and the mean sums (the CalibrationReport
+        # NULL lesson).
+        return (
+            df.select(F.posexplode(self.vec_col).alias("dim", "__x"))
+            .where(F.col("__x").isNotNull())
+            .select("dim", _v6("__x").alias("v"))
+        )
 
     def _binned(self, comp: DataFrame, frame: DataFrame) -> DataFrame:
         B = self.n_bins
@@ -197,7 +203,7 @@ def embedding_drift_sql(
     comp = (
         lambda src: f"SELECT g.i AS dim, {v6} AS v FROM ({src}) t, "
         f"LATERAL (SELECT unnest(range(len({vec}))) AS i, "
-        f"unnest({vec}) AS x) g"
+        f"unnest({vec}) AS x) g WHERE g.x IS NOT NULL"
     )
     bin_ = (
         f"CASE WHEN f.vmax > f.vmin THEN GREATEST(0, LEAST("

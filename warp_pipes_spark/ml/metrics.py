@@ -436,9 +436,9 @@ class CalibrationReport(Pipe):
             (F.col(self.score_col).cast("double").cast("decimal(18,6)") * 1000000)
             .cast("long")
         )
-        rows = df.select(
-            s6.alias("v"), F.col(self.label_col).cast("long").alias("y")
-        )
+        rows = df.where(
+            F.col(self.score_col).isNotNull() & F.col(self.label_col).isNotNull()
+        ).select(s6.alias("v"), F.col(self.label_col).cast("long").alias("y"))
         frame = rows.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
         raw = F.expr(f"(v - vmin) * {B} div (vmax - vmin)")
         bin_ = (
@@ -503,6 +503,7 @@ WITH rows_ AS (
   SELECT CAST(CAST(CAST({score} AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
          CAST({label} AS BIGINT) AS y
   FROM ({scored_sql}) t
+  WHERE {score} IS NOT NULL AND {label} IS NOT NULL
 ),
 frame AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM rows_),
 binned AS (

@@ -2663,7 +2663,8 @@ def q200_boilerplate_lines(spark, sf):
                 bp,
                 F.struct(
                     F.col("n_occ").alias("occ"),
-                    # invert for min-sentence tie-break inside max()
+                    # equal-occ ties break by MAX sentence (struct max);
+                    # the DuckDB oracle uses the identical MAX(struct)
                     F.col("sentence").alias("line"),
                 ),
             )

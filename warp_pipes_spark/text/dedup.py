@@ -2554,9 +2554,12 @@ class LshSCurveAudit(Pipe):
         for i in range(nb):
             eq = F.slice("__sa", i * r + 1, r) == F.slice("__sb", i * r + 1, r)
             band_hit = eq if band_hit is None else (band_hit | eq)
+        # bucket width is 1/buckets (NOT a hard-coded decile): bucket
+        # edges, j_lo and the theory midpoints all derive from the same
+        # self.buckets so non-default bucket counts stay consistent.
         jb = F.floor(
             F.least(
-                F.col("jaccard").cast("decimal(18,6)") * 10,
+                F.col("jaccard").cast("decimal(18,6)") * self.buckets,
                 F.lit(self.buckets - 1 + 0.5).cast("decimal(18,6)"),
             )
         ).cast("long")
@@ -2576,7 +2579,9 @@ class LshSCurveAudit(Pipe):
         return (
             agg.join(F.broadcast(theory), "jbucket")
             .select(
-                (F.col("jbucket").cast("double") / 10.0).alias("j_lo"),
+                (F.col("jbucket").cast("double") / float(self.buckets)).alias(
+                    "j_lo"
+                ),
                 "n_pairs",
                 "n_candidates",
                 dec6(
@@ -2632,7 +2637,7 @@ sigs AS MATERIALIZED (
   FROM (SELECT {id_col}, {sh} AS shingles FROM {table})
 ),
 scored AS (
-  SELECT CAST(FLOOR(LEAST(CAST(p.jaccard AS DECIMAL(18,6)) * 10,
+  SELECT CAST(FLOOR(LEAST(CAST(p.jaccard AS DECIMAL(18,6)) * {buckets},
                           CAST({buckets - 1 + 0.5} AS DECIMAL(18,6))))
               AS BIGINT) AS jbucket,
          CASE WHEN {band_terms} THEN 1 ELSE 0 END AS hit
@@ -2641,7 +2646,7 @@ scored AS (
   JOIN sigs b ON b.sid = p.doc_b
 ),
 theory(jbucket, p_theory) AS (VALUES {theory_rows})
-SELECT CAST(s.jbucket AS DOUBLE) / 10.0 AS j_lo,
+SELECT CAST(s.jbucket AS DOUBLE) / {float(buckets)!r} AS j_lo,
        COUNT(*) AS n_pairs,
        CAST(SUM(hit) AS BIGINT) AS n_candidates,
        CAST(CAST(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
