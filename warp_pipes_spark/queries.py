@@ -1700,7 +1700,14 @@ def q177_kcore(spark, sf):
     don't give: members of the 3-core with their within-core degree.
     Fixed-round peeling keeps the oracle a finite CTE chain (extra
     rounds past convergence are no-ops); per round two node-keyed
-    semi-joins + one map-side-combined degree count."""
+    semi-joins + one map-side-combined degree count.
+
+    Sparsity cliff (documented, by design): the support>=2 edge set
+    thins as sf grows — the 3-core has 200 members at sf0.001 and 940
+    at sf0.01 but is EMPTY at sf>=0.1 (repeat co-purchases get rarer as
+    the part key space scales). A correct empty answer, but vacuous for
+    soak purposes — q201 runs the same decomposition on the dense
+    support>=1 graph (k=60), nonempty at every tested scale."""
     from warp_pipes_spark.ml.graph import KCore
 
     return KCore(k=3, rounds=8, out_id="part_id")(
@@ -1708,13 +1715,33 @@ def q177_kcore(spark, sf):
     )
 
 
-_COPURCHASE_EDGES_SQL = (
-    "SELECT a.l_partkey AS u, b.l_partkey AS v "
-    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
-    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
-    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
-    "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
-)
+def q201_kcore_dense(spark, sf):
+    """k-core on the DENSE support>=1 co-purchase graph (``ml/graph.py``
+    ``KCore``, k=60, 8 peel rounds) — the scale-robust companion to
+    q177: the support>=1 graph's minimum degree stays ~40 at every
+    tested sf (0.001 -> 1), so the 60-core both peels real nodes AND
+    stays nonempty from sf0.001 through the sf1 soak (q177's
+    support>=2 3-core is empty past sf0.1 — its documented sparsity
+    cliff). Same shape: two node-keyed semi-joins + map-side-combined
+    degree count per round, edge list persisted once."""
+    from warp_pipes_spark.ml.graph import KCore
+
+    return KCore(k=60, rounds=8, out_id="part_id")(
+        _copurchase_edges(spark, sf, min_support=1)
+    )
+
+
+def _copurchase_edges_sql(min_support: int = 2) -> str:
+    return (
+        "SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+        "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}"
+    )
+
+
+_COPURCHASE_EDGES_SQL = _copurchase_edges_sql(2)
 
 
 def q178_code_switching(spark, sf):
@@ -3884,9 +3911,15 @@ def q114_bm25_incremental(spark, sf):
     return base.append(batch)(_bm25_queries(spark, sf))
 
 
-def _copurchase_edges(spark, sf):
-    """Distinct co-purchase part pairs with support >= 2 (q98's edge set),
-    oriented part_a < part_b."""
+def _copurchase_edges(spark, sf, min_support: int = 2):
+    """Distinct co-purchase part pairs with support >= ``min_support``
+    (q98's edge set at the default 2), oriented part_a < part_b.
+
+    Scale note: the support>=2 graph thins as sf grows (the part key
+    space scales with sf, so repeat co-purchases get rarer — 940 edges'
+    worth of 3-core at sf0.01 but an EMPTY one at sf>=0.1); q201 audits
+    core structure on the dense support>=1 graph, whose min degree stays
+    ~40 at every tested scale."""
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
@@ -3897,7 +3930,7 @@ def _copurchase_edges(spark, sf):
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
+        .filter(F.col("support") >= min_support)
         .select("u", "v")
     )
 
@@ -6598,6 +6631,10 @@ FROM per_line GROUP BY source ORDER BY source
         _COPURCHASE_EDGES_SQL, k=3, rounds=8, out_id="part_id"
     )
 
+    ORACLES_EXT["q201_kcore_dense"] = kcore_sql(
+        _copurchase_edges_sql(1), k=60, rounds=8, out_id="part_id"
+    )
+
     from warp_pipes_spark.text.analysis import gopher_repetition_sql
 
     ORACLES_EXT["q176_gopher_repetition"] = gopher_repetition_sql("documents")
@@ -6968,6 +7005,7 @@ def _register():
         "q198_pmi_collocations": q198_pmi_collocations,
         "q199_dedup_threshold_sweep": q199_dedup_threshold_sweep,
         "q200_boilerplate_lines": q200_boilerplate_lines,
+        "q201_kcore_dense": q201_kcore_dense,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
