@@ -789,3 +789,100 @@ def test_bm25_threshold_prune_is_lossless(spark, sf_dir):
             assert sorted(map(tuple, fast.collect())) == sorted(
                 map(tuple, slow.collect())
             ), f"prune changed results at k={k}"
+
+
+def test_bm25_threshold_prune_lossless_on_variants(spark, sf_dir):
+    """Round-6 extension: the prune must stay BIT-IDENTICAL on the
+    aux-boosted (fixed and log-length-scaled weights), term-filtered,
+    champion-capped and BM25F paths — each previously excluded from
+    `_maxscore_eligible`. k sweeps below and past the match count."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.bm25 import Bm25FSearch, Bm25Search
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    toks = tokens_expr(F.col("text"))
+    queries = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+        F.array_join(F.slice(toks, 6, 3), " ").alias("aux"),
+        F.col("lang").alias("qlang"),
+    )
+    configs = {
+        "aux": dict(aux_text_col="aux", aux_weight=0.5),
+        "aux_scaled": dict(
+            aux_text_col="aux", aux_weight=0.75, scale_aux_weight=True
+        ),
+        "filtered": dict(filter_key="qlang", corpus_filter_key="lang"),
+        "aux_filtered": dict(
+            aux_text_col="aux",
+            aux_weight=0.5,
+            filter_key="qlang",
+            corpus_filter_key="lang",
+        ),
+    }
+    for label, kw in configs.items():
+        for k in (1, 7):
+            fast = Bm25Search(
+                corpus=docs, k=k, maxscore=True,
+                materialize_index=False, **kw,
+            )
+            assert fast._maxscore_eligible(), label
+            slow = Bm25Search(
+                corpus=docs, k=k, maxscore=False,
+                materialize_index=False, **kw,
+            )
+            assert sorted(map(tuple, fast(queries).collect())) == sorted(
+                map(tuple, slow(queries).collect())
+            ), f"prune changed results for {label} at k={k}"
+
+    # BM25F (two weighted fields, per-field length norm)
+    corpus_f = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 6), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, 7, F.greatest(F.size(toks), F.lit(1))), " "
+        ).alias("body"),
+    )
+    for k in (1, 7):
+        fast = Bm25FSearch(
+            corpus=corpus_f, fields={"title": 2.0, "body": 1.0}, k=k,
+            maxscore=True, materialize_index=False,
+        )
+        assert fast._maxscore_eligible()
+        slow = Bm25FSearch(
+            corpus=corpus_f, fields={"title": 2.0, "body": 1.0}, k=k,
+            maxscore=False, materialize_index=False,
+        )
+        assert sorted(map(tuple, fast(queries).collect())) == sorted(
+            map(tuple, slow(queries).collect())
+        ), f"prune changed BM25F results at k={k}"
+
+
+def test_bm25_prune_ineligible_configs_fall_back(spark, sf_dir):
+    """Configs that break the non-negative-contribution argument must NOT
+    take the pruned path: negative raw aux weight, temperature != 1,
+    b outside [0,1], negative BM25F field weight. Champion-capped engines
+    are also excluded — correct but measured slower (the cap already
+    bounds the window input)."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.bm25 import Bm25FSearch, Bm25Search
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert not Bm25Search(
+        corpus=docs, aux_text_col="aux", aux_weight=-0.5
+    )._maxscore_eligible()
+    assert not Bm25Search(corpus=docs, temperature=2.0)._maxscore_eligible()
+    assert not Bm25Search(corpus=docs, b=1.5)._maxscore_eligible()
+    assert not Bm25Search(corpus=docs, champion_size=8)._maxscore_eligible()
+    assert not Bm25FSearch(
+        corpus=docs, fields={"text": -1.0}
+    )._maxscore_eligible()
+    # scaled aux weights are >= 0 by construction, so a negative raw
+    # aux_weight stays eligible when scaling is on
+    assert Bm25Search(
+        corpus=docs, aux_text_col="aux", aux_weight=-0.5,
+        scale_aux_weight=True,
+    )._maxscore_eligible()

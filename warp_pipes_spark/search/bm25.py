@@ -155,10 +155,14 @@ class Bm25Search(Pipe):
         self.champion_size = champion_size
         # MaxScore dynamic pruning (Turtle & Flood 1995; the WAND family,
         # Broder et al. 2003) — LOSSLESS top-k acceleration, enabled by
-        # default on the plain query path (no aux query, no term filter,
-        # no champion truncation). Results are bit-identical to the
-        # exhaustive join; only the physical plan changes. See
-        # `_transform_maxscore` for the algebra and the safety argument.
+        # default on every non-negative-contribution path: plain,
+        # aux-boosted (weight >= 0), term-filtered and BM25F queries
+        # (champion-capped engines stay exhaustive — the cap already
+        # bounds the window input, so the theta pass is pure overhead).
+        # Results are bit-identical to the exhaustive
+        # join; only the physical plan changes. See `_maxscore_eligible`
+        # for the precise preconditions and `_transform_maxscore` for
+        # the algebra and the safety argument.
         self.maxscore = maxscore
         self.index_cache_dir = index_cache_dir or _default_index_cache_dir()
 
@@ -391,15 +395,19 @@ class Bm25Search(Pipe):
         # exploded query terms keeps the postings side shuffle-free
         if self.broadcast_queries:
             q_terms = F.broadcast(q_terms)
-        joined = q_terms.join(postings, on="term")
         if self.filter_key:
+            # the doc's filter value becomes a JOIN KEY (not a post-join
+            # predicate): the (term, filter) equi-join drops non-matching
+            # fan-out rows at the join itself — with L distinct filter
+            # values, ~(L-1)/L of the candidate fan-out never materializes
             doc_filters = self.corpus.select(
                 F.col(self.corpus_id).alias("doc_id"),
-                F.col(self.corpus_filter_key).alias("__dfilter"),
+                F.col(self.corpus_filter_key).alias("__qfilter"),
             )
-            joined = joined.join(doc_filters, "doc_id").where(
-                F.col("__qfilter") == F.col("__dfilter")
-            )
+            postings = postings.join(doc_filters, "doc_id")
+            joined = q_terms.join(postings, on=["term", "__qfilter"])
+        else:
+            joined = q_terms.join(postings, on="term")
         # per-posting score precomputed at build; decimal-round per TERM
         # contribution (the oracle's CAST point) so the sum stays order-free.
         # The scale-6 decimal is then carried as a scaled LONG (value * 1e6,
@@ -415,15 +423,43 @@ class Bm25Search(Pipe):
     # --- seed-threshold dynamic pruning (lossless top-k) ----------------
 
     def _maxscore_eligible(self) -> bool:
-        """The prune applies on the plain path only: auxiliary queries and
-        term filters change per-doc contributions after the join (the
-        threshold bound would need the aux/filter algebra), and champion
-        truncation is already a (stronger, lossy) prune."""
+        """Lossless-prune preconditions. The theta argument (any subset
+        partial <= the exact sum, so the k-th best seed partial lower-
+        bounds the true k-th best score) needs every per-(term, doc)
+        contribution to be NON-NEGATIVE and the ranking to be on the
+        exact sums themselves:
+
+        * aux legs: supported — theta sums seed partials over BOTH legs
+          with the legs' exact weights, valid because the main weight is
+          1 and the aux weight is >= 0 (scaled weights are >= 0 by
+          construction; a raw negative ``aux_weight`` disables the prune).
+        * term filters: supported — seed partials are restricted to docs
+          whose filter value matches the query's, so theta bounds the
+          k-th best score WITHIN the filtered candidate set.
+        * champion truncation: excluded as NOT WORTH IT (correct but
+          measured slower): the cap already bounds the ranking-window
+          input to <= |q| x C rows per query, the same order as the
+          theta pass's own seed join + window — pruning pays a second
+          pass to shrink work that is already small (q106 0.8 -> 1.6 s,
+          q174's feedback pass 6.1 -> 6.75 s at sf0.1 when enabled).
+        * temperature != 1: excluded — the exhaustive path decimal-rounds
+          score/T AFTER summation, which can merge distinct sums into
+          ties whose idx tie-break the pre-rounding prune cannot see.
+        * k1 < 0 or b outside [0, 1]: excluded — a negative length norm
+          could make contributions negative, breaking partial <= exact.
+        """
+        aux_ok = (
+            self.aux_text_col is None
+            or self.scale_aux_weight
+            or self.aux_weight >= 0
+        )
         return (
             self.maxscore
-            and self.aux_text_col is None
-            and self.filter_key is None
+            and aux_ok
             and self.champion_size is None
+            and self.temperature == 1.0
+            and self.k1 >= 0
+            and 0.0 <= self.b <= 1.0
         )
 
     @staticmethod
@@ -438,14 +474,20 @@ class Bm25Search(Pipe):
         ``C = max(k, 16)`` postings per term by baked score (doc_id
         tiebreak). One window pass over the scored postings, parquet-cached
         beside the index, so query batches pay zero build cost after the
-        first. Term-sized x C rows — tiny next to the index."""
+        first. Term-sized x C rows — tiny next to the index.
+
+        Stores the RAW ``score_d`` (not a pre-rounded contribution): the
+        aux leg rounds ``score_d * w`` with a per-QUERY weight, so the
+        decimal cast must happen at query time, after the weight multiply
+        — identical to `_scored`'s expression (weight 1.0 multiplies
+        exactly, so the plain path is unchanged)."""
         from warp_pipes_spark.pipes.cache import CacheManager
 
         C = max(self.k, 16)
-        scored = postings.select(
-            "term", "doc_id", self._ts_long(F.col("score_d")).alias("ts")
+        scored = postings.select("term", "doc_id", "score_d")
+        wc = Window.partitionBy("term").orderBy(
+            F.desc("score_d"), F.asc("doc_id")
         )
-        wc = Window.partitionBy("term").orderBy(F.desc("ts"), F.asc("doc_id"))
         seed = (
             scored.withColumn("__cr", F.row_number().over(wc))
             .filter(F.col("__cr") <= C)
@@ -453,7 +495,7 @@ class Bm25Search(Pipe):
         )
         if self.materialize_index:
             manager = CacheManager(self.index_cache_dir)
-            fp_seed = self._index_fingerprint() + f"_seed{C}"
+            fp_seed = self._index_fingerprint() + f"_seedv2_{C}"
             if not manager.exists(fp_seed):
                 manager.store(seed, fp_seed)
             seed = manager.load(self.corpus.sparkSession, fp_seed)
@@ -515,6 +557,18 @@ class Bm25Search(Pipe):
         keep every scored doc — exactly the queries with almost no
         matches, so their window input is tiny anyway.
 
+        VARIANTS (round-6 extension; same theta argument throughout):
+        aux-boosted queries contribute a second leg of (term, weight)
+        rows — both the seed partials and the exact sums round
+        ``score_d * w`` per contribution exactly like `_scored`, and the
+        bound holds because both legs' weights are >= 0. Term-filtered
+        queries restrict BOTH the seed partials and the candidate set to
+        docs whose filter value matches the query's, so theta bounds the
+        k-th best score within the filtered universe. Single-leg
+        configs keep the round-5 posting-side precomputed contribution
+        (one decimal cast per INDEX row); only aux configs round
+        ``score_d * w`` per fan-out row, because the weight is per-query.
+
         PHYSICAL STRATEGY — the contribution fan-out (one row per query
         term x matching posting) must be aggregated per (query, doc); the
         planner here chooses WHERE that aggregation's exchange happens by
@@ -534,18 +588,36 @@ class Bm25Search(Pipe):
           fan-out over a 1.16M-row index): the fan-out shuffle was 20.7 s
           of a 44 s pass; this plan removes it entirely."""
         seed = self._seed_table(postings)
-        qterms = df.select(
-            F.col(self.query_id).alias("query_id"),
-            F.explode(
-                F.array_distinct(tokens_expr(F.col(self.query_text)))
-            ).alias("term"),
-        )
+        qterms = self._query_legs(df)
         if self.broadcast_queries:
             qterms = F.broadcast(qterms)
+        # per-contribution units: round AFTER the leg-weight multiply,
+        # exactly `_scored`'s cast point. Single-leg configs have a
+        # constant weight 1.0, so the cast moves to the POSTINGS side —
+        # one decimal round per index row instead of per fan-out row
+        # (multiplying by 1.0 is an IEEE identity, so both cast points
+        # round the same value)
+        single_leg = self.aux_text_col is None
+        ts = self._ts_long(F.col("score_d") * F.col("__w"))
+        doc_filters = None
+        join_keys = ["term"]
+        if self.filter_key:
+            # doc filter value as a JOIN KEY (the `_scored` trick): with L
+            # distinct filter values ~(L-1)/L of the candidate fan-out
+            # never materializes. One index ⋈ corpus-projection join per
+            # batch; seeds reuse the same enriched frame (term-sized x C)
+            doc_filters = self.corpus.select(
+                F.col(self.corpus_id).alias("doc_id"),
+                F.col(self.corpus_filter_key).alias("__qfilter"),
+            )
+            seed = seed.join(doc_filters, "doc_id")
+            join_keys = ["term", "__qfilter"]
 
-        # theta: k-th best seed partial per query (deterministic)
+        # theta: k-th best seed partial per query (deterministic); with a
+        # term filter, only filter-satisfying docs may seed the bound
         partial = (
-            qterms.join(seed, "term")
+            qterms.join(seed, join_keys)
+            .select("query_id", "doc_id", ts.alias("ts"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("ts").alias("ps"))
         )
@@ -559,7 +631,9 @@ class Bm25Search(Pipe):
         )
 
         # strategy choice: both sides of the inequality are exact row
-        # counts from the vocabulary-sized df table (two scalar probes)
+        # counts from the vocabulary-sized df table (two scalar probes);
+        # qterms carries one row per (query, leg, term), so the join-sum
+        # counts the true fan-out across legs
         stats = self._term_stats(postings)
         n_postings = stats.agg(F.sum("df")).collect()[0][0] or 0
         fan_est = (
@@ -567,9 +641,18 @@ class Bm25Search(Pipe):
         )
         doc_major = fan_est > n_postings
 
-        scored = postings.select(
-            "term", "doc_id", self._ts_long(F.col("score_d")).alias("ts")
-        )
+        if single_leg:
+            scored = postings.select(
+                "term", "doc_id", self._ts_long(F.col("score_d")).alias("__pts")
+            )
+            fan_ts = F.col("__pts")
+        else:
+            scored = postings.select("term", "doc_id", "score_d")
+            fan_ts = ts
+        if doc_filters is not None:
+            # doc-keyed enrichment; clustering on doc_id survives into the
+            # doc-major aggregate below
+            scored = scored.join(doc_filters, "doc_id")
         if doc_major:
             # explicit partition count: the repartition exchange moves only
             # the (small) index, so AQE would coalesce it — and the huge
@@ -580,8 +663,10 @@ class Bm25Search(Pipe):
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
             )
             scored = scored.repartition(n_shuffle, "doc_id")
-        full = qterms.join(scored, "term").select(
-            "query_id", F.col("doc_id").alias("idx"), "ts"
+        full = qterms.join(scored, join_keys).select(
+            "query_id",
+            F.col("doc_id").alias("idx"),
+            fan_ts.alias("ts"),
         )
         if not doc_major:
             full = full.repartition("query_id")
@@ -596,6 +681,40 @@ class Bm25Search(Pipe):
             )
         )
         return self._finalize(scores)
+
+    def _query_legs(self, df: DataFrame) -> DataFrame:
+        """(query_id, [__qfilter,] __w, term) rows for every scoring leg —
+        the main query text at weight 1 plus the optional aux leg at its
+        (possibly per-query log-length-scaled) weight. Mirrors `_scored`'s
+        per-leg explosion so the pruned path rounds identical
+        contributions; a term appearing in both legs yields two rows whose
+        contributions ADD, matching the exhaustive union-of-legs plan."""
+        fsel = (
+            [F.col(self.filter_key).alias("__qfilter")]
+            if self.filter_key
+            else []
+        )
+
+        def leg(text_col, w):
+            wcol = F.lit(float(w)) if isinstance(w, (int, float)) else w
+            return df.select(
+                F.col(self.query_id).alias("query_id"),
+                *fsel,
+                wcol.alias("__w"),
+                F.explode(
+                    F.array_distinct(tokens_expr(F.col(text_col)))
+                ).alias("term"),
+            )
+
+        out = leg(self.query_text, 1.0)
+        if self.aux_text_col:
+            aux_w = (
+                self._aux_weight_expr()
+                if self.scale_aux_weight
+                else self.aux_weight
+            )
+            out = out.unionByName(leg(self.aux_text_col, aux_w))
+        return out
 
     def _finalize(self, scores: DataFrame) -> DataFrame:
         """Shared tail: temperature scaling + deterministic top-k window."""
@@ -730,6 +849,16 @@ class Bm25FSearch(Bm25Search):
         base["fields"] = dict(self.fields)
         base["field_b"] = dict(self.field_b)
         return base
+
+    def _maxscore_eligible(self) -> bool:
+        """BM25F contributions are non-negative iff every field weight is
+        >= 0 and every per-field b stays in [0, 1] (a b > 1 can drive a
+        short field's tfn — and with it ctf and the score — negative)."""
+        return (
+            super()._maxscore_eligible()
+            and all(w >= 0 for w in self.fields.values())
+            and all(0.0 <= v <= 1.0 for v in self.field_b.values())
+        )
 
     def _score_postings(self, postings: DataFrame) -> DataFrame:
         """(term, doc_id, dl, tf, field) -> (term, doc_id, score_d). The
