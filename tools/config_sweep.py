@@ -1,0 +1,509 @@
+"""Config-sweep parity harness (round-6 judge task #3): re-run each
+parameterized oracled operator family at 2-3 NON-DEFAULT configs and
+compare Spark vs the DuckDB oracle built by the SAME parameterized
+builder. Every decimal-tie / rounding / clamp trap found so far (PSI
+round-5, argpartition round-3, integer-div negatives, the round-6
+LshSCurveAudit hard-coded decile) surfaced only when a config or scale
+changed — the default-config oracle suite cannot see those by
+construction.
+
+Each cell = (family, config label, Spark plan, oracle SQL); comparison
+is the driver's own (sorted stringified rows + sorted column names).
+Writes CONFIG_SWEEP.json.
+
+Usage: python tools/config_sweep.py [sf_dir] [cell-substring]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _cells():
+    """Build the (name, make(spark, sf) -> DataFrame, oracle_sql) list.
+    Lambdas bind their config via default args (the classic closure trap)."""
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.queries import (
+        BM25_QUERIES_CTE,
+        BM25F_QUERIES_CTE,
+        BM25S_QUERIES_CTE,
+        T,
+        _bm25_queries,
+        _copurchase_edges,
+        _copurchase_edges_sql,
+    )
+    from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
+
+    cells = []
+
+    def add(name, make, sql):
+        cells.append((name, make, sql))
+
+    # ---- graph: k-core over (k, rounds, support) --------------------------
+    from warp_pipes_spark.ml.graph import (
+        KCore,
+        hash_min_components,
+        hash_min_components_sql,
+        kcore_sql,
+    )
+
+    for k, rounds, sup in [(2, 6, 2), (4, 8, 2), (40, 8, 1), (80, 10, 1)]:
+        add(
+            f"kcore_k{k}_r{rounds}_s{sup}",
+            lambda spark, sf, k=k, r=rounds, s=sup: KCore(
+                k=k, rounds=r, out_id="part_id"
+            )(_copurchase_edges(spark, sf, min_support=s)),
+            kcore_sql(
+                _copurchase_edges_sql(sup), k=k, rounds=rounds, out_id="part_id"
+            ),
+        )
+
+    # ---- graph: connected components over iters ---------------------------
+    def _cc_spark(spark, sf, iters):
+        pairs = _copurchase_edges(spark, sf, min_support=2)
+        edges = pairs.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        return hash_min_components(edges, iters=iters)
+
+    cc_edges_cte = (
+        f"e0 AS ({_copurchase_edges_sql(2)}), "
+        "edges AS (SELECT u AS src, v AS dst FROM e0 "
+        "UNION ALL SELECT v, u FROM e0)"
+    )
+    for iters in (2, 6):
+        add(
+            f"connected_components_iters{iters}",
+            lambda spark, sf, i=iters: _cc_spark(spark, sf, i),
+            hash_min_components_sql(cc_edges_cte, iters=iters),
+        )
+
+    # ---- BM25 family -------------------------------------------------------
+    from warp_pipes_spark.search.bm25 import (
+        Bm25FSearch,
+        Bm25Search,
+        bm25_oracle_sql,
+        bm25f_oracle_sql,
+    )
+
+    def _docs(spark, sf):
+        return T(spark, sf, "documents")
+
+    def _aux_queries(spark, sf):
+        docs = _docs(spark, sf)
+        toks = tokens_expr(F.col("text"))
+        return docs.filter(F.col("doc_id") % 25 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("text"),
+            F.array_join(F.slice(toks, 6, 3), " ").alias("aux"),
+            F.col("lang").alias("qfilter"),
+        )
+
+    for k in (5, 25):
+        add(
+            f"bm25_k{k}",
+            lambda spark, sf, k=k: Bm25Search(
+                corpus=_docs(spark, sf), k=k, materialize_index=False
+            )(_bm25_queries(spark, sf)),
+            bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=k),
+        )
+    add(
+        "bm25_k1_0.9_b_0.4",
+        lambda spark, sf: Bm25Search(
+            corpus=_docs(spark, sf), k=10, k1=0.9, b=0.4,
+            materialize_index=False,
+        )(_bm25_queries(spark, sf)),
+        bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10, k1=0.9, b=0.4),
+    )
+    add(
+        "bm25_champion4",
+        lambda spark, sf: Bm25Search(
+            corpus=_docs(spark, sf), k=10, champion_size=4,
+            materialize_index=False,
+        )(_bm25_queries(spark, sf)),
+        bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10, champion_size=4),
+    )
+    add(
+        "bm25_aux1.25_filtered",
+        lambda spark, sf: Bm25Search(
+            corpus=_docs(spark, sf), k=10, aux_text_col="aux",
+            aux_weight=1.25, filter_key="qfilter", corpus_filter_key="lang",
+            materialize_index=False,
+        )(_aux_queries(spark, sf)),
+        bm25_oracle_sql(
+            "documents", BM25F_QUERIES_CTE, k=10, aux_weight=1.25,
+            filter_col="lang",
+        ),
+    )
+    add(
+        "bm25_scaled_aux0.3",
+        lambda spark, sf: Bm25Search(
+            corpus=_docs(spark, sf), k=10, aux_text_col="aux",
+            aux_weight=0.3, scale_aux_weight=True, materialize_index=False,
+        )(
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % 50 == 0)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(
+                    F.slice(tokens_expr(F.col("text")), 1, 5), " "
+                ).alias("text"),
+                F.array_join(
+                    F.slice(tokens_expr(F.col("text")), 6, 2), " "
+                ).alias("aux"),
+            )
+        ),
+        bm25_oracle_sql(
+            "documents", BM25S_QUERIES_CTE, k=10, aux_weight=0.3,
+            scale_aux=True,
+        ),
+    )
+
+    def _bm25f_corpus(spark, sf):
+        toks = tokens_expr(F.col("text"))
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 6), " ").alias("title"),
+            F.array_join(
+                F.slice(toks, 7, F.greatest(F.size(toks), F.lit(1))), " "
+            ).alias("body"),
+        )
+
+    _f_exprs = {
+        "title": f"array_to_string(({tokens_sql('text')})[1:6], ' ')",
+        "body": f"array_to_string(({tokens_sql('text')})[7:], ' ')",
+    }
+    add(
+        "bm25f_w_title3_body0.5",
+        lambda spark, sf: Bm25FSearch(
+            corpus=_bm25f_corpus(spark, sf),
+            fields={"title": 3.0, "body": 0.5}, k=10,
+            materialize_index=False,
+        )(_bm25_queries(spark, sf)),
+        bm25f_oracle_sql(
+            "documents", BM25_QUERIES_CTE,
+            fields={"title": 3.0, "body": 0.5}, k=10, field_exprs=_f_exprs,
+        ),
+    )
+    add(
+        "bm25f_field_b_0.3_0.9",
+        lambda spark, sf: Bm25FSearch(
+            corpus=_bm25f_corpus(spark, sf),
+            fields={"title": 2.0, "body": 1.0},
+            field_b={"title": 0.3, "body": 0.9}, k=10,
+            materialize_index=False,
+        )(_bm25_queries(spark, sf)),
+        bm25f_oracle_sql(
+            "documents", BM25_QUERIES_CTE,
+            fields={"title": 2.0, "body": 1.0}, k=10,
+            field_b={"title": 0.3, "body": 0.9}, field_exprs=_f_exprs,
+        ),
+    )
+
+    # ---- dedup family ------------------------------------------------------
+    from warp_pipes_spark.text.dedup import (
+        LshSCurveAudit,
+        MaximalSpanDedup,
+        MinHashDedup,
+        NgramJaccardDedup,
+        SimHashDedup,
+        Winnowing,
+        lsh_s_curve_sql,
+        maximal_span_sql,
+        minhash_dedup_sql,
+        ngram_jaccard_sql,
+        simhash_sql,
+        winnowing_sql,
+    )
+
+    for n, th, pf in [(2, 0.3, False), (4, 0.6, True)]:
+        add(
+            f"ngram_jaccard_n{n}_t{th}_pf{int(pf)}",
+            lambda spark, sf, n=n, t=th, p=pf: NgramJaccardDedup(
+                n=n, threshold=t, prefix_filter=p, materialize_shingles=False
+            )(_docs(spark, sf)),
+            ngram_jaccard_sql(n=n, threshold=th),
+        )
+    for n, nh, bs, th in [(3, 16, 8, 0.4), (2, 64, 4, 0.6)]:
+        add(
+            f"minhash_n{n}_h{nh}_b{bs}_t{th}",
+            lambda spark, sf, n=n, h=nh, b=bs, t=th: MinHashDedup(
+                n=n, n_hashes=h, band_size=b, threshold=t,
+                hash_family="md5", materialize_shingles=False,
+            )(_docs(spark, sf)),
+            minhash_dedup_sql(n=n, n_hashes=nh, band_size=bs, threshold=th),
+        )
+    for nb, mh in [(8, 2), (2, 1)]:
+        add(
+            f"simhash_b{nb}_h{mh}",
+            lambda spark, sf, nb=nb, mh=mh: SimHashDedup(
+                n_bands=nb, max_hamming=mh, hash_family="md5",
+                materialize_signatures=False,
+            )(_docs(spark, sf)),
+            simhash_sql(n_bands=nb, max_hamming=mh),
+        )
+    for k, w in [(4, 6), (2, 8)]:
+        add(
+            f"winnowing_k{k}_w{w}",
+            lambda spark, sf, k=k, w=w: Winnowing(k=k, w=w)(_docs(spark, sf)),
+            winnowing_sql(k=k, w=w),
+        )
+    for ml, mc in [(6, 2), (15, 3)]:
+        add(
+            f"maximal_spans_len{ml}_cnt{mc}",
+            lambda spark, sf, m=ml, c=mc: MaximalSpanDedup(
+                min_len=m, min_count=c
+            )(_docs(spark, sf)),
+            maximal_span_sql(min_len=ml, min_count=mc),
+        )
+    # sample_fraction is itself a swept config (deterministic md5 gate);
+    # it also bounds the near-quadratic unsampled pair universe at sf0.01
+    for buckets, bs, frac in [(5, 4, 0.6), (20, 8, 0.5)]:
+        add(
+            f"lsh_s_curve_buckets{buckets}_band{bs}_f{frac}",
+            lambda spark, sf, b=buckets, s=bs, f=frac: LshSCurveAudit(
+                n=3, band_size=s, floor=0.05, buckets=b, sample_fraction=f
+            )(_docs(spark, sf)),
+            lsh_s_curve_sql(
+                "documents", n=3, band_size=bs, floor=0.05, buckets=buckets,
+                sample_fraction=frac,
+            ),
+        )
+
+    # ---- sketches ----------------------------------------------------------
+    from warp_pipes_spark.ml.sketches import (
+        HistogramQuantiles,
+        KmvSketch,
+        histogram_quantiles_sql,
+        kmv_overlap_sql,
+    )
+
+    add(
+        "hist_quantiles_bins256_q25_75",
+        lambda spark, sf: HistogramQuantiles(
+            value_col="l_extendedprice", group_cols=("l_returnflag",),
+            n_bins=256, quantiles=(0.25, 0.5, 0.75),
+        )(T(spark, sf, "lineitem")),
+        histogram_quantiles_sql(n_bins=256, quantiles=(0.25, 0.5, 0.75)),
+    )
+    add(
+        "kmv_k16_seed3",
+        lambda spark, sf: KmvSketch(group_col="source", k=16, seed=3)(
+            _docs(spark, sf)
+        ),
+        kmv_overlap_sql("documents", group_col="source", k=16, seed=3),
+    )
+
+    # ---- sampling / mixtures ----------------------------------------------
+    from warp_pipes_spark.pipes.sampling import (
+        GroupCap,
+        TemperatureMixture,
+        TokenBudgetPlan,
+        group_cap_sql,
+        temperature_mixture_sql,
+        token_budget_sql,
+    )
+
+    # temperature is an exponent in (0, 1] by the operator's contract
+    for temp in (0.3, 0.9):
+        add(
+            f"temperature_mix_t{temp}",
+            lambda spark, sf, t=temp: TemperatureMixture(temperature=t)(
+                _docs(spark, sf).select("doc_id", "source")
+            ).select("doc_id", "source", "mix_weight", "copy_idx"),
+            temperature_mixture_sql(
+                "documents", temperature=temp, columns="doc_id, source"
+            ),
+        )
+    for cap in (5, 40):
+        add(
+            f"group_cap_{cap}",
+            lambda spark, sf, c=cap: GroupCap(cap=c)(_docs(spark, sf)).select(
+                "doc_id", "source"
+            ),
+            group_cap_sql("documents", cap=cap),
+        )
+    add(
+        "token_budget_50k_t0.3",
+        lambda spark, sf: TokenBudgetPlan(
+            budget_tokens=50_000, temperature=0.3
+        )(_docs(spark, sf)),
+        token_budget_sql("documents", budget_tokens=50_000, temperature=0.3),
+    )
+
+    # ---- quantize / packing / analysis -------------------------------------
+    from warp_pipes_spark.ml.quantize import (
+        RandomProjection,
+        random_projection_sql,
+    )
+
+    add(
+        "random_projection_d8_seed11",
+        lambda spark, sf: RandomProjection(in_dim=64, out_dim=8, seed=11)(
+            T(spark, sf, "embeddings")
+        ).select("vec_id", "label", "proj"),
+        random_projection_sql(
+            "SELECT vec_id, label, embedding FROM embeddings",
+            in_dim=64, out_dim=8, seed=11,
+        ),
+    )
+
+    from warp_pipes_spark.text.packing import BestFitPack, best_fit_pack_sql
+
+    _sized_sql = (
+        f"SELECT doc_id, source, len({tokens_sql('text')}) AS n_tokens "
+        "FROM documents"
+    )
+    for cap in (128, 2048):
+        add(
+            f"bfd_pack_cap{cap}",
+            lambda spark, sf, c=cap: BestFitPack(capacity=c)(
+                _docs(spark, sf).select(
+                    "doc_id", "source",
+                    F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+                )
+            ),
+            best_fit_pack_sql(_sized_sql, capacity=cap),
+        )
+
+    from warp_pipes_spark.text.analysis import ZipfFit, zipf_fit_sql
+
+    for r in (50, 200):
+        add(
+            f"zipf_top{r}",
+            lambda spark, sf, r=r: ZipfFit(top_r=r)(_docs(spark, sf)),
+            zipf_fit_sql("documents", top_r=r),
+        )
+
+    # ---- calibration / drift (the round-6 ADVICE families) -----------------
+    from warp_pipes_spark.ml.metrics import (
+        CalibrationReport,
+        calibration_report_sql,
+    )
+    from warp_pipes_spark.text.classifier import (
+        HashedLinearClassifier,
+        classifier_sql,
+    )
+
+    def _scored(spark, sf):
+        return HashedLinearClassifier(dim=64)(_docs(spark, sf)).select(
+            "score",
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+
+    _scored_sql = (
+        "SELECT c.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y "
+        f"FROM ({classifier_sql('documents', dim=64)}) c "
+        "JOIN documents d USING (doc_id)"
+    )
+    for nb in (4, 16):
+        add(
+            f"calibration_bins{nb}",
+            lambda spark, sf, b=nb: CalibrationReport(
+                score_col="score", label_col="y", n_bins=b
+            )(_scored(spark, sf)),
+            calibration_report_sql(
+                _scored_sql, score="score", label="y", n_bins=nb
+            ),
+        )
+
+    from warp_pipes_spark.ml.drift import EmbeddingDrift, embedding_drift_sql
+
+    for nb in (5, 20):
+        add(
+            f"embedding_drift_bins{nb}",
+            lambda spark, sf, b=nb: EmbeddingDrift(
+                reference=T(spark, sf, "embeddings").filter(
+                    F.col("vec_id") % 2 == 0
+                ),
+                n_bins=b,
+            )(T(spark, sf, "embeddings").filter(F.col("vec_id") % 2 == 1)),
+            embedding_drift_sql(
+                "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
+                "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
+                n_bins=nb,
+            ),
+        )
+
+    return cells
+
+
+def main() -> None:
+    import duckdb
+
+    from warp_pipes_spark.session import get_spark
+
+    want = sys.argv[2] if len(sys.argv) > 2 else ""
+    cells = [c for c in _cells() if want in c[0]]
+    spark = get_spark(app_name="config-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results, n_pass = {}, 0
+    for name, make, sql in cells:
+        t0 = time.perf_counter()
+        try:
+            sdf = make(spark, SF_DIR)
+            cols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(str(r[c]) for c in cols) for r in sdf.collect()
+            )
+            con = duckdb.connect()
+            con.execute("SET temp_directory='/tmp/duck_spill'")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                )
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            idx = [ocols.index(c) for c in sorted(ocols)]
+            orows = sorted(
+                tuple(str(row[i]) for i in idx) for row in cur.fetchall()
+            )
+            con.close()
+            ok = srows == orows and sorted(ocols) == cols
+            results[name] = {
+                "status": "pass" if ok else "FAIL",
+                "rows": len(srows),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            n_pass += ok
+        except Exception as e:  # noqa: BLE001
+            results[name] = {
+                "status": "ERROR",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        print(f"SWEEP {name} {results[name]['status']}", flush=True)
+        spark.catalog.clearCache()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {
+        "sf_dir": SF_DIR,
+        "n_pass": n_pass,
+        "n_total": len(cells),
+        "cells": results,
+    }
+    with open(os.path.join(repo, "CONFIG_SWEEP.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"DONE {n_pass}/{len(cells)}")
+
+
+if __name__ == "__main__":
+    main()

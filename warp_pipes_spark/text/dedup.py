@@ -2627,8 +2627,13 @@ def lsh_s_curve_sql(
         f"a.sig[{i * r + 1}:{(i + 1) * r}] = b.sig[{i * r + 1}:{(i + 1) * r}]"
         for i in range(nb)
     )
+    # explicit DOUBLE cast on the literal: DuckDB parses a bare 19-digit
+    # decimal literal as DECIMAL(20,19), and DECIMAL->DECIMAL(18,6)
+    # TRUNCATES where Spark's double->decimal ROUNDS (caught by the
+    # buckets=5 config-sweep cell: theory 0.00079972 -> 0.000799 vs 0.0008)
     theory_rows = ", ".join(
-        f"({jb}, {p!r})" for jb, p in _s_curve_theory(nb, r, buckets)
+        f"({jb}, CAST({p!r} AS DOUBLE))"
+        for jb, p in _s_curve_theory(nb, r, buckets)
     )
     return f"""
 WITH pairs AS MATERIALIZED ({pair_sql}),
