@@ -24,22 +24,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
-# the round-4/5 cost leaders among ORACLED queries (BENCH_DETAIL /
-# sf1-soak tiers), spanning every numeric family: BM25 + PRF, graph
-# iteration, dedup (MinHash/SimHash/maximal-span/semantic), DSIR,
-# WordPiece + packing, sketches, eval metrics, ANN
+# the 50 most expensive ORACLED queries by the round-6 warm sf0.1
+# BENCH_DETAIL ranking (round-5 judge task #4 widened the round-4 top-30
+# to 50), plus the round-4/5 heavy additions not in that top-50 —
+# spanning every numeric family: BM25 + PRF, graph iteration, dedup
+# (MinHash/SimHash/maximal-span/semantic), DSIR, WordPiece + packing,
+# sketches, eval metrics, ANN
 DEFAULT_QUERIES = [
-    "q28_minhash_dedup", "q29_simhash_dedup", "q32_bm25", "q47_ivf_topk",
-    "q85_semdedup", "q88_bm25f", "q97_pagerank", "q114_bm25_incremental",
-    "q133_connected_components", "q136_hard_negatives", "q138_hybrid_rrf",
-    "q146_wordpiece", "q151_maximal_spans", "q153_dsir_select",
-    "q165_packed_batches", "q171_stupid_backoff", "q174_prf_expansion",
-    "q175_curation_funnel", "q176_gopher_repetition", "q177_kcore",
-    # round-5 heavy additions
-    "q186_embedding_drift", "q188_lsh_s_curve", "q189_calibration",
-    "q190_capacity_sweep", "q191_dedup_agreement", "q193_source_divergence",
-    "q194_hll_rollup", "q196_cluster_size_profile",
-    "q199_dedup_threshold_sweep", "q200_boilerplate_lines",
+    "q201_kcore_dense", "q177_kcore", "q175_curation_funnel",
+    "q174_prf_expansion", "q158_incremental_minhash", "q122_maxsim",
+    "q138_hybrid_rrf", "q141_rerank_cascade", "q115_triangles", "q32_bm25",
+    "q196_cluster_size_profile", "q133_connected_components",
+    "q136_hard_negatives", "q39_lsh_topk", "q189_calibration",
+    "q28_minhash_dedup", "q131_item_recs", "q43_bm25_filtered",
+    "q108_matryoshka_topk", "q54_bm25_scaled_aux", "q27_ngram_jaccard",
+    "q55_dedup_clusters", "q153_dsir_select", "q114_bm25_incremental",
+    "q199_dedup_threshold_sweep", "q67_quantized_topk", "q154_unimax",
+    "q182_ann_recall_sweep", "q97_pagerank", "q88_bm25f", "q98_copurchase",
+    "q167_dup_attribution", "q171_stupid_backoff", "q73_cluster_reps",
+    "q160_split_leakage", "q112_passage_doc_embeddings", "q150_sft_ids",
+    "q165_packed_batches", "q127_bigram_lm", "q37_index_rerank",
+    "q137_minhash_estimate", "q57_weighted_mixture",
+    "q161_tokenizer_fertility", "q121_mmr_rerank", "q79_incremental_dedup",
+    "q188_lsh_s_curve", "q146_wordpiece", "q194_hll_rollup",
+    "q186_embedding_drift", "q191_dedup_agreement",
+    # prior-round heavies kept for coverage continuity
+    "q29_simhash_dedup", "q47_ivf_topk", "q85_semdedup",
+    "q151_maximal_spans", "q176_gopher_repetition",
+    "q190_capacity_sweep", "q193_source_divergence",
+    "q200_boilerplate_lines",
 ]
 
 TABLES = (

@@ -1717,16 +1717,19 @@ def q177_kcore(spark, sf):
 
 def q201_kcore_dense(spark, sf):
     """k-core on the DENSE support>=1 co-purchase graph (``ml/graph.py``
-    ``KCore``, k=60, 8 peel rounds) — the scale-robust companion to
+    ``KCore``, k=60, 4 peel rounds) — the scale-robust companion to
     q177: the support>=1 graph's minimum degree stays ~40 at every
     tested sf (0.001 -> 1), so the 60-core both peels real nodes AND
     stays nonempty from sf0.001 through the sf1 soak (q177's
     support>=2 3-core is empty past sf0.1 — its documented sparsity
     cliff). Same shape: two node-keyed semi-joins + map-side-combined
-    degree count per round, edge list persisted once."""
+    degree count per round, edge list persisted once. The k=60 cascade
+    is shallow (converges by round 2 at every tested scale, sf0.01
+    through sf1 — verified by rounds-4-vs-8 exceptAll), so 4 unrolled
+    rounds give a 2x safety margin at half of q177's peel cost."""
     from warp_pipes_spark.ml.graph import KCore
 
-    return KCore(k=60, rounds=8, out_id="part_id")(
+    return KCore(k=60, rounds=4, out_id="part_id")(
         _copurchase_edges(spark, sf, min_support=1)
     )
 
@@ -6632,7 +6635,7 @@ FROM per_line GROUP BY source ORDER BY source
     )
 
     ORACLES_EXT["q201_kcore_dense"] = kcore_sql(
-        _copurchase_edges_sql(1), k=60, rounds=8, out_id="part_id"
+        _copurchase_edges_sql(1), k=60, rounds=4, out_id="part_id"
     )
 
     from warp_pipes_spark.text.analysis import gopher_repetition_sql
