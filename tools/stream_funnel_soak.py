@@ -70,9 +70,14 @@ def build_funnel(spark, rate: int):
     )
     gated = fixed.filter(gate)
     fingerprinted = gated.withColumn("fp", F.md5("text"))
-    deduped = fingerprinted.withWatermark("ts", "5 seconds").dropDuplicates(
-        ["fp", "ts"]
-    )
+    # CONTENT-keyed dedup with watermark-evicted state: dropDuplicates
+    # (["fp", "ts"]) only dedupes rows whose timestamps collide — at
+    # 50k rows/s the duplicate pair straddles a millisecond boundary
+    # often enough to leak ~2.6% duplicate fingerprints into the sink
+    # (caught when the round-6 soak scaled up from 20k to 50k rows/s)
+    deduped = fingerprinted.withWatermark(
+        "ts", "5 seconds"
+    ).dropDuplicatesWithinWatermark(["fp"])
     return deduped.select("ts", "row_id", "fp", "text")
 
 

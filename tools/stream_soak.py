@@ -50,9 +50,11 @@ def build_pipeline(spark, rate: int):
             (F.col("value") % 100).cast("double").alias("value"),
         )
     )
-    deduped = events.withWatermark("ts", "5 seconds").dropDuplicates(
-        ["event_id", "ts"]
-    )
+    # content-keyed (engine `dedup_stream` shape): (key, ts) keying only
+    # dedupes timestamp collisions — see the round-6 funnel-soak finding
+    deduped = events.withWatermark(
+        "ts", "5 seconds"
+    ).dropDuplicatesWithinWatermark(["event_id"])
     agg = (
         deduped.groupBy(F.window("ts", "5 seconds"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
