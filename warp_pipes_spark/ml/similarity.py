@@ -996,26 +996,42 @@ class MatryoshkaTopK(Pipe):
         q = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.query_vec).cast("array<double>").alias("qv"),
-        ).withColumn("qp", F.slice("qv", 1, d))
+        )
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
-        ).withColumn("cp", F.slice("cv", 1, d))
-        pairs = q.crossJoin(F.broadcast(c))
+        )
+        # stage 1 touches ONLY the narrow prefix columns (the point of
+        # MRL): prefix norms are hoisted to one computation per VECTOR
+        # (not per pair), and the quadratic candidate stream carries just
+        # (query_id, neighbor_id, coarse) through the ranking window —
+        # the round-5 version dragged both full vectors (~130 doubles per
+        # pair row) through the 16M-row sort at the 10x soak (92 s)
+        qp = q.select("query_id", F.slice("qv", 1, d).alias("qp")).withColumn(
+            "qpn", _norm(F.col("qp"))
+        )
+        cp = c.select(
+            "neighbor_id", F.slice("cv", 1, d).alias("cp")
+        ).withColumn("cpn", _norm(F.col("cp")))
+        pairs = qp.crossJoin(F.broadcast(cp))
         if self.exclude_self:
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
         coarse = (
-            _dot(F.col("qp"), F.col("cp"))
-            / (_norm(F.col("qp")) * _norm(F.col("cp")))
+            _dot(F.col("qp"), F.col("cp")) / (F.col("qpn") * F.col("cpn"))
         ).cast("decimal(18,6)")
         w1 = Window.partitionBy("query_id").orderBy(
             F.desc("coarse"), F.asc("neighbor_id")
         )
         cand = (
-            pairs.withColumn("coarse", coarse)
+            pairs.select("query_id", "neighbor_id", coarse.alias("coarse"))
             .withColumn("__r1", F.row_number().over(w1))
             .filter(F.col("__r1") <= self.prefilter_k)
+            .select("query_id", "neighbor_id")
         )
+        # stage 2: the full vectors are fetched ONLY for the k'-sized
+        # survivor set (|q| x prefilter_k rows); no broadcast hint on the
+        # corpus side — AQE picks the join strategy at its real size
+        enriched = cand.join(q, "query_id").join(c, "neighbor_id")
         fine = (
             _dot(F.col("qv"), F.col("cv"))
             / (_norm(F.col("qv")) * _norm(F.col("cv")))
@@ -1024,7 +1040,7 @@ class MatryoshkaTopK(Pipe):
             F.desc("score"), F.asc("neighbor_id")
         )
         return (
-            cand.withColumn("score", fine)
+            enriched.withColumn("score", fine)
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= self.k)
             .select(
