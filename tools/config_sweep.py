@@ -494,15 +494,24 @@ def main() -> None:
         spark.catalog.clearCache()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CONFIG_SWEEP.json")
+    # MERGE into the existing artifact (filtered re-runs must not erase
+    # the other cells' rows — the parity_sweep rule)
+    merged = results
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("cells", {})
+        prev.update(results)
+        merged = prev
     out = {
         "sf_dir": SF_DIR,
-        "n_pass": n_pass,
-        "n_total": len(cells),
-        "cells": results,
+        "n_pass": sum(1 for v in merged.values() if v.get("status") == "pass"),
+        "n_total": len(merged),
+        "cells": merged,
     }
-    with open(os.path.join(repo, "CONFIG_SWEEP.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"DONE {n_pass}/{len(cells)}")
+    print(f"DONE {n_pass}/{len(cells)} (artifact {out['n_pass']}/{out['n_total']})")
 
 
 if __name__ == "__main__":

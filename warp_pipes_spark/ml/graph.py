@@ -131,9 +131,17 @@ class KCore(Pipe):
         self.out_id = out_id
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        # every peel round (and the final degree pass) consumes the
-        # undirected edge list — persist it or each round re-executes
-        # the upstream edge construction (co-purchase build etc.)
+        # DELTA PEELING (round-6): a full recount per round shuffles the
+        # whole undirected edge list every round (2 semi-joins + a
+        # graph-sized groupBy x rounds — 35 s for the 22M-row sf1 dense
+        # graph). The identity deg_within_survivors(v) = deg0(v) -
+        # edges(v, dropped-so-far) lets each round touch only the edges
+        # INCIDENT TO THE JUST-DROPPED FRONTIER: one inner join of the
+        # edge list against the (tiny) dropped set + node-sized updates.
+        # Round cost is proportional to the frontier, not the graph —
+        # the Montresor-style message formulation. Survivor sets and
+        # final degrees are exact integers, identical to the recount
+        # (and to the unrolled SQL oracle) at every round.
         und = df.select(
             F.col(self.src).alias("node"), F.col(self.dst).alias("nbr")
         ).unionByName(
@@ -141,38 +149,51 @@ class KCore(Pipe):
                 F.col(self.dst).alias("node"), F.col(self.src).alias("nbr")
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            deg0 = und.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
-            nodes = deg0.filter(F.col("c") >= self.k).select("node")
-            for r in range(1, self.rounds):
-                alive = (
-                    und.join(nodes, "node", "left_semi")
-                    .join(
-                        nodes.select(F.col("node").alias("nbr")),
-                        "nbr",
-                        "left_semi",
-                    )
-                    .groupBy("node")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                )
-                nodes = alive.filter(F.col("c") >= self.k).select("node")
-                if r % 3 == 0:
-                    nodes = nodes.localCheckpoint(eager=False)
-            core = (
-                und.join(nodes, "node", "left_semi")
-                .join(
-                    nodes.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-                )
+
+        def _dec(alive: DataFrame, dropped: DataFrame) -> DataFrame:
+            """alive (node, deg) minus each node's edge count into the
+            dropped set — exact integer decrement."""
+            dec = (
+                und.join(dropped.withColumnRenamed("node", "nbr"), "nbr")
                 .groupBy("node")
-                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+                .agg(F.count(F.lit(1)).alias("__d"))
             )
+            return alive.join(dec, "node", "left").select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("__d"), F.lit(0))).alias(
+                    "deg"
+                ),
+            )
+
+        try:
+            deg0 = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+            # eager node-sized checkpoint per round: cuts lineage AND makes
+            # the convergence probe below a cheap scan of materialized rows
+            cur = deg0.localCheckpoint()
+            alive = cur.filter(F.col("deg") >= self.k)
+            dropped = cur.filter(F.col("deg") < self.k).select("node")
+            for _ in range(1, self.rounds):
+                # scalar convergence probe (the dedup.py idiom): a fixed
+                # unroll past convergence is all no-op rounds — skip
+                # executing them instead of joining an empty frontier
+                if dropped.limit(1).count() == 0:
+                    break
+                cur = _dec(alive, dropped).localCheckpoint()
+                alive = cur.filter(F.col("deg") >= self.k)
+                dropped = cur.filter(F.col("deg") < self.k).select("node")
+            # degrees are within the PREVIOUS survivor set when the round
+            # budget exhausts mid-cascade; one final decrement brings them
+            # within the final set (what the recount's last pass reports)
+            if dropped.limit(1).count() > 0:
+                alive = _dec(alive, dropped)
             # materialize BEFORE releasing the edge cache (the dedup.py
             # clusters idiom): eager localCheckpoint cuts the lineage so
             # the unpersist below can't force a full peel re-execution —
             # without it, repeated k-core calls in a long-lived session
             # accumulate cached edge lists forever (round-4 judge finding)
-            return core.select(
-                F.col("node").alias(self.out_id), "core_degree"
+            return alive.select(
+                F.col("node").alias(self.out_id),
+                F.col("deg").cast("long").alias("core_degree"),
             ).localCheckpoint()
         finally:
             und.unpersist()
