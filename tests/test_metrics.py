@@ -82,6 +82,55 @@ def test_kcore_peels_and_converges(spark):
     assert 5 not in out3 and 6 not in out3
 
 
+def _kcore_reference(edges, k, rounds):
+    """Independent Python replica of the FIXED-ROUNDS peel semantics:
+    rounds x (drop nodes whose degree within survivors < k), then report
+    degrees within the final survivor set. Used to validate the engine's
+    delta-peeling against an implementation with no shared code."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    for _ in range(rounds):
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        # fixed-round semantics: round 0 is the deg0 filter, later
+        # rounds recount within survivors
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_kcore_delta_peel_matches_reference_on_random_graphs(spark):
+    """Seeded random graphs x (k, rounds) grid: the engine's
+    frontier-delta peel must equal an independent full-recount Python
+    reference exactly — survivor sets AND within-core degrees. Covers
+    deep cascades (sparse graph, k at the degree median), instant
+    convergence (k=1), and everything-peels (k above max degree)."""
+    import random
+
+    from warp_pipes_spark.ml.graph import KCore
+
+    for seed, n, p, k in [(1, 40, 0.10, 3), (2, 60, 0.05, 2),
+                          (3, 30, 0.30, 1), (4, 30, 0.30, 25)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < p}
+        )
+        if not edges:
+            continue
+        rounds = 8
+        want = _kcore_reference(edges, k, rounds)
+        df = spark.createDataFrame(edges, ["u", "v"])
+        got = {
+            r["node"]: r["core_degree"]
+            for r in KCore(k=k, rounds=rounds)(df).collect()
+        }
+        assert got == want, (seed, n, p, k)
+
+
 def test_bleu_known_values(spark):
     """Identity pair scores 1.0; a shortened candidate takes the brevity
     penalty; any missing 4-gram order zeroes the unsmoothed score."""
