@@ -160,8 +160,15 @@ class MaxSimTopK(Pipe):
             .groupBy("query_id", "q_pos", "doc_id")
             .agg(F.max("sim").alias("best"))
         )
-        scored = best.groupBy("query_id", "doc_id").agg(
-            F.sum("best").cast("decimal(28,6)").alias("score")
+        # ONE exchange for sum + window (the BM25 idiom, bm25.py): hash
+        # partitioning on query_id alone satisfies both the (query_id,
+        # doc_id) grouping (subset-key clustered distribution) and the
+        # top-k window's partitionBy — without it Spark plans two
+        # back-to-back |queries| x |docs|-row shuffles after `best`
+        scored = (
+            best.repartition("query_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("best").cast("decimal(28,6)").alias("score"))
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
