@@ -236,6 +236,7 @@ class NgramJaccardDedup(Pipe):
         persist: bool = True,
         materialize_shingles: bool = True,
         shingle_cache_dir: Optional[str] = None,
+        cache_pairs: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -248,6 +249,7 @@ class NgramJaccardDedup(Pipe):
         self.persist = persist
         self.materialize_shingles = materialize_shingles
         self.shingle_cache_dir = shingle_cache_dir
+        self.cache_pairs = cache_pairs
 
     _no_fingerprint = ("shingle_cache_dir",)
 
@@ -270,13 +272,21 @@ class NgramJaccardDedup(Pipe):
             # for the session's lifetime
             docs = docs.localCheckpoint()
         sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
-        inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+        # the inverted index carries each doc's FULL set size inline (one
+        # int, functionally dependent on doc_id) so the direct path's
+        # Jaccard filter can apply AT the pair-aggregation output — see
+        # below
+        inv = docs.select(
+            "doc_id",
+            F.size("shingles").alias("n_shingles"),
+            F.explode("shingles").alias("shingle"),
+        )
         verify_docs = docs
         if self.max_df is not None:
             df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             inv = (
                 inv.join(df_counts.filter(F.col("df") <= self.max_df), "shingle")
-                .select("doc_id", "shingle")
+                .select("doc_id", "n_shingles", "shingle")
             )
             # verification must intersect the CAPPED shingle sets so both
             # paths score the same capped-Jaccard measure (denominator keeps
@@ -285,37 +295,92 @@ class NgramJaccardDedup(Pipe):
                 F.collect_list("shingle").alias("shingles")
             )
         if self.prefix_filter:
-            pairs = self._candidates_prefix(inv, sizes)
+            pairs = self._candidates_prefix(
+                inv.select("doc_id", "shingle"), sizes
+            )
             return self._verify_pairs(pairs, verify_docs, sizes)
-        a = inv.alias("a")
-        b = inv.alias("b")
-        pair_inter = (
-            a.join(b, on="shingle")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        # Direct path, candidate-generation shape for scale:
+        # (1) set sizes ride the inverted index, so the Jaccard threshold
+        #     applies at the pair-aggregation output — NOT after two
+        #     candidate-sized shuffle joins (at 10x bench scale the
+        #     candidate table is ~60M pairs vs ~250k survivors; those two
+        #     joins dominated the old plan);
+        # (2) the self-join keys on xxhash64(shingle): an 8-byte fixed-width
+        #     compare across the sum(df^2) join fan-out instead of a
+        #     multi-word string compare. Hash equality is a SUPERSET of
+        #     string equality and Jaccard is increasing in n_common, so
+        #     hash-filtered candidates lose no qualifying pair; the exact
+        #     string-set verify on the survivors restores exactness
+        #     regardless of collisions (lossless end to end).
+        # The threshold gets 1e-6 slack because the final verify rounds
+        # through DECIMAL(18,6) (half-up): a true Jaccard within half an ulp
+        # below the threshold still rounds up to it, and the candidate
+        # filter must keep it. greatest(denom, 1) guards the (collision-
+        # only) case n_common_h >= size_a + size_b, which must PASS.
+        h = F.xxhash64("shingle")
+        a = inv.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_shingles").alias("size_a"),
+            h.alias("__h"),
         )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-        out = (
-            pair_inter.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn(
-                "jaccard",
-                (
-                    F.col("n_common")
-                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
-                ).cast("decimal(18,6)"),
-            )
-            .filter(F.col("jaccard") >= F.lit(self.threshold))
-            .select(
-                "doc_a",
-                "doc_b",
-                "n_common",
-                F.col("jaccard").cast("double").alias("jaccard"),
-            )
+        b = inv.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_shingles").alias("size_b"),
+            h.alias("__h"),
         )
-        return out
+        cand = (
+            a.join(b, "__h")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common_h"))
+            .where(
+                F.col("n_common_h")
+                / F.greatest(
+                    (
+                        F.col("size_a") + F.col("size_b") - F.col("n_common_h")
+                    ).cast("double"),
+                    F.lit(1.0),
+                )
+                >= F.lit(self.threshold - 1e-6)
+            )
+            .select("doc_a", "doc_b")
+        )
+        out = self._verify_pairs(cand, verify_docs, sizes)
+        if not self.cache_pairs:
+            return out
+        # Fingerprint-keyed Parquet cache of the PAIR TABLE itself, the
+        # same index-once-query-many design as shingle_table and the BM25
+        # postings artifact: the exact near-dup pair set feeds cluster
+        # formation (DedupClusters/q55), sketch audits (MinHashEstimate/
+        # q137) and funnels — each previously re-ran the full
+        # sum(df^2)-cost candidate join. Keyed by corpus content + measure
+        # params only (NOT prefix_filter: both paths produce the identical
+        # pair set — asserted in tests — so either fills the other's
+        # cache). The prefix path returns its live plan above so the
+        # path-equality tests keep comparing two real computations.
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(
+            self.shingle_cache_dir or _default_shingle_cache_dir()
+        )
+        fp = get_fingerprint(
+            {
+                "op": "ngram_jaccard_pairs_v1",
+                "corpus": fingerprint_dataframe(df),
+                "id": self.id_col,
+                "text": self.text_col,
+                "n": self.n,
+                "threshold": self.threshold,
+                "max_df": self.max_df,
+            }
+        )
+        if not manager.exists(fp):
+            manager.store(out, fp)
+        return manager.load(df.sparkSession, fp)
 
     def _candidates_prefix(self, inv: DataFrame, sizes: DataFrame) -> DataFrame:
         """AllPairs/PPJoin prefix filtering (exact): under a global
