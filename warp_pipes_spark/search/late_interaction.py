@@ -147,30 +147,55 @@ class MaxSimTopK(Pipe):
         vt = vocab.withColumn("dv", self.embed_expr(F.col("d_tok"))).withColumn(
             "dn", _norm(F.col("dv"))
         )
+        # per-pair sims round through DECIMAL(18,6) (the q30 recipe), then
+        # ride the hot path as SCALED LONGS (sim * 1e6 — exact integers,
+        # order-isomorphic to the decimals): long max/sum/sort-key beats
+        # decimal in the 100M-row aggregation and the top-k window, and
+        # the final score rebuilds the exact decimal by an exact /1e6
+        sim_dec = (
+            _dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn"))
+        ).cast(_DEC)
         tok_sims = vt.crossJoin(F.broadcast(qt)).select(
             "query_id",
             "q_pos",
             "d_tok",
-            (_dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")))
-            .cast(_DEC)
-            .alias("sim"),
+            (sim_dec * 1000000).cast("long").alias("sim"),
         )
+        # pivot the per-position sims into m_query COLUMNS keyed by
+        # (query_id, d_tok): the scoring join then fans out one row per
+        # (doc occurrence x query) instead of per (doc occurrence x query
+        # TOKEN) — an m_query-fold cut of the dominant fan-out — and the
+        # per-position max + cross-position sum collapse into ONE keyed
+        # aggregation (m_query max columns) plus a row-local sum.
+        # The pivoted broadcast is |vocab| x |queries| rows, the same
+        # scale as the unpivoted tok_sims it replaces.
+        sim_cols = [
+            F.max(F.when(F.col("q_pos") == p, F.col("sim"))).alias(f"__s{p}")
+            for p in range(self.m_query)
+        ]
+        tok_sim_row = tok_sims.groupBy("query_id", "d_tok").agg(*sim_cols)
+        # ONE exchange for the aggregation + window (the BM25 idiom,
+        # bm25.py): hash partitioning on query_id alone satisfies both the
+        # (query_id, doc_id) grouping (subset-key clustered distribution)
+        # and the top-k window's partitionBy — without it Spark plans two
+        # back-to-back |queries| x |docs|-row shuffles
         best = (
-            d_toks.join(F.broadcast(tok_sims), "d_tok")
-            .groupBy("query_id", "q_pos", "doc_id")
-            .agg(F.max("sim").alias("best"))
-        )
-        # ONE exchange for sum + window (the BM25 idiom, bm25.py): hash
-        # partitioning on query_id alone satisfies both the (query_id,
-        # doc_id) grouping (subset-key clustered distribution) and the
-        # top-k window's partitionBy — without it Spark plans two
-        # back-to-back |queries| x |docs|-row shuffles after `best`
-        scored = (
-            best.repartition("query_id")
+            d_toks.join(F.broadcast(tok_sim_row), "d_tok")
+            .repartition("query_id")
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("best").cast("decimal(28,6)").alias("score"))
+            .agg(*[F.max(f"__s{p}").alias(f"__b{p}") for p in range(self.m_query)])
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        # a null per-position max = the query has no token at that position
+        # (fewer than m_query tokens): it contributes nothing to the sum,
+        # exactly as its absent rows did in the row-form aggregation
+        score_expr = None
+        for p in range(self.m_query):
+            term = F.coalesce(F.col(f"__b{p}"), F.lit(0))
+            score_expr = term if score_expr is None else score_expr + term
+        scored = best.select("query_id", "doc_id", score_expr.alias("__ss"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__ss"), F.asc("doc_id")
+        )
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
@@ -178,7 +203,12 @@ class MaxSimTopK(Pipe):
                 "query_id",
                 F.col("rank").cast("int").alias("rank"),
                 "doc_id",
-                F.col("score").cast("double").alias("score"),
+                # exact rebuild of the decimal(28,6) score: __ss is an
+                # integer number of millionths, so /1e6 at scale 6 is exact
+                (F.col("__ss").cast("decimal(28,0)") / 1000000)
+                .cast("decimal(28,6)")
+                .cast("double")
+                .alias("score"),
             )
         )
 
