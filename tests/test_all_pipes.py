@@ -44,14 +44,20 @@ from warp_pipes_spark.pipes.tokenizer import RegexTokenizer, WordPieceTokenizer
 from warp_pipes_spark.text.web import FixEncoding, HtmlStrip, UrlParse
 from warp_pipes_spark.search.topk import TopkSearch
 from warp_pipes_spark.text.packing import SpanCorruption
+from warp_pipes_spark.ml.kmeans import LloydKMeans
+from warp_pipes_spark.ml.metrics import BootstrapCI
 from warp_pipes_spark.text.analysis import (
     DocFingerprint,
+    KneserNeyScore,
+    TermBurstiness,
     GopherQualityFilter,
     LangId,
     QualityScore,
     TokenCount,
 )
 from warp_pipes_spark.text.dedup import (
+    ChunkDedupStats,
+    ContainmentPairs,
     ExactDedup,
     MinHashDedup,
     MinHashEstimate,
@@ -111,6 +117,12 @@ def instantiate_all():
         SampleFrames(),
         ResizeMedia(),
         PortableHll("v"),
+        ContainmentPairs(),
+        ChunkDedupStats(),
+        TermBurstiness(),
+        KneserNeyScore(),
+        BootstrapCI("n_tokens"),
+        LloydKMeans(),
     ]
 
 

@@ -794,3 +794,25 @@ def test_gopher_repetition_keeps_degenerate_docs(spark):
         assert rows[d]["top_2gram_frac"] == 0.0
         assert rows[d]["dup_5gram_frac"] == 0.0
     assert not rows[3]["rep_keep"]
+
+
+def test_lloyd_kmeans_centroids_are_member_means(spark):
+    """Lloyd invariant: each output centroid is exactly the (nano-unit
+    discretized) mean of its members under the final assignment, and on a
+    well-separated 2-cluster set the assignment is the obvious one."""
+    from warp_pipes_spark.ml.kmeans import LloydKMeans
+
+    pts = [(i, [0.0 + i * 0.001, 0.0]) for i in range(4)] + [
+        (10 + i, [1.0 + i * 0.001, 1.0]) for i in range(4)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = LloydKMeans(k=2, iters=3, dim=2)(df).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r.cell, {})[r.dim] = (r.value, r.n_members)
+    assert len(cells) == 2
+    sizes = sorted(v[0][1] for v in cells.values())
+    assert sizes == [4, 4]
+    # cluster centers ~ (0.0015, 0) and (1.0015, 1)
+    xs = sorted(v[0][0] for v in cells.values())
+    assert abs(xs[0] - 0.0015) < 1e-6 and abs(xs[1] - 1.0015) < 1e-6

@@ -68,3 +68,47 @@ def test_zorder_layout_drops_key_by_default(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     assert "__z" not in ZOrderLayout(["x", "y"]).__call__(df).columns
     assert "__z" in ZOrderLayout(["x", "y"], keep_key=True)(df).columns
+
+
+def test_hilbert_consecutive_steps_are_unit_manhattan(spark):
+    """THE Hilbert property (what Z-order lacks): consecutive curve
+    positions are Manhattan distance EXACTLY 1 apart, so a contiguous
+    h-range always covers one connected tight region. Verified
+    exhaustively on the full 32x32 grid, plus bijectivity."""
+    from warp_pipes_spark.plans.layout import hilbert_frame
+
+    n = 32
+    pts = spark.createDataFrame(
+        [(i % n, i // n) for i in range(n * n)], "x int, y int"
+    )
+    rows = (
+        hilbert_frame(pts, F.col("x"), F.col("y"), bits=5, out_col="h")
+        .orderBy("h")
+        .collect()
+    )
+    assert [r.h for r in rows] == list(range(n * n))  # bijective onto 0..1023
+    steps = [
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(rows, rows[1:])
+    ]
+    assert all(s == 1 for s in steps)
+
+
+def test_zorder_jumps_exceed_hilbert(spark):
+    """Moon et al. 2001: the Morton curve takes long quadrant jumps the
+    Hilbert curve never does — total travel distance along curve order is
+    strictly larger. (The reason q206 exists next to q86.)"""
+    from warp_pipes_spark.plans.layout import hilbert_frame, zorder_key
+
+    n = 32
+    pts = spark.createDataFrame(
+        [(i % n, i // n) for i in range(n * n)], "x int, y int"
+    )
+    zrows = (
+        pts.withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=5))
+        .orderBy("z")
+        .collect()
+    )
+    ztravel = sum(
+        abs(a.x - b.x) + abs(a.y - b.y) for a, b in zip(zrows, zrows[1:])
+    )
+    assert ztravel > n * n - 1  # Hilbert's travel is exactly n*n - 1

@@ -526,3 +526,219 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
 FROM per_bin CROSS JOIN tot
 ORDER BY bin
 """
+
+
+def _poisson1_thresholds(cap: int = 7) -> list:
+    """CDF of Poisson(lambda=1) at j = 0..cap-1, as plain double literals.
+    Computed once in Python and embedded IDENTICALLY into the Spark plan
+    and the DuckDB oracle, so the inverse-CDF draw compares the same u
+    against the same constants on both engines."""
+    import math
+
+    e1 = math.exp(-1.0)
+    out, term, acc = [], e1, 0.0
+    for j in range(cap):
+        acc += term
+        out.append(acc)
+        term /= j + 1
+    return out
+
+
+class BootstrapCI(Pipe):
+    """Percentile-bootstrap confidence interval for a corpus mean in ONE
+    scan — the deterministic Poisson multiplier bootstrap (online
+    bootstrap, Oza & Russell 2001; the resample-free regime of Kleiner et
+    al.'s Bag of Little Bootstraps): replica b reweights every row by
+    w = Poisson_1^{-1}(u) with u the row's md5 uniform (the engine's
+    keyed-gate family, ``pipes/sampling.py``) salted by b — E[w] = 1, so
+    each replica is a with-replacement resample in expectation, and the
+    draw is reproducible across engines, partitionings and reruns.
+
+    ``value_col`` must be INTEGRAL (token counts, byte sizes, 0/1 flags):
+    replica sums then stay exact BIGINTs and each replica mean is a
+    single IEEE division rounded through DECIMAL(18,6), making the order
+    statistics engine-independent. Output is one row: the full-corpus
+    mean, the (lo_rank, hi_rank) order statistics of the replica means
+    (defaults: 2nd and 63rd of B=64, a ~95% percentile interval), and
+    the replica standard error.
+
+    Scale shape: a B-way row-local fan-out into a B-group aggregation —
+    no shuffle wider than B rows ever leaves the scan stage. At 100 TB
+    this is THE way to put error bars on corpus metrics without a
+    second pass.
+
+    Reference anchor: extension of the eval-metrics family
+    (``ml/metrics.py`` AUC/NDCG/ECE)."""
+
+    def __init__(
+        self,
+        value_col: str,
+        key_col: str = "doc_id",
+        n_replicas: int = 64,
+        lo_rank: int = 2,
+        hi_rank: int = 63,
+        seed: int = 17,
+        w_cap: int = 7,
+        **kwargs,
+    ):
+        if not 1 <= lo_rank < hi_rank <= n_replicas:
+            raise ValueError("need 1 <= lo_rank < hi_rank <= n_replicas")
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.key_col = key_col
+        self.n_replicas = n_replicas
+        self.lo_rank = lo_rank
+        self.hi_rank = hi_rank
+        self.seed = seed
+        self.w_cap = w_cap
+
+    def _weight_expr(self, u):
+        ts = _poisson1_thresholds(self.w_cap)
+        w = F.lit(self.w_cap)
+        for j in range(self.w_cap - 1, -1, -1):
+            w = F.when(u < F.lit(ts[j]), F.lit(j)).otherwise(w)
+        return w
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        B = self.n_replicas
+        rows = df.select(
+            F.col(self.key_col).cast("string").alias("__k"),
+            F.col(self.value_col).cast("long").alias("__x"),
+        )
+        full = rows.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__x").alias("__sx"),
+        ).select(
+            "n_docs",
+            (F.col("__sx") / F.col("n_docs").cast("double")).alias("mean"),
+        )
+        fan = rows.select(
+            "__k", "__x", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b")
+        )
+        h48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__k"),
+                        F.lit(f":{self.seed}:"),
+                        F.col("__b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h48 + 1).cast("double") / F.lit(float(1 << 48))
+        w = self._weight_expr(u)
+        reps = (
+            fan.select("__b", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
+            .groupBy("__b")
+            .agg(F.sum("__wx").alias("__swx"), F.sum("__w").alias("__sw"))
+            .select(
+                "__b",
+                (F.col("__swx") / F.col("__sw").cast("double"))
+                .cast("decimal(18,6)")
+                .alias("__m"),
+            )
+        )
+        wnd = Window.orderBy(F.asc("__m"), F.asc("__b"))
+        ranked = reps.withColumn("__r", F.row_number().over(wnd))
+        lo = ranked.filter(F.col("__r") == self.lo_rank).select(
+            F.col("__m").cast("double").alias("boot_lo")
+        )
+        hi = ranked.filter(F.col("__r") == self.hi_rank).select(
+            F.col("__m").cast("double").alias("boot_hi")
+        )
+        mstats = reps.agg(
+            F.sum("__m").alias("__sm"),
+            F.sum(F.col("__m") * F.col("__m")).alias("__sm2"),
+        ).select(
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.lit(B) * F.col("__sm2").cast("double")
+                        - F.col("__sm").cast("double")
+                        * F.col("__sm").cast("double")
+                    )
+                    / F.lit(float(B * (B - 1))),
+                    F.lit(0.0),
+                )
+            ).alias("boot_se")
+        )
+        return (
+            full.crossJoin(F.broadcast(lo))
+            .crossJoin(F.broadcast(hi))
+            .crossJoin(F.broadcast(mstats))
+            .select(
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.lit(B).cast("int").alias("n_replicas"),
+                "mean",
+                "boot_lo",
+                "boot_hi",
+                "boot_se",
+            )
+        )
+
+
+def bootstrap_ci_sql(
+    table_sql: str,
+    value_expr: str,
+    key: str = "doc_id",
+    n_replicas: int = 64,
+    lo_rank: int = 2,
+    hi_rank: int = 63,
+    seed: int = 17,
+    w_cap: int = 7,
+) -> str:
+    """DuckDB oracle for :class:`BootstrapCI` — identical md5 uniforms,
+    identical Poisson(1) inverse-CDF literals, identical rounding and
+    order statistics. ``table_sql`` must yield (``key``, a column the
+    ``value_expr`` evaluates over)."""
+    ts = _poisson1_thresholds(w_cap)
+    B = n_replicas
+    h48 = (
+        f"('0x' || substring(md5(CAST({key} AS VARCHAR) || ':{seed}:' || "
+        f"CAST(b AS VARCHAR)), 1, 12))::BIGINT"
+    )
+    u = f"(CAST({h48} + 1 AS DOUBLE) / {float(1 << 48)!r})"
+    w_case = "CASE " + " ".join(
+        f"WHEN {u} < {ts[j]!r} THEN {j}" for j in range(w_cap)
+    ) + f" ELSE {w_cap} END"
+    return f"""
+WITH rows_ AS (
+  SELECT {key} AS k, CAST({value_expr} AS BIGINT) AS x FROM ({table_sql}) t
+),
+full_ AS (
+  SELECT COUNT(*) AS n_docs, SUM(x) / CAST(COUNT(*) AS DOUBLE) AS mean
+  FROM rows_
+),
+fan AS (
+  SELECT k AS {key}, x, b
+  FROM rows_ CROSS JOIN (SELECT unnest(generate_series(0, {B - 1})) AS b) g
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(({w_case}) * x) / CAST(SUM({w_case}) AS DOUBLE)
+              AS DECIMAL(18,6)) AS m
+  FROM fan GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM reps
+),
+mstats AS (
+  SELECT sqrt(GREATEST(
+           ({B} * CAST(SUM(m * m) AS DOUBLE)
+            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE))
+           / {float(B * (B - 1))!r}, 0.0)) AS boot_se
+  FROM reps
+)
+SELECT CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST({B} AS INT) AS n_replicas,
+       f.mean,
+       CAST((SELECT m FROM ranked WHERE r = {lo_rank}) AS DOUBLE) AS boot_lo,
+       CAST((SELECT m FROM ranked WHERE r = {hi_rank}) AS DOUBLE) AS boot_hi,
+       s.boot_se
+FROM full_ f CROSS JOIN mstats s
+"""

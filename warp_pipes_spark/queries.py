@@ -1734,6 +1734,115 @@ def q201_kcore_dense(spark, sf):
     )
 
 
+def q202_containment_pairs(spark, sf):
+    """Broder containment audit (Broder 1997): the exact near-dup pair set
+    (q27's artifact, shared via the pair cache — this query adds two
+    size joins and a row-local classification, never a second candidate
+    join) scored with the ASYMMETRIC containments |A∩B|/|A| and
+    |A∩B|/|B| and classified near_equal / a_in_b / b_in_a / overlap —
+    the direction resemblance can't see, and what a dedup pipeline needs
+    to decide KEEP-WHICH (drop the excerpt, keep the superset)."""
+    from warp_pipes_spark.text.dedup import ContainmentPairs
+
+    return ContainmentPairs(n=3, threshold=0.5, near_equal=0.9)(
+        T(spark, sf, "documents")
+    )
+
+
+def q203_chunk_dedup(spark, sf):
+    """Fixed-size-chunk exact-dedup audit (the RETRO/memorization report:
+    Borgeaud et al. 2022; Lee et al. 2022): consecutive 16-token chunks
+    keyed by content, per doc the count of chunks that occur in >= 2
+    (doc, position) slots corpus-wide. Chunking is row-local; the one
+    shuffle is the chunk-frequency groupBy (at 100 TB: group on the
+    64-bit chunk hash, documented in the operator)."""
+    from warp_pipes_spark.text.dedup import ChunkDedupStats
+
+    return ChunkDedupStats(chunk_size=16)(T(spark, sf, "documents"))
+
+
+def q204_term_burstiness(spark, sf):
+    """Term burstiness report (Church & Gale 1995; Katz 1996): per term
+    with df >= 20, Church-Gale burstiness cf/df and the per-document
+    count's variance-to-mean ratio from exact BIGINT moments — the
+    function-word vs content-word separator that needs no stopword
+    list. Top-20 by VMR; both ratios are single IEEE divisions of
+    exact integers, so ranking is engine-independent."""
+    from warp_pipes_spark.text.analysis import TermBurstiness
+
+    return TermBurstiness(min_df=20, k=20)(T(spark, sf, "documents"))
+
+
+def q205_bootstrap_ci(spark, sf):
+    """Error bars on a corpus metric in ONE scan: percentile-bootstrap CI
+    of the mean tokens-per-document via the deterministic Poisson
+    multiplier bootstrap (Oza & Russell 2001 online bagging; the BLB
+    regime) — replica b reweights each doc by Poisson_1^{-1}(md5-uniform
+    salted by b), so the 64 'resamples' cost one scan and a 64-group
+    aggregation, reproducible across engines and partitionings. The
+    release-report companion every corpus datasheet (q145) should carry."""
+    from warp_pipes_spark.ml.metrics import BootstrapCI
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    return BootstrapCI(value_col="n_tokens")(d)
+
+
+def q206_hilbert_layout(spark, sf):
+    """Hilbert-curve layout key over the same two document dimensions as
+    q86's Z-order (Hilbert 1891; Faloutsos & Roseman 1989; Moon et al.
+    2001 prove the locality advantage): every unit step along the curve
+    is a unit step in space, so range-partitioned files cover tighter
+    rectangles than Morton's quadrant jumps — fewer files touched per
+    rectangle predicate at 100 TB. Key construction is bits-many chained
+    integer projections (scan-speed, codegen'd); locality vs Z-order is
+    asserted in tests."""
+    from warp_pipes_spark.plans.layout import hilbert_frame
+
+    d = T(spark, sf, "documents")
+    return (
+        hilbert_frame(
+            d.select("doc_id", "n_chars"),
+            F.col("doc_id") % 4096,
+            F.col("n_chars") % 4096,
+            bits=12,
+            out_col="h",
+        )
+        .select("doc_id", "h")
+        .orderBy("h", "doc_id")
+        .limit(200)
+    )
+
+
+def q207_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1998 — the KenLM formulation): per-doc mean KN
+    log-probability under the self-trained bigram model with D=0.75 and
+    true continuation counts — the principled LM the q171 stupid-backoff
+    approximates, and the score CCNet-style perplexity filtering ranks
+    on. Model tables are bigram-type-sized aggregates; scoring is the
+    q171 join-chain shape."""
+    from warp_pipes_spark.text.analysis import KneserNeyScore
+
+    return KneserNeyScore(discount=0.75)(T(spark, sf, "documents"))
+
+
+def q208_kmeans(spark, sf):
+    """Distributed Lloyd's k-means over the embedding prefix (Lloyd 1982;
+    MacQueen 1967) — the full-data clustering the IVF coarse quantizer's
+    driver-side sampled trainer is not: per iteration ONE scan (k
+    distance folds per row against broadcast centroid literals) + one
+    k-group decimal-exact recenter, and the whole 3-iteration chain is
+    bit-reproducible in SQL (no retrained literals in the oracle — the
+    CTE chain IS the training run). k=8 cells on the 8-dim matryoshka
+    prefix; output (cell, dim, value, n_members)."""
+    from warp_pipes_spark.ml.kmeans import LloydKMeans
+
+    return LloydKMeans(k=8, iters=3, dim=8)(T(spark, sf, "embeddings"))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6638,6 +6747,52 @@ FROM per_line GROUP BY source ORDER BY source
         _copurchase_edges_sql(1), k=60, rounds=4, out_id="part_id"
     )
 
+    from warp_pipes_spark.text.dedup import chunk_dedup_sql, containment_pairs_sql
+
+    ORACLES_EXT["q202_containment_pairs"] = containment_pairs_sql(
+        "documents", n=3, threshold=0.5, near_equal=0.9
+    )
+    ORACLES_EXT["q203_chunk_dedup"] = chunk_dedup_sql(
+        "documents", chunk_size=16
+    )
+
+    from warp_pipes_spark.text.analysis import term_burstiness_sql
+
+    ORACLES_EXT["q204_term_burstiness"] = term_burstiness_sql(
+        "documents", min_df=20, k=20
+    )
+
+    from warp_pipes_spark.ml.metrics import bootstrap_ci_sql
+
+    ORACLES_EXT["q205_bootstrap_ci"] = bootstrap_ci_sql(
+        "SELECT doc_id, text FROM documents",
+        value_expr=f"len({tokens_sql('text')})",
+    )
+
+    from warp_pipes_spark.plans.layout import hilbert_sql
+
+    from warp_pipes_spark.ml.kmeans import kmeans_sql
+
+    ORACLES_EXT["q208_kmeans"] = kmeans_sql(
+        "embeddings", k=8, iters=3, dim=8
+    )
+
+    from warp_pipes_spark.text.analysis import kneser_ney_sql
+
+    ORACLES_EXT["q207_kneser_ney"] = kneser_ney_sql("documents", discount=0.75)
+
+    ORACLES_EXT["q206_hilbert_layout"] = (
+        hilbert_sql(
+            "SELECT doc_id, doc_id % 4096 AS hx0, n_chars % 4096 AS hy0 "
+            "FROM documents",
+            "hx0",
+            "hy0",
+            bits=12,
+            out_cols="doc_id",
+        )
+        + " ORDER BY h, doc_id LIMIT 200"
+    )
+
     from warp_pipes_spark.text.analysis import gopher_repetition_sql
 
     ORACLES_EXT["q176_gopher_repetition"] = gopher_repetition_sql("documents")
@@ -7009,6 +7164,13 @@ def _register():
         "q199_dedup_threshold_sweep": q199_dedup_threshold_sweep,
         "q200_boilerplate_lines": q200_boilerplate_lines,
         "q201_kcore_dense": q201_kcore_dense,
+        "q202_containment_pairs": q202_containment_pairs,
+        "q203_chunk_dedup": q203_chunk_dedup,
+        "q204_term_burstiness": q204_term_burstiness,
+        "q205_bootstrap_ci": q205_bootstrap_ci,
+        "q206_hilbert_layout": q206_hilbert_layout,
+        "q207_kneser_ney": q207_kneser_ney,
+        "q208_kmeans": q208_kmeans,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

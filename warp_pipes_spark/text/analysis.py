@@ -2243,3 +2243,261 @@ SELECT {id_col}, w AS n_words, s AS n_sentences, sy AS n_syllables,
             ELSE NULL END AS flesch
 FROM c ORDER BY {id_col}
 """
+
+
+class TermBurstiness(Pipe):
+    """Term burstiness report (Church & Gale 1995, "Poisson mixtures";
+    Katz 1996): for each term with document frequency >= ``min_df`` emit
+
+    * ``burstiness`` = cf/df — the mean number of occurrences in the
+      documents where the term appears at all (Church-Gale E[c | c>0]);
+    * ``vmr`` — the variance-to-mean ratio (index of dispersion) of the
+      term's per-document count over ALL N documents, computed from exact
+      BIGINT moments: vmr = (N*sum(c^2) - cf^2) / (N*cf). A Poisson
+      (topic-blind) term has vmr ~= 1; content-bearing terms are bursty
+      (vmr >> 1) — the signal that separates keywords from function words
+      without any stopword list.
+
+    Top-``k`` terms by vmr. Two aggregations, both vocabulary-keyed: the
+    per-(term, doc) tf collapse (map-side partial on the token explode)
+    and the per-term moment rollup; N joins in as a broadcast one-row
+    aggregate. Both ratios are single IEEE divisions of exact integers,
+    so ordering and values are engine-independent.
+
+    Reference anchor: extension of the q60 term-stats family."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_df: int = 20,
+        k: int = 20,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_df = min_df
+        self.k = k
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+        # per-(term, doc) counts first, then per-term moments
+        per_doc = (
+            widen_partitions(
+                df.select(F.col(self.id_col).alias("__doc"), self.text_col)
+            )
+            .select("__doc", F.explode(tokens_expr(F.col(self.text_col))).alias("term"))
+            .groupBy("term", "__doc")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        stats = per_doc.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("cf"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        scored = (
+            stats.filter(F.col("df") >= self.min_df)
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"),
+                (F.col("cf") / F.col("df").cast("double")).alias("burstiness"),
+                (
+                    (F.col("__n") * F.col("s2") - F.col("cf") * F.col("cf"))
+                    / (F.col("__n") * F.col("cf")).cast("double")
+                ).alias("vmr"),
+            )
+        )
+        w = Window.orderBy(F.desc("vmr"), F.asc("term"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= self.k)
+            .select("rank", "term", "df", "cf", "burstiness", "vmr")
+        )
+
+
+def term_burstiness_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 20,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle for :class:`TermBurstiness` — identical integer
+    moments and single-division ratios."""
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+per_doc AS (
+  SELECT t.term, d.{id_col} AS doc, COUNT(*) AS c
+  FROM {table} d, unnest({tokens_sql(text)}) AS t(term)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, COUNT(*) AS df, SUM(c) AS cf, SUM(c * c) AS s2
+  FROM per_doc GROUP BY term
+),
+scored AS (
+  SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+         cf / CAST(df AS DOUBLE) AS burstiness,
+         (n.n_docs * s2 - cf * cf) / CAST(n.n_docs * cf AS DOUBLE) AS vmr
+  FROM stats, n WHERE df >= {min_df}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vmr DESC, term) AS INT) AS rank,
+       term, df, cf, burstiness, vmr
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+class KneserNeyScore(Pipe):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1998 formulation KenLM implements) — the standard LM
+    the stupid-backoff family (q171) approximates:
+
+      P_KN(w2 | w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                      + (D * N1+(w1 .) / c(w1 .)) * N1+(. w2) / N1+(. .)
+
+    with discount ``D`` and the continuation counts N1+ (distinct
+    successors / predecessors / bigram types). The model self-trains on
+    the input corpus (the q76 pattern), so every scored bigram has
+    c >= 1 and no OOV branch is needed; docs shorter than two tokens are
+    skipped on both engines. Output per doc: bigram count and the mean
+    KN log-probability (each ln rounds through DECIMAL(18,6) before the
+    exact tf-weighted decimal sum — the engine's log-parity discipline).
+
+    All model tables are vocabulary- or bigram-type-sized hash
+    aggregates; scoring is a join chain off the per-(doc, bigram) tf
+    table — the same shuffle shape as q171."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        discount: float = 0.75,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.discount = discount
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        t = tokens_expr(F.col(self.text_col))
+        bi = F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        doc_bi = (
+            widen_partitions(
+                df.select(F.col(self.id_col).alias("doc_id"), self.text_col)
+            )
+            .where(F.size(t) >= 2)
+            .select("doc_id", F.explode(bi).alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        big = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+        ctx = big.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+        )
+        cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+        types = big.agg(F.count(F.lit(1)).alias("n_types"))
+        D = self.discount
+        p = (
+            F.greatest(F.col("c12").cast("double") - F.lit(D), F.lit(0.0))
+            / F.col("c1").cast("double")
+            + (F.lit(D) * F.col("n1p_fw").cast("double") / F.col("c1").cast("double"))
+            * (F.col("n1p_bw").cast("double") / F.col("n_types").cast("double"))
+        )
+        # lnp rides as a scaled long (millionths): the per-doc mean then
+        # rounds half-up in EXACT INTEGER arithmetic — (2N + n) DIV (2n)
+        # on the negated sum — because the IEEE-division-then-decimal-cast
+        # recipe breaks exactly when sum/n lands on a .xxxxxx5 tie (the
+        # double cannot represent the tie, and the two engines' double->
+        # decimal conversions round the nearest double differently)
+        lnp6 = (F.log(p).cast("decimal(18,6)") * 1000000).cast("long")
+        scored = (
+            doc_bi.join(big, ["w1", "w2"])
+            .join(ctx, "w1")
+            .join(cont, "w2")
+            .crossJoin(F.broadcast(types))
+            .select("doc_id", "tf", (F.col("tf") * lnp6).alias("__wl"))
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("tf").alias("n_bigrams"), (-F.sum("__wl")).alias("__npos")
+        )
+        mean_micro = F.expr("(2 * __npos + n_bigrams) DIV (2 * n_bigrams)")
+        return agg.select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            # one IEEE division of exact integers — identical on any engine
+            ((-mean_micro).cast("double") / F.lit(1000000.0)).alias(
+                "mean_kn_logprob"
+            ),
+        )
+
+
+def kneser_ney_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> str:
+    """DuckDB oracle for :class:`KneserNeyScore` — identical bigram
+    extraction, identical KN expression tree (same IEEE op order),
+    identical decimal-rounded logs and exact weighted sums."""
+    toks = tokens_sql(text)
+    return f"""
+WITH toksd AS (
+  SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+),
+doc_bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS tf
+  FROM toksd, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2, 3
+),
+big AS (
+  SELECT w1, w2, SUM(tf) AS c12 FROM doc_bi GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fw FROM big GROUP BY 1
+),
+cont AS (
+  SELECT w2, COUNT(*) AS n1p_bw FROM big GROUP BY 1
+),
+types AS (SELECT COUNT(*) AS n_types FROM big),
+scored AS (
+  SELECT d.doc_id, d.tf,
+         d.tf * CAST(CAST(ln(
+           GREATEST(CAST(b.c12 AS DOUBLE) - {discount!r}, 0.0)
+             / CAST(x.c1 AS DOUBLE)
+           + ({discount!r} * CAST(x.n1p_fw AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+             * (CAST(c.n1p_bw AS DOUBLE) / CAST(y.n_types AS DOUBLE))
+         ) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS wl
+  FROM doc_bi d
+  JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN ctx x ON d.w1 = x.w1
+  JOIN cont c ON d.w2 = c.w2
+  CROSS JOIN types y
+),
+agg AS (
+  SELECT doc_id, SUM(tf) AS nb, -SUM(wl) AS npos FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST(-((2 * npos + nb) // (2 * nb)) AS DOUBLE) / 1000000.0
+         AS mean_kn_logprob
+FROM agg
+ORDER BY doc_id
+"""

@@ -2978,3 +2978,222 @@ SELECT CAST(n AS BIGINT) AS n_pairs, CAST(n11 AS BIGINT) AS both_dup,
        AS DECIMAL(18,6)) AS DOUBLE) AS kappa
 FROM cells
 """
+
+
+class ContainmentPairs(Pipe):
+    """Broder CONTAINMENT audit over the exact near-dup pair set: for every
+    trigram-Jaccard pair (the :class:`NgramJaccardDedup` artifact — shared
+    via the pair cache, so this audit adds two size joins and a row-local
+    classification, never a second candidate join) emit the ASYMMETRIC
+    containment scores c_a = |A∩B|/|A| and c_b = |A∩B|/|B| (Broder 1997,
+    "On the resemblance and containment of documents") and classify the
+    relation: ``near_equal`` (both above ``near_equal``), ``a_in_b`` /
+    ``b_in_a`` (one-sided — quotes, excerpts, supersets: the case
+    resemblance alone cannot see), else ``overlap``.
+
+    Reference anchor: extension of the NgramJaccardDedup family
+    (resemblance is symmetric; pipelines deciding KEEP-WHICH need the
+    direction)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        threshold: float = 0.5,
+        near_equal: float = 0.9,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.threshold = threshold
+        self.near_equal = near_equal
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        pairs = NgramJaccardDedup(
+            text_col=self.text_col,
+            id_col=self.id_col,
+            n=self.n,
+            threshold=self.threshold,
+            prefix_filter=False,
+        )(df)
+        sh = shingle_table(df, self.n, self.id_col, self.text_col)
+        sizes = sh.select("doc_id", F.size("shingles").alias("ns"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("size_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("size_b"))
+        ca = (F.col("n_common") / F.col("size_a").cast("double")).cast(
+            "decimal(18,6)"
+        )
+        cb = (F.col("n_common") / F.col("size_b").cast("double")).cast(
+            "decimal(18,6)"
+        )
+        ne = F.lit(self.near_equal)
+        out = (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("containment_a", ca)
+            .withColumn("containment_b", cb)
+            .withColumn(
+                "relation",
+                F.when(
+                    (F.col("containment_a") >= ne) & (F.col("containment_b") >= ne),
+                    F.lit("near_equal"),
+                )
+                .when(F.col("containment_a") >= ne, F.lit("a_in_b"))
+                .when(F.col("containment_b") >= ne, F.lit("b_in_a"))
+                .otherwise(F.lit("overlap")),
+            )
+        )
+        return out.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "jaccard",
+            F.col("containment_a").cast("double").alias("containment_a"),
+            F.col("containment_b").cast("double").alias("containment_b"),
+            "relation",
+        )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    near_equal: float = 0.9,
+) -> str:
+    """DuckDB oracle for :class:`ContainmentPairs` — the ngram_jaccard pair
+    CTE extended with both set sizes and the identical decimal-rounded
+    containment/relation arithmetic."""
+    pair_sql = ngram_jaccard_sql(table, text, id_col, n, threshold)
+    sh = shingles_sql(text, n)
+    return f"""
+WITH pairs AS ({pair_sql}),
+sizes AS (
+  SELECT {id_col} AS doc_id, len({sh}) AS ns FROM {table}
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_common, p.jaccard,
+         CAST(p.n_common / CAST(sa.ns AS DOUBLE) AS DECIMAL(18,6)) AS ca,
+         CAST(p.n_common / CAST(sb.ns AS DOUBLE) AS DECIMAL(18,6)) AS cb
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_common, jaccard,
+       CAST(ca AS DOUBLE) AS containment_a,
+       CAST(cb AS DOUBLE) AS containment_b,
+       CASE WHEN ca >= {near_equal} AND cb >= {near_equal} THEN 'near_equal'
+            WHEN ca >= {near_equal} THEN 'a_in_b'
+            WHEN cb >= {near_equal} THEN 'b_in_a'
+            ELSE 'overlap' END AS relation
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+class ChunkDedupStats(Pipe):
+    """Fixed-size-chunk exact-dedup audit (the RETRO/memorization report:
+    Borgeaud et al. 2022 dedupe retrieval chunks against train; Lee et al.
+    2022 measure exact substring duplication): split each doc's token
+    stream into consecutive ``chunk_size``-token chunks (tail shorter than
+    ``chunk_size`` dropped, the fixed-stride convention), key each chunk by
+    its joined text, and report per doc how many of its chunks also occur
+    elsewhere in the corpus (>= 2 (doc, position) slots corpus-wide —
+    including twice within the SAME doc, which is exactly internal
+    repetition). Chunking is a row-local array expression; the only
+    shuffle is the chunk-frequency groupBy, whose key space is bounded by
+    distinct chunk text.
+
+    At 100 TB: group on a 64-bit chunk hash instead of the chunk string to
+    cut shuffle width (the md5/xxhash64 trade documented at
+    :class:`ExactDedup`); the audit is exact either way up to hash
+    collisions."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        chunk_size: int = 16,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.chunk_size = chunk_size
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        cs = self.chunk_size
+        toks = tokens_expr(F.col(self.text_col))
+        n_chunks = (F.size(toks) / cs).cast("int")
+        # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of returning
+        # empty — docs shorter than one chunk must yield zero chunk rows
+        chunks = F.when(
+            n_chunks >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.array_join(F.slice(toks, (i - 1) * cs + 1, cs), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        per_chunk = (
+            widen_partitions(df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col)))
+            .select("doc_id", F.explode(chunks).alias("chunk"))
+        )
+        freq = per_chunk.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            per_chunk.join(freq, "chunk")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias(
+                    "n_dup_chunks"
+                ),
+            )
+            .select(
+                "doc_id",
+                F.col("n_chunks").cast("long").alias("n_chunks"),
+                F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+                (
+                    F.col("n_dup_chunks") / F.col("n_chunks").cast("double")
+                ).alias("dup_rate"),
+            )
+        )
+
+
+def chunk_dedup_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+) -> str:
+    """DuckDB oracle for :class:`ChunkDedupStats` — identical tokenization,
+    chunk boundaries and dup-counting; dup_rate is the same single IEEE
+    division."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {tokens_sql(text)} AS t FROM {table}
+),
+per_chunk AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) // {chunk_size}),
+                i -> array_to_string(t[(i - 1) * {chunk_size} + 1 : i * {chunk_size}], ' '))) AS chunk
+  FROM toks
+),
+freq AS (
+  SELECT chunk, COUNT(*) AS cnt FROM per_chunk GROUP BY chunk
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       SUM(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM per_chunk p JOIN freq f ON p.chunk = f.chunk
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
