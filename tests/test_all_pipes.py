@@ -44,6 +44,7 @@ from warp_pipes_spark.pipes.tokenizer import RegexTokenizer, WordPieceTokenizer
 from warp_pipes_spark.text.web import FixEncoding, HtmlStrip, UrlParse
 from warp_pipes_spark.search.topk import TopkSearch
 from warp_pipes_spark.text.packing import SpanCorruption
+from warp_pipes_spark.ml.drift import KsDrift
 from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.metrics import BootstrapCI
 from warp_pipes_spark.text.analysis import (
@@ -123,6 +124,7 @@ def instantiate_all():
         KneserNeyScore(),
         BootstrapCI("n_tokens"),
         LloydKMeans(),
+        KsDrift("n_chars"),
     ]
 
 

@@ -258,3 +258,144 @@ SELECT m.dim, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
 FROM means m JOIN psi p USING (dim)
 ORDER BY m.dim
 """
+
+
+class KsDrift(Pipe):
+    """Two-sample Kolmogorov-Smirnov drift panel between every pair of
+    sources (Kolmogorov 1933; Smirnov 1948; Massey 1951 for the
+    two-sample test): per (source_a, source_b), the KS statistic
+    D = max_v |F_a(v) - F_b(v)| over an integer-valued column (token
+    counts, byte sizes) and the scaled statistic
+    sqrt(n_a*n_b/(n_a+n_b)) * D that the KS significance tables read.
+    The distribution-shift alarm with NO binning choice — the
+    nonparametric companion to the binned PSI panel above.
+
+    Exactness: ECDF differences are carried as the EXACT integer
+    |n_b*cum_a(v) - n_a*cum_b(v)| (cum = docs with value <= v), maxed as
+    a BIGINT; D and the scaled statistic are then two/three IEEE ops of
+    exact integers — engine-independent, no decimal casts anywhere.
+
+    Scale shape: one (source, value) aggregation off the scan, a
+    |values| x |sources| grid with a per-source running-sum window
+    (|values| is bounded — integer token counts — so the grid is tiny),
+    then an n_sources^2-bounded pair join. Nothing corpus-wide after
+    the first groupBy."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_col: str = "source",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.group_col = group_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = (
+            df.select(
+                F.col(self.group_col).alias("g"),
+                F.col(self.value_col).cast("long").alias("v"),
+            )
+            .where(F.col("v").isNotNull())
+            .groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        grid = (
+            counts.select("v").distinct()
+            .crossJoin(counts.select("g").distinct())
+            .join(counts, ["g", "v"], "left")
+            .na.fill({"n": 0})
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = grid.select(
+            "g", "v", F.sum("n").over(w).alias("cum")
+        )
+        totals = counts.groupBy("g").agg(F.sum("n").alias("nt"))
+        a = cum.join(totals, "g").select(
+            F.col("g").alias("source_a"),
+            "v",
+            F.col("cum").alias("ca"),
+            F.col("nt").alias("na"),
+        )
+        b = cum.join(totals, "g").select(
+            F.col("g").alias("source_b"),
+            "v",
+            F.col("cum").alias("cb"),
+            F.col("nt").alias("nb"),
+        )
+        pairs = (
+            a.join(b, "v")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b", "na", "nb")
+            .agg(
+                F.max(
+                    F.abs(F.col("nb") * F.col("ca") - F.col("na") * F.col("cb"))
+                ).alias("dnum")
+            )
+        )
+        d = F.col("dnum").cast("double") / (F.col("na") * F.col("nb")).cast(
+            "double"
+        )
+        scale = F.sqrt(
+            (F.col("na") * F.col("nb")).cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        return pairs.select(
+            "source_a",
+            "source_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            d.alias("ks_d"),
+            (scale * d).alias("ks_stat"),
+        )
+
+
+def ks_drift_sql(
+    table: str = "documents",
+    value_expr: str = "n_chars",
+    group_col: str = "source",
+) -> str:
+    """DuckDB oracle for :class:`KsDrift` — identical integer ECDF
+    algebra, identical IEEE op order for D and the scaled statistic."""
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS g, CAST({value_expr} AS BIGINT) AS v, COUNT(*) AS n
+  FROM {table} WHERE {value_expr} IS NOT NULL GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, vs.v, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT v FROM counts) vs
+  CROSS JOIN (SELECT DISTINCT g FROM counts) gs
+  LEFT JOIN counts c ON c.g = gs.g AND c.v = vs.v
+),
+cum AS (
+  SELECT g, v,
+         SUM(n) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM grid
+),
+totals AS (SELECT g, SUM(n) AS nt FROM counts GROUP BY g),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b, ta.nt AS na, tb.nt AS nb,
+         MAX(ABS(tb.nt * a.cum - ta.nt * b.cum)) AS dnum
+  FROM cum a
+  JOIN cum b ON a.v = b.v AND a.g < b.g
+  JOIN totals ta ON ta.g = a.g
+  JOIN totals tb ON tb.g = b.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_d,
+       sqrt(CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         * (CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS ks_stat
+FROM pairs
+ORDER BY source_a, source_b
+"""

@@ -1211,3 +1211,53 @@ SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def ivf_balance_sql(
+    sf_dir: str,
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for the IVF cell-balance audit (q209): retrains the
+    q47 centroids bit-identically, replays argmax-cell assignment, and
+    reports per-cell membership with exact-integer share/load ratios."""
+    import os
+
+    C = train_ivf_centroids_local(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        n_centroids=n_centroids,
+        train_sample=train_sample,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
+    )
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in C[j])
+        )
+        for j in range(len(C))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+cents(cell, c) AS (VALUES
+  {rows}
+),
+dots AS (
+  SELECT e.vec_id, ct.cell, list_dot_product(e.v, ct.c) AS s
+  FROM e CROSS JOIN cents ct
+),
+assign AS (
+  SELECT vec_id, cell FROM dots
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) = 1
+),
+per_cell AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+tot AS (SELECT SUM(n) AS total FROM per_cell)
+SELECT c.cell, CAST(c.n AS BIGINT) AS n_vecs,
+       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       CAST(c.n * {n_centroids} AS DOUBLE) / CAST(t.total AS DOUBLE)
+         AS load_factor
+FROM per_cell c CROSS JOIN tot t
+ORDER BY c.cell
+"""

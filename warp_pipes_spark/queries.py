@@ -1843,6 +1843,53 @@ def q208_kmeans(spark, sf):
     return LloydKMeans(k=8, iters=3, dim=8)(T(spark, sf, "embeddings"))
 
 
+def q209_ivf_balance(spark, sf):
+    """IVF cell-balance audit — the report that justifies (or indicts) the
+    q47 probe budget: per-cell membership of the SAME index artifact q47
+    queries (shared fingerprint-keyed centroids + assignment), with share
+    and load factor (n*k/total; 1.0 = perfectly balanced). Skewed cells
+    are the IVF failure mode at scale — a hot cell makes every probe of
+    it a partial corpus scan — and this is the one-aggregation check
+    that catches it before the recall sweep (q182) has to."""
+    from warp_pipes_spark.ml.similarity import IvfCosineTopK
+
+    emb = T(spark, sf, "embeddings")
+    engine = IvfCosineTopK(
+        corpus=emb, k=5, n_centroids=16, n_probe=4, exclude_self=True
+    )
+    assigned = engine._assigned_corpus(engine._centroids())
+    per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_cell.agg(F.sum("n").alias("total"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n").cast("long").alias("n_vecs"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n") * F.lit(16)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("load_factor"),
+        )
+    )
+
+
+def q210_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift panel (Smirnov 1948; Massey
+    1951) across every source pair on doc character counts: the
+    binning-free nonparametric companion to q186's PSI panel — D and
+    the scaled KS statistic from EXACT integer ECDF algebra (the max
+    rides as |n_b*cum_a - n_a*cum_b| BIGINT), so the alarm is
+    engine-independent with zero decimal casts."""
+    from warp_pipes_spark.ml.drift import KsDrift
+
+    return KsDrift(value_col="n_chars", group_col="source")(
+        T(spark, sf, "documents")
+    )
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6379,6 +6426,13 @@ def _round2b_oracles():
     # own sf dir. If that Parquet is absent (unexpected environment), q47
     # degrades to the rows-only check instead of breaking registration.
     try:
+        from warp_pipes_spark.ml.similarity import ivf_balance_sql
+
+        ORACLES_EXT["q209_ivf_balance"] = ivf_balance_sql(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            n_centroids=16,
+            seed=42,
+        )
         ORACLES_EXT["q47_ivf_topk"] = ivf_topk_sql(
             os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
             k=5,
@@ -6770,6 +6824,12 @@ FROM per_line GROUP BY source ORDER BY source
     )
 
     from warp_pipes_spark.plans.layout import hilbert_sql
+
+    from warp_pipes_spark.ml.drift import ks_drift_sql
+
+    ORACLES_EXT["q210_ks_drift"] = ks_drift_sql(
+        "documents", value_expr="n_chars", group_col="source"
+    )
 
     from warp_pipes_spark.ml.kmeans import kmeans_sql
 
@@ -7171,6 +7231,8 @@ def _register():
         "q206_hilbert_layout": q206_hilbert_layout,
         "q207_kneser_ney": q207_kneser_ney,
         "q208_kmeans": q208_kmeans,
+        "q209_ivf_balance": q209_ivf_balance,
+        "q210_ks_drift": q210_ks_drift,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
