@@ -45,6 +45,7 @@ from warp_pipes_spark.text.web import FixEncoding, HtmlStrip, UrlParse
 from warp_pipes_spark.search.topk import TopkSearch
 from warp_pipes_spark.text.packing import SpanCorruption
 from warp_pipes_spark.ml.drift import KsDrift
+from warp_pipes_spark.ml.graph import LabelPropagation
 from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.metrics import BootstrapCI
 from warp_pipes_spark.text.analysis import (
@@ -125,6 +126,7 @@ def instantiate_all():
         BootstrapCI("n_tokens"),
         LloydKMeans(),
         KsDrift("n_chars"),
+        LabelPropagation(),
     ]
 
 

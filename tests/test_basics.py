@@ -816,3 +816,42 @@ def test_lloyd_kmeans_centroids_are_member_means(spark):
     # cluster centers ~ (0.0015, 0) and (1.0015, 1)
     xs = sorted(v[0][0] for v in cells.values())
     assert abs(xs[0] - 0.0015) < 1e-6 and abs(xs[1] - 1.0015) < 1e-6
+
+
+def test_ngram_pair_cache_is_content_keyed(spark, tmp_path):
+    """The round-6 pair-table cache must key on corpus CONTENT + measure
+    params: two different corpora (and two different thresholds over the
+    same corpus) must not collide; a repeated call must hit (same rows)."""
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.text.dedup import NgramJaccardDedup
+
+    cache = str(tmp_path / "pairs")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    half = docs.filter("doc_id % 2 = 0")
+
+    def run(frame, threshold):
+        op = NgramJaccardDedup(
+            n=3,
+            threshold=threshold,
+            prefix_filter=False,
+            shingle_cache_dir=cache,
+        )
+        return sorted(tuple(r) for r in op(frame).collect())
+
+    full_05 = run(docs, 0.5)
+    assert run(docs, 0.5) == full_05  # cache hit reproduces
+    half_05 = run(half, 0.5)
+    assert half_05 != full_05  # different corpus -> different key
+    assert all(r[0] % 2 == 0 and r[1] % 2 == 0 for r in half_05)
+    full_03 = run(docs, 0.3)
+    # looser threshold keeps at least the same pairs (equal on this tiny
+    # corpus is fine) AND must occupy its own cache entry — count distinct
+    # artifacts: 3 pair tables + the shingle tables
+    assert set(full_03) >= set(full_05)
+    import os
+
+    entries = [
+        d for d in os.listdir(str(tmp_path / "pairs"))
+        if not d.startswith(".")
+    ]
+    assert len(entries) >= 4, entries

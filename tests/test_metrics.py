@@ -256,3 +256,51 @@ def test_source_divergence_extremes(spark):
     assert out[("s1", "s2")] == 0.0
     assert abs(out[("s1", "s3")] - math.log(2)) < 1e-5
     assert abs(out[("s2", "s3")] - math.log(2)) < 1e-5
+
+
+def _lpa_reference(edges, rounds):
+    """Independent Python replica of SYNCHRONOUS min-tie label
+    propagation: all nodes update simultaneously from the previous
+    round's labels; most frequent neighbor label, ties to the smallest."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = Counter(labels[n] for n in adj[v])
+            best = min(((-c, l) for l, c in cnt.items()))
+            new[v] = best[1]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference_on_random_graphs(spark):
+    """Seeded random graphs x rounds: the engine's synchronous LPA must
+    equal an independent Python reference exactly — including the
+    2-cycle-prone structures (bipartite-ish sparse graphs) the fixed
+    unroll exists for."""
+    import random
+
+    from warp_pipes_spark.ml.graph import LabelPropagation
+
+    for seed, n, p, rounds in [(1, 40, 0.10, 3), (2, 60, 0.05, 4),
+                               (5, 24, 0.5, 2)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < p}
+        )
+        if not edges:
+            continue
+        want = _lpa_reference(edges, rounds)
+        df = spark.createDataFrame(edges, ["u", "v"])
+        got = {
+            r["node"]: r["label"]
+            for r in LabelPropagation(rounds=rounds)(df).collect()
+        }
+        assert got == want, (seed, n, p, rounds)

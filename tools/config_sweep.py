@@ -443,6 +443,127 @@ def _cells():
             ),
         )
 
+    # ---- round-6 additions: new operator families at non-default configs --
+    from warp_pipes_spark.text.dedup import (
+        ChunkDedupStats,
+        ContainmentPairs,
+        chunk_dedup_sql,
+        containment_pairs_sql,
+    )
+
+    for ne in (0.7, 0.95):
+        add(
+            f"containment_ne{ne}",
+            lambda spark, sf, n=ne: ContainmentPairs(
+                n=3, threshold=0.4, near_equal=n
+            )(_docs(spark, sf)),
+            containment_pairs_sql(
+                "documents", n=3, threshold=0.4, near_equal=ne
+            ),
+        )
+    for cs in (8, 32):
+        add(
+            f"chunk_dedup_cs{cs}",
+            lambda spark, sf, c=cs: ChunkDedupStats(chunk_size=c)(
+                _docs(spark, sf)
+            ),
+            chunk_dedup_sql("documents", chunk_size=cs),
+        )
+
+    from warp_pipes_spark.text.analysis import (
+        KneserNeyScore,
+        TermBurstiness,
+        kneser_ney_sql,
+        term_burstiness_sql,
+    )
+
+    for d in (0.25, 0.9):
+        add(
+            f"kneser_ney_d{d}",
+            lambda spark, sf, dd=d: KneserNeyScore(discount=dd)(
+                _docs(spark, sf)
+            ),
+            kneser_ney_sql("documents", discount=d),
+        )
+    for mdf, k in [(5, 10), (50, 40)]:
+        add(
+            f"burstiness_df{mdf}_k{k}",
+            lambda spark, sf, m=mdf, kk=k: TermBurstiness(min_df=m, k=kk)(
+                _docs(spark, sf)
+            ),
+            term_burstiness_sql("documents", min_df=mdf, k=k),
+        )
+
+    from warp_pipes_spark.ml.kmeans import LloydKMeans, kmeans_sql
+
+    for k, iters, dim in [(4, 2, 4), (16, 4, 8)]:
+        add(
+            f"kmeans_k{k}_i{iters}_d{dim}",
+            lambda spark, sf, a=k, b=iters, c=dim: LloydKMeans(
+                k=a, iters=b, dim=c
+            )(T(spark, sf, "embeddings")),
+            kmeans_sql("embeddings", k=k, iters=iters, dim=dim),
+        )
+
+    from warp_pipes_spark.ml.metrics import BootstrapCI, bootstrap_ci_sql
+    from warp_pipes_spark.text.analysis import tokens_expr as _te
+
+    for B, lo, hi in [(16, 1, 16), (128, 4, 125)]:
+        add(
+            f"bootstrap_B{B}",
+            lambda spark, sf, b=B, l=lo, h=hi: BootstrapCI(
+                value_col="n_tokens", n_replicas=b, lo_rank=l, hi_rank=h
+            )(
+                _docs(spark, sf).select(
+                    "doc_id", F.size(_te(F.col("text"))).alias("n_tokens")
+                )
+            ),
+            bootstrap_ci_sql(
+                "SELECT doc_id, text FROM documents",
+                value_expr=f"len({tokens_sql('text')})",
+                n_replicas=B,
+                lo_rank=lo,
+                hi_rank=hi,
+            ),
+        )
+
+    from warp_pipes_spark.ml.drift import KsDrift, ks_drift_sql
+    from warp_pipes_spark.plans.layout import hilbert_frame, hilbert_sql
+
+    add(
+        "ks_drift_tokens",
+        lambda spark, sf: KsDrift(value_col="n_tokens", group_col="lang")(
+            _docs(spark, sf).select(
+                "lang", F.size(_te(F.col("text"))).alias("n_tokens")
+            )
+        ),
+        ks_drift_sql(
+            f"(SELECT lang, len({tokens_sql('text')}) AS n_tokens "
+            "FROM documents) t",
+            value_expr="n_tokens",
+            group_col="lang",
+        ),
+    )
+    for bits in (6, 10):
+        add(
+            f"hilbert_bits{bits}",
+            lambda spark, sf, b=bits: hilbert_frame(
+                _docs(spark, sf).select("doc_id", "n_chars"),
+                F.col("doc_id") % (1 << b),
+                F.col("n_chars") % (1 << b),
+                bits=b,
+                out_col="h",
+            ).select("doc_id", "h"),
+            hilbert_sql(
+                f"SELECT doc_id, doc_id % {1 << bits} AS hx0, "
+                f"n_chars % {1 << bits} AS hy0 FROM documents",
+                "hx0",
+                "hy0",
+                bits=bits,
+                out_cols="doc_id",
+            ),
+        )
+
     return cells
 
 

@@ -233,3 +233,112 @@ def kcore_sql(
         f"JOIN {last} b ON b.node = d.nbr "
         f"GROUP BY 1 ORDER BY 1"
     )
+
+
+class LabelPropagation(Pipe):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007): every node starts labeled with its own id;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — the deterministic
+    variant (the original's random tie-break and asynchronous order are
+    what make vanilla LPA non-reproducible; synchronous + min-tie is
+    replayable as a finite SQL CTE chain, the KCore discipline).
+
+    Input df = oriented undirected edges (``u`` < ``v``). Output =
+    (node, label) after ``rounds`` rounds — nodes sharing a label form a
+    community. Fixed rounds, not a fixpoint: sync LPA on bipartite-ish
+    structures can 2-cycle, so a fixed unroll is both the exactness
+    contract AND the termination guarantee.
+
+    Scale shape per round: one join of the (cached) undirected edge list
+    against the node-sized label table, one map-side-combined
+    (node, label) count, one (count DESC, label ASC) argmax — shuffle
+    keys are node-sized throughout; lineage cut per round with
+    node-sized localCheckpoints."""
+
+    def __init__(
+        self,
+        rounds: int = 4,
+        src: str = "u",
+        dst: str = "v",
+        out_id: str = "node",
+        **kwargs,
+    ):
+        if rounds < 1:
+            raise ValueError(f"need rounds >= 1, got {rounds}")
+        super().__init__(**kwargs)
+        self.rounds = rounds
+        self.src = src
+        self.dst = dst
+        self.out_id = out_id
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        und = df.select(
+            F.col(self.src).alias("node"), F.col(self.dst).alias("nbr")
+        ).unionByName(
+            df.select(
+                F.col(self.dst).alias("node"), F.col(self.src).alias("nbr")
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            labels = (
+                und.select("node")
+                .distinct()
+                .withColumn("label", F.col("node"))
+                .localCheckpoint()
+            )
+            for _ in range(self.rounds):
+                freq = (
+                    und.join(
+                        labels.withColumnRenamed("node", "nbr"), "nbr"
+                    )
+                    .groupBy("node", "label")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                )
+                best = F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"),
+                        F.col("label").alias("l"),
+                    )
+                )
+                labels = (
+                    freq.groupBy("node")
+                    .agg(best.alias("__b"))
+                    .select("node", F.col("__b.l").alias("label"))
+                    .localCheckpoint()
+                )
+            return labels.select(
+                F.col("node").alias(self.out_id),
+                F.col("label").cast("long").alias("label"),
+            )
+        finally:
+            und.unpersist()
+
+
+def label_propagation_sql(
+    edges_cte: str,
+    rounds: int = 4,
+    out_id: str = "node",
+) -> str:
+    """DuckDB oracle for :class:`LabelPropagation`: the identical
+    synchronous rounds unrolled as materialized CTEs. ``edges_cte`` must
+    yield (u, v) with u < v."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e "
+        "UNION ALL SELECT v, u FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT d.node, l.label, COUNT(*) AS c FROM und d "
+            f"JOIN l{r - 1} l ON l.node = d.nbr GROUP BY 1, 2) f "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT node AS {out_id}, CAST(label AS BIGINT) AS label "
+        f"FROM l{rounds} ORDER BY 1"
+    )

@@ -651,21 +651,38 @@ class BootstrapCI(Pipe):
         hi = ranked.filter(F.col("__r") == self.hi_rank).select(
             F.col("__m").cast("double").alias("boot_hi")
         )
-        mstats = reps.agg(
-            F.sum("__m").alias("__sm"),
-            F.sum(F.col("__m") * F.col("__m")).alias("__sm2"),
-        ).select(
-            F.sqrt(
-                F.greatest(
-                    (
-                        F.lit(B) * F.col("__sm2").cast("double")
-                        - F.col("__sm").cast("double")
-                        * F.col("__sm").cast("double")
+        # replica SE from EXACT centered integer moments (variance is
+        # translation-invariant): micro-unit means minus their minimum stay
+        # small enough that B*sum(c^2) fits a BIGINT, so the only IEEE ops
+        # are one division, one sqrt, one /1e6 — a wide-DECIMAL -> double
+        # cast here is NOT engine-stable (DuckDB converts via double
+        # arithmetic; found live at B=128)
+        m6 = reps.select(
+            (F.col("__m") * 1000000).cast("long").alias("__m6")
+        )
+        mn = m6.agg(F.min("__m6").alias("__mn"))
+        mstats = (
+            m6.crossJoin(F.broadcast(mn))
+            .select((F.col("__m6") - F.col("__mn")).alias("__c"))
+            .agg(
+                F.sum("__c").alias("__sc"),
+                F.sum(F.col("__c") * F.col("__c")).alias("__sc2"),
+            )
+            .select(
+                (
+                    F.sqrt(
+                        F.greatest(
+                            (
+                                F.lit(B) * F.col("__sc2")
+                                - F.col("__sc") * F.col("__sc")
+                            ).cast("double")
+                            / F.lit(float(B * (B - 1))),
+                            F.lit(0.0),
+                        )
                     )
-                    / F.lit(float(B * (B - 1))),
-                    F.lit(0.0),
-                )
-            ).alias("boot_se")
+                    / F.lit(1000000.0)
+                ).alias("boot_se")
+            )
         )
         return (
             full.crossJoin(F.broadcast(lo))
@@ -727,12 +744,17 @@ reps AS (
 ranked AS (
   SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM reps
 ),
+m6 AS (
+  SELECT CAST(m * 1000000 AS BIGINT) AS m6 FROM reps
+),
+centered AS (
+  SELECT m6 - (SELECT MIN(m6) FROM m6) AS c FROM m6
+),
 mstats AS (
   SELECT sqrt(GREATEST(
-           ({B} * CAST(SUM(m * m) AS DOUBLE)
-            - CAST(SUM(m) AS DOUBLE) * CAST(SUM(m) AS DOUBLE))
-           / {float(B * (B - 1))!r}, 0.0)) AS boot_se
-  FROM reps
+           CAST({B} * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+           / {float(B * (B - 1))!r}, 0.0)) / 1000000.0 AS boot_se
+  FROM centered
 )
 SELECT CAST(f.n_docs AS BIGINT) AS n_docs,
        CAST({B} AS INT) AS n_replicas,

@@ -1890,6 +1890,21 @@ def q210_ks_drift(spark, sf):
     )
 
 
+def q211_label_propagation(spark, sf):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) on the co-purchase graph — the community structure the
+    one-shot graph queries (components q133, triangles q115, cores
+    q177/q201) don't give. Deterministic variant: synchronous rounds +
+    min-label tie-break, so the 4-round run replays as a finite CTE
+    chain (vanilla LPA's random tie-break is unreproducible by design).
+    Per round: one edge-vs-labels join + node-keyed argmax."""
+    from warp_pipes_spark.ml.graph import LabelPropagation
+
+    return LabelPropagation(rounds=4, out_id="part_id")(
+        _copurchase_edges(spark, sf)
+    )
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6791,7 +6806,11 @@ FROM per_line GROUP BY source ORDER BY source
         "documents", budget_tokens=100_000, temperature=0.7
     )
 
-    from warp_pipes_spark.ml.graph import kcore_sql
+    from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
+
+    ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
+        _COPURCHASE_EDGES_SQL, rounds=4, out_id="part_id"
+    )
 
     ORACLES_EXT["q177_kcore"] = kcore_sql(
         _COPURCHASE_EDGES_SQL, k=3, rounds=8, out_id="part_id"
@@ -7233,6 +7252,7 @@ def _register():
         "q208_kmeans": q208_kmeans,
         "q209_ivf_balance": q209_ivf_balance,
         "q210_ks_drift": q210_ks_drift,
+        "q211_label_propagation": q211_label_propagation,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
