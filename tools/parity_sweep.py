@@ -53,6 +53,11 @@ DEFAULT_QUERIES = [
     "q151_maximal_spans", "q176_gopher_repetition",
     "q190_capacity_sweep", "q193_source_divergence",
     "q200_boilerplate_lines",
+    # round-6 additions (every new numeric family at 100x harness scale)
+    "q202_containment_pairs", "q203_chunk_dedup", "q204_term_burstiness",
+    "q205_bootstrap_ci", "q206_hilbert_layout", "q207_kneser_ney",
+    "q208_kmeans", "q209_ivf_balance", "q210_ks_drift",
+    "q211_label_propagation",
 ]
 
 TABLES = (

@@ -39,6 +39,19 @@ def _dot(a, b):
     )
 
 
+def _dot_unrolled(a, b, dim: int):
+    """``_dot`` with the dimension known at plan time: the identical
+    left-fold ((0 + a1*b1) + a2*b2) + ... as FLAT scalar arithmetic.
+    Bit-identical to ``_dot`` (same op order), but whole-stage-codegen
+    compiles it — Spark's higher-order functions (zip_with/aggregate)
+    are interpreted per row, which is the dominant cost when the dot
+    runs once per PAIR of a brute-force cross join."""
+    expr = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        expr = expr + F.element_at(a, i) * F.element_at(b, i)
+    return expr
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -88,6 +101,7 @@ class BruteForceCosineTopK(Pipe):
         exclude_self: bool = True,
         strategy: str = "join",
         max_query_rows: int = 100_000,
+        dim: Optional[int] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -100,6 +114,10 @@ class BruteForceCosineTopK(Pipe):
         self.exclude_self = exclude_self
         self.strategy = strategy
         self.max_query_rows = max_query_rows
+        # when the vector dimension is known at plan time, the per-pair
+        # dot unrolls to flat codegen'd arithmetic (bit-identical fold
+        # order — see _dot_unrolled); None keeps the generic HOF fold
+        self.dim = dim
 
     _no_fingerprint = ("corpus",)
 
@@ -126,7 +144,12 @@ class BruteForceCosineTopK(Pipe):
         pairs = q.crossJoin(F.broadcast(c))
         if self.exclude_self:
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-        score = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        dot = (
+            _dot_unrolled(F.col("qv"), F.col("cv"), self.dim)
+            if self.dim
+            else _dot(F.col("qv"), F.col("cv"))
+        )
+        score = dot / (F.col("qn") * F.col("cn"))
         scored = pairs.select(
             "query_id",
             "neighbor_id",

@@ -491,7 +491,7 @@ def q29_simhash_dedup(spark, sf):
 def q30_cosine_topk(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+    return BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True, dim=64)(queries)
 
 
 def q31_cosine_pairs(spark, sf):
@@ -681,7 +681,7 @@ def q38_merge_scores(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     cos = (
-        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True, dim=64)(queries)
         .select("query_id", F.col("neighbor_id").alias("idx"), F.col("score").cast("double").alias("score"))
     )
     qlab = queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
@@ -1608,9 +1608,18 @@ def curation_funnel_frames(docs):
         BadWordsFilter(list(CURATION_BADWORDS))(d1)
         .filter(F.col("keep"))
         .select("doc_id", "source", "text")
+        # lazy localCheckpoint: each downstream stage (exact dedup's
+        # groupBy, MinHash's shingle pass) and each per-stage COUNT in
+        # q175 otherwise re-executes the whole scan+filter prefix — the
+        # funnel is consumed stage-by-stage by construction, so the
+        # materialization always pays for itself; lazy so merely BUILDING
+        # the frames (release_report imports this) runs nothing
+        .localCheckpoint(eager=False)
     )
     firsts = d2.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    d3 = d2.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    d3 = d2.join(firsts.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     pairs = MinHashDedup(
         n=3, threshold=0.3, hash_family="md5", materialize_shingles=False
     )(d3)
@@ -2175,7 +2184,7 @@ def q182_ann_recall_sweep(spark, sf):
     # rows) and its count taken as a scalar, so the three sweep branches
     # reuse it instead of re-running the brute-force cross join
     exact = (
-        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+        BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True, dim=64)(queries)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
@@ -3034,7 +3043,7 @@ def q67_quantized_topk(spark, sf):
     codes, sq = quantized_corpus(emb.select("vec_id", "embedding"), dim=64)
     approx = sq.decode(codes).drop("codes")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return BruteForceCosineTopK(corpus=approx, k=5, exclude_self=True)(queries)
+    return BruteForceCosineTopK(corpus=approx, k=5, exclude_self=True, dim=64)(queries)
 
 
 def q68_grouping_sets(spark, sf):
@@ -4939,7 +4948,7 @@ def q128_knn_classifier(spark, sf):
     unchanged; the vote is one small aggregation over k x |queries| rows."""
     emb = T(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    nn = BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True)(queries)
+    nn = BruteForceCosineTopK(corpus=emb, k=5, exclude_self=True, dim=64)(queries)
     nlab = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
     )
@@ -5254,6 +5263,7 @@ def q138_hybrid_rrf(spark, sf):
         corpus_id="doc_id",
         corpus_vec="embedding",
         exclude_self=False,
+        dim=_EMBED_DIM,
     )(qv)
     bm = Bm25Search(corpus=docs, k=20)(_bm25_queries(spark, sf))
     from warp_pipes_spark.search.result import rrf_fuse

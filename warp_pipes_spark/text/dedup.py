@@ -212,10 +212,15 @@ class ExactDedup(Pipe):
 class NgramJaccardDedup(Pipe):
     """Exact n-gram Jaccard similar pairs via inverted-index self-join.
 
-    Plan shape: docs → (doc_id, shingle) exploded distinct → self-join on
-    shingle (doc_a < doc_b) → groupBy pair count = |A∩B| → join doc sizes →
-    Jaccard filter. Common-shingle cap (``max_df``) bounds worst-case
-    fan-out, which is what keeps this viable at scale.
+    Plan shape (direct path): docs → (doc_id, n_shingles, shingle)
+    exploded inverted index (sizes ride inline) → self-join on
+    xxhash64(shingle) (doc_a < doc_b) → groupBy pair count (a lossless
+    SUPERSET filter applies right at the aggregation output — no
+    candidate-sized joins) → exact string-set verify of the survivors.
+    The verified pair table is a fingerprint-keyed Parquet artifact
+    shared by every consumer (clusters, sketch audits, funnels).
+    Common-shingle cap (``max_df``) bounds worst-case fan-out, which is
+    what keeps this viable at scale.
 
     ``max_df`` CHANGES THE MEASURE: with a cap, the score is the *capped*
     Jaccard — |A'∩B'| / (|A|+|B|-|A'∩B'|) where A'/B' drop shingles with
