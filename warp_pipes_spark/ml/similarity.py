@@ -39,13 +39,23 @@ def _dot(a, b):
     )
 
 
+# above this dim the unrolled expression tree stops paying: the generated
+# method outgrows the JIT's inlining budget and Spark falls back to
+# interpreted evaluation of a 2*dim-node tree per pair, measured ~12x
+# SLOWER than the HOF fold at dim=64 on sf1 (the HOF loop is one
+# interpreted lambda over a primitive array). dim<=16 measured faster
+# (dim=8: ~2x on the isolated cross-join stage).
+UNROLL_MAX_DIM = 16
+
+
 def _dot_unrolled(a, b, dim: int):
     """``_dot`` with the dimension known at plan time: the identical
     left-fold ((0 + a1*b1) + a2*b2) + ... as FLAT scalar arithmetic.
     Bit-identical to ``_dot`` (same op order), but whole-stage-codegen
     compiles it — Spark's higher-order functions (zip_with/aggregate)
     are interpreted per row, which is the dominant cost when the dot
-    runs once per PAIR of a brute-force cross join."""
+    runs once per PAIR of a brute-force cross join. Only a win for
+    small dims — see UNROLL_MAX_DIM."""
     expr = F.lit(0.0).cast("double")
     for i in range(1, dim + 1):
         expr = expr + F.element_at(a, i) * F.element_at(b, i)
@@ -114,9 +124,11 @@ class BruteForceCosineTopK(Pipe):
         self.exclude_self = exclude_self
         self.strategy = strategy
         self.max_query_rows = max_query_rows
-        # when the vector dimension is known at plan time, the per-pair
-        # dot unrolls to flat codegen'd arithmetic (bit-identical fold
-        # order — see _dot_unrolled); None keeps the generic HOF fold
+        # when the vector dimension is known at plan time AND small
+        # (<= UNROLL_MAX_DIM), the per-pair dot unrolls to flat codegen'd
+        # arithmetic (bit-identical fold order — see _dot_unrolled);
+        # None or a large dim keeps the generic HOF fold, so callers can
+        # pass dim unconditionally
         self.dim = dim
 
     _no_fingerprint = ("corpus",)
@@ -146,7 +158,7 @@ class BruteForceCosineTopK(Pipe):
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
         dot = (
             _dot_unrolled(F.col("qv"), F.col("cv"), self.dim)
-            if self.dim
+            if self.dim and self.dim <= UNROLL_MAX_DIM
             else _dot(F.col("qv"), F.col("cv"))
         )
         score = dot / (F.col("qn") * F.col("cn"))
