@@ -49,6 +49,7 @@ from warp_pipes_spark.ml.graph import LabelPropagation
 from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.metrics import BootstrapCI
 from warp_pipes_spark.text.analysis import (
+    ContingencyPanel,
     DocFingerprint,
     KneserNeyScore,
     TermBurstiness,
@@ -127,6 +128,7 @@ def instantiate_all():
         LloydKMeans(),
         KsDrift("n_chars"),
         LabelPropagation(),
+        ContingencyPanel(),
     ]
 
 

@@ -1914,6 +1914,22 @@ def q211_label_propagation(spark, sf):
     )
 
 
+def q212_contingency_panel(spark, sf):
+    """Source x language association panel (Shannon 1948 MI; Pearson 1900
+    chi-square; Strehl & Ghosh 2002 NMI) — the one-row independence
+    audit a mixture curator reads before reweighting: if language
+    composition is independent of source (NMI ~ 0), per-source language
+    balancing is a no-op; a large chi2/dof says provenance and language
+    are entangled and the sampler must stratify on BOTH. All statistics
+    from exact BIGINT cells via the JS/PSI integer-numerator discipline;
+    one scan, cells bounded by |sources| x |langs|."""
+    from warp_pipes_spark.text.analysis import ContingencyPanel
+
+    return ContingencyPanel(row_col="source", col_col="lang")(
+        T(spark, sf, "documents")
+    )
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6816,6 +6832,12 @@ FROM per_line GROUP BY source ORDER BY source
         "documents", budget_tokens=100_000, temperature=0.7
     )
 
+    from warp_pipes_spark.text.analysis import contingency_panel_sql
+
+    ORACLES_EXT["q212_contingency_panel"] = contingency_panel_sql(
+        "documents", row="source", col="lang"
+    )
+
     from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
 
     ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
@@ -7263,6 +7285,7 @@ def _register():
         "q209_ivf_balance": q209_ivf_balance,
         "q210_ks_drift": q210_ks_drift,
         "q211_label_propagation": q211_label_propagation,
+        "q212_contingency_panel": q212_contingency_panel,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -2501,3 +2501,199 @@ SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
 FROM agg
 ORDER BY doc_id
 """
+
+
+class ContingencyPanel(Pipe):
+    """Association panel for two categorical document attributes — the
+    one-row report a mixture curator reads to decide whether composition
+    is independent of provenance (is language mix the same in every
+    source?): mutual information, normalized MI, the marginal entropies
+    and the chi-square statistic of the (row_col x col_col) contingency
+    table (Shannon 1948; Pearson 1900; Strehl & Ghosh 2002 for the
+    sqrt-normalized NMI).
+
+    Exactness (the JS/PSI integer-numerator discipline): with exact
+    BIGINT cell counts c_rc, margins c_r/c_c and total N,
+
+        MI * N  = sum_cells c_rc * round6(ln(c_rc * N / (c_r * c_c)))
+        H_r * N = sum_rows  c_r  * round6(ln(N / c_r))        (H_c alike)
+        chi2    = sum_grid  round6(d^2 / (c_r * c_c * N)),
+                  d = c_rc * N - c_r * c_c   (exact BIGINT)
+
+    — every log/division argument derives from exact integers (both
+    engines feed libm identical doubles), products are BIGINT x
+    DECIMAL(18,6) (exact), sums are DECIMAL (exact), and each output is
+    ONE final IEEE division rounded once. NMI re-derives from the
+    already-rounded MI/H values, so it inherits their determinism.
+    Numerator/denominator PRODUCTS are taken in DOUBLE (per-factor
+    casts, fixed multiply order — identical IEEE results both engines,
+    no BIGINT overflow cliff); only the chi-square difference d needs
+    exact BIGINT products, bounding the run at N ~ 3e9 rows.
+
+    Scale shape: ONE scan into a groupBy on the two keys (cells bounded
+    by |rows| x |cols| — categorical by contract), margins re-aggregate
+    the CELL table (never the corpus), the zero-including chi-square
+    grid is a margins cross join. Nothing corpus-sized past the first
+    aggregation."""
+
+    def __init__(
+        self,
+        row_col: str = "source",
+        col_col: str = "lang",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.row_col = row_col
+        self.col_col = col_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        cells = (
+            df.select(
+                F.col(self.row_col).alias("r"), F.col(self.col_col).alias("c")
+            )
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("n_rc"))
+        )
+        rows = cells.groupBy("r").agg(F.sum("n_rc").alias("n_r"))
+        cols = cells.groupBy("c").agg(F.sum("n_rc").alias("n_c"))
+        tot = cells.agg(F.sum("n_rc").alias("n"))
+
+        # MI: observed cells only (zero cells contribute exactly 0)
+        mi_cells = (
+            cells.join(F.broadcast(rows), "r")
+            .join(F.broadcast(cols), "c")
+            .crossJoin(F.broadcast(tot))
+        )
+        mi_term = F.col("n_rc") * F.log(
+            (F.col("n_rc").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_r").cast("double") * F.col("n_c").cast("double"))
+        ).cast(D)
+        s_mi = mi_cells.agg(
+            F.sum(mi_term).alias("s_mi"), F.max("n").alias("n")
+        )
+
+        # chi-square: the FULL margins grid (zero cells contribute e_rc)
+        grid = (
+            rows.crossJoin(cols)
+            .join(cells, ["r", "c"], "left")
+            .na.fill({"n_rc": 0})
+            .crossJoin(F.broadcast(tot))
+        )
+        d = F.col("n_rc") * F.col("n") - F.col("n_r") * F.col("n_c")
+        chi_term = (
+            (d.cast("double") * d.cast("double"))
+            / (
+                F.col("n_r").cast("double")
+                * F.col("n_c").cast("double")
+                * F.col("n").cast("double")
+            )
+        ).cast(D)
+        s_chi = grid.agg(
+            F.sum(chi_term).alias("s_chi"),
+            F.count_distinct(F.col("r")).alias("n_rows"),
+            F.count_distinct(F.col("c")).alias("n_cols"),
+        )
+
+        def h_of(margin, cnt):
+            t = F.col(cnt) * F.log(
+                F.col("n").cast("double") / F.col(cnt).cast("double")
+            ).cast(D)
+            return margin.crossJoin(F.broadcast(tot)).agg(
+                F.sum(t).alias("s_h")
+            )
+
+        s_hr = h_of(rows, "n_r").select(F.col("s_h").alias("s_hr"))
+        s_hc = h_of(cols, "n_c").select(F.col("s_h").alias("s_hc"))
+
+        panel = (
+            s_mi.crossJoin(s_chi).crossJoin(s_hr).crossJoin(s_hc)
+        )
+        nd = F.col("n").cast("double")
+        mi = (F.col("s_mi").cast("double") / nd).cast(D).cast("double")
+        hr = (F.col("s_hr").cast("double") / nd).cast(D).cast("double")
+        hc = (F.col("s_hc").cast("double") / nd).cast(D).cast("double")
+        # NMI from the ALREADY-ROUNDED components: sqrt is correctly
+        # rounded IEEE, so both engines divide identical doubles
+        nmi = F.when(
+            (hr > 0) & (hc > 0), (mi / F.sqrt(hr * hc)).cast(D).cast("double")
+        ).otherwise(F.lit(0.0))
+        return panel.select(
+            F.col("n").cast("long").alias("n_docs"),
+            mi.alias("mi_nats"),
+            hr.alias("h_row"),
+            hc.alias("h_col"),
+            nmi.alias("nmi"),
+            F.col("s_chi").cast("double").cast(D).cast("double").alias("chi2"),
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+
+
+def contingency_panel_sql(
+    table: str = "documents",
+    row: str = "source",
+    col: str = "lang",
+) -> str:
+    """DuckDB oracle for :class:`ContingencyPanel`: identical exact-BIGINT
+    cells/margins, rounded logs, exact DECIMAL sums, one division each."""
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT {row} AS r, {col} AS c, COUNT(*) AS n_rc FROM {table} GROUP BY 1, 2
+),
+rws AS (SELECT r, SUM(n_rc) AS n_r FROM cells GROUP BY 1),
+cls AS (SELECT c, SUM(n_rc) AS n_c FROM cells GROUP BY 1),
+tot AS (SELECT SUM(n_rc) AS n FROM cells),
+s_mi AS (
+  SELECT SUM(n_rc * CAST(ln((CAST(n_rc AS DOUBLE) * CAST(n AS DOUBLE))
+                            / (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)))
+                         AS DECIMAL(18,6)))
+           AS s_mi
+  FROM cells JOIN rws USING (r) JOIN cls USING (c) CROSS JOIN tot
+),
+grid AS (
+  SELECT rws.r, cls.c, rws.n_r, cls.n_c, COALESCE(cells.n_rc, 0) AS n_rc, n
+  FROM rws CROSS JOIN cls
+  LEFT JOIN cells ON cells.r = rws.r AND cells.c = cls.c
+  CROSS JOIN tot
+),
+s_chi AS (
+  SELECT SUM(CAST(CAST(n_rc * n - n_r * n_c AS DOUBLE)
+                  * CAST(n_rc * n - n_r * n_c AS DOUBLE)
+                  / (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+                     * CAST(n AS DOUBLE)) AS DECIMAL(18,6)))
+           AS s_chi,
+         COUNT(DISTINCT r) AS n_rows, COUNT(DISTINCT c) AS n_cols
+  FROM grid
+),
+s_hr AS (
+  SELECT SUM(n_r * CAST(ln(CAST(n AS DOUBLE) / CAST(n_r AS DOUBLE))
+                        AS DECIMAL(18,6))) AS s_hr
+  FROM rws CROSS JOIN tot
+),
+s_hc AS (
+  SELECT SUM(n_c * CAST(ln(CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE))
+                        AS DECIMAL(18,6))) AS s_hc
+  FROM cls CROSS JOIN tot
+),
+panel AS (
+  SELECT n,
+    CAST(CAST(CAST(s_mi AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6))
+         AS DOUBLE) AS mi,
+    CAST(CAST(CAST(s_hr AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6))
+         AS DOUBLE) AS hr,
+    CAST(CAST(CAST(s_hc AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6))
+         AS DOUBLE) AS hc,
+    s_chi, n_rows, n_cols
+  FROM tot CROSS JOIN s_mi CROSS JOIN s_chi CROSS JOIN s_hr CROSS JOIN s_hc
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       mi AS mi_nats, hr AS h_row, hc AS h_col,
+       CASE WHEN hr > 0 AND hc > 0
+            THEN CAST(CAST(mi / sqrt(hr * hc) AS DECIMAL(18,6)) AS DOUBLE)
+            ELSE 0.0 END AS nmi,
+       CAST(CAST(CAST(s_chi AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS chi2,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof
+FROM panel
+"""
