@@ -47,7 +47,10 @@ from warp_pipes_spark.text.packing import SpanCorruption
 from warp_pipes_spark.ml.drift import KsDrift
 from warp_pipes_spark.ml.graph import LabelPropagation
 from warp_pipes_spark.ml.kmeans import LloydKMeans
-from warp_pipes_spark.ml.metrics import BootstrapCI
+from warp_pipes_spark.ml.pca import PowerIterationPCA
+from warp_pipes_spark.plans.skew import KeySkewProfile
+from warp_pipes_spark.pipes.sampling import NeymanAllocation
+from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel
 from warp_pipes_spark.text.analysis import (
     ContingencyPanel,
     DocFingerprint,
@@ -129,6 +132,10 @@ def instantiate_all():
         KsDrift("n_chars"),
         LabelPropagation(),
         ContingencyPanel(),
+        KeySkewProfile("user_id"),
+        ConfusionPanel("lang", "pred_lang"),
+        NeymanAllocation("n_chars"),
+        PowerIterationPCA(),
     ]
 
 

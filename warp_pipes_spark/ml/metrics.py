@@ -764,3 +764,110 @@ SELECT CAST(f.n_docs AS BIGINT) AS n_docs,
        s.boot_se
 FROM full_ f CROSS JOIN mstats s
 """
+
+
+class ConfusionPanel(Pipe):
+    """Multi-class confusion report: one row per class appearing in the
+    truth or prediction column — support, predicted count, hits,
+    precision, recall, F1 — the audit a heuristic classifier (langid,
+    quality gate, dedup verdict) gets before its threshold ships.
+
+    Exactness: counts are exact BIGINTs; precision = c/p and
+    recall = c/t are single IEEE divisions rounded once, and F1 uses
+    the harmonic-mean identity F1 = 2c/(t+p) — ONE division of exact
+    integers instead of the 2PR/(P+R) float chain, so there is no
+    compounding. Classes with t = 0 (never true) report NULL recall;
+    p = 0 likewise NULL precision; F1 is 0 when c = 0.
+
+    Scale shape: one scan to (true, pred) pairs, three class-sized
+    aggregations, one class-keyed outer join — nothing corpus-sized
+    past the first groupBy."""
+
+    def __init__(self, true_col: str, pred_col: str, **kwargs):
+        super().__init__(**kwargs)
+        self.true_col = true_col
+        self.pred_col = pred_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        pairs = df.select(
+            F.col(self.true_col).alias("t"), F.col(self.pred_col).alias("p")
+        )
+        truth = pairs.groupBy(F.col("t").alias("cls")).agg(
+            F.count(F.lit(1)).alias("n_true")
+        )
+        pred = pairs.groupBy(F.col("p").alias("cls")).agg(
+            F.count(F.lit(1)).alias("n_pred")
+        )
+        hits = (
+            pairs.filter(F.col("t") == F.col("p"))
+            .groupBy(F.col("t").alias("cls"))
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        out = (
+            truth.join(pred, "cls", "full_outer")
+            .join(hits, "cls", "left")
+            .na.fill({"n_true": 0, "n_pred": 0, "n_hit": 0})
+        )
+        prec = F.when(
+            F.col("n_pred") > 0,
+            (F.col("n_hit").cast("double") / F.col("n_pred").cast("double"))
+            .cast(D)
+            .cast("double"),
+        )
+        rec = F.when(
+            F.col("n_true") > 0,
+            (F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
+            .cast(D)
+            .cast("double"),
+        )
+        f1 = F.when(
+            F.col("n_true") + F.col("n_pred") > 0,
+            (
+                (2 * F.col("n_hit")).cast("double")
+                / (F.col("n_true") + F.col("n_pred")).cast("double")
+            )
+            .cast(D)
+            .cast("double"),
+        )
+        return out.select(
+            "cls",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            f1.alias("f1"),
+        ).orderBy("cls")
+
+
+def confusion_panel_sql(table: str, true_col: str, pred_col: str) -> str:
+    """DuckDB oracle for :class:`ConfusionPanel` — identical exact counts
+    and single rounded divisions (F1 via the 2c/(t+p) identity)."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT {true_col} AS t, {pred_col} AS p FROM {table}
+),
+truth AS (SELECT t AS cls, COUNT(*) AS n_true FROM pairs GROUP BY 1),
+pred AS (SELECT p AS cls, COUNT(*) AS n_pred FROM pairs GROUP BY 1),
+hits AS (SELECT t AS cls, COUNT(*) AS n_hit FROM pairs WHERE t = p GROUP BY 1)
+SELECT cls,
+       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(n_pred, 0) > 0
+            THEN CAST(CAST(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                           / CAST(n_pred AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS precision,
+       CASE WHEN COALESCE(n_true, 0) > 0
+            THEN CAST(CAST(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                           / CAST(n_true AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS recall,
+       CASE WHEN COALESCE(n_true, 0) + COALESCE(n_pred, 0) > 0
+            THEN CAST(CAST(CAST(2 * COALESCE(n_hit, 0) AS DOUBLE)
+                           / CAST(COALESCE(n_true, 0) + COALESCE(n_pred, 0)
+                                  AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS f1
+FROM truth FULL OUTER JOIN pred USING (cls) LEFT JOIN hits USING (cls)
+ORDER BY cls
+"""

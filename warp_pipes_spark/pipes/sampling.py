@@ -985,3 +985,118 @@ SELECT {stratum},
 FROM ranked
 ORDER BY {stratum}
 """
+
+
+class NeymanAllocation(Pipe):
+    """Optimal eval-budget allocation across strata (Neyman 1934; Cochran
+    1977 §5.5): given a fixed evaluation budget of ``budget`` docs, the
+    per-stratum sample size minimizing the variance of the stratified
+    mean of ``value_col`` is n_h ∝ N_h * S_h — big AND internally
+    diverse strata get the seats; the planner every eval-set curator
+    eyeballing "1000 docs per source" should run instead.
+
+    Exactness: with exact BIGINT moments per stratum (n, sum x, sum x²),
+    N_h*S_h = sqrt(v_h) where v_h = n_h*Σx² − (Σx)² — ONE correctly
+    rounded IEEE sqrt per stratum, DECIMAL(18,6)-rounded, so the share
+    denominator is an EXACT decimal sum (never an order-dependent float
+    sum); share and the final floor(budget*share) are then single IEEE
+    ops on identical doubles in both engines. mean/sd are the usual
+    single-division outputs. BIGINT bound: n_h*Σx² <= ~9e18 (n_chars
+    ~1e4 ⇒ safe past 1e10 docs per stratum).
+
+    Scale shape: one scan, one strata-sized aggregation, one broadcast
+    total — nothing else."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_col: str = "source",
+        budget: int = 1000,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.group_col = group_col
+        self.budget = budget
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        x = F.col(self.value_col).cast("long")
+        per = df.groupBy(F.col(self.group_col).alias("stratum")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sx2"),
+        )
+        v = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+        per = per.withColumn(
+            # decimal-rounded sqrt(v_h): the Neyman weight N_h*S_h
+            "w", F.sqrt(v.cast("double")).cast(D)
+        )
+        tot = per.agg(
+            F.sum("w").alias("tw"), F.sum("n").alias("tn")
+        )
+        out = per.crossJoin(F.broadcast(tot))
+        share = F.when(
+            F.col("tw") > 0,
+            (F.col("w").cast("double") / F.col("tw").cast("double"))
+            .cast(D)
+            .cast("double"),
+        ).otherwise(F.lit(0.0))
+        return out.select(
+            "stratum",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.col("sx").cast("double") / F.col("n").cast("double"))
+            .cast(D)
+            .cast("double")
+            .alias("mean_value"),
+            (F.sqrt(v.cast("double")) / F.col("n").cast("double"))
+            .cast(D)
+            .cast("double")
+            .alias("sd_value"),
+            (F.col("n").cast("double") / F.col("tn").cast("double"))
+            .cast(D)
+            .cast("double")
+            .alias("prop_share"),
+            share.alias("neyman_share"),
+            F.floor(F.lit(float(self.budget)) * share)
+            .cast("long")
+            .alias("n_eval"),
+        )
+
+
+def neyman_allocation_sql(
+    table: str, value: str, group: str = "source", budget: int = 1000
+) -> str:
+    """DuckDB oracle for :class:`NeymanAllocation` — identical exact
+    moments, rounded sqrt weights, exact decimal weight total."""
+    return f"""
+WITH per AS MATERIALIZED (
+  SELECT {group} AS stratum, COUNT(*) AS n,
+         SUM(CAST({value} AS BIGINT)) AS sx,
+         SUM(CAST({value} AS BIGINT) * CAST({value} AS BIGINT)) AS sx2
+  FROM {table} GROUP BY 1
+),
+wts AS (
+  SELECT *, CAST(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) AS DECIMAL(18,6))
+              AS w
+  FROM per
+),
+tot AS (SELECT SUM(w) AS tw, SUM(n) AS tn FROM wts)
+SELECT stratum,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_value,
+       CAST(CAST(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS sd_value,
+       CAST(CAST(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS prop_share,
+       CASE WHEN tw > 0
+            THEN CAST(CAST(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE)
+            ELSE 0.0 END AS neyman_share,
+       CAST(FLOOR({budget}.0 * (CASE WHEN tw > 0
+            THEN CAST(CAST(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE)
+            ELSE 0.0 END)) AS BIGINT) AS n_eval
+FROM wts CROSS JOIN tot
+"""

@@ -1930,6 +1930,65 @@ def q212_contingency_panel(spark, sf):
     )
 
 
+def q213_key_skew(spark, sf):
+    """Shuffle-key skew profile (`plans/skew.py` `KeySkewProfile`) of
+    ``events.user_id`` — the report to read before keying the 100 TB
+    join/groupBy on it: cardinality, top-key share, count-distribution
+    Gini, p99/mean and CV, each from exact BIGINT algebra with one
+    rounded IEEE division. The numbers decide between plain hash
+    partitioning, AQE skew splitting and `salted_join`; one corpus
+    scan + one sort of the vocabulary-sized key-count table."""
+    from warp_pipes_spark.plans.skew import KeySkewProfile
+
+    return KeySkewProfile(key_col="user_id")(T(spark, sf, "events"))
+
+
+def q214_langid_confusion(spark, sf):
+    """Language-ID confusion panel: q22's stopword-hit heuristic
+    (`text/analysis.py` `LangId`) audited against the corpus's labeled
+    ``lang`` — per class support/predicted/hits, precision, recall and
+    F1 via the exact 2c/(t+p) harmonic identity (`ml/metrics.py`
+    `ConfusionPanel`). The per-class report that decides whether the
+    scan-speed heuristic is good enough to gate the mixture, or which
+    languages need a real model."""
+    from warp_pipes_spark.ml.metrics import ConfusionPanel
+    from warp_pipes_spark.text.analysis import LangId
+
+    scored = LangId()(T(spark, sf, "documents"))
+    return ConfusionPanel(true_col="lang", pred_col="pred_lang")(scored)
+
+
+def q215_neyman_allocation(spark, sf):
+    """Neyman-optimal eval-budget allocation (Neyman 1934; Cochran 1977)
+    of 1000 eval docs across sources by doc-length dispersion
+    (`pipes/sampling.py` `NeymanAllocation`): n_h ∝ N_h*S_h = sqrt of
+    the exact-BIGINT variance numerator, decimal-rounded so the share
+    denominator is an exact decimal sum. Reports the proportional share
+    alongside — the gap between the two columns is the variance the
+    naive per-source quota wastes."""
+    from warp_pipes_spark.pipes.sampling import NeymanAllocation
+
+    return NeymanAllocation(
+        value_col="n_chars", group_col="source", budget=1000
+    )(T(spark, sf, "documents"))
+
+
+def q216_power_pca(spark, sf):
+    """Top principal component by power iteration (`ml/pca.py`
+    `PowerIterationPCA`; Pearson 1901; Halko et al. 2011): exact nano-
+    discretized BIGINT moments in ONE scan, then the dim x dim
+    covariance row iterates u = Cv / ||Cv|| twelve times with every
+    component decimal-rounded per step — the kmeans discipline where
+    the UNROLLED TRAINING CHAIN is the oracle. Output: eigenvalue,
+    explained-variance ratio and the sign-pinned eigenvector over the
+    8-dim matryoshka prefix — the number that says whether a 1-d
+    projection (curriculum ordering, drift probe) represents the
+    corpus."""
+    from warp_pipes_spark.ml.pca import PowerIterationPCA
+
+    return PowerIterationPCA(dim=8, iters=12)(T(spark, sf, "embeddings"))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6838,6 +6897,31 @@ FROM per_line GROUP BY source ORDER BY source
         "documents", row="source", col="lang"
     )
 
+    from warp_pipes_spark.plans.skew import key_skew_sql
+
+    ORACLES_EXT["q213_key_skew"] = key_skew_sql("events", key="user_id")
+
+    from warp_pipes_spark.ml.metrics import confusion_panel_sql
+    from warp_pipes_spark.text.analysis import langid_sql as _langid_sql
+
+    ORACLES_EXT["q214_langid_confusion"] = confusion_panel_sql(
+        f"(SELECT lang, ({_langid_sql('text')}) AS pred_lang FROM documents)",
+        true_col="lang",
+        pred_col="pred_lang",
+    )
+
+    from warp_pipes_spark.pipes.sampling import neyman_allocation_sql
+
+    ORACLES_EXT["q215_neyman_allocation"] = neyman_allocation_sql(
+        "documents", value="n_chars", group="source", budget=1000
+    )
+
+    from warp_pipes_spark.ml.pca import power_pca_sql
+
+    ORACLES_EXT["q216_power_pca"] = power_pca_sql(
+        "embeddings", vec="embedding", dim=8, iters=12
+    )
+
     from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
 
     ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
@@ -7286,6 +7370,10 @@ def _register():
         "q210_ks_drift": q210_ks_drift,
         "q211_label_propagation": q211_label_propagation,
         "q212_contingency_panel": q212_contingency_panel,
+        "q213_key_skew": q213_key_skew,
+        "q214_langid_confusion": q214_langid_confusion,
+        "q215_neyman_allocation": q215_neyman_allocation,
+        "q216_power_pca": q216_power_pca,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
