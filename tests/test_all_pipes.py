@@ -53,6 +53,7 @@ from warp_pipes_spark.pipes.sampling import NeymanAllocation
 from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel
 from warp_pipes_spark.text.analysis import (
     ContingencyPanel,
+    CurriculumReport,
     DocFingerprint,
     KneserNeyScore,
     TermBurstiness,
@@ -136,6 +137,7 @@ def instantiate_all():
         ConfusionPanel("lang", "pred_lang"),
         NeymanAllocation("n_chars"),
         PowerIterationPCA(),
+        CurriculumReport(),
     ]
 
 

@@ -1989,6 +1989,140 @@ def q216_power_pca(spark, sf):
     return PowerIterationPCA(dim=8, iters=12)(T(spark, sf, "embeddings"))
 
 
+def q217_dirichlet_ql(spark, sf):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001; `search/ql.py` `DirichletQLSearch`) over q32's query batch —
+    the language-modeling ranker every lexical stack A/B-tests against
+    BM25, sharing the SAME tokenization-keyed raw-postings artifact
+    (building it over a BM25-indexed corpus re-tokenizes nothing).
+    Rank-equivalent decomposition with mu=2000; exact-integer log
+    arguments, rounded contributions as scaled longs."""
+    from warp_pipes_spark.search.ql import DirichletQLSearch
+
+    docs = T(spark, sf, "documents")
+    return DirichletQLSearch(corpus=docs, k=10, mu=2000)(
+        _bm25_queries(spark, sf)
+    )
+
+
+def q218_curriculum_report(spark, sf):
+    """Curriculum-phase report (Bengio et al. 2009; `text/analysis.py`
+    `CurriculumReport`): per-doc difficulty composite = mean corpus
+    percentile under three scan-level hardness proxies, bucketed into 4
+    phases by quartile — the table that sets phase boundaries before an
+    easy→hard ordered epoch is written. Percentiles via the ECDF-join
+    pattern (discretize → value-count table → distinct-value window →
+    join back), NEVER a corpus-sized single-partition window."""
+    from warp_pipes_spark.text.analysis import CurriculumReport
+
+    return CurriculumReport()(T(spark, sf, "documents"))
+
+
+def q219_ranker_agreement(spark, sf):
+    """Ranker-agreement audit between the two lexical engines: per query,
+    overlap@10 of BM25 (q32) and Dirichlet-QL (q217) top-10 plus
+    Kendall tau-a over the common docs (Kendall 1938) — the A/B panel
+    that says whether the second ranker is a re-ranking of the first or
+    a genuinely different view (low overlap → fusion candidates, q138's
+    RRF). Exact: concordant/discordant are BIGINT pair counts over a
+    <= k²-bounded per-query pair table; tau = (C-D)/(n(n-1)/2) and
+    overlap = n_common/k are single divisions of exact integers. Both
+    engines share the same tokenization-keyed postings artifact, so the
+    marginal cost over q32+q217 is the small rank join."""
+    from warp_pipes_spark.search.ql import DirichletQLSearch
+
+    docs = T(spark, sf, "documents")
+    qs = _bm25_queries(spark, sf)
+    bm = Bm25Search(corpus=docs, k=10)(qs).select(
+        "query_id", "idx", F.col("rank").alias("r_bm")
+    )
+    ql = DirichletQLSearch(corpus=docs, k=10, mu=2000)(qs).select(
+        "query_id", "idx", F.col("rank").alias("r_ql")
+    )
+    common = bm.join(ql, ["query_id", "idx"])
+    a = common.select(
+        "query_id",
+        F.col("idx").alias("ia"),
+        F.col("r_bm").alias("ba"),
+        F.col("r_ql").alias("qa"),
+    )
+    b = common.select(
+        "query_id",
+        F.col("idx").alias("ib"),
+        F.col("r_bm").alias("bb"),
+        F.col("r_ql").alias("qb"),
+    )
+    pairs = a.join(b, "query_id").filter(F.col("ia") < F.col("ib"))
+    sgn = (F.col("ba") - F.col("bb")) * (F.col("qa") - F.col("qb"))
+    pair_agg = pairs.groupBy("query_id").agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("d"),
+    )
+    per_q = (
+        common.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(pair_agg, "query_id", "left")
+        .na.fill({"c": 0, "d": 0})
+    )
+    D6 = "decimal(18,6)"
+    tau = F.when(
+        F.col("n_common") >= 2,
+        (
+            (F.col("c") - F.col("d")).cast("double")
+            / (F.col("n_common") * (F.col("n_common") - 1) / 2).cast(
+                "double"
+            )
+        ).cast(D6).cast("double"),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("n_common").cast("long").alias("n_common"),
+        (F.col("n_common").cast("double") / F.lit(10.0))
+        .cast(D6)
+        .cast("double")
+        .alias("overlap"),
+        tau.alias("kendall_tau"),
+    )
+
+
+def _ranker_agreement_oracle_sql() -> str:
+    from warp_pipes_spark.search.bm25 import bm25_oracle_sql
+    from warp_pipes_spark.search.ql import ql_oracle_sql
+
+    bm = bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=10)
+    ql = ql_oracle_sql("documents", BM25_QUERIES_CTE, k=10, mu=2000)
+    return f"""
+WITH common AS MATERIALIZED (
+  SELECT b.query_id, b.idx, b.rank AS r_bm, q.rank AS r_ql
+  FROM ({bm}) b JOIN ({ql}) q USING (query_id, idx)
+),
+pair_agg AS (
+  SELECT a.query_id,
+         SUM(CASE WHEN (a.r_bm - b.r_bm) * (a.r_ql - b.r_ql) > 0
+                  THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (a.r_bm - b.r_bm) * (a.r_ql - b.r_ql) < 0
+                  THEN 1 ELSE 0 END) AS d
+  FROM common a JOIN common b
+    ON a.query_id = b.query_id AND a.idx < b.idx
+  GROUP BY 1
+),
+per_q AS (
+  SELECT query_id, COUNT(*) AS n_common FROM common GROUP BY 1
+)
+SELECT p.query_id,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(CAST(CAST(p.n_common AS DOUBLE) / 10.0 AS DECIMAL(18,6))
+            AS DOUBLE) AS overlap,
+       CASE WHEN p.n_common >= 2
+            THEN CAST(CAST(CAST(COALESCE(g.c, 0) - COALESCE(g.d, 0)
+                                AS DOUBLE)
+                           / CAST(p.n_common * (p.n_common - 1) / 2
+                                  AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) END AS kendall_tau
+FROM per_q p LEFT JOIN pair_agg g USING (query_id)
+"""
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -6922,6 +7056,20 @@ FROM per_line GROUP BY source ORDER BY source
         "embeddings", vec="embedding", dim=8, iters=12
     )
 
+    from warp_pipes_spark.search.ql import ql_oracle_sql
+
+    ORACLES_EXT["q217_dirichlet_ql"] = ql_oracle_sql(
+        "documents", BM25_QUERIES_CTE, k=10, mu=2000
+    )
+
+    from warp_pipes_spark.text.analysis import curriculum_report_sql
+
+    ORACLES_EXT["q218_curriculum_report"] = curriculum_report_sql(
+        "documents", text="text", id_col="doc_id"
+    )
+
+    ORACLES_EXT["q219_ranker_agreement"] = _ranker_agreement_oracle_sql()
+
     from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
 
     ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
@@ -7374,6 +7522,9 @@ def _register():
         "q214_langid_confusion": q214_langid_confusion,
         "q215_neyman_allocation": q215_neyman_allocation,
         "q216_power_pca": q216_power_pca,
+        "q217_dirichlet_ql": q217_dirichlet_ql,
+        "q218_curriculum_report": q218_curriculum_report,
+        "q219_ranker_agreement": q219_ranker_agreement,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

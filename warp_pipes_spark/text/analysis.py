@@ -2697,3 +2697,192 @@ SELECT CAST(n AS BIGINT) AS n_docs,
        CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof
 FROM panel
 """
+
+
+class CurriculumReport(Pipe):
+    """Curriculum-phase report (Bengio et al. 2009 curriculum learning;
+    the data-ordering recipe easy→hard pretraining runs use): each doc
+    gets a difficulty composite = the mean of its corpus percentile
+    under three scan-level hardness proxies — token count, chars per
+    token, distinct-token ratio — and docs bucket into 4 phases by
+    composite quartile. Output: per-phase doc count, composite
+    min/mean/max and mean token count — the table that decides the
+    phase boundaries before an ordered epoch is written.
+
+    Percentiles WITHOUT a corpus-sized single-partition window (the
+    classic percent_rank scale trap): each metric is DECIMAL(18,6)-
+    discretized, grouped to a value-count table (bounded by value
+    cardinality, <= 1e6+ buckets, never corpus-sized), cumulated with a
+    window over DISTINCT VALUES, and joined back — the ECDF-join
+    pattern (same algebra family as the KS panel). min-rank semantics:
+    pr(v) = (#values < v) / (N - 1), ties share a percentile exactly
+    like SQL PERCENT_RANK.
+
+    Exactness: discretized metric values are exact decimals; ECDF
+    counts are exact BIGINTs; pr is one IEEE division; the composite is
+    one fixed-order sum of three doubles / 3, rounded once; phase =
+    least(4, 1 + floor(composite * 4)) is row-local integer math; phase
+    aggregates sum exact decimals/BIGINTs with one division each."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        D = "decimal(18,6)"
+        toks = tokens_expr(F.col(self.text_col))
+        nt = F.size(toks)
+        base = (
+            df.select(
+                F.col(self.id_col).alias("doc_id"),
+                nt.alias("nt"),
+                F.length(F.col(self.text_col)).alias("nc"),
+                F.size(F.array_distinct(toks)).alias("nd"),
+            )
+            .filter(F.col("nt") > 0)
+            .select(
+                "doc_id",
+                F.col("nt").cast("long").alias("n_tokens"),
+                F.col("nt").cast(D).alias("m1"),
+                (F.col("nc").cast("double") / F.col("nt").cast("double"))
+                .cast(D)
+                .alias("m2"),
+                (F.col("nd").cast("double") / F.col("nt").cast("double"))
+                .cast(D)
+                .alias("m3"),
+            )
+        )
+        n_tot = base.select(F.count(F.lit(1)).alias("n_all"))
+
+        out = base
+        for m in ("m1", "m2", "m3"):
+            cnts = out.groupBy(m).agg(F.count(F.lit(1)).alias("__c"))
+            w = (
+                Window.orderBy(F.asc(m))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            ecdf = cnts.select(
+                m,
+                F.coalesce(F.sum("__c").over(w), F.lit(0)).alias(
+                    f"__lt_{m}"
+                ),
+            )
+            out = out.join(ecdf, m)
+        out = out.crossJoin(F.broadcast(n_tot))
+
+        def pr(m):
+            return F.col(f"__lt_{m}").cast("double") / (
+                F.col("n_all") - 1
+            ).cast("double")
+
+        comp = (
+            ((pr("m1") + pr("m2")) + pr("m3")) / F.lit(3.0)
+        ).cast(D)
+        out = out.select(
+            "doc_id",
+            "n_tokens",
+            comp.alias("composite"),
+        )
+        phase = F.least(
+            F.lit(4),
+            F.lit(1)
+            + F.floor(F.col("composite").cast("double") * F.lit(4.0)).cast(
+                "int"
+            ),
+        )
+        return (
+            out.select(phase.alias("phase"), "composite", "n_tokens")
+            .groupBy("phase")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min("composite").alias("__mn"),
+                F.max("composite").alias("__mx"),
+                F.sum("composite").alias("__sc"),
+                F.sum("n_tokens").alias("__st"),
+            )
+            .select(
+                F.col("phase").cast("int").alias("phase"),
+                F.col("__n").cast("long").alias("n_docs"),
+                F.col("__mn").cast("double").alias("min_composite"),
+                (F.col("__sc").cast("double") / F.col("__n").cast("double"))
+                .cast(D)
+                .cast("double")
+                .alias("mean_composite"),
+                F.col("__mx").cast("double").alias("max_composite"),
+                (F.col("__st").cast("double") / F.col("__n").cast("double"))
+                .cast(D)
+                .cast("double")
+                .alias("mean_tokens"),
+            )
+            .orderBy("phase")
+        )
+
+
+def curriculum_report_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :class:`CurriculumReport` — identical
+    discretization, ECDF-join percentiles and phase algebra."""
+    toks = tokens_sql(text)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(t) AS DECIMAL(18,6)) AS m1,
+         CAST(CAST(length({text}) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+              AS DECIMAL(18,6)) AS m2,
+         CAST(CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+              AS DECIMAL(18,6)) AS m3
+  FROM (SELECT {id_col}, {text}, {toks} AS t FROM {table})
+  WHERE len(t) > 0
+),
+n_tot AS (SELECT COUNT(*) AS n_all FROM base),
+e1 AS (
+  SELECT m1, COALESCE(SUM(c) OVER (ORDER BY m1 ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt1
+  FROM (SELECT m1, COUNT(*) AS c FROM base GROUP BY 1)
+),
+e2 AS (
+  SELECT m2, COALESCE(SUM(c) OVER (ORDER BY m2 ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt2
+  FROM (SELECT m2, COUNT(*) AS c FROM base GROUP BY 1)
+),
+e3 AS (
+  SELECT m3, COALESCE(SUM(c) OVER (ORDER BY m3 ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt3
+  FROM (SELECT m3, COUNT(*) AS c FROM base GROUP BY 1)
+),
+scored AS (
+  SELECT b.doc_id, b.n_tokens,
+         CAST(((CAST(lt1 AS DOUBLE) / CAST(n_all - 1 AS DOUBLE)
+               + CAST(lt2 AS DOUBLE) / CAST(n_all - 1 AS DOUBLE))
+               + CAST(lt3 AS DOUBLE) / CAST(n_all - 1 AS DOUBLE)) / 3.0
+              AS DECIMAL(18,6)) AS composite
+  FROM base b
+  JOIN e1 USING (m1) JOIN e2 USING (m2) JOIN e3 USING (m3)
+  CROSS JOIN n_tot
+),
+phased AS (
+  SELECT LEAST(4, 1 + CAST(FLOOR(CAST(composite AS DOUBLE) * 4.0)
+                           AS INTEGER)) AS phase,
+         composite, n_tokens
+  FROM scored
+)
+SELECT CAST(phase AS INTEGER) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(composite) AS DOUBLE) AS min_composite,
+       CAST(CAST(CAST(SUM(composite) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_composite,
+       CAST(MAX(composite) AS DOUBLE) AS max_composite,
+       CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens
+FROM phased GROUP BY 1 ORDER BY 1
+"""
