@@ -49,8 +49,9 @@ from warp_pipes_spark.ml.graph import LabelPropagation
 from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.pca import PowerIterationPCA
 from warp_pipes_spark.plans.skew import KeySkewProfile
+from warp_pipes_spark.pipes.validate import BenfordAudit
 from warp_pipes_spark.pipes.sampling import NeymanAllocation
-from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel
+from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel, WilsonRates
 from warp_pipes_spark.text.analysis import (
     ContingencyPanel,
     CurriculumReport,
@@ -138,6 +139,8 @@ def instantiate_all():
         NeymanAllocation("n_chars"),
         PowerIterationPCA(),
         CurriculumReport(),
+        WilsonRates("keep"),
+        BenfordAudit("value"),
     ]
 
 

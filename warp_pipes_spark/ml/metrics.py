@@ -871,3 +871,92 @@ SELECT cls,
 FROM truth FULL OUTER JOIN pred USING (cls) LEFT JOIN hits USING (cls)
 ORDER BY cls
 """
+
+
+class WilsonRates(Pipe):
+    """Per-group pass-rate with 95% Wilson score interval (Wilson 1927;
+    Brown, Cai & DasGupta 2001 recommend it over the Wald interval at
+    any n) — the error bars a curation dashboard should print next to
+    every per-source keep-rate instead of the bare ratio: at n=30 a
+    "90% keep rate" spans [74%, 97%], which changes decisions.
+
+    Exactness: k and n are exact BIGINTs; the Wilson endpoints are a
+    FIXED chain of IEEE ops (divisions, one correctly rounded sqrt) on
+    doubles derived from those integers — both engines evaluate the
+    textual formula in the same operand order, and each output rounds
+    once through DECIMAL(18,6). z rides as z² = 1.96*1.96 evaluated in
+    IEEE on both sides (never a pre-rounded 3.8416 literal).
+
+    Scale: one scan, one group-sized aggregation. Nothing else."""
+
+    def __init__(self, flag_col: str, group_col: str = "source", **kwargs):
+        super().__init__(**kwargs)
+        self.flag_col = flag_col
+        self.group_col = group_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        agg = df.groupBy(F.col(self.group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(self.flag_col), 1).otherwise(0)
+            ).alias("k"),
+        )
+        nd = F.col("n").cast("double")
+        p = F.col("k").cast("double") / nd
+        z2 = F.lit(1.96) * F.lit(1.96)
+        denom = F.lit(1.0) + z2 / nd
+        center = p + z2 / (F.lit(2.0) * nd)
+        half = F.lit(1.96) * F.sqrt(
+            p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * (nd * nd))
+        )
+        return agg.select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("n_pass"),
+            p.cast(D).cast("double").alias("rate"),
+            ((center - half) / denom).cast(D).cast("double").alias(
+                "wilson_low"
+            ),
+            ((center + half) / denom).cast(D).cast("double").alias(
+                "wilson_high"
+            ),
+        )
+
+
+def wilson_rates_sql(table: str, flag: str, group: str = "source") -> str:
+    """DuckDB oracle for :class:`WilsonRates` — the identical IEEE
+    expression chain over identical exact integers."""
+    return f"""
+WITH agg AS MATERIALIZED (
+  SELECT {group} AS grp, COUNT(*) AS n,
+         SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS k
+  FROM {table} GROUP BY 1
+)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS n_pass,
+       CAST(CAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS rate,
+       CAST(CAST(
+         ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE)))
+          - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + (1.96*1.96)
+                          / (4.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+         / (1.0 + (1.96*1.96) / CAST(n AS DOUBLE))
+       AS DECIMAL(18,6)) AS DOUBLE) AS wilson_low,
+       CAST(CAST(
+         ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE)))
+          + 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                        + (1.96*1.96)
+                          / (4.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+         / (1.0 + (1.96*1.96) / CAST(n AS DOUBLE))
+       AS DECIMAL(18,6)) AS DOUBLE) AS wilson_high
+FROM agg
+"""

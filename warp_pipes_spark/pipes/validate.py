@@ -459,3 +459,144 @@ def k_anonymity_sql(table: str, qi_cols, k: int = 5) -> str:
         f"AS DECIMAL(18,8)) AS DOUBLE) AS share "
         f"FROM {table} GROUP BY {qi} HAVING COUNT(*) < {k} ORDER BY {qi}"
     )
+
+
+class BenfordAudit(Pipe):
+    """First-significant-digit audit against Benford's law (Newcomb 1881;
+    Benford 1938; Nigrini 1996 — the forensic-accounting standard):
+    naturally occurring multi-scale positive quantities have first-digit
+    frequencies log10(1 + 1/d); synthetic, capped, defaulted or
+    hand-entered columns do not. One row per digit 1-9 with observed
+    count/share, the Benford expectation and the panel's total
+    chi-square — the data-quality smell test for a numeric column
+    whose provenance is suspect.
+
+    Portability: the first digit comes from a CHAINED-CASE decade
+    normalization (v / 10^e for the matching e in [lo_exp, hi_exp]) —
+    NO log10 call on data (log10 near exact powers of ten is the
+    classic libm edge), every branch is one division by the same
+    power-of-ten literal in both engines. Expected shares are
+    ln((d+1)/d)/ln(10) on exact-integer ratios; chi-square terms round
+    through DECIMAL(18,6) and sum exactly. Rows with NULL, zero,
+    negative or out-of-decade-range values are excluded (counted
+    against n_analyzed only).
+
+    Scale: one scan into a 9-bucket aggregation; the digit grid is a
+    9-row literal frame. Nothing else."""
+
+    def __init__(
+        self,
+        value_col: str,
+        lo_exp: int = -6,
+        hi_exp: int = 12,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.lo_exp = lo_exp
+        self.hi_exp = hi_exp
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        v = F.col(self.value_col).cast("double")
+        # disjoint decade branches (10^e <= v < 10^(e+1)), so nesting
+        # order is irrelevant; out-of-range and NULL values fall through
+        m = F.lit(None).cast("double")
+        for e in range(self.lo_exp, self.hi_exp + 1):
+            p10 = F.lit(float(10.0 ** e))
+            m = F.when(
+                (v >= p10) & (v < F.lit(float(10.0 ** (e + 1)))), v / p10
+            ).otherwise(m)
+        digit = F.floor(m).cast("int")
+        obs = (
+            df.select(digit.alias("digit"))
+            .where(F.col("digit").isNotNull())
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+        )
+        tot = obs.agg(F.sum("n_obs").alias("n_all"))
+        grid = tot.select(
+            "n_all", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+        )
+        full = grid.join(obs, "digit", "left").na.fill({"n_obs": 0})
+        p = F.log(
+            (F.col("digit") + 1).cast("double") / F.col("digit").cast("double")
+        ) / F.log(F.lit(10.0))
+        exp_n = F.col("n_all").cast("double") * p
+        term = (
+            (F.col("n_obs").cast("double") - exp_n)
+            * (F.col("n_obs").cast("double") - exp_n)
+            / exp_n
+        ).cast(D)
+        full = full.select(
+            "digit",
+            "n_obs",
+            "n_all",
+            p.cast(D).cast("double").alias("benford_p"),
+            term.alias("__t"),
+        )
+        chi = full.agg(F.sum("__t").alias("__chi"))
+        return (
+            full.crossJoin(F.broadcast(chi))
+            .select(
+                F.col("digit").cast("int").alias("digit"),
+                F.col("n_obs").cast("long").alias("n_obs"),
+                (F.col("n_obs").cast("double") / F.col("n_all").cast("double"))
+                .cast(D)
+                .cast("double")
+                .alias("obs_share"),
+                F.col("benford_p"),
+                F.col("__chi").cast("double").cast(D).cast("double").alias(
+                    "chi2_total"
+                ),
+            )
+            .orderBy("digit")
+        )
+
+
+def benford_sql(
+    table: str, value: str, lo_exp: int = -6, hi_exp: int = 12
+) -> str:
+    """DuckDB oracle for :class:`BenfordAudit` — identical chained-case
+    decade normalization and chi-square algebra."""
+    v = f"CAST({value} AS DOUBLE)"
+    branches = " ".join(
+        f"WHEN {v} >= {float(10.0 ** e)!r} AND {v} < {float(10.0 ** (e + 1))!r} "
+        f"THEN {v} / {float(10.0 ** e)!r}"
+        for e in range(lo_exp, hi_exp + 1)
+    )
+    return f"""
+WITH obs AS MATERIALIZED (
+  SELECT digit, COUNT(*) AS n_obs FROM (
+    SELECT CAST(FLOOR(CASE {branches} END) AS INTEGER) AS digit FROM {table}
+  ) WHERE digit IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(n_obs) AS n_all FROM obs),
+grid AS (
+  SELECT n_all, CAST(r.range AS INTEGER) AS digit
+  FROM tot CROSS JOIN range(1, 10) r
+),
+full_ AS (
+  SELECT g.digit, g.n_all, COALESCE(o.n_obs, 0) AS n_obs,
+         ln(CAST(g.digit + 1 AS DOUBLE) / CAST(g.digit AS DOUBLE))
+           / ln(10.0) AS p
+  FROM grid g LEFT JOIN obs o USING (digit)
+),
+terms AS (
+  SELECT *,
+         CAST((CAST(n_obs AS DOUBLE) - CAST(n_all AS DOUBLE) * p)
+              * (CAST(n_obs AS DOUBLE) - CAST(n_all AS DOUBLE) * p)
+              / (CAST(n_all AS DOUBLE) * p) AS DECIMAL(18,6)) AS t
+  FROM full_
+),
+chi AS (SELECT SUM(t) AS chi2 FROM terms)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(CAST(CAST(n_obs AS DOUBLE) / CAST(n_all AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS obs_share,
+       CAST(CAST(p AS DECIMAL(18,6)) AS DOUBLE) AS benford_p,
+       CAST(CAST(CAST(chi2 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+         AS chi2_total
+FROM terms CROSS JOIN chi
+ORDER BY digit
+"""

@@ -2123,6 +2123,35 @@ FROM per_q p LEFT JOIN pair_agg g USING (query_id)
 """
 
 
+def q220_wilson_keep_rates(spark, sf):
+    """Per-source Gopher keep-rate with 95% Wilson score intervals
+    (Wilson 1927; Brown-Cai-DasGupta 2001; `ml/metrics.py`
+    `WilsonRates`) — the error bars the q145 release report's bare
+    ratios should carry: a small source's 90% keep rate can span
+    [74%, 97%], which changes the reweighting decision. Exact BIGINT
+    (k, n) per source, fixed IEEE Wilson chain, one rounding per
+    endpoint."""
+    from warp_pipes_spark.ml.metrics import WilsonRates
+    from warp_pipes_spark.text.analysis import GopherQualityFilter
+
+    scored = GopherQualityFilter()(T(spark, sf, "documents"))
+    return WilsonRates(flag_col="keep", group_col="source")(scored)
+
+
+def q221_benford_audit(spark, sf):
+    """Benford first-digit audit of ``events.value`` (Newcomb 1881;
+    Benford 1938; Nigrini 1996; `pipes/validate.py` `BenfordAudit`) —
+    the forensic data-quality smell test: per digit 1-9 observed share
+    vs log10(1+1/d) and the panel chi-square. First digits come from a
+    chained-case decade normalization (one division by a power-of-ten
+    literal), never a log10 call on data — the libm edge near exact
+    powers of ten stays out of the plan. A synthetic uniform column
+    fails Benford loudly, which is itself the demonstration."""
+    from warp_pipes_spark.pipes.validate import BenfordAudit
+
+    return BenfordAudit(value_col="value")(T(spark, sf, "events"))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7070,6 +7099,19 @@ FROM per_line GROUP BY source ORDER BY source
 
     ORACLES_EXT["q219_ranker_agreement"] = _ranker_agreement_oracle_sql()
 
+    from warp_pipes_spark.pipes.validate import benford_sql
+
+    ORACLES_EXT["q221_benford_audit"] = benford_sql("events", value="value")
+
+    from warp_pipes_spark.ml.metrics import wilson_rates_sql
+    from warp_pipes_spark.text.analysis import gopher_sql as _gopher_sql
+
+    ORACLES_EXT["q220_wilson_keep_rates"] = wilson_rates_sql(
+        f"(SELECT source, ({_gopher_sql()['keep']}) AS keep FROM documents)",
+        flag="keep",
+        group="source",
+    )
+
     from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
 
     ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
@@ -7525,6 +7567,8 @@ def _register():
         "q217_dirichlet_ql": q217_dirichlet_ql,
         "q218_curriculum_report": q218_curriculum_report,
         "q219_ranker_agreement": q219_ranker_agreement,
+        "q220_wilson_keep_rates": q220_wilson_keep_rates,
+        "q221_benford_audit": q221_benford_audit,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
