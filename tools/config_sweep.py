@@ -564,6 +564,95 @@ def _cells():
             ),
         )
 
+    # ---- round-6 session-2 additions (q212-q221 families) -----------------
+    from warp_pipes_spark.text.analysis import (
+        ContingencyPanel,
+        contingency_panel_sql,
+    )
+
+    add(
+        "contingency_lang_source",
+        lambda spark, sf: ContingencyPanel(row_col="lang", col_col="source")(
+            _docs(spark, sf)
+        ),
+        contingency_panel_sql("documents", row="lang", col="source"),
+    )
+
+    from warp_pipes_spark.plans.skew import KeySkewProfile, key_skew_sql
+
+    for key in ("event_type", "l_partkey"):
+        table = "events" if key == "event_type" else "lineitem"
+        add(
+            f"key_skew_{key}",
+            lambda spark, sf, k=key, t=table: KeySkewProfile(key_col=k)(
+                T(spark, sf, t)
+            ),
+            key_skew_sql(table, key=key),
+        )
+
+    from warp_pipes_spark.pipes.sampling import (
+        NeymanAllocation,
+        neyman_allocation_sql,
+    )
+
+    add(
+        "neyman_lang_b100",
+        lambda spark, sf: NeymanAllocation(
+            value_col="n_chars", group_col="lang", budget=100
+        )(_docs(spark, sf)),
+        neyman_allocation_sql("documents", value="n_chars", group="lang", budget=100),
+    )
+
+    from warp_pipes_spark.ml.pca import PowerIterationPCA, power_pca_sql
+
+    for dim, iters in [(4, 6), (8, 20)]:
+        add(
+            f"power_pca_d{dim}_i{iters}",
+            lambda spark, sf, d=dim, i=iters: PowerIterationPCA(
+                dim=d, iters=i
+            )(T(spark, sf, "embeddings")),
+            power_pca_sql("embeddings", vec="embedding", dim=dim, iters=iters),
+        )
+
+    from warp_pipes_spark.search.ql import DirichletQLSearch, ql_oracle_sql
+
+    for mu in (500, 5000):
+        add(
+            f"dirichlet_ql_mu{mu}",
+            lambda spark, sf, m=mu: DirichletQLSearch(
+                corpus=_docs(spark, sf), k=10, mu=m
+            )(_bm25_queries(spark, sf)),
+            ql_oracle_sql("documents", BM25_QUERIES_CTE, k=10, mu=mu),
+        )
+
+    from warp_pipes_spark.pipes.validate import BenfordAudit, benford_sql
+
+    add(
+        "benford_narrow_range",
+        lambda spark, sf: BenfordAudit(value_col="value", lo_exp=0, hi_exp=2)(
+            T(spark, sf, "events")
+        ),
+        benford_sql("events", value="value", lo_exp=0, hi_exp=2),
+    )
+
+    from warp_pipes_spark.ml.metrics import WilsonRates, wilson_rates_sql
+    from warp_pipes_spark.text.analysis import (
+        GopherQualityFilter,
+        gopher_sql as _gq,
+    )
+
+    add(
+        "wilson_lang_keep",
+        lambda spark, sf: WilsonRates(flag_col="keep", group_col="lang")(
+            GopherQualityFilter()(_docs(spark, sf))
+        ),
+        wilson_rates_sql(
+            f"(SELECT lang, ({_gq()['keep']}) AS keep FROM documents)",
+            flag="keep",
+            group="lang",
+        ),
+    )
+
     return cells
 
 
