@@ -1,0 +1,151 @@
+"""Behavioral tests for the round-6 session-2 operators (q212-q221).
+
+Oracle parity (tests/test_oracle_parity.py) already proves engine
+equivalence on the shipped configs; these tests pin the MATH — known
+closed-form answers on tiny hand-built frames, invariants (partition
+independence, sign conventions, known distributions) — so a future
+refactor that changes both engines in the same wrong way still fails.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from warp_pipes_spark.ml.metrics import ConfusionPanel, WilsonRates
+from warp_pipes_spark.ml.pca import PowerIterationPCA
+from warp_pipes_spark.pipes.sampling import NeymanAllocation
+from warp_pipes_spark.pipes.validate import BenfordAudit
+from warp_pipes_spark.plans.skew import KeySkewProfile
+from warp_pipes_spark.text.analysis import ContingencyPanel
+
+
+def test_contingency_independent_table_has_zero_mi(spark):
+    # perfectly independent 2x2 with margins 50/50: MI = 0, chi2 = 0
+    rows = (
+        [("a", "x")] * 25
+        + [("a", "y")] * 25
+        + [("b", "x")] * 25
+        + [("b", "y")] * 25
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = ContingencyPanel(row_col="r", col_col="c")(df).collect()[0]
+    assert out["mi_nats"] == 0.0
+    assert out["chi2"] == 0.0
+    assert out["nmi"] == 0.0
+    # uniform binary margins: H = ln 2
+    assert abs(out["h_row"] - math.log(2)) < 1e-6
+    assert out["dof"] == 1
+
+
+def test_contingency_identical_columns_have_nmi_one(spark):
+    rows = [("a", "a")] * 30 + [("b", "b")] * 20 + [("c", "c")] * 10
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = ContingencyPanel(row_col="r", col_col="c")(df).collect()[0]
+    # r == c deterministically: MI = H_row = H_col, NMI = 1
+    assert abs(out["mi_nats"] - out["h_row"]) < 2e-6
+    assert abs(out["nmi"] - 1.0) < 2e-6
+
+
+def test_key_skew_uniform_gini_zero(spark):
+    # 10 keys x 7 rows each: Gini 0, top share 1/10, p99/mean 1, cv 0
+    df = spark.range(70).select((F.col("id") % 10).alias("k"))
+    out = KeySkewProfile(key_col="k")(df).collect()[0]
+    assert out["gini"] == 0.0
+    assert out["cv"] == 0.0
+    assert out["top_share"] == 0.1
+    assert out["p99_over_mean"] == 1.0
+    assert out["n_keys"] == 10 and out["n_rows"] == 70
+
+
+def test_key_skew_hot_key_detected(spark):
+    # one key holds 91 of 100 rows
+    df = spark.range(100).select(
+        F.when(F.col("id") < 91, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    out = KeySkewProfile(key_col="k")(df).collect()[0]
+    assert out["top_key"] == "0"
+    assert out["top_share"] == 0.91
+    assert out["gini"] > 0.8
+
+
+def test_confusion_panel_counts(spark):
+    rows = [("en", "en")] * 8 + [("en", "de")] * 2 + [("de", "de")] * 5 + [
+        ("de", "fr")
+    ] * 5
+    df = spark.createDataFrame(rows, ["t", "p"])
+    out = {r["cls"]: r for r in ConfusionPanel("t", "p")(df).collect()}
+    en = out["en"]
+    assert (en["n_true"], en["n_pred"], en["n_hit"]) == (10, 8, 8)
+    assert en["precision"] == 1.0 and en["recall"] == 0.8
+    # F1 = 2*8/(10+8)
+    assert abs(en["f1"] - 16 / 18) < 1e-6
+    fr = out["fr"]
+    assert fr["n_true"] == 0 and fr["recall"] is None and fr["f1"] == 0.0
+
+
+def test_neyman_allocation_favors_dispersed_stratum(spark):
+    # stratum A constant (sd 0) vs B dispersed: all budget goes to B
+    rows = [("A", 100)] * 50 + [("B", v) for v in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["stratum"]: r for r in NeymanAllocation("v", "g", budget=100)(df).collect()}
+    assert out["A"]["neyman_share"] == 0.0
+    assert out["B"]["neyman_share"] == 1.0
+    assert out["A"]["sd_value"] == 0.0
+    assert out["A"]["prop_share"] == 0.5
+
+
+def test_power_pca_recovers_dominant_axis(spark):
+    # variance concentrated on dim 2: eigenvector ~ e2, explained ~ 1
+    rows = [(i, [0.001 * (i % 3), float(i % 11) - 5.0, 0.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = PowerIterationPCA(dim=4, iters=12)(df).collect()[0]
+    assert out["explained"] > 0.999
+    assert abs(out["v2"]) > 0.999
+    # sign pin: first nonzero component positive
+    nz = next(v for v in (out["v1"], out["v2"], out["v3"], out["v4"]) if v != 0.0)
+    assert nz > 0
+
+
+def test_power_pca_partition_invariant(spark):
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0]) for i in range(120)]
+    a = PowerIterationPCA(dim=3, iters=8)(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    ).collect()
+    b = PowerIterationPCA(dim=3, iters=8)(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(17)
+    ).collect()
+    assert a == b
+
+
+def test_wilson_interval_known_value(spark):
+    # k=8, n=10, z=1.96 by hand: denom=1.38416, center=0.99208,
+    # half=1.96*sqrt(.016+.009604)=0.313624 -> [0.490157, 0.943319]
+    df = spark.createDataFrame(
+        [("s", i < 8) for i in range(10)], ["g", "keep"]
+    )
+    out = WilsonRates("keep", "g")(df).collect()[0]
+    assert out["rate"] == 0.8
+    assert abs(out["wilson_low"] - 0.490157) < 1e-5
+    assert abs(out["wilson_high"] - 0.943319) < 1e-5
+    assert out["wilson_low"] < out["rate"] < out["wilson_high"]
+
+
+def test_benford_digit_extraction(spark):
+    # first digits across decades, incl. values < 1
+    vals = [1.0, 19.5, 250.0, 0.072, 3000.0, 0.9, 42.0, 777.7, 5e-3]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    out = {r["digit"]: r["n_obs"] for r in BenfordAudit("value")(df).collect()}
+    assert out[1] == 2  # 1.0, 19.5
+    assert out[2] == 1  # 250.0
+    assert out[7] == 2  # 0.072, 777.7
+    assert out[9] == 1  # 0.9
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert sum(out.values()) == 9
+
+
+def test_benford_shares_sum_to_one():
+    # the Benford expectation itself: sum_d log10(1+1/d) == 1
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
