@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "q205_bootstrap_ci", "q206_hilbert_layout", "q207_kneser_ney",
     "q208_kmeans", "q209_ivf_balance", "q210_ks_drift",
     "q211_label_propagation",
+    # round-6 session-2 additions
+    "q212_contingency_panel", "q213_key_skew", "q214_langid_confusion",
+    "q215_neyman_allocation", "q216_power_pca", "q217_dirichlet_ql",
+    "q218_curriculum_report", "q219_ranker_agreement",
+    "q220_wilson_keep_rates", "q221_benford_audit",
 ]
 
 TABLES = (
