@@ -149,3 +149,23 @@ def test_benford_digit_extraction(spark):
 def test_benford_shares_sum_to_one():
     # the Benford expectation itself: sum_d log10(1+1/d) == 1
     assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_dirichlet_ql_prune_lossless_k_sweep(spark):
+    # norm-adjusted seed-threshold prune must be bit-identical to the
+    # exhaustive path at every k (the BM25 maxscore argument + exact
+    # per-doc norm) — including k larger than many queries' match sets
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.queries import _bm25_queries
+    from warp_pipes_spark.search.ql import DirichletQLSearch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    qs = _bm25_queries(spark, "/root/testdata/sf0.001")
+    for k in (1, 3, 10, 40):
+        a = sorted(
+            map(str, DirichletQLSearch(corpus=docs, k=k, prune=True)(qs).collect())
+        )
+        b = sorted(
+            map(str, DirichletQLSearch(corpus=docs, k=k, prune=False)(qs).collect())
+        )
+        assert a == b, f"prune diverged at k={k}"

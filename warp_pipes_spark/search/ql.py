@@ -28,12 +28,19 @@ Shares the tokenization-keyed raw-postings Parquet artifact with
 over an already-BM25-indexed corpus re-tokenizes NOTHING; collection
 stats are one aggregation over the cached postings.
 
-Scale shape: broadcast query terms ⋈ postings (shuffle-free fan-out),
-one (query, doc) aggregation, one top-k window — the exhaustive BM25
-plan shape. The MaxScore seed prune does NOT port: the per-doc length
-norm is negative and varies by dl, so a seed partial no longer lower-
-bounds the k-th best total (documented; candidate sets here are the
-same size BM25's exhaustive path handles).
+Scale shape: contributions AND the per-doc norm are baked into a
+fingerprint-cached scored-postings artifact at build time (query time
+joins NO vocabulary table — measured: a query-time cf join riding the
+360M-row fan-out cost ~8x the whole BM25 pass at sf1); query time is
+broadcast query terms ⋈ scored postings, one (query, doc) aggregation,
+and a NORM-ADJUSTED seed-threshold prune before the top-k window. The
+prune is the BM25 maxscore argument with one twist: matched partials
+alone cannot bound totals (the dl-dependent norm is negative), but the
+norm is EXACT per (query, doc) — it depends only on dl and the query's
+in-vocabulary term count, not on which terms matched — so
+theta = k-th best (seed partial + exact norm) still lower-bounds the
+true k-th best total, and filtering exact totals >= theta is lossless
+(unit-tested against the exhaustive path).
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
-from warp_pipes_spark.search.bm25 import Bm25Search
+from warp_pipes_spark.search.bm25 import Bm25Search, _default_index_cache_dir
 from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
 
 
@@ -63,11 +70,13 @@ class DirichletQLSearch(Pipe):
         broadcast_queries: bool = True,
         index_cache_dir: str | None = None,
         materialize_index: bool = True,
+        prune: bool = True,
         **kwargs,
     ):
         if mu <= 0:
             raise ValueError(f"mu must be a positive integer, got {mu}")
         super().__init__(**kwargs)
+        self.prune = prune
         self.corpus = corpus
         self.k = k
         self.mu = int(mu)
@@ -79,7 +88,9 @@ class DirichletQLSearch(Pipe):
         self.index_cache_dir = index_cache_dir
         self.materialize_index = materialize_index
 
-    _no_fingerprint = ("corpus",)
+    # prune/cache-dir don't change results (prune is lossless), so they
+    # stay out of the operator fingerprint like Bm25Search's maxscore
+    _no_fingerprint = ("corpus", "index_cache_dir", "prune")
 
     def _bm(self) -> Bm25Search:
         # postings provider only — shares the tokenization-keyed artifact
@@ -91,8 +102,43 @@ class DirichletQLSearch(Pipe):
             materialize_index=self.materialize_index,
         )
 
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+    def _ql_fingerprint(self) -> str:
+        """Content key for the QL-scored postings artifact: the corpus
+        identity plus mu (contributions bake mu, cf and the collection
+        total into each posting row)."""
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+
+        return get_fingerprint(
+            {
+                "op": "ql_index_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "text": self.corpus_text,
+                "mu": self.mu,
+            }
+        )
+
+    def _scored_postings(self) -> DataFrame:
+        """(term, doc_id, dl, ts, norm) — the per-posting matched-term
+        contribution ln((mu*cf + tf*T)/(mu*cf)) AND the per-doc norm
+        ln(mu/(dl+mu)), both DECIMAL(18,6)-rounded scaled longs, baked at
+        BUILD time (cf, T and dl are corpus constants). Query time is
+        then ONE broadcast join + aggregate — no vocabulary join rides
+        the fan-out (measured: the query-time cf join cost ~8x the whole
+        BM25 pass at sf1). Fingerprint-cached next to the BM25 index."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        spark = self.corpus.sparkSession
         mu = self.mu
+        manager = CacheManager(
+            self.index_cache_dir or _default_index_cache_dir()
+        )
+        fp = self._ql_fingerprint() + "_postings"
+        if self.materialize_index and manager.exists(fp):
+            return manager.load(spark, fp)
         raw = self._bm()._raw_postings()  # (term, doc_id, dl, tf)
         cf = (
             raw.where(F.col("term").isNotNull())
@@ -100,6 +146,63 @@ class DirichletQLSearch(Pipe):
             .agg(F.sum("tf").alias("cf"))
         )
         tot = cf.agg(F.sum("cf").alias("t_coll"))
+        arg = (
+            (
+                F.lit(mu) * F.col("cf") + F.col("tf") * F.col("t_coll")
+            ).cast("double")
+            / (F.lit(mu) * F.col("cf")).cast("double")
+        )
+        ts = (F.log(arg).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+        norm = (
+            F.log(
+                F.lit(mu).cast("double")
+                / (F.col("dl") + F.lit(mu)).cast("double")
+            ).cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("long")
+        scored = (
+            raw.where(F.col("term").isNotNull())
+            .join(cf, "term")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "term",
+                "doc_id",
+                "dl",
+                ts.alias("ts"),
+                norm.alias("norm"),
+            )
+        )
+        if not self.materialize_index:
+            return scored
+        return manager.store(scored, fp)
+
+    def _seed_table(self, scored: DataFrame) -> DataFrame:
+        """Per-term champion lists for the threshold prune: top
+        ``C = max(k, 16)`` postings per term by matched contribution
+        (doc_id tiebreak), carrying the doc norm. Parquet-cached."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        C = max(self.k, 16)
+        wc = Window.partitionBy("term").orderBy(
+            F.desc("ts"), F.asc("doc_id")
+        )
+        seed = (
+            scored.withColumn("__cr", F.row_number().over(wc))
+            .filter(F.col("__cr") <= C)
+            .drop("__cr", "dl")
+        )
+        if self.materialize_index:
+            manager = CacheManager(
+                self.index_cache_dir or _default_index_cache_dir()
+            )
+            fp = self._ql_fingerprint() + f"_seed_{C}"
+            if not manager.exists(fp):
+                manager.store(seed, fp)
+            seed = manager.load(self.corpus.sparkSession, fp)
+        return seed
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        scored = self._scored_postings()
 
         q_terms = df.select(
             F.col(self.query_id).alias("query_id"),
@@ -110,55 +213,93 @@ class DirichletQLSearch(Pipe):
         if self.broadcast_queries:
             q_terms = F.broadcast(q_terms)
 
-        # per-query in-vocabulary term count (the doc-norm multiplier)
+        # per-query in-vocabulary term count (the doc-norm multiplier);
+        # the scored artifact's term set IS the vocabulary
+        vocab = scored.select("term").distinct()
         nqt = (
-            q_terms.join(cf, "term", "left_semi")
+            q_terms.join(vocab, "term", "left_semi")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_qt"))
         )
 
-        # matched-term contributions: ln((mu*cf + tf*T) / (mu*cf)),
-        # decimal-rounded and carried as scaled longs (exact)
-        matched = (
-            q_terms.join(raw, "term")
-            .join(cf, "term")
-            .crossJoin(F.broadcast(tot))
-        )
-        arg = (
-            (
-                F.lit(mu) * F.col("cf") + F.col("tf") * F.col("t_coll")
-            ).cast("double")
-            / (F.lit(mu) * F.col("cf")).cast("double")
-        )
-        ts = (F.log(arg).cast("decimal(18,6)") * F.lit(1000000)).cast("long")
-        sums = (
-            matched.select(
-                "query_id",
-                F.col("doc_id").alias("idx"),
-                ts.alias("ts"),
-                F.col("dl"),
+        # ---- lossless seed-threshold prune (the BM25 maxscore argument,
+        # norm-adjusted): for any doc, a seed PARTIAL matched sum is <=
+        # its exact matched sum, and the doc norm n_qt*norm(dl) is EXACT
+        # on both sides (it depends only on (query, doc), not on which
+        # terms matched) — so theta = k-th best (partial + norm) lower-
+        # bounds the true k-th best total, and filtering exact totals
+        # >= theta keeps every true top-k doc (ties kept by >=).
+        theta = None
+        if self.prune:
+            seed = self._seed_table(scored)
+            partial = (
+                q_terms.join(seed, "term")
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum("ts").alias("ps"), F.max("norm").alias("norm"))
             )
-            .groupBy("query_id", "idx")
-            .agg(F.sum("ts").alias("s_match"), F.max("dl").alias("dl"))
-        )
+            partial = partial.join(F.broadcast(nqt), "query_id").select(
+                "query_id",
+                "doc_id",
+                (F.col("ps") + F.col("n_qt") * F.col("norm")).alias("pt"),
+            )
+            wk = Window.partitionBy("query_id").orderBy(
+                F.desc("pt"), F.asc("doc_id")
+            )
+            theta = (
+                partial.withColumn("__rk", F.row_number().over(wk))
+                .filter(F.col("__rk") == self.k)
+                .select("query_id", F.col("pt").alias("__theta"))
+            )
 
-        norm = (
-            F.log(
-                F.lit(mu).cast("double")
-                / (F.col("dl") + F.lit(mu)).cast("double")
-            ).cast("decimal(18,6)")
-            * F.lit(1000000)
-        ).cast("long")
-        scores = (
-            sums.join(F.broadcast(nqt), "query_id")
-            .select(
-                "query_id",
-                "idx",
-                (
-                    (F.col("s_match") + F.col("n_qt") * norm)
-                    / F.lit(1000000.0)
-                ).alias("score"),
+        # physical strategy (the Bm25Search maxscore planner, verbatim
+        # logic): the (query, doc) aggregation over the fan-out needs a
+        # clustering exchange SOMEWHERE — compare the two exact shuffle
+        # volumes from the vocabulary-sized df table and move the smaller
+        # side. Dense regime (sum df(query terms) > |postings|): hash the
+        # POSTINGS by doc once (doc-hash clusters the grouping-key
+        # subset, so the aggregate runs exchange-free and only ~k
+        # theta-survivors per query ever shuffle again).
+        bm = self._bm()
+        stats = bm._term_stats(bm._raw_postings())
+        n_postings = stats.agg(F.sum("df")).collect()[0][0] or 0
+        fan_est = (
+            q_terms.join(stats, "term").agg(F.sum("df")).collect()[0][0]
+            or 0
+        )
+        doc_major = fan_est > n_postings
+        fan_src = scored
+        if doc_major:
+            # pinned width: AQE would coalesce the (small) repartition
+            # exchange and cripple the huge downstream join + aggregate
+            n_shuffle = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
             )
+            fan_src = scored.repartition(n_shuffle, "doc_id")
+        full = q_terms.join(fan_src, "term").select(
+            "query_id",
+            F.col("doc_id").alias("idx"),
+            "ts",
+            "norm",
+        )
+        if not doc_major:
+            full = full.repartition("query_id")
+        sums = full.groupBy("query_id", "idx").agg(
+            F.sum("ts").alias("s_match"), F.max("norm").alias("norm")
+        )
+        scores = sums.join(F.broadcast(nqt), "query_id").withColumn(
+            "__total", F.col("s_match") + F.col("n_qt") * F.col("norm")
+        )
+        if theta is not None:
+            scores = scores.join(F.broadcast(theta), "query_id", "left").filter(
+                F.col("__theta").isNull()
+                | (F.col("__total") >= F.col("__theta"))
+            )
+        scores = scores.select(
+            "query_id",
+            "idx",
+            (F.col("__total") / F.lit(1000000.0)).alias("score"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("idx")
