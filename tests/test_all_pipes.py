@@ -55,6 +55,7 @@ from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel, WilsonRates
 from warp_pipes_spark.text.analysis import (
     ContingencyPanel,
     CurriculumReport,
+    DiversityReport,
     DocFingerprint,
     KneserNeyScore,
     TermBurstiness,
@@ -141,6 +142,7 @@ def instantiate_all():
         CurriculumReport(),
         WilsonRates("keep"),
         BenfordAudit("value"),
+        DiversityReport(),
     ]
 
 

@@ -2152,6 +2152,17 @@ def q221_benford_audit(spark, sf):
     return BenfordAudit(value_col="value")(T(spark, sf, "events"))
 
 
+def q222_diversity_report(spark, sf):
+    """Per-source lexical diversity panel (distinct-1/distinct-2, Li et
+    al. 2016; `text/analysis.py` `DiversityReport`): unique-unigram and
+    unique-bigram ratios from exact BIGINT counts — the O(corpus) smell
+    test that flags a templated near-clone source (low distinct-2)
+    before the O(pairs) dedup machinery has to prove it pairwise."""
+    from warp_pipes_spark.text.analysis import DiversityReport
+
+    return DiversityReport(group_col="source")(T(spark, sf, "documents"))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7099,6 +7110,12 @@ FROM per_line GROUP BY source ORDER BY source
 
     ORACLES_EXT["q219_ranker_agreement"] = _ranker_agreement_oracle_sql()
 
+    from warp_pipes_spark.text.analysis import diversity_report_sql
+
+    ORACLES_EXT["q222_diversity_report"] = diversity_report_sql(
+        "documents", group="source", text="text"
+    )
+
     from warp_pipes_spark.pipes.validate import benford_sql
 
     ORACLES_EXT["q221_benford_audit"] = benford_sql("events", value="value")
@@ -7569,6 +7586,7 @@ def _register():
         "q219_ranker_agreement": q219_ranker_agreement,
         "q220_wilson_keep_rates": q220_wilson_keep_rates,
         "q221_benford_audit": q221_benford_audit,
+        "q222_diversity_report": q222_diversity_report,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

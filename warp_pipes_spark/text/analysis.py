@@ -2886,3 +2886,109 @@ SELECT CAST(phase AS INTEGER) AS phase,
             AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens
 FROM phased GROUP BY 1 ORDER BY 1
 """
+
+
+class DiversityReport(Pipe):
+    """Per-group lexical diversity: distinct-1 and distinct-2 (Li et al.
+    2016 — the standard diversity metrics a generation/data team tracks),
+    type-token ratio at the GROUP level and the repeated-bigram share —
+    the panel that separates a source of templated near-clones (low
+    distinct-2) from genuinely varied text BEFORE dedup has to prove it
+    pairwise.
+
+    distinct_1 = |unique unigrams| / n_tokens,
+    distinct_2 = |unique bigrams| / n_bigrams — exact BIGINT counts,
+    ONE IEEE division each, rounded once. Bigrams are executor-local
+    adjacent pairs (the BigramPerplexity construction).
+
+    Scale shape: one scan explodes tokens/bigrams; the shuffles are the
+    per-(group, gram) distinct aggregations — the same cost class as any
+    vocabulary count. Nothing pairwise, nothing corpus² — which is the
+    point: this is the O(corpus) smell test you run before the O(pairs)
+    dedup machinery."""
+
+    def __init__(
+        self, group_col: str = "source", text_col: str = "text", **kwargs
+    ):
+        super().__init__(**kwargs)
+        self.group_col = group_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        d = df.select(
+            F.col(self.group_col).alias("grp"),
+            tokens_expr(F.col(self.text_col)).alias("l"),
+        )
+        uni = d.select("grp", F.explode("l").alias("t"))
+        u_agg = uni.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("u_uni"),
+        )
+        pairs = F.transform(
+            F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.element_at(F.col("l"), i + F.lit(2)).alias("w2"),
+            ),
+        )
+        bg = d.select("grp", F.explode(pairs).alias("bg")).select(
+            "grp", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        b_agg = bg.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("w1", "w2").alias("u_bi"),
+        )
+        out = u_agg.join(b_agg, "grp")
+
+        def ratio(a, b):
+            return (
+                (F.col(a).cast("double") / F.col(b).cast("double"))
+                .cast(D)
+                .cast("double")
+            )
+
+        return out.select(
+            F.col("grp").alias(self.group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("u_uni").cast("long").alias("n_unique_tokens"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("u_bi").cast("long").alias("n_unique_bigrams"),
+            ratio("u_uni", "n_tokens").alias("distinct_1"),
+            ratio("u_bi", "n_bigrams").alias("distinct_2"),
+        )
+
+
+def diversity_report_sql(
+    table: str = "documents", group: str = "source", text: str = "text"
+) -> str:
+    """DuckDB oracle for :class:`DiversityReport` — identical exact
+    counts and single rounded divisions."""
+    toks = tokens_sql(text)
+    return f"""
+WITH toksd AS MATERIALIZED (
+  SELECT {group} AS grp, {toks} AS t FROM {table}
+),
+uni AS (
+  SELECT grp, COUNT(*) AS n_tokens, COUNT(DISTINCT u) AS u_uni
+  FROM (SELECT grp, unnest(t) AS u FROM toksd) GROUP BY 1
+),
+bi AS (
+  SELECT grp, COUNT(*) AS n_bigrams,
+         COUNT(DISTINCT (w1, w2)) AS u_bi
+  FROM (
+    SELECT grp, t[i] AS w1, t[i + 1] AS w2
+    FROM toksd, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  ) GROUP BY 1
+)
+SELECT grp AS {group},
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(u_uni AS BIGINT) AS n_unique_tokens,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(u_bi AS BIGINT) AS n_unique_bigrams,
+       CAST(CAST(CAST(u_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS distinct_1,
+       CAST(CAST(CAST(u_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS distinct_2
+FROM uni JOIN bi USING (grp)
+"""
