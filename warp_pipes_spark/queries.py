@@ -4011,7 +4011,20 @@ def q99_fuzzy_match(spark, sf):
     candidate pairs bucket by (length band, first token) before the DP —
     the standard banding that keeps a Levenshtein join from going
     quadratic — then exact distance <= 4 filters. Both engines run the
-    same integer DP, so the join is exactly oracled."""
+    same integer DP, so the join is exactly oracled.
+
+    Scale shape: the DP cost lives in the join's OUTPUT (pairs), which
+    AQE cannot see — it sizes post-shuffle partitions on the tiny input
+    bytes and serializes the pair explosion onto a handful of tasks
+    (measured: 5 tasks / 28 s at sf1). The left side therefore carries
+    a salt (pmod(xxhash64(key), 8); the right side replicates 8x) and a
+    pinned repartition over (band, salt), splitting each band's pair
+    block across sub-buckets: sf1 28 s -> 6 s on local[32]. The salt
+    changes no semantics — each same-band pair meets in exactly one
+    sub-bucket. (Spark's bounded levenshtein(l, r, 4) was measured
+    SLOWER than the plain DP here — 40 s vs 27 s at sf1 — so the plain
+    two-arg form stays.)"""
+    SALT = 8
     p = T(spark, sf, "part").select("p_partkey", "p_name").filter(
         F.col("p_partkey") % 5 == 0
     )
@@ -4022,13 +4035,14 @@ def q99_fuzzy_match(spark, sf):
     a = p.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         band(F.col("p_name")).alias("band"),
-    )
+        F.pmod(F.xxhash64("p_partkey"), F.lit(SALT)).cast("int").alias("salt"),
+    ).repartition(64, "band", "salt")
     b = p.select(
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
         band(F.col("p_name")).alias("band"),
-    )
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
     return (
-        a.join(b, "band")
+        a.join(b, ["band", "salt"])
         .where(F.col("key_a") < F.col("key_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 4)
