@@ -50,13 +50,19 @@ from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.pca import PowerIterationPCA
 from warp_pipes_spark.plans.skew import KeySkewProfile
 from warp_pipes_spark.pipes.validate import BenfordAudit
-from warp_pipes_spark.pipes.sampling import NeymanAllocation
-from warp_pipes_spark.ml.metrics import BootstrapCI, ConfusionPanel, WilsonRates
+from warp_pipes_spark.pipes.sampling import MixtureConcentration, NeymanAllocation
+from warp_pipes_spark.ml.metrics import (
+    BootstrapCI,
+    ConfusionPanel,
+    SpearmanPanel,
+    WilsonRates,
+)
 from warp_pipes_spark.text.analysis import (
     ContingencyPanel,
     CurriculumReport,
     DiversityReport,
     DocFingerprint,
+    VocabularyProfile,
     KneserNeyScore,
     TermBurstiness,
     GopherQualityFilter,
@@ -143,6 +149,9 @@ def instantiate_all():
         WilsonRates("keep"),
         BenfordAudit("value"),
         DiversityReport(),
+        VocabularyProfile(),
+        SpearmanPanel(["a", "b"]),
+        MixtureConcentration(),
     ]
 
 

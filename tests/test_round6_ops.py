@@ -169,3 +169,110 @@ def test_dirichlet_ql_prune_lossless_k_sweep(spark):
             map(str, DirichletQLSearch(corpus=docs, k=k, prune=False)(qs).collect())
         )
         assert a == b, f"prune diverged at k={k}"
+
+
+# ---------------------------------------------------------------------------
+# session-3 additions: VocabularyProfile / SpearmanPanel / MixtureConcentration
+# ---------------------------------------------------------------------------
+
+
+def test_vocabulary_profile_closed_form(spark):
+    from warp_pipes_spark.text.analysis import VocabularyProfile
+
+    # tokens: a a b c -> N=4, V=3, N1=2 (b,c), N2=1 (a)
+    df = spark.createDataFrame([("g", "a a b c")], ["source", "text"])
+    out = VocabularyProfile()(df).collect()[0]
+    assert out["n_tokens"] == 4 and out["vocab"] == 3
+    assert out["n_singletons"] == 2 and out["n_doubletons"] == 1
+    assert out["p_unseen"] == 0.5          # N1/N = 2/4
+    assert out["gt_discount"] == 1.0       # 2*N2/N1 = 2/2
+    assert out["simpson"] == 0.166667      # 2/(4*3), rounded to 6dp
+    assert out["top_share"] == 0.5         # max f / N = 2/4
+
+
+def test_vocabulary_profile_no_singletons_gives_null_discount(spark):
+    from warp_pipes_spark.text.analysis import VocabularyProfile
+
+    df = spark.createDataFrame([("g", "a a b b")], ["source", "text"])
+    out = VocabularyProfile()(df).collect()[0]
+    assert out["n_singletons"] == 0
+    assert out["gt_discount"] is None
+    assert out["p_unseen"] == 0.0
+    # all-repeat corpus: simpson = (2+2)/(4*3) = 1/3
+    assert out["simpson"] == 0.333333
+
+
+def test_vocabulary_profile_all_distinct_simpson_zero(spark):
+    from warp_pipes_spark.text.analysis import VocabularyProfile
+
+    df = spark.createDataFrame([("g", "a b c d")], ["source", "text"])
+    out = VocabularyProfile()(df).collect()[0]
+    assert out["simpson"] == 0.0 and out["p_unseen"] == 1.0
+
+
+def test_spearman_monotone_is_one(spark):
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    rows = [("g", x, x * x) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, ["source", "x", "y"])
+    out = SpearmanPanel(["x", "y"])(df).collect()[0]
+    assert out["rho_spearman"] == 1.0 and out["n"] == 20
+
+
+def test_spearman_inverse_is_minus_one(spark):
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    rows = [("g", x, -3 * x) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, ["source", "x", "y"])
+    out = SpearmanPanel(["x", "y"])(df).collect()[0]
+    assert out["rho_spearman"] == -1.0
+
+
+def test_spearman_midrank_ties_closed_form(spark):
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    # x = [1,2,2,3] -> midranks [1, 2.5, 2.5, 4]; y strictly increasing
+    # Pearson(midranks, [1,2,3,4]) = 4.5 / sqrt(4.5 * 5) = 0.948683...
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 2, 30), ("g", 3, 40)]
+    df = spark.createDataFrame(rows, ["source", "x", "y"])
+    out = SpearmanPanel(["x", "y"])(df).collect()[0]
+    assert out["rho_spearman"] == 0.948683
+
+
+def test_spearman_constant_column_is_null(spark):
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    rows = [("g", x, 7) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, ["source", "x", "y"])
+    out = SpearmanPanel(["x", "y"])(df).collect()[0]
+    assert out["rho_spearman"] is None
+
+
+def test_spearman_partition_invariant(spark):
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    rows = [("g", i % 17, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, ["source", "x", "y"])
+    a = SpearmanPanel(["x", "y"])(df).collect()[0]["rho_spearman"]
+    b = SpearmanPanel(["x", "y"])(df.repartition(13)).collect()[0][
+        "rho_spearman"
+    ]
+    assert a == b
+
+
+def test_mixture_concentration_single_source(spark):
+    from warp_pipes_spark.pipes.sampling import MixtureConcentration
+
+    df = spark.createDataFrame([("en", "s1")] * 9, ["lang", "source"])
+    out = MixtureConcentration()(df).collect()[0]
+    assert out["hhi"] == 1.0 and out["eff_sources"] == 1.0
+    assert out["n_docs"] == 9 and out["n_sources"] == 1
+
+
+def test_mixture_concentration_equal_sources(spark):
+    from warp_pipes_spark.pipes.sampling import MixtureConcentration
+
+    rows = [("en", f"s{i}") for i in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["lang", "source"])
+    out = MixtureConcentration()(df).collect()[0]
+    assert out["hhi"] == 0.25 and out["eff_sources"] == 4.0

@@ -960,3 +960,197 @@ SELECT grp,
        AS DECIMAL(18,6)) AS DOUBLE) AS wilson_high
 FROM agg
 """
+
+
+class SpearmanPanel(Pipe):
+    """Per-group Spearman rank-correlation panel over every pair of the
+    given numeric feature columns (Spearman 1904; tie handling via
+    midranks, i.e. Pearson on average ranks — Kendall 1948's standard
+    correction). The feature-redundancy report a curation team reads
+    before weighting quality signals into a composite: two features
+    with rho ~ 1 are one signal counted twice, rho ~ 0 justifies
+    keeping both (q218's composite averages three such proxies).
+
+    Midranks WITHOUT a corpus-sized single-partition window: per
+    feature, rows group to a (group, value, count) table (bounded by
+    value cardinality), a window over DISTINCT VALUES cumulates the
+    count of strictly-smaller values, and 2x-midrank joins back —
+    mr2(v) = 2*cum_lt(v) + c(v) + 1, an exact BIGINT (twice the
+    average of the tied rank positions). The ECDF-join pattern shared
+    with CurriculumReport/BinaryAuc.
+
+    Exactness: all five sums (S_x, S_y, S_xy, S_xx, S_yy) accumulate
+    BIGINT mr2 products into DECIMAL(38,0) — exact at any scale that
+    fits 38 digits (n up to ~1e9 rows per group). rho = (n*S_xy -
+    S_x*S_y) / (sqrt(n*S_xx - S_x^2) * sqrt(n*S_yy - S_y^2)) evaluates
+    the two sqrts SEPARATELY in IEEE double (mirrored verbatim in the
+    oracle), one division, rounded once to DECIMAL(18,6). Constant
+    features (zero variance) report NULL.
+
+    Scale shape: one scan per feature for the value-count tables, the
+    joins back are value-cardinality-sized (AQE picks broadcast when
+    small), one final per-group rollup. No row-count-sized window or
+    sort anywhere."""
+
+    def __init__(
+        self,
+        cols: list,
+        group_col: str = "source",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        if len(cols) < 2:
+            raise ValueError("SpearmanPanel needs at least two columns")
+        self.cols = list(cols)
+        self.group_col = group_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        BIG = "decimal(38,0)"
+        cond = F.lit(True)
+        for c in self.cols:
+            cond = cond & F.col(c).isNotNull()
+        out = df.filter(cond).select(
+            F.col(self.group_col).alias("grp"), *self.cols
+        )
+        base = out
+        for c in self.cols:
+            # value-count tables all derive from the BASE frame (joining
+            # from the running `out` would nest every prior ecdf join into
+            # each subsequent count's lineage — same rows, 3x the plan)
+            cnts = base.groupBy("grp", c).agg(F.count(F.lit(1)).alias("__c"))
+            w = (
+                Window.partitionBy("grp")
+                .orderBy(F.asc(c))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            ecdf = cnts.select(
+                "grp",
+                c,
+                (
+                    F.lit(2) * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                    + F.col("__c")
+                    + F.lit(1)
+                ).alias(f"__mr2_{c}"),
+            )
+            out = out.join(ecdf, ["grp", c])
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in self.cols:
+            m = F.col(f"__mr2_{c}")
+            aggs.append(F.sum(m.cast(BIG)).alias(f"s_{c}"))
+            aggs.append(F.sum((m * m).cast(BIG)).alias(f"ss_{c}"))
+        for i, a in enumerate(self.cols):
+            for b in self.cols[i + 1 :]:
+                aggs.append(
+                    F.sum(
+                        (F.col(f"__mr2_{a}") * F.col(f"__mr2_{b}")).cast(BIG)
+                    ).alias(f"sp_{a}_{b}")
+                )
+        g = out.groupBy("grp").agg(*aggs)
+
+        def var(c):
+            return (
+                F.col("n").cast(BIG) * F.col(f"ss_{c}")
+                - F.col(f"s_{c}") * F.col(f"s_{c}")
+            ).cast("double")
+
+        # one row per pair via a row-local explode of per-pair structs —
+        # NOT a union of per-pair selects, which would re-derive the whole
+        # upstream pipeline once per pair (3 pairs = 3x the scans/joins)
+        pair_structs = []
+        for i, a in enumerate(self.cols):
+            for b in self.cols[i + 1 :]:
+                num = (
+                    F.col("n").cast(BIG) * F.col(f"sp_{a}_{b}")
+                    - F.col(f"s_{a}") * F.col(f"s_{b}")
+                ).cast("double")
+                den = F.sqrt(var(a)) * F.sqrt(var(b))
+                rho = F.when(den > 0, (num / den).cast(D).cast("double"))
+                pair_structs.append(
+                    F.struct(
+                        F.lit(a).alias("feat_x"),
+                        F.lit(b).alias("feat_y"),
+                        rho.alias("rho"),
+                    )
+                )
+        return g.select(
+            F.col("grp").alias(self.group_col),
+            F.col("n").cast("long").alias("n"),
+            F.explode(F.array(*pair_structs)).alias("__p"),
+        ).select(
+            self.group_col,
+            F.col("__p.feat_x").alias("feat_x"),
+            F.col("__p.feat_y").alias("feat_y"),
+            "n",
+            F.col("__p.rho").alias("rho_spearman"),
+        )
+
+
+def spearman_panel_sql(
+    table: str, cols: list, group: str = "source"
+) -> str:
+    """DuckDB oracle for :class:`SpearmanPanel` — identical midrank
+    algebra (exact DECIMAL(38,0) sums, two separate sqrts, one rounded
+    division). ``table`` is a table name or parenthesized subquery
+    exposing ``group`` and every column in ``cols``."""
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    ctes = [
+        f"feats AS MATERIALIZED (SELECT {group} AS grp, "
+        + ", ".join(cols)
+        + f" FROM {table} WHERE {notnull})"
+    ]
+    joined = "feats"
+    for c in cols:
+        ctes.append(
+            f"ecdf_{c} AS (SELECT grp, {c}, 2 * COALESCE(SUM(__c) OVER ("
+            f"PARTITION BY grp ORDER BY {c} ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING), 0) + __c + 1 AS __mr2_{c} "
+            f"FROM (SELECT grp, {c}, COUNT(*) AS __c FROM feats "
+            f"GROUP BY 1, 2))"
+        )
+        joined = f"{joined} JOIN ecdf_{c} USING (grp, {c})"
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST(__mr2_{c} AS DECIMAL(38,0))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST(__mr2_{c} * __mr2_{c} AS DECIMAL(38,0))) AS ss_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append((a, b))
+            sums.append(
+                f"SUM(CAST(__mr2_{a} * __mr2_{b} AS DECIMAL(38,0)))"
+                f" AS sp_{a}_{b}"
+            )
+    ctes.append(
+        "g AS (SELECT grp, "
+        + ", ".join(sums)
+        + f" FROM {joined} GROUP BY grp)"
+    )
+
+    def var(c):
+        return (
+            f"CAST(CAST(n AS DECIMAL(38,0)) * ss_{c} - s_{c} * s_{c}"
+            " AS DOUBLE)"
+        )
+
+    selects = []
+    for a, b in pairs:
+        num = (
+            f"CAST(CAST(n AS DECIMAL(38,0)) * sp_{a}_{b} - s_{a} * s_{b}"
+            " AS DOUBLE)"
+        )
+        den = f"(sqrt({var(a)}) * sqrt({var(b)}))"
+        selects.append(
+            f"SELECT grp AS {group}, '{a}' AS feat_x, '{b}' AS feat_y, "
+            f"CAST(n AS BIGINT) AS n, CASE WHEN {den} > 0 THEN "
+            f"CAST(CAST({num} / {den} AS DECIMAL(18,6)) AS DOUBLE) END "
+            f"AS rho_spearman FROM g"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )

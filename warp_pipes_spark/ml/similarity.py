@@ -1042,8 +1042,20 @@ class MatryoshkaTopK(Pipe):
         # (query_id, neighbor_id, coarse) through the ranking window —
         # the round-5 version dragged both full vectors (~130 doubles per
         # pair row) through the 16M-row sort at the 10x soak (92 s)
-        qp = q.select("query_id", F.slice("qv", 1, d).alias("qp")).withColumn(
-            "qpn", _norm(F.col("qp"))
+        # pin stage-1 parallelism: the quadratic pair stream materializes in
+        # the STREAM side's partitions (the query prefix table — a few
+        # hundred rows in however many splits the source had; measured 5
+        # tasks for 16M pairs at the 10x soak). The repartition exchange
+        # moves only the narrow query prefixes; each query's pair block
+        # stays within one task so the rank window's partial top-k
+        # (WindowGroupLimit) still prunes map-side before the shuffle.
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        qp = (
+            q.select("query_id", F.slice("qv", 1, d).alias("qp"))
+            .withColumn("qpn", _norm(F.col("qp")))
+            .repartition(n_shuffle, "query_id")
         )
         cp = c.select(
             "neighbor_id", F.slice("cv", 1, d).alias("cp")

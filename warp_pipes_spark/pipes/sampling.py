@@ -1100,3 +1100,89 @@ SELECT stratum,
             ELSE 0.0 END)) AS BIGINT) AS n_eval
 FROM wts CROSS JOIN tot
 """
+
+
+class MixtureConcentration(Pipe):
+    """Per-stratum source-concentration report: Herfindahl-Hirschman
+    index of the source mixture within each stratum (Herfindahl 1950;
+    Hirschman 1945; the antitrust concentration measure, used for data
+    mixtures by e.g. the UniMax analysis of per-language source
+    monopolies) plus the effective number of sources 1/HHI (Laakso &
+    Taagepera 1979's "effective number of parties"). The panel that
+    flags a language whose tokens come overwhelmingly from ONE feed —
+    a single-point-of-failure for both contamination and license risk —
+    before mixture weights are committed.
+
+    hhi = sum_s n_s^2 / N^2 in (0, 1], eff_sources = N^2 / sum_s n_s^2
+    = 1/hhi. Numerator and denominator are exact BIGINTs from one
+    (stratum, source) count table; each report value is ONE IEEE
+    division rounded once to DECIMAL(18,6). hhi = 1 means a
+    single-source stratum; eff_sources ~ k means "as diverse as k
+    equal sources".
+
+    Scale shape: one scan, one keyed count, one stratum-sized rollup —
+    the cheapest possible mixture analytic; no windows, no joins."""
+
+    def __init__(
+        self,
+        stratum_col: str = "lang",
+        source_col: str = "source",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.stratum_col = stratum_col
+        self.source_col = source_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        cnt = df.groupBy(
+            F.col(self.stratum_col).alias("stratum"),
+            F.col(self.source_col).alias("src"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        agg = cnt.groupBy("stratum").agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        n2 = F.col("n_docs") * F.col("n_docs")
+        return agg.select(
+            F.col("stratum").alias(self.stratum_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            (F.col("sq").cast("double") / n2.cast("double"))
+            .cast(D)
+            .cast("double")
+            .alias("hhi"),
+            (n2.cast("double") / F.col("sq").cast("double"))
+            .cast(D)
+            .cast("double")
+            .alias("eff_sources"),
+        )
+
+
+def mixture_concentration_sql(
+    table: str = "documents",
+    stratum: str = "lang",
+    source: str = "source",
+) -> str:
+    """DuckDB oracle for :class:`MixtureConcentration` — identical
+    exact BIGINT counts and single rounded divisions."""
+    return f"""
+WITH cnt AS (
+  SELECT {stratum} AS stratum, {source} AS src, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+agg AS (
+  SELECT stratum, SUM(c) AS n_docs, COUNT(*) AS n_sources,
+         SUM(c * c) AS sq
+  FROM cnt GROUP BY 1
+)
+SELECT stratum AS {stratum},
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(CAST(CAST(sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS hhi,
+       CAST(CAST(CAST(n_docs * n_docs AS DOUBLE) / CAST(sq AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS eff_sources
+FROM agg
+"""

@@ -2163,6 +2163,66 @@ def q222_diversity_report(spark, sf):
     return DiversityReport(group_col="source")(T(spark, sf, "documents"))
 
 
+def q223_vocabulary_profile(spark, sf):
+    """Per-source vocabulary frequency-spectrum panel (Good 1953; Gale
+    & Sampson 1995; Simpson 1949; `text/analysis.py`
+    `VocabularyProfile`): Good-Turing unseen mass N1/N, the singleton
+    discount 2*N2/N1, Simpson repeat-rate and modal-token share — the
+    "how much of this source have we actually seen" coverage report
+    that complements q187's Heaps growth fit. Exact BIGINT spectrum
+    counts from one (source, token) aggregation; one rounded IEEE
+    division per ratio; shuffles are vocabulary-sized."""
+    from warp_pipes_spark.text.analysis import VocabularyProfile
+
+    return VocabularyProfile(group_col="source")(T(spark, sf, "documents"))
+
+
+def q224_spearman_panel(spark, sf):
+    """Spearman rank-correlation panel between three per-doc quality
+    proxies — text length, token count, distinct-token count — per
+    source (Spearman 1904, midrank ties; `ml/metrics.py`
+    `SpearmanPanel`). The feature-redundancy audit run before q218's
+    composite averages "independent" signals that are actually the
+    same signal: rho(n_chars, n_tokens) ~ 1 says length is counted
+    twice. Midranks via the ECDF-join pattern (value-count table +
+    distinct-value window), never a corpus-sized single-partition
+    window; all five moment sums are exact DECIMAL(38,0); two separate
+    IEEE sqrts and one division, rounded once — mirrored verbatim in
+    the oracle."""
+    from warp_pipes_spark.ml.metrics import SpearmanPanel
+
+    docs = T(spark, sf, "documents")
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    toks = tokens_expr(F.col("text"))
+    feats = docs.select(
+        "source",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("len_tokens"),
+        F.size(F.array_distinct(toks)).alias("len_distinct"),
+    )
+    return SpearmanPanel(
+        cols=["len_chars", "len_tokens", "len_distinct"],
+        group_col="source",
+    )(feats)
+
+
+def q225_mixture_concentration(spark, sf):
+    """Source-concentration report per language stratum (Herfindahl
+    1950; Laakso & Taagepera 1979; `pipes/sampling.py`
+    `MixtureConcentration`): within-stratum HHI of the source mixture
+    and the effective source count 1/HHI — the single-feed-monopoly
+    flag raised before q56/q142's mixture weights are committed. One
+    keyed count + stratum-sized rollup, exact BIGINTs, one rounded
+    division per ratio; the cheapest analytic in the catalog by
+    design."""
+    from warp_pipes_spark.pipes.sampling import MixtureConcentration
+
+    return MixtureConcentration(stratum_col="lang", source_col="source")(
+        T(spark, sf, "documents")
+    )
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7143,6 +7203,32 @@ FROM per_line GROUP BY source ORDER BY source
         group="source",
     )
 
+    from warp_pipes_spark.text.analysis import (
+        tokens_sql as _tokens_sql,
+        vocabulary_profile_sql,
+    )
+
+    ORACLES_EXT["q223_vocabulary_profile"] = vocabulary_profile_sql(
+        "documents", group="source", text="text"
+    )
+
+    from warp_pipes_spark.ml.metrics import spearman_panel_sql
+
+    ORACLES_EXT["q224_spearman_panel"] = spearman_panel_sql(
+        "(SELECT source, LENGTH(text) AS len_chars,"
+        f" len({_tokens_sql('text')}) AS len_tokens,"
+        f" len(list_distinct({_tokens_sql('text')})) AS len_distinct"
+        " FROM documents)",
+        cols=["len_chars", "len_tokens", "len_distinct"],
+        group="source",
+    )
+
+    from warp_pipes_spark.pipes.sampling import mixture_concentration_sql
+
+    ORACLES_EXT["q225_mixture_concentration"] = mixture_concentration_sql(
+        "documents", stratum="lang", source="source"
+    )
+
     from warp_pipes_spark.ml.graph import kcore_sql, label_propagation_sql
 
     ORACLES_EXT["q211_label_propagation"] = label_propagation_sql(
@@ -7601,6 +7687,9 @@ def _register():
         "q220_wilson_keep_rates": q220_wilson_keep_rates,
         "q221_benford_audit": q221_benford_audit,
         "q222_diversity_report": q222_diversity_report,
+        "q223_vocabulary_profile": q223_vocabulary_profile,
+        "q224_spearman_panel": q224_spearman_panel,
+        "q225_mixture_concentration": q225_mixture_concentration,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

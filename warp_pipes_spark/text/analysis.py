@@ -2992,3 +2992,116 @@ SELECT grp AS {group},
             AS DECIMAL(18,6)) AS DOUBLE) AS distinct_2
 FROM uni JOIN bi USING (grp)
 """
+
+
+class VocabularyProfile(Pipe):
+    """Per-group vocabulary frequency-spectrum profile: Good-Turing
+    unseen mass (Good 1953; Gale & Sampson 1995 "simple Good-Turing"),
+    Simpson repeat-rate (Simpson 1949; the Hunter-Gaston 1988 unbiased
+    form) and the modal-token share — the coverage panel a corpus team
+    reads to answer "how much of this source's token distribution have
+    we actually seen?" before sizing a held-out split or extrapolating
+    vocabulary growth (the spectrum complements q187's Heaps fit).
+
+    p_unseen = N1/N (the Good-Turing estimate of the probability mass
+    on tokens never observed), gt_discount = 2*N2/N1 (the adjusted
+    count r* for singletons — how much a single observation should be
+    believed), simpson = sum f*(f-1) / (N*(N-1)) (probability two
+    draws without replacement are the same type), top_share = max f/N.
+    Every numerator/denominator is an exact BIGINT from one token-count
+    table; each reported ratio is ONE IEEE division rounded once to
+    DECIMAL(18,6) — the engine/oracle tie discipline used across the
+    analysis family.
+
+    Scale shape: one scan explodes tokens; the only shuffles are the
+    per-(group, token) count and the per-group rollup of the
+    vocabulary-sized frequency table. Nothing pairwise, no windows, no
+    corpus-sized state — the same cost class as building a vocabulary."""
+
+    def __init__(
+        self, group_col: str = "source", text_col: str = "text", **kwargs
+    ):
+        super().__init__(**kwargs)
+        self.group_col = group_col
+        self.text_col = text_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        tok = df.select(
+            F.col(self.group_col).alias("grp"),
+            F.explode(tokens_expr(F.col(self.text_col))).alias("t"),
+        )
+        freq = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("f"))
+        agg = freq.groupBy("grp").agg(
+            F.sum("f").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.col("f") * (F.col("f") - 1)).alias("rep_num"),
+            F.max("f").alias("top_f"),
+        )
+
+        def ratio(num, den):
+            return (num.cast("double") / den.cast("double")).cast(D).cast(
+                "double"
+            )
+
+        return agg.select(
+            F.col("grp").alias(self.group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n1").cast("long").alias("n_singletons"),
+            F.col("n2").cast("long").alias("n_doubletons"),
+            ratio(F.col("n1"), F.col("n_tokens")).alias("p_unseen"),
+            F.when(
+                F.col("n1") > 0,
+                ratio(F.lit(2) * F.col("n2"), F.col("n1")),
+            ).alias("gt_discount"),
+            ratio(
+                F.col("rep_num"),
+                F.col("n_tokens") * (F.col("n_tokens") - 1),
+            ).alias("simpson"),
+            ratio(F.col("top_f"), F.col("n_tokens")).alias("top_share"),
+        )
+
+
+def vocabulary_profile_sql(
+    table: str = "documents", group: str = "source", text: str = "text"
+) -> str:
+    """DuckDB oracle for :class:`VocabularyProfile` — identical exact
+    BIGINT spectrum and single rounded divisions."""
+    toks = tokens_sql(text)
+    return f"""
+WITH freq AS MATERIALIZED (
+  SELECT grp, t, COUNT(*) AS f FROM (
+    SELECT {group} AS grp, unnest({toks}) AS t FROM {table}
+  ) GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp,
+         SUM(f) AS n_tokens,
+         COUNT(*) AS vocab,
+         SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(f * (f - 1)) AS rep_num,
+         MAX(f) AS top_f
+  FROM freq GROUP BY 1
+)
+SELECT grp AS {group},
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(n1 AS BIGINT) AS n_singletons,
+       CAST(n2 AS BIGINT) AS n_doubletons,
+       CAST(CAST(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS p_unseen,
+       CASE WHEN n1 > 0 THEN
+         CAST(CAST(CAST(2 * n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS gt_discount,
+       CAST(CAST(CAST(rep_num AS DOUBLE)
+            / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS simpson,
+       CAST(CAST(CAST(top_f AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS top_share
+FROM agg
+"""
