@@ -276,3 +276,67 @@ def test_mixture_concentration_equal_sources(spark):
     df = spark.createDataFrame(rows, ["lang", "source"])
     out = MixtureConcentration()(df).collect()[0]
     assert out["hhi"] == 0.25 and out["eff_sources"] == 4.0
+
+
+def test_vocabulary_profile_partition_invariant(spark):
+    from warp_pipes_spark.text.analysis import VocabularyProfile
+
+    rows = [(f"s{i % 3}", f"w{i % 7} w{i % 5} w{i % 11} common")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    a = sorted(map(tuple, VocabularyProfile()(df).collect()))
+    b = sorted(map(tuple, VocabularyProfile()(df.repartition(17)).collect()))
+    assert a == b
+
+
+def test_mixture_concentration_partition_invariant(spark):
+    from warp_pipes_spark.pipes.sampling import MixtureConcentration
+
+    rows = [(f"l{i % 4}", f"s{(i * 3) % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["lang", "source"])
+    a = sorted(map(tuple, MixtureConcentration()(df).collect()))
+    b = sorted(
+        map(tuple, MixtureConcentration()(df.repartition(23)).collect())
+    )
+    assert a == b
+
+
+def test_q99_salting_matches_unsalted_band_join(spark, sf_dir):
+    """The q99 salt (pmod(xxhash64) sub-bucket + 8x right replication)
+    must be a pure parallelism transform: candidate set and distances
+    identical to the plain banded self-join it replaced."""
+    import pyspark.sql.functions as F
+
+    from warp_pipes_spark.queries import T, q99_fuzzy_match
+
+    got = sorted(map(tuple, q99_fuzzy_match(spark, sf_dir).collect()))
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name").filter(
+        F.col("p_partkey") % 5 == 0
+    )
+    band = lambda c: F.struct(  # noqa: E731
+        F.floor(F.length(c) / 4).alias("lb"),
+        F.substring_index(c, " ", 1).alias("t1"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        band(F.col("p_name")).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        band(F.col("p_name")).alias("band"),
+    )
+    ref = sorted(
+        map(
+            tuple,
+            a.join(b, "band")
+            .where(F.col("key_a") < F.col("key_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 4)
+            .select("key_a", "key_b", "dist")
+            .collect(),
+        )
+    )
+    assert got == ref

@@ -653,6 +653,61 @@ def _cells():
         ),
     )
 
+    # ---- session-3 families at non-default configs ------------------------
+    from warp_pipes_spark.text.analysis import (
+        VocabularyProfile,
+        vocabulary_profile_sql,
+    )
+
+    for grp in ("lang", "source"):
+        add(
+            f"vocab_profile_{grp}",
+            lambda spark, sf, g=grp: VocabularyProfile(group_col=g)(
+                _docs(spark, sf)
+            ),
+            vocabulary_profile_sql("documents", group=grp, text="text"),
+        )
+
+    from warp_pipes_spark.ml.metrics import SpearmanPanel, spearman_panel_sql
+
+    def _spearman_feats(spark, sf, grp):
+        d = _docs(spark, sf)
+        toks = tokens_expr(F.col("text"))
+        return d.select(
+            grp,
+            F.length("text").alias("len_chars"),
+            F.size(toks).alias("len_tokens"),
+        )
+
+    for grp in ("lang", "source"):
+        add(
+            f"spearman_2col_{grp}",
+            lambda spark, sf, g=grp: SpearmanPanel(
+                cols=["len_chars", "len_tokens"], group_col=g
+            )(_spearman_feats(spark, sf, g)),
+            spearman_panel_sql(
+                f"(SELECT {grp}, LENGTH(text) AS len_chars,"
+                f" len({tokens_sql('text')}) AS len_tokens FROM documents)",
+                cols=["len_chars", "len_tokens"],
+                group=grp,
+            ),
+        )
+
+    from warp_pipes_spark.pipes.sampling import (
+        MixtureConcentration,
+        mixture_concentration_sql,
+    )
+
+    add(
+        "mixture_conc_source_by_lang",
+        lambda spark, sf: MixtureConcentration(
+            stratum_col="source", source_col="lang"
+        )(_docs(spark, sf)),
+        mixture_concentration_sql(
+            "documents", stratum="source", source="lang"
+        ),
+    )
+
     return cells
 
 

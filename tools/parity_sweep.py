@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "q215_neyman_allocation", "q216_power_pca", "q217_dirichlet_ql",
     "q218_curriculum_report", "q219_ranker_agreement",
     "q220_wilson_keep_rates", "q221_benford_audit",
+    # round-6 session-3 additions
+    "q222_diversity_report", "q223_vocabulary_profile",
+    "q224_spearman_panel", "q225_mixture_concentration",
+    "q99_fuzzy_match",
 ]
 
 TABLES = (

@@ -1,0 +1,129 @@
+"""Scaling-curve harness: measure representative catalog queries at
+sf0.1 / sf1 / sf3 (1x / 10x / 30x the bench dir) and fit the empirical
+scaling exponent, so the "would this survive 100x?" design claims carry
+MEASURED slopes instead of plan-shape arguments alone.
+
+For each query and scale the harness records a COLD run (includes
+fingerprint-cached artifact builds — the real first-epoch cost) and a
+WARM run (artifacts + FS cache hot — the steady-state cost). The
+exponent is fit on warm runs between sf1 and sf3:
+
+    exp = log(t_sf3 / t_sf1) / log(3)
+
+exp ~ 1 is linear scaling (the design target for scan/agg/search
+pipelines); exp ~ 2 means a pair explosion is outgrowing its banding
+and would NOT survive 100x. Sub-second sf1 rows are skipped for the fit
+(timer noise dominates).
+
+Scaled dirs come from tools/gen_scale.py (deterministic shifted
+replicas; distributions survive, exact self-similarity doesn't).
+
+Usage: python tools/scaling_curve.py [q1,q2,...]
+Writes SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# spans the cost families: BM25 + QL + PRF fusion, banded Levenshtein,
+# two-stage ANN + brute-force cosine, MinHash/banded dedup + funnel,
+# graph iteration, gram dedup, packing, plain agg + windows as controls
+DEFAULT_QUERIES = [
+    "q04_group_agg",
+    "q10_window_topk",
+    "q28_minhash_dedup",
+    "q30_cosine_topk",
+    "q32_bm25",
+    "q88_bm25f",
+    "q97_pagerank",
+    "q99_fuzzy_match",
+    "q108_matryoshka_topk",
+    "q133_connected_components",
+    "q151_maximal_spans",
+    "q175_curation_funnel",
+    "q196_cluster_size_profile",
+    "q217_dirichlet_ql",
+    "q223_vocabulary_profile",
+]
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1", 1),
+    ("sf1", "/tmp/spark_graft_sf1", 10),
+    ("sf3", "/tmp/spark_graft_sf3", 30),
+]
+
+
+def _ensure_dirs() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    for _, path, copies in SCALES:
+        if copies == 1 or os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        print(f"GEN {path} ({copies} copies)", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(here, "gen_scale.py"), path,
+             str(copies)],
+            check=True,
+        )
+
+
+def main() -> None:
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT_QUERIES
+    _ensure_dirs()
+
+    from warp_pipes_spark.queries import QUERIES
+    from warp_pipes_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+
+    results: dict = {}
+    for name in names:
+        row: dict = {}
+        for label, path, _ in SCALES:
+            t0 = time.perf_counter()
+            n = QUERIES[name].fn(spark, path).count()
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, path).count()
+            warm = time.perf_counter() - t0
+            row[label] = {
+                "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "rows": n,
+            }
+            spark.catalog.clearCache()
+        t1, t3 = row["sf1"]["warm_s"], row["sf3"]["warm_s"]
+        if t1 >= 1.0:
+            row["exp_sf1_to_sf3"] = round(math.log(t3 / t1) / math.log(3), 2)
+        else:
+            row["exp_sf1_to_sf3"] = None  # timer noise floor
+        results[name] = row
+        print(
+            f"SCALE {name} sf0.1={row['sf0.1']['warm_s']}s "
+            f"sf1={t1}s sf3={t3}s exp={row['exp_sf1_to_sf3']}",
+            flush=True,
+        )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {
+        "metric": "scaling_curve",
+        "scales": {l: c for l, _, c in SCALES},
+        "fit": "exp = log(t_sf3/t_sf1)/log(3) on warm runs; None below 1s",
+        "queries": results,
+    }
+    with open(os.path.join(repo, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()
