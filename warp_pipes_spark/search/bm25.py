@@ -39,6 +39,28 @@ def _default_index_cache_dir() -> str:
     return os.path.join(tempfile.gettempdir(), "warp_pipes_spark_bm25_index")
 
 
+# fan-out rows a single aggregate partition should absorb before the
+# planner widens the shuffle: sized so the per-partition hash table of
+# (query, doc) partial sums stays comfortably in executor memory
+FANOUT_ROWS_PER_PARTITION = 8_000_000
+
+
+def fanout_width(spark, fan_est: int) -> int:
+    """Shuffle width for a scoring fan-out of ``fan_est`` rows: never
+    below the configured ``spark.sql.shuffle.partitions`` (the pinned
+    minimum that defeats AQE's input-byte coalescing — the explosion is
+    invisible to AQE), and widened so no partition's aggregate absorbs
+    more than ~FANOUT_ROWS_PER_PARTITION fan-out rows. Fixed-width
+    partitions at a fixed per-query batch keep this CONSTANT in corpus
+    size on a real cluster; it grows only when the fan-out itself does
+    (measured: the 30x soak's ~4G-row fan-out over 32 partitions spent
+    more time spilling the hash aggregate than scoring — 413 s vs 123 s
+    clean-quadratic expectation; widening restores the n^2 line)."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    need = int(fan_est // FANOUT_ROWS_PER_PARTITION) + 1
+    return max(base, min(4096, need))
+
+
 def build_inverted_index(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -653,23 +675,23 @@ class Bm25Search(Pipe):
             # doc-keyed enrichment; clustering on doc_id survives into the
             # doc-major aggregate below
             scored = scored.join(doc_filters, "doc_id")
+        # explicit partition count: the repartition exchange moves only
+        # the (small) index / per-query keys, so AQE would coalesce it —
+        # and the huge join + in-place aggregate downstream would inherit
+        # that crippled parallelism (measured: 16 of 32 cores at the sf1
+        # soak). Width adapts to the exact fan-out estimate so the
+        # per-partition aggregate hash tables never spill (the 30x soak's
+        # superlinear wall — see fanout_width).
+        n_width = fanout_width(df.sparkSession, fan_est)
         if doc_major:
-            # explicit partition count: the repartition exchange moves only
-            # the (small) index, so AQE would coalesce it — and the huge
-            # join + in-place aggregate downstream would inherit that
-            # crippled parallelism (measured: 16 of 32 cores at the sf1
-            # soak). Pin it to the configured shuffle width.
-            n_shuffle = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-            scored = scored.repartition(n_shuffle, "doc_id")
+            scored = scored.repartition(n_width, "doc_id")
         full = qterms.join(scored, join_keys).select(
             "query_id",
             F.col("doc_id").alias("idx"),
             fan_ts.alias("ts"),
         )
         if not doc_major:
-            full = full.repartition("query_id")
+            full = full.repartition(n_width, "query_id")
         sums = full.groupBy("query_id", "idx").agg(F.sum("ts").alias("__sum"))
         scores = (
             sums.join(F.broadcast(theta), "query_id", "left")

@@ -268,15 +268,15 @@ class DirichletQLSearch(Pipe):
         )
         doc_major = fan_est > n_postings
         fan_src = scored
+        # pinned width: AQE would coalesce the (small) repartition
+        # exchange and cripple the huge downstream join + aggregate;
+        # width adapts to the exact fan-out so the per-partition
+        # aggregate never spills (see bm25.fanout_width)
+        from warp_pipes_spark.search.bm25 import fanout_width
+
+        n_width = fanout_width(df.sparkSession, fan_est)
         if doc_major:
-            # pinned width: AQE would coalesce the (small) repartition
-            # exchange and cripple the huge downstream join + aggregate
-            n_shuffle = int(
-                df.sparkSession.conf.get(
-                    "spark.sql.shuffle.partitions", "200"
-                )
-            )
-            fan_src = scored.repartition(n_shuffle, "doc_id")
+            fan_src = scored.repartition(n_width, "doc_id")
         full = q_terms.join(fan_src, "term").select(
             "query_id",
             F.col("doc_id").alias("idx"),
@@ -284,7 +284,7 @@ class DirichletQLSearch(Pipe):
             "norm",
         )
         if not doc_major:
-            full = full.repartition("query_id")
+            full = full.repartition(n_width, "query_id")
         sums = full.groupBy("query_id", "idx").agg(
             F.sum("ts").alias("s_match"), F.max("norm").alias("norm")
         )
