@@ -7,9 +7,16 @@ SHORT JSON line with the headline totals:
 large for the driver's bounded stdout capture, which truncated the public
 artifact in rounds 2-3) is written to BENCH_DETAIL.json next to this file.
 
-Each query is timed to full materialization (count of collected rows) after
-a shared-session warmup; per-query times therefore include Catalyst planning
-+ execution but not JVM startup."""
+Each query is timed to FULL materialization through Spark's no-op batch
+sink (df.write.format("noop")): every output column is computed and
+consumed, nothing is serialized to the driver or disk. A bare .count()
+(rounds 1-6a) is NOT a faithful forcing — Catalyst prunes columns and
+eliminates cardinality-preserving joins under it, so a query whose row
+count is derivable without its expensive branch times near-zero (measured:
+q151 count 2.0 s vs real 104 s at the 10x soak). Times include Catalyst
+planning + execution but not JVM startup; the round-1 baseline subset was
+count()-forced, so subset comparisons across that boundary are
+conservative (noop can only be slower)."""
 
 from __future__ import annotations
 
@@ -76,7 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"

@@ -61,6 +61,58 @@ SCALES = [
 ]
 
 
+def _fixed_makers():
+    """Fixed-query-batch search variants: the catalog's search queries
+    draw their query batch FROM the corpus (doc_id % 25), so their cost
+    is intrinsically quadratic in scale — batch x corpus both grow. The
+    100 TB question is different: a production query batch is FIXED
+    while the corpus grows, so cost should be LINEAR in corpus. These
+    makers pin the batch to the base-copy id range (present unchanged at
+    every gen_scale scale) and measure that claim directly."""
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.queries import T, _bm25_queries
+
+    def bm25_fixed(spark, sf):
+        from warp_pipes_spark.search.bm25 import Bm25Search
+
+        qs = _bm25_queries(spark, sf).filter(F.col("query_id") < 5000)
+        return Bm25Search(corpus=T(spark, sf, "documents"), k=10)(qs)
+
+    def ql_fixed(spark, sf):
+        from warp_pipes_spark.search.ql import DirichletQLSearch
+
+        qs = _bm25_queries(spark, sf).filter(F.col("query_id") < 5000)
+        return DirichletQLSearch(
+            corpus=T(spark, sf, "documents"), k=10, mu=2000
+        )(qs)
+
+    def cosine_fixed(spark, sf):
+        from warp_pipes_spark.ml.similarity import BruteForceCosineTopK
+
+        emb = T(spark, sf, "embeddings")
+        qs = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+        return BruteForceCosineTopK(
+            corpus=emb, k=5, exclude_self=True, dim=64
+        )(qs)
+
+    def matryoshka_fixed(spark, sf):
+        from warp_pipes_spark.ml.similarity import MatryoshkaTopK
+
+        emb = T(spark, sf, "embeddings")
+        qs = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+        return MatryoshkaTopK(
+            corpus=emb, k=5, prefix_dim=16, prefilter_k=50, exclude_self=True
+        )(qs)
+
+    return {
+        "bm25_fixed_batch": bm25_fixed,
+        "ql_fixed_batch": ql_fixed,
+        "cosine_fixed_batch": cosine_fixed,
+        "matryoshka_fixed_batch": matryoshka_fixed,
+    }
+
+
 def _ensure_dirs() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for _, path, copies in SCALES:
@@ -85,15 +137,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
 
+    makers = {name: QUERIES[name].fn for name in names}
+    if len(sys.argv) <= 1:
+        makers.update(_fixed_makers())
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def _force(df):
+        """noop-sink forcing with same-pass row observation — a bare
+        count() lets Catalyst prune the expensive branches entirely
+        (q151: 2 s counted vs 104 s real at sf1)."""
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return obs.get["n"]
+
     results: dict = {}
-    for name in names:
+    for name, make in makers.items():
         row: dict = {}
         for label, path, _ in SCALES:
             t0 = time.perf_counter()
-            n = QUERIES[name].fn(spark, path).count()
+            n = _force(make(spark, path))
             cold = time.perf_counter() - t0
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, path).count()
+            _force(make(spark, path))
             warm = time.perf_counter() - t0
             row[label] = {
                 "cold_s": round(cold, 2),

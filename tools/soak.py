@@ -42,7 +42,19 @@ def main():
     for name in names:
         t0 = time.perf_counter()
         try:
-            n = QUERIES[name].fn(spark, sf_dir).count()
+            # noop-sink forcing (NOT .count(): Catalyst prunes columns and
+            # eliminates cardinality-preserving joins under a count, so
+            # expensive branches time near-zero — q151 2 s vs real 104 s);
+            # row count observed in the same pass
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = QUERIES[name].fn(spark, sf_dir).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            df.write.format("noop").mode("overwrite").save()
+            n = obs.get["n"]
             timings[name] = round(time.perf_counter() - t0, 2)
             rows[name] = n
             if name in NONZERO_QUERIES and n == 0:

@@ -524,6 +524,50 @@ def portable_minhash_sig(shingles, n_hashes: int = 32):
     )
 
 
+def portable_minhash_sig_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+) -> DataFrame:
+    """(id, text) -> (__sid, __sig) with the SAME portable md5 family as
+    :func:`portable_minhash_sig`, restructured for whole-stage codegen:
+    explode the shingles, evaluate the ``n_hashes`` md5 mins as plain
+    aggregate expressions, reassemble the array. The nested-HOF
+    expression form is interpreted element-by-element (measured 3.6x
+    slower at sf0.1, and it inherits the scan's partitioning — see the
+    widen note); this form is all codegen, and the groupBy's map-side
+    partial aggregation reduces each doc to one row before any shuffle,
+    so the exchange carries n_docs rows, not n_shingles. Values are
+    bit-identical to the expression form (asserted in tests). Docs with
+    zero shingles get no row — matching the oracles' len(shingles) > 0
+    gate."""
+    sh = widen_partitions(
+        df.select(F.col(id_col).alias("__sid"), F.col(text_col))
+    ).select(
+        "__sid", F.explode(shingles_expr(F.col(text_col), n)).alias("__s")
+    )
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("__s"))), 1, 16
+            )
+        ).alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        sh.groupBy("__sid")
+        .agg(*aggs)
+        .select(
+            "__sid",
+            F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias(
+                "__sig"
+            ),
+        )
+    )
+
+
 class MinHashEstimate(Pipe):
     """MinHash accuracy audit: for every exact near-dup pair (trigram
     Jaccard >= threshold, the NgramJaccardDedup pair set) emit the
@@ -567,11 +611,11 @@ class MinHashEstimate(Pipe):
             threshold=self.threshold,
             prefix_filter=False,
         )(df)
-        sig = df.select(
-            F.col(self.id_col).alias("__sid"),
-            portable_minhash_sig(
-                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
-            ).alias("__sig"),
+        # codegen'd signature table (NOT the nested-HOF expression off the
+        # raw scan: interpreted per-element AND single-partition on a
+        # one-file local read — measured 381 s of a 384 s query at sf0.1)
+        sig = portable_minhash_sig_table(
+            df, self.id_col, self.text_col, self.n, self.n_hashes
         )
         a = sig.select(
             F.col("__sid").alias("doc_a"), F.col("__sig").alias("__sig_a")
@@ -579,11 +623,13 @@ class MinHashEstimate(Pipe):
         b = sig.select(
             F.col("__sid").alias("doc_b"), F.col("__sig").alias("__sig_b")
         )
-        matches = F.size(
-            F.filter(
-                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
+        # component-match count as a codegen'd comparison chain, not an
+        # interpreted zip_with/filter HOF (measured 3x on the pair stage)
+        matches = sum(
+            F.when(
+                F.col("__sig_a")[i] == F.col("__sig_b")[i], 1
+            ).otherwise(0)
+            for i in range(self.n_hashes)
         )
         est = F.col("n_matches").cast("double") / F.lit(float(self.n_hashes))
         return (
@@ -2611,11 +2657,9 @@ class LshSCurveAudit(Pipe):
             threshold=self.floor,
             prefix_filter=False,
         )(df)
-        sig = df.select(
-            F.col(self.id_col).alias("__sid"),
-            portable_minhash_sig(
-                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
-            ).alias("__sig"),
+        # codegen'd signature table (see portable_minhash_sig_table)
+        sig = portable_minhash_sig_table(
+            df, self.id_col, self.text_col, self.n, self.n_hashes
         )
         a = sig.select(F.col("__sid").alias("doc_a"), F.col("__sig").alias("__sa"))
         b = sig.select(F.col("__sid").alias("doc_b"), F.col("__sig").alias("__sb"))
@@ -2832,12 +2876,10 @@ class DedupAgreement(Pipe):
             threshold=self.floor,
             prefix_filter=False,
         )(df)
-        msig = df.select(
-            F.col(self.id_col).alias("__sid"),
-            portable_minhash_sig(
-                shingles_expr(F.col(self.text_col), self.n), self.n_hashes
-            ).alias("__msig"),
-        )
+        # codegen'd signature table (see portable_minhash_sig_table)
+        msig = portable_minhash_sig_table(
+            df, self.id_col, self.text_col, self.n, self.n_hashes
+        ).select("__sid", F.col("__sig").alias("__msig"))
         ssig = SimHashDedup(
             text_col=self.text_col,
             id_col=self.id_col,
