@@ -1630,9 +1630,18 @@ class GopherRepetition(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
-        d = df.select(
-            F.col(self.id_col).alias("doc_id"),
-            tokens_expr(F.col(self.text_col)).alias("__l"),
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        # widened + checkpoint-barriered token table: projection collapse
+        # would re-inline the tokenize expression into each of the seven
+        # per-n gram transforms (re-tokenizing per gram element), and a
+        # single-file local read would run the gram stage on one core
+        d = (
+            widen_partitions(
+                df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
+            )
+            .select("doc_id", tokens_expr(F.col(self.text_col)).alias("__l"))
+            .localCheckpoint(eager=False)
         )
         totals = d.select(
             "doc_id",

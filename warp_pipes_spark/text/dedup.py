@@ -1789,6 +1789,25 @@ FROM fresh JOIN keep USING (fp, {id_col})
 """
 
 
+def _token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Widened, checkpoint-barriered (doc_id, __t) token table for the
+    gram-stage operators. The barrier matters: Catalyst's projection
+    collapse re-inlines the tokenize expression into the downstream
+    per-gram lambda / per-position projection, re-tokenizing the document
+    once per gram (measured 6x at sf0.1); a single-file local read would
+    additionally run the whole gram stage on one core. The lazy
+    localCheckpoint materializes tokens exactly once at first action —
+    the gram table built right on top of it is the dominant intermediate
+    of every caller, so the barrier adds no new cost class."""
+    return (
+        widen_partitions(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        )
+        .select("doc_id", tokens_expr(F.col(text_col)).alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+
+
 class DupNgramFraction(Pipe):
     """Cross-document duplicated-span signal: the fraction of each
     document's token n-gram positions whose n-gram also appears in at
@@ -1833,8 +1852,7 @@ class DupNgramFraction(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         n = self.n
-        toks = tokens_expr(F.col(self.text_col))
-        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        base = _token_table(df, self.id_col, self.text_col)
         starts = F.when(
             F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -1957,8 +1975,7 @@ class Winnowing(Pipe):
         from pyspark.sql import Window as W
 
         k, w = self.k, self.w
-        toks = tokens_expr(F.col(self.text_col))
-        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        base = _token_table(df, self.id_col, self.text_col)
         starts = F.when(
             F.size("__t") >= k, F.sequence(F.lit(1), F.size("__t") - k + 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -2108,8 +2125,7 @@ class DupSpanRemoval(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         n = self.n
-        toks = tokens_expr(F.col(self.text_col))
-        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        base = _token_table(df, self.id_col, self.text_col)
         starts = F.when(
             F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -2260,8 +2276,7 @@ class MaximalSpanDedup(Pipe):
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         n = self.min_len
-        toks = tokens_expr(F.col(self.text_col))
-        base = df.select(F.col(self.id_col).alias("doc_id"), toks.alias("__t"))
+        base = _token_table(df, self.id_col, self.text_col)
         starts = F.when(
             F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
         ).otherwise(F.array().cast("array<int>"))
