@@ -140,15 +140,26 @@ class BruteForceCosineTopK(Pipe):
 
         # norms precomputed per ROW, not per pair — numerically identical
         # (same fold order / sqrt / multiply / divide) but 1/3 of the
-        # join-side flops; the query side is widened because the cross-join
-        # inherits its partitioning (a single-row-group local read would
-        # score every pair on one core)
-        q = widen_partitions(
+        # join-side flops; the query side is repartitioned BY KEY because
+        # the cross-join's pair explosion inherits its partitioning — and
+        # a width estimate from scan metadata is not enough: a selective
+        # query filter (vec_id < N) leaves every surviving row in the one
+        # or two splits that held that key range, serializing the scoring
+        # (measured 34 s vs 9 s at the 30x soak). Explicit numPartitions
+        # so AQE can't coalesce it on input bytes; each query's pair
+        # block stays in one task so WindowGroupLimit still prunes
+        # map-side.
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        q = (
             df.select(
                 F.col(self.query_id).alias("query_id"),
                 F.col(self.query_vec).cast("array<double>").alias("qv"),
             )
-        ).withColumn("qn", _norm(F.col("qv")))
+            .repartition(n_shuffle, "query_id")
+            .withColumn("qn", _norm(F.col("qv")))
+        )
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
