@@ -25,6 +25,15 @@ UNROLLED TRAINING CHAIN IS THE ORACLE):
 * the returned eigenvector's sign is pinned by the first component whose
   rounded value is nonzero (made positive), so the answer is unique.
 
+Both engines run the SAME arithmetic in the same left-to-right order,
+generated from one module: the DuckDB oracle as the scalar-column CTE
+chain (``_chain_sql``), the Spark side as ONE ``spark.sql`` statement
+whose state lives in ARRAY columns folded by higher-order functions
+(``_hof_sql``). The single-statement + HOF shape is a measured fix for
+two data-size-INDEPENDENT costs of the naive chained-``select`` form:
+~13 s of repeated plan re-analysis, and a janino 64 KB codegen blowup
+with a multi-second compile-then-interpret fallback (see ``_hof_sql``).
+
 Scale shape: the scan is the only corpus-sized stage (dim² running sums
 aggregate map-side); the iteration chain runs on a single broadcastable
 row. At 100 TB this is exactly the classic two-phase tall-skinny PCA —
@@ -35,154 +44,24 @@ it.
 
 from __future__ import annotations
 
-from typing import List
-
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
 
-_DEC = "decimal(18,6)"
-
-
-def _nano(col):
-    return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
-
-
-class PowerIterationPCA(Pipe):
-    """Input df = (``id_col``, ``vec_col``); output ONE row:
-    ``(n_vecs, total_var, lambda1, explained, v1..v{dim})`` — the top
-    eigenvalue/eigenvector of the covariance of the ``dim``-prefix and
-    the fraction of total variance it explains."""
-
-    def __init__(
-        self,
-        dim: int = 8,
-        iters: int = 12,
-        vec_col: str = "embedding",
-        **kwargs,
-    ):
-        super().__init__(**kwargs)
-        self.dim = dim
-        self.iters = iters
-        self.vec_col = vec_col
-
-    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        dim = self.dim
-        x = [
-            F.element_at(
-                F.slice(F.col(self.vec_col), 1, dim).cast("array<double>"), i
-            )
-            for i in range(1, dim + 1)
-        ]
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for i in range(dim):
-            aggs.append(F.sum(_nano(x[i])).alias(f"s{i}"))
-        for i in range(dim):
-            for j in range(i, dim):
-                aggs.append(F.sum(_nano(x[i] * x[j])).alias(f"m{i}_{j}"))
-        row = df.agg(*aggs)
-
-        nd = F.col("n").cast("double")
-        means = [
-            (F.col(f"s{i}").cast("double") / F.lit(1e9)) / nd
-            for i in range(dim)
-        ]
-        cov = {}
-        for i in range(dim):
-            for j in range(dim):
-                a, b = min(i, j), max(i, j)
-                cov[(i, j)] = (
-                    (F.col(f"m{a}_{b}").cast("double") / F.lit(1e9)) / nd
-                    - means[i] * means[j]
-                )
-        ccols = [f"c{i}_{j}" for i in range(dim) for j in range(dim)]
-        row = row.select(
-            "n", *[cov[(i, j)].alias(f"c{i}_{j}") for i in range(dim) for j in range(dim)]
-        )
-
-        # v0 = e1; iterate u = C v, v' = round6(u / ||u||). Each step
-        # MATERIALIZES its columns with a select (the SQL oracle's CTE
-        # chain) — inlining the recurrence would grow the expression
-        # tree ~dim-fold per iteration
-        row = row.select(
-            "*",
-            *[
-                F.lit(1.0 if i == 0 else 0.0).alias(f"v{i}")
-                for i in range(dim)
-            ],
-        )
-        for _ in range(self.iters):
-            u = []
-            for i in range(dim):
-                e = F.col(f"c{i}_0") * F.col("v0")
-                for j in range(1, dim):
-                    e = e + F.col(f"c{i}_{j}") * F.col(f"v{j}")
-                u.append(e.alias(f"u{i}"))
-            row = row.select("n", *ccols, *u)
-            nrm2 = F.col("u0") * F.col("u0")
-            for i in range(1, dim):
-                nrm2 = nrm2 + F.col(f"u{i}") * F.col(f"u{i}")
-            nrm = F.sqrt(nrm2)
-            row = row.select(
-                "n",
-                *ccols,
-                *[
-                    (F.col(f"u{i}") / nrm)
-                    .cast(_DEC)
-                    .cast("double")
-                    .alias(f"v{i}")
-                    for i in range(dim)
-                ],
-            )
-        vc = [F.col(f"v{i}") for i in range(dim)]
-
-        # sign pin: negate so the first nonzero rounded component is > 0
-        flip = F.lit(1.0)
-        for i in reversed(range(dim)):
-            flip = (
-                F.when(vc[i] > 0, F.lit(1.0))
-                .when(vc[i] < 0, F.lit(-1.0))
-                .otherwise(flip)
-            )
-        vs = [(vc[i] * flip).cast(_DEC).cast("double") for i in range(dim)]
-
-        # Rayleigh quotient on the final (rounded, signed) vector — sign
-        # cancels in v·Cv, but using vs keeps both engines on one path
-        u = []
-        for i in range(dim):
-            e = F.col(f"c{i}_0") * vs[0]
-            for j in range(1, dim):
-                e = e + F.col(f"c{i}_{j}") * vs[j]
-            u.append(e)
-        lam = vs[0] * u[0]
-        for i in range(1, dim):
-            lam = lam + vs[i] * u[i]
-        tot = F.col("c0_0")
-        for i in range(1, dim):
-            tot = tot + F.col(f"c{i}_{i}")
-        lam6 = lam.cast(_DEC).cast("double")
-        tot6 = tot.cast(_DEC).cast("double")
-        return row.select(
-            F.col("n").cast("long").alias("n_vecs"),
-            tot6.alias("total_var"),
-            lam6.alias("lambda1"),
-            (lam6 / tot6).cast(_DEC).cast("double").alias("explained"),
-            *[vs[i].alias(f"v{i + 1}") for i in range(dim)],
-        )
-
-
-def power_pca_sql(
-    table: str = "embeddings",
-    vec: str = "embedding",
-    dim: int = 8,
-    iters: int = 12,
+def _chain_sql(
+    table: str,
+    xs: list,
+    dim: int,
+    iters: int,
 ) -> str:
-    """DuckDB oracle for :class:`PowerIterationPCA` — the identical
-    moment aggregation and unrolled iteration chain as CTEs."""
-    xs = [
-        f"CAST({vec}[{i + 1}] AS DOUBLE)" for i in range(dim)
-    ]
+    """The DuckDB-oracle moment-scan + power-iteration CTE chain.
+
+    ``xs`` are the per-component element expressions. The Spark side
+    runs the SAME arithmetic in the same left-to-right order but packs
+    the state into array columns (see ``_hof_sql``) — scalar-column
+    CTEs are what the oracle replays, array HOF folds are what the
+    engine executes, and every float op sequence is identical.
+    """
     nano = lambda e: f"CAST(FLOOR(({e}) * 1e9 + 0.5) AS BIGINT)"
     mom = ", ".join(
         [f"SUM({nano(xs[i])}) AS s{i}" for i in range(dim)]
@@ -271,3 +150,183 @@ SELECT CAST(n AS BIGINT) AS n_vecs,
        {vcols}
 FROM signed
 """
+
+
+_DOT = (
+    lambda a, b: f"aggregate(zip_with({a}, {b}, (p, q) -> p * q),"
+    f" 0.0D, (acc, x) -> acc + x)"
+)
+
+
+def _iter_ctes(dim: int, k: int, first: str) -> list:
+    """``k`` power-iteration steps as CTE text: u{t} = C v (row-wise
+    zip_with/aggregate dot), it{t+1} = per-component DECIMAL(18,6)-
+    rounded u/||u|| — the same left-to-right IEEE op order as the
+    oracle's scalar chains."""
+    nrm = f"sqrt({_DOT('u', 'u')})"
+    ctes = []
+    for t in range(k):
+        frm = first if t == 0 else f"it{t}"
+        ctes.append(
+            f"u{t} AS (SELECT n, C,"
+            f" transform(C, r -> {_DOT('r', 'v')}) AS u FROM {frm})"
+        )
+        ctes.append(
+            f"it{t + 1} AS (SELECT n, C, transform(u, e -> CAST(CAST("
+            f"e / {nrm} AS DECIMAL(18,6)) AS DOUBLE)) AS v FROM u{t})"
+        )
+    return ctes
+
+
+def _hof_head_sql(table: str, vec: str, dim: int, k: int) -> str:
+    """Moment scan + covariance-array packing + the first ``k``
+    iterations, ending in the ``(n, C, v)`` state row.
+
+    Why the engine side is generated SQL over ARRAY columns while the
+    oracle replays scalar-column CTEs (same arithmetic, same
+    left-to-right order — measured at sf0.1, dim=8, iters=12):
+
+    * chained one-row ``select``s re-analyze the growing plan once per
+      step — ~13 s of pure plan-build at ANY data size; a handful of
+      generated statements cost ~0.5 s;
+    * dim^2 scalar columns through 24 fused projections blow janino's
+      64 KB method limit and pay a multi-second compile-then-interpret
+      fallback; HOFs are codegen-fallback by design, the trees are
+      ~70x smaller, and at one row interpretation is free.
+
+    The fold seeds (``0.0D + first-term``) are bit-identical to the
+    oracle's bare ``a + b + ...`` chains for every IEEE double except
+    a leading ``-0.0`` — unreachable here because covariance diagonals
+    and the dominant eigenpair are nonzero on any non-degenerate
+    corpus (and differentially verified regardless).
+    """
+    nano = lambda e: f"CAST(FLOOR(({e}) * 1e9 + 0.5D) AS BIGINT)"
+    xs = [
+        f"CAST(element_at(`{vec}`, {i + 1}) AS DOUBLE)" for i in range(dim)
+    ]
+    mom = ", ".join(
+        [f"SUM({nano(xs[i])}) AS s{i}" for i in range(dim)]
+        + [
+            f"SUM({nano(f'{xs[i]} * {xs[j]}')}) AS m{i}_{j}"
+            for i in range(dim)
+            for j in range(i, dim)
+        ]
+    )
+    means = {
+        i: f"((CAST(s{i} AS DOUBLE) / 1e9) / CAST(n AS DOUBLE))"
+        for i in range(dim)
+    }
+    covs = ", ".join(
+        f"((CAST(m{min(i, j)}_{max(i, j)} AS DOUBLE) / 1e9)"
+        f" / CAST(n AS DOUBLE)) - {means[i]} * {means[j]} AS c{i}_{j}"
+        for i in range(dim)
+        for j in range(dim)
+    )
+    rows = ", ".join(
+        "array(" + ", ".join(f"c{i}_{j}" for j in range(dim)) + ")"
+        for i in range(dim)
+    )
+    v0 = ", ".join(f"{1.0 if i == 0 else 0.0}D" for i in range(dim))
+    ctes = [
+        f"mom AS (SELECT COUNT(*) AS n, {mom} FROM {table})",
+        f"cov AS (SELECT n, {covs} FROM mom)",
+        f"it0 AS (SELECT n, array({rows}) AS C, array({v0}) AS v FROM cov)",
+    ] + _iter_ctes(dim, k, "it0")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT n, C, v FROM it{k}"
+    )
+
+
+def _hof_step_sql(table: str, dim: int, k: int) -> str:
+    """``k`` further iterations over an ``(n, C, v)`` state row."""
+    ctes = _iter_ctes(dim, k, table)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT n, C, v FROM it{k}"
+
+
+def _hof_tail_sql(table: str, dim: int) -> str:
+    """Sign pin + Rayleigh quotient + final projection over the
+    ``(n, C, v)`` state row."""
+    flip = "1.0D"
+    for i in reversed(range(dim)):
+        e = f"element_at(v, {i + 1})"
+        flip = (
+            f"(CASE WHEN {e} > 0 THEN 1.0D WHEN {e} < 0 THEN -1.0D"
+            f" ELSE {flip} END)"
+        )
+    signed = (
+        f"signed AS (SELECT n, C, transform(v, e -> CAST(CAST("
+        f"e * {flip} AS DECIMAL(18,6)) AS DOUBLE)) AS w FROM {table})"
+    )
+    uprime = f"transform(C, r -> {_DOT('r', 'w')})"
+    lam = _DOT("w", uprime)
+    tot = " + ".join(
+        f"element_at(element_at(C, {i + 1}), {i + 1})" for i in range(dim)
+    )
+    lam6 = f"CAST(CAST({lam} AS DECIMAL(18,6)) AS DOUBLE)"
+    tot6 = f"CAST(CAST({tot} AS DECIMAL(18,6)) AS DOUBLE)"
+    vcols = ", ".join(
+        f"element_at(w, {i + 1}) AS v{i + 1}" for i in range(dim)
+    )
+    return f"""
+WITH {signed}
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       {tot6} AS total_var,
+       {lam6} AS lambda1,
+       CAST(CAST({lam6} / {tot6} AS DECIMAL(18,6)) AS DOUBLE) AS explained,
+       {vcols}
+FROM signed
+"""
+
+
+class PowerIterationPCA(Pipe):
+    """Input df = (``id_col``, ``vec_col``); output ONE row:
+    ``(n_vecs, total_var, lambda1, explained, v1..v{dim})`` — the top
+    eigenvalue/eigenvector of the covariance of the ``dim``-prefix and
+    the fraction of total variance it explains."""
+
+    def __init__(
+        self,
+        dim: int = 8,
+        iters: int = 12,
+        vec_col: str = "embedding",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.dim = dim
+        self.iters = iters
+        self.vec_col = vec_col
+
+    # iterations per generated SQL statement: the analyzer resolves
+    # roughly one CTE/lambda layer per Resolution pass, so one giant
+    # statement hits spark.sql.analyzer.maxIterations (default 100)
+    # near iters~20 and pays quadratic re-analysis below it; ~4
+    # iterations (9 CTEs) per statement keeps every statement a few
+    # passes regardless of ``iters``.
+    _CHUNK = 4
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        spark = df.sparkSession
+        k = min(self._CHUNK, self.iters)
+        cur = df.sparkSession.sql(
+            _hof_head_sql("{src}", self.vec_col, self.dim, k), src=df
+        )
+        done = k
+        while done < self.iters:
+            step = min(self._CHUNK, self.iters - done)
+            cur = spark.sql(
+                _hof_step_sql("{src}", self.dim, step), src=cur
+            )
+            done += step
+        return spark.sql(_hof_tail_sql("{src}", self.dim), src=cur)
+
+
+def power_pca_sql(
+    table: str = "embeddings",
+    vec: str = "embedding",
+    dim: int = 8,
+    iters: int = 12,
+) -> str:
+    """DuckDB oracle for :class:`PowerIterationPCA` — the identical
+    moment aggregation and unrolled iteration chain as CTEs."""
+    xs = [f"CAST({vec}[{i + 1}] AS DOUBLE)" for i in range(dim)]
+    return _chain_sql(table, xs, dim, iters)
