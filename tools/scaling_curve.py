@@ -47,8 +47,11 @@ DEFAULT_QUERIES = [
     "q99_fuzzy_match",
     "q108_matryoshka_topk",
     "q133_connected_components",
+    "q137_minhash_estimate",
     "q151_maximal_spans",
     "q175_curation_funnel",
+    "q188_lsh_s_curve",
+    "q191_dedup_agreement",
     "q196_cluster_size_profile",
     "q217_dirichlet_ql",
     "q223_vocabulary_profile",
@@ -105,11 +108,34 @@ def _fixed_makers():
             corpus=emb, k=5, prefix_dim=16, prefilter_k=50, exclude_self=True
         )(qs)
 
+    def ivf_fixed(spark, sf):
+        from warp_pipes_spark.ml.similarity import IvfCosineTopK
+
+        emb = T(spark, sf, "embeddings")
+        qs = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+        return IvfCosineTopK(
+            corpus=emb, k=5, n_centroids=16, n_probe=4, exclude_self=True
+        )(qs)
+
+    def sq8_fixed(spark, sf):
+        from warp_pipes_spark.ml.quantize import quantized_corpus
+        from warp_pipes_spark.ml.similarity import BruteForceCosineTopK
+
+        emb = T(spark, sf, "embeddings")
+        codes, sq = quantized_corpus(emb.select("vec_id", "embedding"), dim=64)
+        recon = sq.decode(codes).drop("codes")
+        qs = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+        return BruteForceCosineTopK(
+            corpus=recon, k=5, exclude_self=True, dim=64
+        )(qs)
+
     return {
         "bm25_fixed_batch": bm25_fixed,
         "ql_fixed_batch": ql_fixed,
         "cosine_fixed_batch": cosine_fixed,
         "matryoshka_fixed_batch": matryoshka_fixed,
+        "ivf_fixed_batch": ivf_fixed,
+        "sq8_fixed_batch": sq8_fixed,
     }
 
 

@@ -96,6 +96,40 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def salted_query_fanout(
+    q: DataFrame, n_shuffle: int, key: str = "query_id"
+) -> tuple:
+    """Decide-before-shuffle parallelism pin for broadcast-corpus
+    scoring joins. Returns ``(q', salt_width)``.
+
+    Hash-partitioning the query side by ``key`` alone caps scoring
+    parallelism at the number of DISTINCT queries: a production-shaped
+    batch with fewer queries than cores serializes each query's full
+    corpus scan onto one task. A cheap ``limit(n_shuffle).count()``
+    probe (the scan stops early; ``key`` is an id column, so row count
+    is key count) decides BEFORE the shuffle:
+
+    * enough queries → plain ``repartition(n_shuffle, key)`` (salt
+      would only multiply shuffle bytes and window groups);
+    * fewer queries → each query row is replicated over ``S =
+      ceil(n_shuffle / n_q)`` salt buckets and repartitioned on
+      ``(key, __salt)``; the caller joins the broadcast corpus on
+      ``__salt = pmod(hash(corpus_id), S)`` so every corpus row is
+      scored exactly once and one query's scan spreads over S tasks.
+
+    Either way each (query, salt) pair block stays within one task, so
+    the rank window's partial top-k (WindowGroupLimit) still prunes
+    map-side before the final by-query shuffle."""
+    n_q = q.limit(n_shuffle).count()
+    if n_q >= n_shuffle:
+        return q.repartition(n_shuffle, key), 0
+    s = max(1, -(-n_shuffle // max(n_q, 1)))
+    qs = q.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    ).repartition(n_shuffle, key, "__salt")
+    return qs, s
+
+
 class BruteForceCosineTopK(Pipe):
     """Exact cosine top-k: for each query row return the k nearest corpus
     rows. Input df = queries; ``corpus`` df given at construction."""
@@ -152,19 +186,27 @@ class BruteForceCosineTopK(Pipe):
         n_shuffle = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        q = (
+        q, salt = salted_query_fanout(
             df.select(
                 F.col(self.query_id).alias("query_id"),
                 F.col(self.query_vec).cast("array<double>").alias("qv"),
-            )
-            .repartition(n_shuffle, "query_id")
-            .withColumn("qn", _norm(F.col("qv")))
+            ),
+            n_shuffle,
         )
+        q = q.withColumn("qn", _norm(F.col("qv")))
         c = self.corpus.select(
             F.col(self.corpus_id).alias("neighbor_id"),
             F.col(self.corpus_vec).cast("array<double>").alias("cv"),
         ).withColumn("cn", _norm(F.col("cv")))
-        pairs = q.crossJoin(F.broadcast(c))
+        if salt:
+            c = c.withColumn(
+                "__csalt", F.pmod(F.hash("neighbor_id"), F.lit(salt))
+            )
+            pairs = q.join(
+                F.broadcast(c), F.col("__salt") == F.col("__csalt")
+            ).drop("__salt", "__csalt")
+        else:
+            pairs = q.crossJoin(F.broadcast(c))
         if self.exclude_self:
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
         dot = (
@@ -1063,15 +1105,22 @@ class MatryoshkaTopK(Pipe):
         n_shuffle = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        qp = (
-            q.select("query_id", F.slice("qv", 1, d).alias("qp"))
-            .withColumn("qpn", _norm(F.col("qp")))
-            .repartition(n_shuffle, "query_id")
+        qp, salt = salted_query_fanout(
+            q.select("query_id", F.slice("qv", 1, d).alias("qp")), n_shuffle
         )
+        qp = qp.withColumn("qpn", _norm(F.col("qp")))
         cp = c.select(
             "neighbor_id", F.slice("cv", 1, d).alias("cp")
         ).withColumn("cpn", _norm(F.col("cp")))
-        pairs = qp.crossJoin(F.broadcast(cp))
+        if salt:
+            cp = cp.withColumn(
+                "__csalt", F.pmod(F.hash("neighbor_id"), F.lit(salt))
+            )
+            pairs = qp.join(
+                F.broadcast(cp), F.col("__salt") == F.col("__csalt")
+            ).drop("__salt", "__csalt")
+        else:
+            pairs = qp.crossJoin(F.broadcast(cp))
         if self.exclude_self:
             pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
         coarse = (
