@@ -1,0 +1,144 @@
+"""Behavioral tests for the round-7 fixes.
+
+Oracle parity (tests/test_oracle_parity.py) already proves engine
+equivalence on the shipped configs; these tests pin the edges the
+round-7 changes touch — the one-token-group simpson guard, the salted
+small-batch fan-out's result invariance, and the chunked power-PCA
+chain at iteration counts past the analyzer's Resolution cap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from warp_pipes_spark.ml.pca import PowerIterationPCA
+from warp_pipes_spark.ml.similarity import (
+    BruteForceCosineTopK,
+    MatryoshkaTopK,
+    salted_query_fanout,
+)
+from warp_pipes_spark.text.analysis import VocabularyProfile
+
+
+def test_vocabulary_profile_one_token_group(spark):
+    # a group with exactly one token: simpson's denominator N*(N-1) is 0
+    # — must be NULL (the gt_discount convention), not a NaN that blows
+    # the ANSI decimal cast
+    df = spark.createDataFrame(
+        [("solo", "hello"), ("multi", "a a b")], ["source", "text"]
+    )
+    rows = {
+        r["source"]: r
+        for r in VocabularyProfile(group_col="source", text_col="text")(
+            df
+        ).collect()
+    }
+    assert rows["solo"]["n_tokens"] == 1
+    assert rows["solo"]["simpson"] is None
+    # the multi group still computes: f = {a: 2, b: 1} -> 2*1 / (3*2)
+    assert abs(rows["multi"]["simpson"] - 2 / 6) < 1e-6
+
+
+def test_salted_fanout_decision(spark):
+    big = spark.range(100).withColumnRenamed("id", "query_id")
+    small = spark.range(3).withColumnRenamed("id", "query_id")
+    _, s0 = salted_query_fanout(big, 32, key="query_id")
+    assert s0 == 0
+    salted, s1 = salted_query_fanout(small, 32, key="query_id")
+    assert s1 == 11  # ceil(32 / 3)
+    # every query row replicated exactly s1 times, salts 0..s1-1
+    counts = (
+        salted.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__salt").alias("d"),
+        )
+        .collect()
+    )
+    assert all(r["n"] == s1 and r["d"] == s1 for r in counts)
+
+
+def test_salted_cosine_matches_unsalted(spark, sf_dir):
+    from warp_pipes_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qb = emb.filter(F.col("vec_id") < 3)  # forces the salted path
+    out = sorted(
+        map(
+            tuple,
+            BruteForceCosineTopK(corpus=emb, k=5, strategy="join")(
+                qb
+            ).collect(),
+        )
+    )
+    # the full-batch run takes the unsalted path; its top-5 for the
+    # same three queries must be identical
+    full = sorted(
+        map(
+            tuple,
+            BruteForceCosineTopK(corpus=emb, k=5, strategy="join")(emb)
+            .filter(F.col("query_id") < 3)
+            .collect(),
+        )
+    )
+    assert out == full and len(out) == 15
+
+
+def test_salted_matryoshka_matches_unsalted(spark, sf_dir):
+    from warp_pipes_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qb = emb.filter(F.col("vec_id") < 3)
+    out = sorted(
+        map(
+            tuple,
+            MatryoshkaTopK(
+                corpus=emb, k=5, prefix_dim=16, prefilter_k=20
+            )(qb).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            MatryoshkaTopK(corpus=emb, k=5, prefix_dim=16, prefilter_k=20)(
+                emb
+            )
+            .filter(F.col("query_id") < 3)
+            .collect(),
+        )
+    )
+    assert out == full and len(out) == 15
+
+
+def test_power_pca_deep_iteration_chain(spark, sf_dir):
+    # 36 iterations x dim 4 = 75 CTE layers if emitted as one statement
+    # — far past the analyzer's 100-pass Resolution cap with dim 8; the
+    # chunked build must still execute, the Rayleigh quotient must be
+    # monotone non-decreasing in iterations (power iteration ascends),
+    # and the returned vector stays unit-norm
+    from warp_pipes_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = PowerIterationPCA(dim=4, iters=12)(emb).collect()[0]
+    b = PowerIterationPCA(dim=4, iters=36)(emb).collect()[0]
+    assert a["n_vecs"] == b["n_vecs"] > 0
+    assert b["lambda1"] >= a["lambda1"] > 0
+    nrm = sum(b[f"v{i}"] ** 2 for i in range(1, 5))
+    assert abs(nrm - 1.0) < 1e-3
+
+
+def test_plan_barrier_reliable_mode(spark, sf_dir):
+    # the cluster-deployment escape hatch: reliable checkpoint instead
+    # of localCheckpoint, same results
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.text.dedup import DupNgramFraction
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    base = sorted(map(tuple, DupNgramFraction(n=3)(docs).collect()))
+    spark.sparkContext.setCheckpointDir("/tmp/wps-test-ckpt")
+    spark.conf.set("spark.wps.barrier.reliable", "true")
+    try:
+        rel = sorted(map(tuple, DupNgramFraction(n=3)(docs).collect()))
+    finally:
+        spark.conf.set("spark.wps.barrier.reliable", "false")
+    assert base == rel

@@ -4085,6 +4085,13 @@ def q99_fuzzy_match(spark, sf):
     SLOWER than the plain DP here — 40 s vs 27 s at sf1 — so the plain
     two-arg form stays.)"""
     SALT = 8
+    # width derives from the session's shuffle partitions (2x, the
+    # measured-good oversubscription on local[32] where the pinned 64
+    # gave sf1 28 s -> 6 s) — a hardcoded 64 would under-parallelize
+    # the pair explosion on a cluster wider than 64 slots
+    n_width = 2 * max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")), SALT
+    )
     p = T(spark, sf, "part").select("p_partkey", "p_name").filter(
         F.col("p_partkey") % 5 == 0
     )
@@ -4096,7 +4103,7 @@ def q99_fuzzy_match(spark, sf):
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         band(F.col("p_name")).alias("band"),
         F.pmod(F.xxhash64("p_partkey"), F.lit(SALT)).cast("int").alias("salt"),
-    ).repartition(64, "band", "salt")
+    ).repartition(n_width, "band", "salt")
     b = p.select(
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
         band(F.col("p_name")).alias("band"),

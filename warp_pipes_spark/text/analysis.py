@@ -3066,9 +3066,16 @@ class VocabularyProfile(Pipe):
                 F.col("n1") > 0,
                 ratio(F.lit(2) * F.col("n2"), F.col("n1")),
             ).alias("gt_discount"),
-            ratio(
-                F.col("rep_num"),
-                F.col("n_tokens") * (F.col("n_tokens") - 1),
+            # n_tokens == 1 would divide 0 by 0 (double NaN; the decimal
+            # round then raises under ANSI while DuckDB errors on the
+            # NaN cast) — NULL is the honest answer for a one-token
+            # group, mirroring the gt_discount n1 > 0 guard
+            F.when(
+                F.col("n_tokens") > 1,
+                ratio(
+                    F.col("rep_num"),
+                    F.col("n_tokens") * (F.col("n_tokens") - 1),
+                ),
             ).alias("simpson"),
             ratio(F.col("top_f"), F.col("n_tokens")).alias("top_share"),
         )
@@ -3107,9 +3114,11 @@ SELECT grp AS {group},
          CAST(CAST(CAST(2 * n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
               AS DECIMAL(18,6)) AS DOUBLE)
        END AS gt_discount,
-       CAST(CAST(CAST(rep_num AS DOUBLE)
-            / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
-            AS DECIMAL(18,6)) AS DOUBLE) AS simpson,
+       CASE WHEN n_tokens > 1 THEN
+         CAST(CAST(CAST(rep_num AS DOUBLE)
+              / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+              AS DECIMAL(18,6)) AS DOUBLE)
+       END AS simpson,
        CAST(CAST(CAST(top_f AS DOUBLE) / CAST(n_tokens AS DOUBLE)
             AS DECIMAL(18,6)) AS DOUBLE) AS top_share
 FROM agg

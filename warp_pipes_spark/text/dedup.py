@@ -1789,6 +1789,26 @@ FROM fresh JOIN keep USING (fp, {id_col})
 """
 
 
+def plan_barrier(df: DataFrame) -> DataFrame:
+    """Optimization barrier for a reused intermediate.
+
+    Default is a lazy ``localCheckpoint``: RDD-level storage that never
+    registers in the session CacheManager (so ``clearCache`` hygiene
+    stays truthful) and is released by GC once the plan is dropped.
+    ``localCheckpoint`` is documented-unsafe under executor loss or
+    dynamic allocation — a real-cluster deployment that needs
+    fault-tolerant barriers sets ``spark.wps.barrier.reliable=true``
+    (plus ``sc.setCheckpointDir``) to switch every barrier to a
+    reliable checkpoint with the same plan semantics."""
+    spark = df.sparkSession
+    if (
+        spark.conf.get("spark.wps.barrier.reliable", "false").lower()
+        == "true"
+    ):
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def _token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Widened, checkpoint-barriered (doc_id, __t) token table for the
     gram-stage operators. The barrier matters: Catalyst's projection
@@ -1799,12 +1819,10 @@ def _token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     localCheckpoint materializes tokens exactly once at first action —
     the gram table built right on top of it is the dominant intermediate
     of every caller, so the barrier adds no new cost class."""
-    return (
+    return plan_barrier(
         widen_partitions(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        )
-        .select("doc_id", tokens_expr(F.col(text_col)).alias("__t"))
-        .localCheckpoint(eager=False)
+        ).select("doc_id", tokens_expr(F.col(text_col)).alias("__t"))
     )
 
 
