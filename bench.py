@@ -42,6 +42,15 @@ def main() -> None:
     spark = get_spark(app_name="warp-pipes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the eval-tier queries reuse retrieval runs through a Parquet
+    # results cache; wipe it so this run's first eval row is a true
+    # cold retrieval and within-run reuse is exactly what a production
+    # panel would see (leaving a prior session's entries would silently
+    # turn cold rows warm)
+    from warp_pipes_spark.search.cached import clear_results_cache
+
+    clear_results_cache()
+
     # warm up the JVM + parquet footers with a trivial action, and spin up
     # the Python worker pool once (pandas/numpy import + Arrow channel) so
     # the first pandas-UDF query is charged for its work, not for

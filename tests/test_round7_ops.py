@@ -142,3 +142,37 @@ def test_plan_barrier_reliable_mode(spark, sf_dir):
     finally:
         spark.conf.set("spark.wps.barrier.reliable", "false")
     assert base == rel
+
+
+def test_cached_results_bit_equal_and_reused(spark, sf_dir, tmp_path):
+    from warp_pipes_spark.io import load_table
+    from warp_pipes_spark.search.bm25 import Bm25Search
+    from warp_pipes_spark.search.cached import cached_results
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    pipe = Bm25Search(corpus=docs, k=5)
+    direct = sorted(map(tuple, pipe(qs).collect()))
+    cache = str(tmp_path / "results")
+    first = sorted(
+        map(tuple, cached_results(pipe, qs, cache_dir=cache).collect())
+    )
+    # the store pass must be bit-identical to the direct run
+    assert first == direct
+    # second call must serve the SAME parquet entry (exactly one cache
+    # dir), still bit-identical
+    import os
+
+    entries = [d for d in os.listdir(cache) if not d.startswith("_")]
+    assert len(entries) == 1
+    again = sorted(
+        map(tuple, cached_results(pipe, qs, cache_dir=cache).collect())
+    )
+    assert again == direct
+    assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 1
+    # a different config (k) must MISS — no false sharing
+    cached_results(Bm25Search(corpus=docs, k=3), qs, cache_dir=cache).collect()
+    assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 2

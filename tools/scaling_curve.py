@@ -162,6 +162,12 @@ def main() -> None:
     spark = get_spark(app_name="scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
+    # cold-run honesty: wipe the eval-tier retrieval results cache so
+    # reuse measured here is within-run only
+    from warp_pipes_spark.search.cached import clear_results_cache
+
+    clear_results_cache()
+
 
     makers = {name: QUERIES[name].fn for name in names}
     if len(sys.argv) <= 1:

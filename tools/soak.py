@@ -38,6 +38,12 @@ def main():
     spark = get_spark(app_name="sf-soak")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
+    # cold-run honesty: wipe the eval-tier retrieval results cache so
+    # reuse measured here is within-run only
+    from warp_pipes_spark.search.cached import clear_results_cache
+
+    clear_results_cache()
+
     timings, rows = {}, {}
     for name in names:
         t0 = time.perf_counter()
