@@ -708,6 +708,217 @@ def _cells():
         ),
     )
 
+    # ---- round-7: non-default cells for the round-6 stat panels ----
+    # (ties in midranks, bucket/decade bounds, Wilson small-n/k=0, and
+    # transposed/degenerate contingency tables are the classic
+    # config-dependent traps)
+
+    from warp_pipes_spark.text.analysis import (
+        ContingencyPanel,
+        contingency_panel_sql,
+    )
+
+    add(
+        "contingency_lang_by_source",
+        lambda spark, sf: ContingencyPanel(row_col="lang", col_col="source")(
+            _docs(spark, sf)
+        ),
+        contingency_panel_sql("documents", row="lang", col="source"),
+    )
+    add(
+        # degenerate perfect dependence: row == col, NMI must be 1
+        "contingency_source_by_source",
+        lambda spark, sf: ContingencyPanel(
+            row_col="source", col_col="source"
+        )(_docs(spark, sf)),
+        contingency_panel_sql("documents", row="source", col="source"),
+    )
+
+    from warp_pipes_spark.pipes.sampling import NeymanAllocation
+
+    add(
+        "neyman_source_b10",
+        lambda spark, sf: NeymanAllocation(
+            value_col="n_chars", group_col="source", budget=10
+        )(_docs(spark, sf)),
+        neyman_allocation_sql(
+            "documents", value="n_chars", group="source", budget=10
+        ),
+    )
+    add(
+        "neyman_lang_b50000",
+        lambda spark, sf: NeymanAllocation(
+            value_col="n_chars", group_col="lang", budget=50_000
+        )(_docs(spark, sf)),
+        neyman_allocation_sql(
+            "documents", value="n_chars", group="lang", budget=50_000
+        ),
+    )
+
+    from warp_pipes_spark.ml.metrics import WilsonRates, wilson_rates_sql
+
+    add(
+        "wilson_long_docs_by_lang",
+        lambda spark, sf: WilsonRates(flag_col="flag", group_col="lang")(
+            _docs(spark, sf).withColumn("flag", F.col("n_chars") > 500)
+        ),
+        wilson_rates_sql(
+            "(SELECT lang, n_chars > 500 AS flag FROM documents)",
+            flag="flag",
+            group="lang",
+        ),
+    )
+    add(
+        # k = 0 in every group: the Wilson lower bound must clamp sanely
+        "wilson_k0_edge",
+        lambda spark, sf: WilsonRates(flag_col="flag", group_col="source")(
+            _docs(spark, sf).withColumn(
+                "flag", F.col("n_chars") > F.lit(10**9)
+            )
+        ),
+        wilson_rates_sql(
+            "(SELECT source, n_chars > 1000000000 AS flag FROM documents)",
+            flag="flag",
+            group="source",
+        ),
+    )
+
+    from warp_pipes_spark.pipes.validate import BenfordAudit, benford_sql
+
+    def _events(spark, sf):
+        return T(spark, sf, "events")
+
+    add(
+        "benford_narrow_decades",
+        lambda spark, sf: BenfordAudit(value_col="value", lo_exp=0, hi_exp=3)(
+            _events(spark, sf)
+        ),
+        benford_sql("events", value="value", lo_exp=0, hi_exp=3),
+    )
+    add(
+        "benford_nchars",
+        lambda spark, sf: BenfordAudit(
+            value_col="n_chars", lo_exp=0, hi_exp=6
+        )(_docs(spark, sf)),
+        benford_sql("documents", value="n_chars", lo_exp=0, hi_exp=6),
+    )
+    add(
+        # decade range excludes everything: all-NULL digit rows, the
+        # n_analyzed accounting must still agree
+        "benford_empty_range",
+        lambda spark, sf: BenfordAudit(
+            value_col="value", lo_exp=10, hi_exp=12
+        )(_events(spark, sf)),
+        benford_sql("events", value="value", lo_exp=10, hi_exp=12),
+    )
+
+    from warp_pipes_spark.ml.metrics import SpearmanPanel, spearman_panel_sql
+
+    add(
+        "spearman_two_cols_by_lang",
+        lambda spark, sf: SpearmanPanel(
+            cols=["n_chars", "mod7"], group_col="lang"
+        )(
+            _docs(spark, sf).select(
+                "lang",
+                "n_chars",
+                (F.col("doc_id") % 7).alias("mod7"),
+            )
+        ),
+        spearman_panel_sql(
+            "(SELECT lang, n_chars, doc_id % 7 AS mod7 FROM documents)",
+            cols=["n_chars", "mod7"],
+            group="lang",
+        ),
+    )
+    add(
+        # a constant feature: zero variance, rho must be NULL
+        "spearman_constant_col",
+        lambda spark, sf: SpearmanPanel(
+            cols=["n_chars", "const1"], group_col="source"
+        )(
+            _docs(spark, sf).select(
+                "source", "n_chars", F.lit(1).alias("const1")
+            )
+        ),
+        spearman_panel_sql(
+            "(SELECT source, n_chars, 1 AS const1 FROM documents)",
+            cols=["n_chars", "const1"],
+            group="source",
+        ),
+    )
+    add(
+        # heavy ties: n_chars banded to 10 buckets, midrank algebra under
+        # massive tie groups
+        "spearman_banded_ties",
+        lambda spark, sf: SpearmanPanel(
+            cols=["band", "n_chars"], group_col="source"
+        )(
+            _docs(spark, sf).select(
+                "source",
+                "n_chars",
+                (F.col("n_chars") % 10).alias("band"),
+            )
+        ),
+        spearman_panel_sql(
+            "(SELECT source, n_chars, n_chars % 10 AS band FROM documents)",
+            cols=["band", "n_chars"],
+            group="source",
+        ),
+    )
+
+    from warp_pipes_spark.ml.metrics import BootstrapCI, bootstrap_ci_sql
+
+    add(
+        "bootstrap_b32_cap5",
+        lambda spark, sf: BootstrapCI(
+            value_col="n_chars",
+            n_replicas=32,
+            lo_rank=1,
+            hi_rank=31,
+            w_cap=5,
+        )(_docs(spark, sf)),
+        bootstrap_ci_sql(
+            "SELECT doc_id, n_chars FROM documents",
+            value_expr="n_chars",
+            n_replicas=32,
+            lo_rank=1,
+            hi_rank=31,
+            w_cap=5,
+        ),
+    )
+    add(
+        "bootstrap_seed23_median",
+        lambda spark, sf: BootstrapCI(
+            value_col="n_chars",
+            n_replicas=64,
+            lo_rank=32,
+            hi_rank=33,
+            seed=23,
+        )(_docs(spark, sf)),
+        bootstrap_ci_sql(
+            "SELECT doc_id, n_chars FROM documents",
+            value_expr="n_chars",
+            n_replicas=64,
+            lo_rank=32,
+            hi_rank=33,
+            seed=23,
+        ),
+    )
+
+    from warp_pipes_spark.text.analysis import KneserNeyScore, kneser_ney_sql
+
+    add(
+        "kneser_ney_d05",
+        lambda spark, sf: KneserNeyScore(discount=0.5)(_docs(spark, sf)),
+        kneser_ney_sql("documents", discount=0.5),
+    )
+    add(
+        "kneser_ney_d09",
+        lambda spark, sf: KneserNeyScore(discount=0.9)(_docs(spark, sf)),
+        kneser_ney_sql("documents", discount=0.9),
+    )
+
     return cells
 
 
