@@ -49,11 +49,12 @@ from warp_pipes_spark.ml.graph import LabelPropagation
 from warp_pipes_spark.ml.kmeans import LloydKMeans
 from warp_pipes_spark.ml.pca import PowerIterationPCA
 from warp_pipes_spark.plans.skew import KeySkewProfile
-from warp_pipes_spark.pipes.validate import BenfordAudit
+from warp_pipes_spark.pipes.validate import BenfordAudit, RobustStats
 from warp_pipes_spark.pipes.sampling import MixtureConcentration, NeymanAllocation
 from warp_pipes_spark.ml.metrics import (
     BootstrapCI,
     ConfusionPanel,
+    RboAgreement,
     SpearmanPanel,
     WilsonRates,
 )
@@ -152,6 +153,8 @@ def instantiate_all():
         VocabularyProfile(),
         SpearmanPanel(["a", "b"]),
         MixtureConcentration(),
+        RboAgreement(other=None),
+        RobustStats("n_chars"),
     ]
 
 

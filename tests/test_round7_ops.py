@@ -176,3 +176,58 @@ def test_cached_results_bit_equal_and_reused(spark, sf_dir, tmp_path):
     # a different config (k) must MISS — no false sharing
     cached_results(Bm25Search(corpus=docs, k=3), qs, cache_dir=cache).collect()
     assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 2
+
+
+def test_rbo_closed_form(spark):
+    # identical rankings: every doc first-common at its own rank, RBO =
+    # sum of the full weight table ~ (1-p) * sum p^(d-1) * d/d = known
+    from warp_pipes_spark.ml.metrics import RboAgreement, _rbo_weights
+
+    rows = [(1, i, r) for r, i in enumerate([10, 20, 30], start=1)]
+    a = spark.createDataFrame(rows, ["query_id", "idx", "rank"])
+    out = RboAgreement(other=a, k=3, p=0.9)(a).collect()[0]
+    assert out["n_common"] == 3
+    expected = round(sum(_rbo_weights(3, 0.9)), 6)
+    assert abs(out["rbo"] - expected) < 1e-9
+    # disjoint rankings: zero overlap, rbo = 0 but the query still rows
+    b = spark.createDataFrame(
+        [(1, 99, 1), (1, 98, 2), (1, 97, 3)], ["query_id", "idx", "rank"]
+    )
+    out0 = RboAgreement(other=b, k=3, p=0.9)(a).collect()[0]
+    assert out0["n_common"] == 0 and out0["rbo"] == 0.0
+
+
+def test_rbo_weights_monotone_and_sum():
+    from warp_pipes_spark.ml.metrics import _rbo_weights
+
+    w = _rbo_weights(10, 0.9)
+    assert all(w[i] > w[i + 1] > 0 for i in range(len(w) - 1))
+    # W(1) covers the whole series: sum_{d=1..k} (1-p) p^(d-1)/d
+    assert abs(w[0] - 0.235416) < 1e-9
+
+
+def test_robust_stats_closed_form(spark):
+    from warp_pipes_spark.pipes.validate import RobustStats
+
+    # g: values 1..9 plus an outlier 1000 -> lower median of 10 values
+    # is the 5th (v=5); deviations |v-5| = 4,3,2,1,0,1,2,3,4,995 ->
+    # lower median of sorted devs (0,1,1,2,2,3,3,4,4,995) is 2;
+    # outliers: dev > 3*2=6 -> only 995 -> 1/10
+    rows = [("g", v) for v in list(range(1, 10)) + [1000]]
+    df = spark.createDataFrame(rows, ["source", "x"])
+    out = RobustStats(value_col="x", group_col="source")(df).collect()[0]
+    assert out["n"] == 10
+    assert out["median"] == 5
+    assert out["mad"] == 2
+    assert out["n_outliers"] == 1
+    assert abs(out["outlier_rate"] - 0.1) < 1e-9
+
+
+def test_robust_stats_constant_group(spark):
+    from warp_pipes_spark.pipes.validate import RobustStats
+
+    df = spark.createDataFrame([("c", 7)] * 5, ["source", "x"])
+    out = RobustStats(value_col="x", group_col="source")(df).collect()[0]
+    # constant column: median = value, MAD = 0, every dev 0 > 0 is
+    # false -> zero outliers
+    assert (out["median"], out["mad"], out["n_outliers"]) == (7, 0, 0)

@@ -166,7 +166,11 @@ def main() -> None:
             }
         print(f"PARITY {name} {results[name].get('status')}", flush=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo, "PARITY_sf0.1.json")
+    # artifact name follows the sweep scale (PARITY_sf0.1.json /
+    # PARITY_sf1.json ...); override with PARITY_OUT for ad-hoc runs
+    path = os.path.join(
+        repo, os.environ.get("PARITY_OUT", "PARITY_sf0.1.json")
+    )
     # MERGE into the existing artifact (subset re-runs must not erase
     # the other queries' rows)
     merged = results

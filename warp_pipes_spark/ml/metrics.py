@@ -1154,3 +1154,149 @@ def spearman_panel_sql(
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def _rbo_weights(k: int, p: float) -> list:
+    """Per-doc truncated-RBO weight table: a doc first common at depth
+    m = max(rank_a, rank_b) contributes W(m) = (1-p) * sum_{d=m..k}
+    p^(d-1)/d. Each weight is HALF-UP-rounded to 6 decimals in Python
+    and shipped to BOTH engines as the same literal, so the per-query
+    RBO is an exact DECIMAL(18,6) sum of shared constants — no
+    cross-engine pow/libm exposure at all."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = []
+    for m in range(1, k + 1):
+        w = (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        out.append(
+            float(
+                Decimal(repr(w)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+        )
+    return out
+
+
+class RboAgreement(Pipe):
+    """Per-query Rank-Biased Overlap at depth ``k`` (Webber, Moffat &
+    Zobel 2010) between this ranking (the input frame) and ``other`` —
+    the top-weighted companion to q219's Kendall-tau panel: tau treats
+    every common pair equally, RBO geometrically discounts depth with
+    persistence ``p``, which is what an A/B between retrieval engines
+    actually cares about (agreement at rank 1 matters more than at
+    rank 10).
+
+    Computation: truncated RBO decomposes per common doc — a doc whose
+    later first-appearance is depth m adds W(m) = (1-p) sum_{d=m..k}
+    p^(d-1)/d (it is inside both prefixes for every d >= m). W is a
+    k-entry literal table precomputed in Python (see
+    :func:`_rbo_weights`), so the per-query score is an exact decimal
+    sum of shared constants — fully oracled with zero floating-point
+    order exposure. Queries present in this ranking but sharing no
+    top-k docs with ``other`` report rbo = 0.
+
+    Scale shape: two k x |Q| rank tables equi-join on (query, doc);
+    everything downstream is |common|-sized. Composes with the results
+    cache (``search/cached.py``), so the panel's marginal cost over
+    already-run engines is one join.
+
+    Reference anchor: eval-metrics family extension
+    (``ml/metrics.py`` AUC/NDCG/MRR)."""
+
+    def __init__(
+        self,
+        other: DataFrame,
+        k: int = 10,
+        p: float = 0.9,
+        query_col: str = "query_id",
+        id_col: str = "idx",
+        rank_col: str = "rank",
+        **kwargs,
+    ):
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"p must be in (0, 1), got {p}")
+        super().__init__(**kwargs)
+        self.other = other
+        self.k = k
+        self.p = p
+        self.query_col = query_col
+        self.id_col = id_col
+        self.rank_col = rank_col
+
+    _no_fingerprint = ("other",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        q, i, r = self.query_col, self.id_col, self.rank_col
+        a = df.filter(F.col(r) <= self.k).select(
+            F.col(q).alias("query_id"),
+            F.col(i).alias("idx"),
+            F.col(r).alias("ra"),
+        )
+        b = self.other.filter(F.col(r) <= self.k).select(
+            F.col(q).alias("query_id"),
+            F.col(i).alias("idx"),
+            F.col(r).alias("rb"),
+        )
+        weights = _rbo_weights(self.k, self.p)
+        warr = F.array(*[F.lit(w) for w in weights])
+        common = a.join(b, ["query_id", "idx"]).select(
+            "query_id",
+            F.greatest(F.col("ra"), F.col("rb")).cast("int").alias("m"),
+        )
+        agg = common.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.element_at(warr, F.col("m")).cast(D)).alias("rbo_dec"),
+        )
+        qs = a.select("query_id").distinct()
+        return qs.join(agg, "query_id", "left").select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.coalesce(F.col("rbo_dec"), F.lit(0).cast(D))
+            .cast("double")
+            .alias("rbo"),
+        )
+
+
+def rbo_sql(
+    a_sql: str,
+    b_sql: str,
+    k: int = 10,
+    p: float = 0.9,
+    query: str = "query_id",
+    id_col: str = "idx",
+    rank: str = "rank",
+) -> str:
+    """DuckDB oracle for :class:`RboAgreement` — the identical literal
+    weight table indexed by the identical max-rank depth."""
+    from warp_pipes_spark.ml.metrics import _rbo_weights
+
+    weights = ", ".join(repr(w) for w in _rbo_weights(k, p))
+    return f"""
+WITH ar AS MATERIALIZED (
+  SELECT {query} AS query_id, {id_col} AS idx, {rank} AS ra
+  FROM ({a_sql}) t WHERE {rank} <= {k}
+),
+br AS MATERIALIZED (
+  SELECT {query} AS query_id, {id_col} AS idx, {rank} AS rb
+  FROM ({b_sql}) t WHERE {rank} <= {k}
+),
+common AS (
+  SELECT a.query_id, CAST(GREATEST(a.ra, b.rb) AS INT) AS m
+  FROM ar a JOIN br b USING (query_id, idx)
+),
+agg AS (
+  SELECT query_id, COUNT(*) AS n_common,
+         SUM(CAST(([{weights}])[m] AS DECIMAL(18,6))) AS rbo_dec
+  FROM common GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM ar)
+SELECT q.query_id,
+       CAST(COALESCE(a.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(a.rbo_dec, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+         AS rbo
+FROM qs q LEFT JOIN agg a USING (query_id)
+"""

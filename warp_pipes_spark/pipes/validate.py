@@ -600,3 +600,174 @@ SELECT CAST(digit AS INTEGER) AS digit,
 FROM terms CROSS JOIN chi
 ORDER BY digit
 """
+
+
+class RobustStats(Pipe):
+    """Per-group robust location/scale/outlier panel for an INTEGRAL
+    column: lower median, MAD (median absolute deviation, Hampel 1974;
+    the 50% breakdown-point scale every mean±3σ outlier rule should be
+    replaced by — one extreme value moves σ arbitrarily, it cannot move
+    the MAD), and the count/rate of values beyond ``threshold`` x MAD
+    of the median. The data-quality companion to the mean/stddev
+    profile: a capped or heavy-tailed length column looks normal in
+    moments and screams here.
+
+    Exactness: the LOWER median of an integer column is an INTEGER
+    (the smallest value v with 2 * cum_count(v) >= n), so median, MAD,
+    absolute deviations and the outlier comparison are all exact BIGINT
+    algebra; the only float op is the final outlier-rate division,
+    rounded once through DECIMAL(18,6).
+
+    Scale shape (the ECDF-join discipline — never a row-count-sized
+    window): one scan to a (group, value, count) table bounded by value
+    cardinality, a cumulative window over DISTINCT values per group for
+    the median, then deviations re-derive FROM THE VALUE-COUNT TABLE
+    (|v - med| with multiplicity c — no second corpus scan), a second
+    distinct-value window for the MAD, and a group-sized rollup.
+
+    Reference anchor: data-quality family extension
+    (``pipes/validate.py`` profile/constraints/drift)."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_col: str = "source",
+        threshold: int = 3,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.group_col = group_col
+        self.threshold = threshold
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        D = "decimal(18,6)"
+        g = F.col(self.group_col).alias("grp")
+        x = F.col(self.value_col).cast("long")
+        vc = df.select(g, x.alias("v")).groupBy("grp", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+        def lower_median(vals: DataFrame) -> DataFrame:
+            """(grp, v, c) -> (grp, n, med): smallest v with
+            2 * inclusive-cumulative-count >= n."""
+            w = (
+                Window.partitionBy("grp")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            cum = vals.select(
+                "grp",
+                "v",
+                F.sum("c").over(w).alias("cum"),
+                F.sum("c").over(
+                    Window.partitionBy("grp").rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ).alias("n"),
+            )
+            return (
+                cum.filter(F.col("cum") * 2 >= F.col("n"))
+                .groupBy("grp")
+                .agg(F.min("v").alias("med"), F.max("n").alias("n"))
+            )
+
+        med = lower_median(vc)
+        dev = (
+            vc.join(med.select("grp", "med"), "grp")
+            .select(
+                "grp",
+                F.abs(F.col("v") - F.col("med")).alias("v"),
+                "c",
+            )
+            .groupBy("grp", "v")
+            .agg(F.sum("c").alias("c"))
+        )
+        mad = lower_median(dev).select(
+            "grp", F.col("med").alias("mad")
+        )
+        base = med.join(mad, "grp")
+        out_cnt = (
+            dev.join(base.select("grp", "mad"), "grp")
+            .filter(F.col("v") > F.lit(self.threshold) * F.col("mad"))
+            .groupBy("grp")
+            .agg(F.sum("c").alias("n_out"))
+        )
+        return (
+            base.join(out_cnt, "grp", "left")
+            .select(
+                F.col("grp").alias(self.group_col),
+                F.col("n").cast("long").alias("n"),
+                F.col("med").cast("long").alias("median"),
+                F.col("mad").cast("long").alias("mad"),
+                F.coalesce(F.col("n_out"), F.lit(0))
+                .cast("long")
+                .alias("n_outliers"),
+                (
+                    F.coalesce(F.col("n_out"), F.lit(0)).cast("double")
+                    / F.col("n").cast("double")
+                )
+                .cast(D)
+                .cast("double")
+                .alias("outlier_rate"),
+            )
+        )
+
+
+def robust_stats_sql(
+    table: str,
+    value: str,
+    group: str = "source",
+    threshold: int = 3,
+) -> str:
+    """DuckDB oracle for :class:`RobustStats` — identical integer
+    lower-median / MAD chain and the single rounded division."""
+    return f"""
+WITH vc AS MATERIALIZED (
+  SELECT {group} AS grp, CAST({value} AS BIGINT) AS v, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, v,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM vc
+),
+med AS (
+  SELECT grp, MIN(v) AS med, MAX(n) AS n
+  FROM cum WHERE cum * 2 >= n GROUP BY grp
+),
+dev AS (
+  SELECT vc.grp, ABS(vc.v - med.med) AS v, SUM(vc.c) AS c
+  FROM vc JOIN med USING (grp) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT grp, v,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM dev
+),
+mad AS (
+  SELECT grp, MIN(v) AS mad FROM dcum WHERE cum * 2 >= n GROUP BY grp
+),
+base AS (SELECT med.grp, med.n, med.med, mad.mad
+         FROM med JOIN mad USING (grp)),
+outc AS (
+  SELECT dev.grp, SUM(dev.c) AS n_out
+  FROM dev JOIN base USING (grp)
+  WHERE dev.v > {threshold} * base.mad GROUP BY 1
+)
+SELECT b.grp AS {group},
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.med AS BIGINT) AS median,
+       CAST(b.mad AS BIGINT) AS mad,
+       CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers,
+       CAST(CAST(CAST(COALESCE(o.n_out, 0) AS DOUBLE)
+                 / CAST(b.n AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS outlier_rate
+FROM base b LEFT JOIN outc o USING (grp)
+"""

@@ -2226,6 +2226,45 @@ def q225_mixture_concentration(spark, sf):
     )
 
 
+def q226_rbo_agreement(spark, sf):
+    """Per-query Rank-Biased Overlap between the BM25 and Dirichlet-QL
+    top-10 (Webber, Moffat & Zobel 2010; `ml/metrics.py`
+    `RboAgreement`) — the top-weighted companion to q219's
+    Kendall-tau/overlap panel: tau weights all common pairs equally,
+    RBO's geometric persistence (p=0.9) discounts depth, which is what
+    an engine A/B actually cares about. The per-doc weight table is
+    precomputed in Python and shipped to both engines as identical
+    literals, so each query's score is an exact decimal sum. Both
+    ranking legs serve from the results cache (`search/cached.py`) —
+    after q219 the panel costs one k x |Q| join."""
+    from warp_pipes_spark.ml.metrics import RboAgreement
+    from warp_pipes_spark.search.cached import cached_results
+    from warp_pipes_spark.search.ql import DirichletQLSearch
+
+    docs = T(spark, sf, "documents")
+    qs = _bm25_queries(spark, sf)
+    bm = cached_results(Bm25Search(corpus=docs, k=10), qs)
+    ql = cached_results(DirichletQLSearch(corpus=docs, k=10, mu=2000), qs)
+    return RboAgreement(other=ql, k=10, p=0.9)(bm)
+
+
+def q227_robust_outliers(spark, sf):
+    """Per-source robust length panel (Hampel 1974 MAD; `pipes/
+    validate.py` `RobustStats`): lower median and MAD of `n_chars`
+    plus the count/rate beyond 3 x MAD — the 50%-breakdown outlier
+    report that replaces mean±3σ (one pathological document moves σ
+    arbitrarily; it cannot move the MAD). Exact integer lower-medians
+    via the ECDF-join discipline (value-count table + distinct-value
+    cumulative window, deviations re-derived from the value-count
+    table — one corpus scan total); the outlier rate is the single
+    rounded division."""
+    from warp_pipes_spark.pipes.validate import RobustStats
+
+    return RobustStats(value_col="n_chars", group_col="source")(
+        T(spark, sf, "documents")
+    )
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7206,6 +7245,23 @@ FROM per_line GROUP BY source ORDER BY source
 
     ORACLES_EXT["q219_ranker_agreement"] = _ranker_agreement_oracle_sql()
 
+    from warp_pipes_spark.ml.metrics import rbo_sql
+    from warp_pipes_spark.search.bm25 import bm25_oracle_sql as _bm_osql
+    from warp_pipes_spark.search.ql import ql_oracle_sql as _ql_osql
+
+    ORACLES_EXT["q226_rbo_agreement"] = rbo_sql(
+        _bm_osql("documents", BM25_QUERIES_CTE, k=10),
+        _ql_osql("documents", BM25_QUERIES_CTE, k=10, mu=2000),
+        k=10,
+        p=0.9,
+    )
+
+    from warp_pipes_spark.pipes.validate import robust_stats_sql
+
+    ORACLES_EXT["q227_robust_outliers"] = robust_stats_sql(
+        "documents", value="n_chars", group="source"
+    )
+
     from warp_pipes_spark.text.analysis import diversity_report_sql
 
     ORACLES_EXT["q222_diversity_report"] = diversity_report_sql(
@@ -7712,6 +7768,8 @@ def _register():
         "q223_vocabulary_profile": q223_vocabulary_profile,
         "q224_spearman_panel": q224_spearman_panel,
         "q225_mixture_concentration": q225_mixture_concentration,
+        "q226_rbo_agreement": q226_rbo_agreement,
+        "q227_robust_outliers": q227_robust_outliers,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
