@@ -103,9 +103,12 @@ def main() -> None:
         c.execute("SET threads=8")
         c.execute("SET temp_directory='/tmp/duck_spill'")
         for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-            )
+            # testdata tables are single files; gen_scale dirs are
+            # Spark-written parquet DIRECTORIES — DuckDB needs the glob
+            p = f"{SF_DIR}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         return c
 
     # PHASE 1: all Spark results, then STOP the JVM — it holds most of
