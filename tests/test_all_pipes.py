@@ -71,6 +71,7 @@ from warp_pipes_spark.text.analysis import (
     QualityScore,
     TokenCount,
 )
+from warp_pipes_spark.search.trigram import TrigramSubstringSearch
 from warp_pipes_spark.text.dedup import (
     ChunkDedupStats,
     ContainmentPairs,
@@ -155,6 +156,7 @@ def instantiate_all():
         MixtureConcentration(),
         RboAgreement(other=None),
         RobustStats("n_chars"),
+        TrigramSubstringSearch(corpus=None),
     ]
 
 

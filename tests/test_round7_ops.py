@@ -231,3 +231,46 @@ def test_robust_stats_constant_group(spark):
     # constant column: median = value, MAD = 0, every dev 0 > 0 is
     # false -> zero outliers
     assert (out["median"], out["mad"], out["n_outliers"]) == (7, 0, 0)
+
+
+def test_trigram_search_exactness_and_guard(spark):
+    import pytest
+
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick silver"),
+            (3, "slow brown dog"),
+            (4, "qu ick"),  # has the trigrams of 'quick'? no — 'qui' absent
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(100, "quick"), (200, "brown"), (300, "zebra")],
+        ["query_id", "pattern"],
+    )
+    out = sorted(
+        map(tuple, TrigramSubstringSearch(corpus=docs)(qs).collect())
+    )
+    assert out == [(100, 1), (100, 2), (200, 1), (200, 3)]
+    # short patterns fail loudly instead of silently matching nothing
+    short = spark.createDataFrame([(1, "ab")], ["query_id", "pattern"])
+    with pytest.raises(ValueError, match="shorter than 3"):
+        TrigramSubstringSearch(corpus=docs)(short)
+
+
+def test_trigram_candidates_need_all_grams(spark):
+    # doc 4 contains 'ick' and 'qu ' but not 'qui'/'uic' — the
+    # all-grams containment bound must exclude it before verify
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    docs = spark.createDataFrame(
+        [(4, "qu ick uic qui")], ["doc_id", "text"]
+    )
+    qs = spark.createDataFrame([(1, "quick")], ["query_id", "pattern"])
+    # doc 4 has every trigram of 'quick' as separate tokens but not the
+    # substring — candidates include it, verify must reject it
+    out = TrigramSubstringSearch(corpus=docs)(qs).collect()
+    assert out == []

@@ -919,6 +919,84 @@ def _cells():
         kneser_ney_sql("documents", discount=0.9),
     )
 
+    # ---- round-7 additions: non-default cells for the new operators ----
+
+    from warp_pipes_spark.ml.metrics import RboAgreement, rbo_sql
+    from warp_pipes_spark.search.bm25 import bm25_oracle_sql
+    from warp_pipes_spark.search.ql import DirichletQLSearch, ql_oracle_sql
+
+    def _rbo_cell(k, p):
+        def make(spark, sf, k=k, p=p):
+            from warp_pipes_spark.search.bm25 import Bm25Search
+
+            docs = _docs(spark, sf)
+            qs = _bm25_queries(spark, sf)
+            bm = Bm25Search(corpus=docs, k=k)(qs)
+            ql = DirichletQLSearch(corpus=docs, k=k, mu=2000)(qs)
+            return RboAgreement(other=ql, k=k, p=p)(bm)
+
+        return make, rbo_sql(
+            bm25_oracle_sql("documents", BM25_QUERIES_CTE, k=k),
+            ql_oracle_sql("documents", BM25_QUERIES_CTE, k=k, mu=2000),
+            k=k,
+            p=p,
+        )
+
+    for k, p in [(5, 0.5), (20, 0.98)]:
+        make, sql = _rbo_cell(k, p)
+        add(f"rbo_k{k}_p{str(p).replace('.', '')}", make, sql)
+
+    from warp_pipes_spark.pipes.validate import RobustStats, robust_stats_sql
+
+    add(
+        "robust_lang_thr2",
+        lambda spark, sf: RobustStats(
+            value_col="n_chars", group_col="lang", threshold=2
+        )(_docs(spark, sf)),
+        robust_stats_sql("documents", value="n_chars", group="lang", threshold=2),
+    )
+    add(
+        "robust_thr10",
+        lambda spark, sf: RobustStats(
+            value_col="n_chars", group_col="source", threshold=10
+        )(_docs(spark, sf)),
+        robust_stats_sql(
+            "documents", value="n_chars", group="source", threshold=10
+        ),
+    )
+
+    from warp_pipes_spark.search.trigram import (
+        TrigramSubstringSearch,
+        trigram_search_sql,
+    )
+
+    def _trigram_cell(start, width, mod):
+        cte = (
+            f"SELECT doc_id AS query_id, substring(text, {start}, {width})"
+            f" AS pattern FROM documents WHERE doc_id % {mod} = 0"
+            f" AND length(text) >= {start + width - 1}"
+        )
+
+        def make(spark, sf, start=start, width=width, mod=mod):
+            docs = _docs(spark, sf)
+            qs = docs.filter(
+                (F.col("doc_id") % mod == 0)
+                & (F.length("text") >= start + width - 1)
+            ).select(
+                F.col("doc_id").alias("query_id"),
+                F.substring("text", start, width).alias("pattern"),
+            )
+            return TrigramSubstringSearch(corpus=docs)(qs)
+
+        return make, trigram_search_sql("documents", cte)
+
+    for name, (start, width, mod) in {
+        "trigram_w5": (10, 5, 25),      # short patterns: many matches
+        "trigram_w30": (5, 30, 50),     # long patterns: near-unique
+    }.items():
+        make, sql = _trigram_cell(start, width, mod)
+        add(name, make, sql)
+
     return cells
 
 

@@ -2265,6 +2265,35 @@ def q227_robust_outliers(spark, sf):
     )
 
 
+TRIGRAM_QUERIES_CTE = (
+    "SELECT doc_id AS query_id, substring(text, 50, 12) AS pattern "
+    "FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 62"
+)
+
+
+def q228_trigram_search(spark, sf):
+    """Index-accelerated literal substring search (the pg_trgm pattern;
+    `search/trigram.py` `TrigramSubstringSearch`): a char-trigram
+    inverted posting bounds the candidate set (a doc can contain the
+    pattern only if it contains EVERY pattern trigram — broadcast the
+    query trigrams into the posting scan, count == n_grams), then one
+    exact contains() verify over the bounded set. The oracle is the
+    NAIVE full-scan join, so the differential proves the indexed path
+    is scan-identical. The character-granular sibling of the BM25
+    word-granular index, for the substring/infix workloads a tokenizer
+    cannot serve (IDs, URLs, code fragments, partial words)."""
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    docs = T(spark, sf, "documents")
+    qs = docs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 62)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 50, 12).alias("pattern"),
+    )
+    return TrigramSubstringSearch(corpus=docs)(qs)
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7262,6 +7291,12 @@ FROM per_line GROUP BY source ORDER BY source
         "documents", value="n_chars", group="source"
     )
 
+    from warp_pipes_spark.search.trigram import trigram_search_sql
+
+    ORACLES_EXT["q228_trigram_search"] = trigram_search_sql(
+        "documents", TRIGRAM_QUERIES_CTE
+    )
+
     from warp_pipes_spark.text.analysis import diversity_report_sql
 
     ORACLES_EXT["q222_diversity_report"] = diversity_report_sql(
@@ -7770,6 +7805,7 @@ def _register():
         "q225_mixture_concentration": q225_mixture_concentration,
         "q226_rbo_agreement": q226_rbo_agreement,
         "q227_robust_outliers": q227_robust_outliers,
+        "q228_trigram_search": q228_trigram_search,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
