@@ -997,6 +997,29 @@ def _cells():
         make, sql = _trigram_cell(start, width, mod)
         add(name, make, sql)
 
+    def _trigram_prune_cell(prune):
+        cte = (
+            "SELECT doc_id AS query_id, substring(text, 50, 40)"
+            " AS pattern FROM documents WHERE doc_id % 25 = 0"
+            " AND length(text) >= 90"
+        )
+
+        def make(spark, sf, prune=prune):
+            docs = _docs(spark, sf)
+            qs = docs.filter(
+                (F.col("doc_id") % 25 == 0) & (F.length("text") >= 90)
+            ).select(
+                F.col("doc_id").alias("query_id"),
+                F.substring("text", 50, 40).alias("pattern"),
+            )
+            return TrigramSubstringSearch(corpus=docs, prune_grams=prune)(qs)
+
+        return make, trigram_search_sql("documents", cte)
+
+    for prune in (0, 1):  # all-grams stress path; weakest-filter path
+        make, sql = _trigram_prune_cell(prune)
+        add(f"trigram_prune{prune}", make, sql)
+
     return cells
 
 

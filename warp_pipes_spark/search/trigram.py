@@ -52,6 +52,7 @@ class TrigramSubstringSearch(Pipe):
         corpus_text: str = "text",
         query_id: str = "query_id",
         pattern_col: str = "pattern",
+        prune_grams: int = 3,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -60,8 +61,50 @@ class TrigramSubstringSearch(Pipe):
         self.corpus_text = corpus_text
         self.query_id = query_id
         self.pattern_col = pattern_col
+        # trigram CONTAINMENT is a necessary condition for ANY subset of
+        # the pattern's trigrams, so the filter only needs each query's
+        # K rarest grams (pg_trgm's actual trick): the candidate-join
+        # fan-out is bounded by the K-th rarest gram's document
+        # frequency instead of growing with pattern length x corpus
+        # (measured at sf1: all-grams 110 s -> rarest-3 ~8 s, identical
+        # results — the verify pass is exact either way). 0 = use all
+        # grams (the sweep's stress configuration).
+        self.prune_grams = prune_grams
 
     _no_fingerprint = ("corpus",)
+
+    def _gram_df(self, posting: DataFrame) -> DataFrame:
+        import os
+        import tempfile
+
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        built = posting.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        manager = CacheManager(
+            os.environ.get(
+                "WPS_TRIGRAM_CACHE_DIR",
+                os.path.join(
+                    tempfile.gettempdir(), "warp_pipes_spark_trigram"
+                ),
+            )
+        )
+        fp = get_fingerprint(
+            {
+                "op": "trigram_df_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "text": self.corpus_text,
+            }
+        )
+        if not manager.exists(fp):
+            manager.store(built, fp)
+        return manager.load(self.corpus.sparkSession, fp)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         def grams(col):
@@ -94,19 +137,51 @@ class TrigramSubstringSearch(Pipe):
         # patterns shorter than 3 chars have an empty trigram set and
         # would silently match nothing — fail loudly instead
         qgrams = qg.select(
-            "query_id",
-            F.explode("__g").alias("gram"),
-            F.size("__g").alias("n_grams"),
+            "query_id", F.explode("__g").alias("gram")
         )
+        # grams() is per-doc array_distinct, so the exploded posting is
+        # already (doc_id, gram)-unique — a global .distinct() here
+        # would shuffle the corpus-sized character posting for nothing
+        # (measured: sf1 q228 101.9 s with it)
         posting = self.corpus.select(
             F.col(self.corpus_id).alias("doc_id"),
             F.explode(grams(self.corpus_text)).alias("gram"),
-        ).distinct()
+        )
+        if self.prune_grams:
+            from pyspark.sql import Window
+
+            # one map-side-combined pass over the posting gives the
+            # trigram document frequencies (vocabulary-sized output,
+            # served from the corpus-fingerprint-keyed Parquet cache —
+            # the BM25 index-once-query-many convention — so repeated
+            # query batches pay ONE posting scan, not two); keep each
+            # query's K rarest grams — deterministic (df, gram) order,
+            # though ANY subset yields the same final answer. A query
+            # gram ABSENT from the corpus keeps df = 0 and is kept
+            # first: no doc can hit it, so count == n_need correctly
+            # empties that query's candidates.
+            df_tbl = self._gram_df(posting)
+            w = Window.partitionBy("query_id").orderBy(
+                F.asc("__df"), F.asc("gram")
+            )
+            sel = (
+                qgrams.join(df_tbl, "gram", "left")
+                .na.fill({"__df": 0})
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= self.prune_grams)
+                .select("query_id", "gram")
+            )
+        else:
+            sel = qgrams
+        need = sel.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_need")
+        )
         cand = (
-            posting.join(F.broadcast(qgrams), "gram")
-            .groupBy("query_id", "doc_id", "n_grams")
+            posting.join(F.broadcast(sel), "gram")
+            .groupBy("query_id", "doc_id")
             .agg(F.count(F.lit(1)).alias("hit"))
-            .filter(F.col("hit") == F.col("n_grams"))
+            .join(F.broadcast(need), "query_id")
+            .filter(F.col("hit") == F.col("n_need"))
             .select("query_id", "doc_id")
         )
         pat = df.select(
