@@ -255,7 +255,9 @@ def test_trigram_search_exactness_and_guard(spark):
         map(tuple, TrigramSubstringSearch(corpus=docs)(qs).collect())
     )
     assert out == [(100, 1), (100, 2), (200, 1), (200, 3)]
-    # short patterns fail loudly instead of silently matching nothing
+    # short patterns fail loudly instead of silently matching nothing —
+    # the guard rides the same planning job that collects the pushdown
+    # gram list (no separate probe job)
     short = spark.createDataFrame([(1, "ab")], ["query_id", "pattern"])
     with pytest.raises(ValueError, match="shorter than 3"):
         TrigramSubstringSearch(corpus=docs)(short)

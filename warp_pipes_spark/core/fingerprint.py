@@ -129,8 +129,19 @@ def fingerprint_dataframe(df: Any) -> str:
     struct: dict = {"plan": canon, "files": stats}
     if not files or canon is None:
         # in-memory relation (plan strings may truncate local data): fall
-        # back to the plan-identity hash, valid within this session only
-        struct["semantic"] = df.semanticHash()
+        # back to the plan-identity hash, valid within this session only.
+        # semanticHash is salted with the session's applicationId because
+        # Parquet artifact caches OUTLIVE the session while the hash is
+        # only session-unique (LogicalRDD hashes by RDD id, which restarts
+        # per JVM) — without the salt a later session can COLLIDE with a
+        # different in-memory corpus and silently serve a stale index
+        # (observed round 8: a 4-doc test corpus served a 1-doc corpus's
+        # cached trigram posting).
+        try:
+            app_id = df.sparkSession.sparkContext.applicationId
+        except Exception:  # Spark Connect: no sparkContext on the client
+            app_id = None
+        struct["semantic"] = [df.semanticHash(), app_id]
     return fingerprint_struct(struct)
 
 

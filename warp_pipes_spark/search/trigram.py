@@ -10,16 +10,27 @@ scan-identical results.
 
 Plan shape (the part that matters at 100 TB):
 
-* the posting table (distinct char-trigram, doc_id) is a scan-level
-  explode — corpus-sized, but it never shuffles: the QUERY side's
-  trigram set (<= |patterns| x pattern_len rows) broadcasts into the
-  posting scan, so candidate generation is scan + broadcast-hash-join +
-  map-side-combined count;
-* a candidate survives only if it matched ALL of its query's trigrams
-  (count == n_grams — trigram containment is necessary, never
+* the posting table (distinct char-trigram, doc_id) is built ONCE per
+  corpus fingerprint and materialized to Parquet, range-clustered and
+  sorted by gram (the ``search/bm25.py`` ``_raw_postings``
+  index-once-query-many convention) — repeated query batches never
+  re-explode the corpus;
+* each query batch's selected grams (<= |patterns| x ``prune_grams``
+  rows) both BROADCAST into the posting scan and, when the distinct
+  gram set is driver-small, push down as a literal ``IN`` predicate —
+  the gram-sorted Parquet then prunes row groups by min/max stats, so
+  candidate generation reads only the rare grams' posting slices
+  instead of the whole index;
+* a candidate survives only if it matched ALL of its query's selected
+  grams (count == n_need — trigram containment is necessary, never
   sufficient);
 * the exact ``contains`` verify joins the bounded candidate set back to
   the corpus text — the only row-text access after the scan.
+
+Both input-contract guards (pattern length >= 3, unique query ids)
+ride the single query-side planning job that also collects the
+pushdown gram list — no separate driver-blocking probe job runs before
+the query.
 
 The DuckDB oracle is the NAIVE scan (``JOIN ON contains(text,
 pattern)``), so the differential proves the indexed path returns
@@ -32,18 +43,51 @@ sibling for substring/infix workloads the tokenizer can't serve).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import tempfile
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from warp_pipes_spark.core.pipe import Pipe
 
 
+def trigram_cache_dir() -> str:
+    """Override with ``WPS_TRIGRAM_CACHE_DIR`` (point at shared storage
+    on a cluster so every driver reuses the same posting index)."""
+    return os.environ.get(
+        "WPS_TRIGRAM_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "warp_pipes_spark_trigram"),
+    )
+
+
+def grams_expr(col: Column) -> Column:
+    """Distinct character trigrams of ``col``; EMPTY array below 3 chars
+    (``sequence(1, 0)`` would otherwise step DOWNWARD and emit junk
+    sub-3-char 'grams' that bloat the posting for nothing)."""
+    seq = F.sequence(F.lit(1), F.length(col) - F.lit(2))
+    arr = F.array_distinct(F.transform(seq, lambda i: col.substr(i, F.lit(3))))
+    return F.when(F.length(col) >= 3, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 class TrigramSubstringSearch(Pipe):
-    """Input df = (``query_id``, ``pattern``) literal patterns (length
-    >= 3 — shorter patterns have no trigram and would need the full
-    scan this operator exists to avoid; they raise); output =
+    """Input df = (``query_id``, ``pattern``) literal patterns (unique
+    ids; length >= 3 — shorter patterns have no trigram and would need
+    the full scan this operator exists to avoid; both contract
+    violations raise eagerly from the planning job); output =
     (query_id, doc_id) for every corpus document whose text contains
-    the pattern, identical to the naive scan."""
+    the pattern, identical to the naive scan.
+
+    ``materialize_index=True`` (default) builds the (gram, doc_id)
+    posting once per corpus fingerprint, range-clustered by gram, and
+    serves every later query batch from the Parquet artifact — the
+    pg_trgm index-size-for-query-speed tradeoff (the posting holds one
+    row per distinct (doc, trigram), several times the corpus text's
+    cardinality; disk is the cheap axis at 100 TB, repeated corpus
+    scans are not)."""
 
     def __init__(
         self,
@@ -53,6 +97,9 @@ class TrigramSubstringSearch(Pipe):
         query_id: str = "query_id",
         pattern_col: str = "pattern",
         prune_grams: int = 3,
+        materialize_index: bool = True,
+        index_cache_dir: Optional[str] = None,
+        gram_pushdown_max: int = 4096,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -70,91 +117,91 @@ class TrigramSubstringSearch(Pipe):
         # results — the verify pass is exact either way). 0 = use all
         # grams (the sweep's stress configuration).
         self.prune_grams = prune_grams
+        self.materialize_index = materialize_index
+        self.index_cache_dir = index_cache_dir or trigram_cache_dir()
+        # when the batch's distinct selected grams fit on the driver,
+        # they also become a literal IN predicate on the posting scan —
+        # against the gram-sorted index Parquet that's row-group min/max
+        # pruning, the scan reads only the matched grams' slices. 0
+        # disables (the sweep's no-pushdown configuration).
+        self.gram_pushdown_max = gram_pushdown_max
 
     _no_fingerprint = ("corpus",)
 
-    def _gram_df(self, posting: DataFrame) -> DataFrame:
-        import os
-        import tempfile
-
+    def _index_fingerprint(self) -> str:
         from warp_pipes_spark.core.fingerprint import (
             fingerprint_dataframe,
             get_fingerprint,
         )
-        from warp_pipes_spark.pipes.cache import CacheManager
 
-        built = posting.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("__df")
-        )
-        manager = CacheManager(
-            os.environ.get(
-                "WPS_TRIGRAM_CACHE_DIR",
-                os.path.join(
-                    tempfile.gettempdir(), "warp_pipes_spark_trigram"
-                ),
-            )
-        )
-        fp = get_fingerprint(
+        return get_fingerprint(
             {
-                "op": "trigram_df_v1",
+                "op": "trigram_posting_v1",
                 "corpus": fingerprint_dataframe(self.corpus),
                 "id": self.corpus_id,
                 "text": self.corpus_text,
             }
         )
+
+    def _posting(self) -> DataFrame:
+        """(gram, doc_id) posting — the index. grams_expr is per-doc
+        array_distinct, so the exploded posting is already
+        (doc_id, gram)-unique; a global .distinct() would shuffle the
+        corpus-sized character posting for nothing (measured: sf1 q228
+        101.9 s with it). Materialized once per corpus fingerprint,
+        range-partitioned + sorted by gram so literal gram predicates
+        prune row groups on every later read."""
+        built = self.corpus.select(
+            F.col(self.corpus_id).alias("doc_id"),
+            F.explode(grams_expr(F.col(self.corpus_text))).alias("gram"),
+        )
+        if not self.materialize_index:
+            return built
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(self.index_cache_dir)
+        fp = self._index_fingerprint()
+        if not manager.exists(fp):
+            # one-time corpus-sized shuffle to gram-cluster the index
+            # files; every later batch reads back a pruned slice
+            manager.store(
+                built.repartitionByRange("gram").sortWithinPartitions(
+                    "gram"
+                ),
+                fp,
+            )
+        return manager.load(self.corpus.sparkSession, fp)
+
+    def _gram_df(self, posting: DataFrame) -> DataFrame:
+        """gram -> document frequency stats (vocabulary-sized), derived
+        from the materialized posting and cached under the same corpus
+        fingerprint — the rarest-gram prune reads this, never the
+        corpus."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        built = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        if not self.materialize_index:
+            return built
+        manager = CacheManager(self.index_cache_dir)
+        fp = self._index_fingerprint() + "_df"
         if not manager.exists(fp):
             manager.store(built, fp)
         return manager.load(self.corpus.sparkSession, fp)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        def grams(col):
-            return F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({col}) - 2, 0)),"
-                    f" i -> substring({col}, i, 3))"
-                )
-            )
-
-        # a pattern shorter than 3 chars has an empty trigram set and
-        # would silently match nothing — fail loudly instead (the probe
-        # stops at the first offender)
-        short = (
-            df.filter(F.length(F.col(self.pattern_col)) < 3)
-            .limit(1)
-            .count()
-        )
-        if short:
-            raise ValueError(
-                "TrigramSubstringSearch: pattern shorter than 3 chars has"
-                " no trigram — it would need the full scan this index"
-                " exists to avoid. Filter or route short patterns to a"
-                " direct contains() scan."
-            )
         qg = df.select(
             F.col(self.query_id).alias("query_id"),
-            grams(self.pattern_col).alias("__g"),
+            grams_expr(F.col(self.pattern_col)).alias("__g"),
         )
-        # patterns shorter than 3 chars have an empty trigram set and
-        # would silently match nothing — fail loudly instead
-        qgrams = qg.select(
-            "query_id", F.explode("__g").alias("gram")
-        )
-        # grams() is per-doc array_distinct, so the exploded posting is
-        # already (doc_id, gram)-unique — a global .distinct() here
-        # would shuffle the corpus-sized character posting for nothing
-        # (measured: sf1 q228 101.9 s with it)
-        posting = self.corpus.select(
-            F.col(self.corpus_id).alias("doc_id"),
-            F.explode(grams(self.corpus_text)).alias("gram"),
-        )
+        qgrams = qg.select("query_id", F.explode("__g").alias("gram"))
+        posting = self._posting()
         if self.prune_grams:
             from pyspark.sql import Window
 
             # one map-side-combined pass over the posting gives the
             # trigram document frequencies (vocabulary-sized output,
             # served from the corpus-fingerprint-keyed Parquet cache —
-            # the BM25 index-once-query-many convention — so repeated
-            # query batches pay ONE posting scan, not two); keep each
+            # the BM25 index-once-query-many convention); keep each
             # query's K rarest grams — deterministic (df, gram) order,
             # though ANY subset yields the same final answer. A query
             # gram ABSENT from the corpus keeps df = 0 and is kept
@@ -173,6 +220,63 @@ class TrigramSubstringSearch(Pipe):
             )
         else:
             sel = qgrams
+        # ONE tiny query-side planning job carries BOTH input-contract
+        # guards (pattern length >= 3 — an empty trigram set would
+        # silently match nothing; unique query ids — duplicates would
+        # POOL their patterns' grams into one n_need and silently
+        # under-match) AND, when enabled, the distinct selected grams
+        # for the index-scan pushdown. Deliberately NOT raise_error
+        # expressions inside the candidate plan: codegen subexpression
+        # elimination hoists a repeated raise_error CASE above the
+        # short-circuiting AND of any filter it's pushed into (observed
+        # via InferFiltersFromGenerate), and AQE's empty-relation
+        # propagation elides branches entirely when a join side is
+        # empty — a plan-folded guard both misfires and fails to fire.
+        guards = df.groupBy(F.col(self.query_id).alias("query_id")).agg(
+            F.count(F.lit(1)).alias("__npat"),
+            F.min(F.length(F.col(self.pattern_col))).alias("__minlen"),
+        ).groupBy().agg(
+            F.max("__npat").alias("max_dup"),
+            F.min("__minlen").alias("min_len"),
+        )
+        pushdown = bool(
+            self.materialize_index
+            and self.prune_grams
+            and self.gram_pushdown_max
+        )
+        if pushdown:
+            # bounded by |queries| x prune_grams distinct grams; the
+            # slice caps what reaches the driver
+            guards = guards.crossJoin(
+                sel.groupBy().agg(
+                    F.slice(
+                        F.sort_array(F.collect_set("gram")),
+                        1,
+                        self.gram_pushdown_max + 1,
+                    ).alias("__grams")
+                )
+            )
+        plan_row = guards.collect()[0]
+        if plan_row["min_len"] is not None and plan_row["min_len"] < 3:
+            raise ValueError(
+                "TrigramSubstringSearch: pattern shorter than 3 chars"
+                " has no trigram — it would need the full scan this"
+                " index exists to avoid. Filter or route short patterns"
+                " to a direct contains() scan."
+            )
+        if plan_row["max_dup"] is not None and plan_row["max_dup"] > 1:
+            raise ValueError(
+                "TrigramSubstringSearch: duplicate query_id — each id"
+                " must map to ONE pattern (pooled grams would"
+                " under-match)."
+            )
+        if pushdown and len(plan_row["__grams"]) <= self.gram_pushdown_max:
+            # a literal IN predicate on the gram-sorted index Parquet
+            # prunes row groups by min/max stats — the scan reads only
+            # the selected grams' posting slices
+            posting = posting.filter(
+                F.col("gram").isin(list(plan_row["__grams"]))
+            )
         need = sel.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_need")
         )
