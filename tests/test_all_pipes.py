@@ -71,7 +71,12 @@ from warp_pipes_spark.text.analysis import (
     QualityScore,
     TokenCount,
 )
-from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+from warp_pipes_spark.search.fuzzy import EditDistanceJoin
+from warp_pipes_spark.search.phrase import PhraseSearch
+from warp_pipes_spark.search.trigram import (
+    TrigramSimilaritySearch,
+    TrigramSubstringSearch,
+)
 from warp_pipes_spark.text.dedup import (
     ChunkDedupStats,
     ContainmentPairs,
@@ -157,6 +162,9 @@ def instantiate_all():
         RboAgreement(other=None),
         RobustStats("n_chars"),
         TrigramSubstringSearch(corpus=None),
+        TrigramSimilaritySearch(corpus=None),
+        EditDistanceJoin(d=1),
+        PhraseSearch(corpus=None),
     ]
 
 

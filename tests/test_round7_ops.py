@@ -173,8 +173,22 @@ def test_cached_results_bit_equal_and_reused(spark, sf_dir, tmp_path):
     )
     assert again == direct
     assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 1
-    # a different config (k) must MISS — no false sharing
-    cached_results(Bm25Search(corpus=docs, k=3), qs, cache_dir=cache).collect()
+    # a shallower k is SERVED from the same family entry by rank slice
+    # (round-8 k-prefix serving) — no new entry, still bit-identical
+    sliced = sorted(
+        map(
+            tuple,
+            cached_results(
+                Bm25Search(corpus=docs, k=3), qs, cache_dir=cache
+            ).collect(),
+        )
+    )
+    assert sliced == sorted(t for t in direct if t[1] <= 3)
+    assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 1
+    # a different NON-k config must MISS — no false sharing
+    cached_results(
+        Bm25Search(corpus=docs, k=5, b=0.5), qs, cache_dir=cache
+    ).collect()
     assert len([d for d in os.listdir(cache) if not d.startswith("_")]) == 2
 
 

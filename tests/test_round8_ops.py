@@ -94,3 +94,206 @@ def test_trigram_pushdown_and_materialization_invariance(spark, tmp_path):
         if not d.startswith(".") and os.path.isdir(os.path.join(cache, d))
     ]
     assert len(entries) >= 2  # posting + gram-df stats
+
+
+def test_robust_stats_nullable_value_col(spark):
+    # round-7 ADVICE: Spark sorts NULLS FIRST ascending, DuckDB NULLS
+    # LAST — NULLs are now split out before the cumulative windows and
+    # reported as n_null, so the median/MAD selection is engine-neutral
+    from warp_pipes_spark.pipes.validate import RobustStats
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", None), ("a", None),
+         ("b", 5), ("b", None)],
+        "source string, x int",
+    )
+    rows = {
+        r["source"]: r
+        for r in RobustStats(value_col="x", group_col="source")(df).collect()
+    }
+    a = rows["a"]
+    # non-null values 1,2,3: n=3, lower median 2, deviations {1,0,1}
+    # -> MAD 1, no value beyond 3*MAD=3 of the median
+    assert (a["n"], a["n_null"], a["median"], a["mad"], a["n_outliers"]) == (
+        3, 2, 2, 1, 0,
+    )
+    b = rows["b"]
+    assert (b["n"], b["n_null"], b["median"], b["mad"]) == (1, 1, 5, 0)
+
+
+def test_results_cache_k_prefix_serving(spark, tmp_path):
+    # a ranking cached at k=10 serves any k' <= 10 as a rank slice
+    # (deterministic tie-break => top-k' is a prefix of top-k); a k' > 10
+    # request recomputes and stores its own depth
+    import os
+
+    from warp_pipes_spark.search.bm25 import Bm25Search
+    from warp_pipes_spark.search.cached import cached_results
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"token{i % 7} token{i % 3} alpha beta gamma delta")
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(1, "token1 alpha"), (2, "token2 beta")], ["query_id", "text"]
+    )
+    cache = str(tmp_path / "results")
+    r10 = cached_results(
+        Bm25Search(corpus=docs, k=10), qs, cache_dir=cache
+    ).collect()
+    entries = sorted(os.listdir(cache))
+    assert len(entries) == 1 and entries[0].split("_k")[-1] == "10"
+    # k=5 request: served by slicing the k=10 entry — no new entry
+    r5 = cached_results(
+        Bm25Search(corpus=docs, k=5), qs, cache_dir=cache
+    ).collect()
+    assert sorted(os.listdir(cache)) == entries
+    direct5 = Bm25Search(corpus=docs, k=5)(qs).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["idx"]) for r in rows)
+    assert key(r5) == key(direct5)
+    assert key(r5) == key([r for r in r10 if r["rank"] <= 5])
+    # k=20 request: deeper than anything cached -> recompute + store
+    cached_results(Bm25Search(corpus=docs, k=20), qs, cache_dir=cache)
+    assert any(e.endswith("_k20") for e in os.listdir(cache))
+    # a DIFFERENT engine config (b changed) must not serve from the family
+    cached_results(Bm25Search(corpus=docs, k=5, b=0.5), qs, cache_dir=cache)
+    assert len(os.listdir(cache)) == 3
+
+
+def test_prf_results_cache_route_matches_direct(spark):
+    from warp_pipes_spark.search.prf import PrfBm25Search
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 5} beta{i % 3} gamma delta epsilon zeta")
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha1 gamma"), (2, "beta2 delta")], ["query_id", "text"]
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["idx"]) for r in rows
+    )
+    direct = PrfBm25Search(corpus=docs, k=5, fb_k=3, fb_terms=2)(qs).collect()
+    routed = PrfBm25Search(
+        corpus=docs, k=5, fb_k=3, fb_terms=2, use_results_cache=True
+    )(qs).collect()
+    assert key(direct) == key(routed)
+
+
+def test_trigram_similarity_closed_form(spark):
+    from warp_pipes_spark.search.trigram import TrigramSimilaritySearch
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcxyz"), (3, "zzzzzz")], ["doc_id", "text"]
+    )
+    # query 'abcd': grams {abc,bcd} (nq=2)
+    # doc 1 grams {abc,bcd,cde,def} (nd=4): inter=2 -> 2/(2+4-2)=0.5
+    # doc 2 grams {abc,bcx,cxy,xyz} (nd=4): inter=1 -> 1/(2+4-1)=0.2
+    # doc 3 grams {zzz} : inter=0 -> excluded
+    qs = spark.createDataFrame([(9, "abcd")], ["query_id", "pattern"])
+    out = {
+        r["doc_id"]: r["sim"]
+        for r in TrigramSimilaritySearch(
+            corpus=docs, tau=0.2, materialize_index=False
+        )(qs).collect()
+    }
+    assert out == {1: 0.5, 2: 0.2}
+    # tau above 0.2 drops doc 2
+    out2 = TrigramSimilaritySearch(
+        corpus=docs, tau=0.21, materialize_index=False
+    )(qs).collect()
+    assert [(r["doc_id"], r["sim"]) for r in out2] == [(1, 0.5)]
+    import pytest
+
+    with pytest.raises(ValueError, match="tau"):
+        TrigramSimilaritySearch(corpus=docs, tau=0.0)
+
+
+def test_edit_distance_join_closed_form(spark):
+    from warp_pipes_spark.search.fuzzy import EditDistanceJoin
+
+    rows = [
+        (1, "customer_001"),
+        (2, "customer_002"),   # dist 1 to id 1
+        (3, "customer_0021"),  # dist 1 to id 2 (insert '1') AND to id 1 (insert '2')
+        (4, "completely_other"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in EditDistanceJoin(d=1)(df).collect()
+    )
+    assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+    out2 = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in EditDistanceJoin(d=2)(df).collect()
+    )
+    assert out2 == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+
+
+def test_edit_distance_join_repetitive_short_bucket(spark):
+    # 'aaaa' vs 'aaba': ed = 1 but they share ZERO trigrams — only the
+    # <=3d-distinct-grams short bucket can find this pair; a pure
+    # prefix-filter join would silently miss it
+    from warp_pipes_spark.search.fuzzy import EditDistanceJoin
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaba"), (3, "ab"), (4, "ba"), (5, "wholly_unrelated_string")],
+        ["id", "s"],
+    )
+    out = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in EditDistanceJoin(d=1)(df).collect()
+    )
+    # (1,2): ed 1 via short bucket; (3,4): 'ab'->'ba' is ed 2, excluded;
+    # grams of 'ab'/'ba' are empty -> short bucket handles them too
+    assert out == [(1, 2, 1)]
+    out2 = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in EditDistanceJoin(d=2)(df).collect()
+    )
+    assert (3, 4, 2) in out2 and (1, 2, 1) in out2
+
+
+def test_phrase_search_closed_form_and_guards(spark):
+    import pytest
+
+    from warp_pipes_spark.search.phrase import PhraseSearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "brown quick the fox"),       # all terms, wrong order
+            (3, "THE   Quick, Brown dog"),    # normalization: matches 'the quick brown'
+            (4, "the quick quick brown fox"), # repeated term between -> no adjacency
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(10, "The Quick  BROWN"), (20, "quick brown fox"), (30, "fox jumps")],
+        ["query_id", "phrase"],
+    )
+    out = sorted(
+        map(tuple, PhraseSearch(corpus=docs, materialize_index=False)(qs).collect())
+    )
+    assert out == [(10, 1), (10, 3), (20, 1), (20, 4), (30, 1)]
+    # repeated-token phrase: adjacency must require BOTH offsets
+    rep = spark.createDataFrame([(1, "quick quick")], ["query_id", "phrase"])
+    out2 = PhraseSearch(corpus=docs, materialize_index=False)(rep).collect()
+    assert [tuple(r) for r in out2] == [(1, 4)]
+    with pytest.raises(ValueError, match="ZERO tokens"):
+        PhraseSearch(corpus=docs, materialize_index=False)(
+            spark.createDataFrame([(1, "!!!")], ["query_id", "phrase"])
+        )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        PhraseSearch(corpus=docs, materialize_index=False)(
+            spark.createDataFrame(
+                [(1, "quick"), (1, "brown")], ["query_id", "phrase"]
+            )
+        )

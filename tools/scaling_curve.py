@@ -55,6 +55,11 @@ DEFAULT_QUERIES = [
     "q196_cluster_size_profile",
     "q217_dirichlet_ql",
     "q223_vocabulary_profile",
+    # round-8: sub-quadratic fuzzy self-join + the cached eval tier
+    # (whose warm_s rows measure the results-cache claim directly)
+    "q230_fuzzy_join",
+    "q129_mrr_eval",
+    "q174_prf_expansion",
 ]
 
 SCALES = [
@@ -129,6 +134,49 @@ def _fixed_makers():
             corpus=recon, k=5, exclude_self=True, dim=64
         )(qs)
 
+    def trigram_fixed(spark, sf):
+        from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+        docs = T(spark, sf, "documents")
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0)
+            & (F.length("text") >= 90)
+            & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 50, 40).alias("pattern"),
+        )
+        return TrigramSubstringSearch(corpus=docs)(qs)
+
+    def trgm_sim_fixed(spark, sf):
+        from warp_pipes_spark.search.trigram import TrigramSimilaritySearch
+
+        docs = T(spark, sf, "documents")
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0)
+            & (F.length("text") >= 90)
+            & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 50, 40).alias("pattern"),
+        )
+        return TrigramSimilaritySearch(corpus=docs, tau=0.25)(qs)
+
+    def phrase_fixed(spark, sf):
+        from warp_pipes_spark.search.phrase import PhraseSearch
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        docs = T(spark, sf, "documents")
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(tokens_expr(F.col("text")), 1, 3), " "
+            ).alias("phrase"),
+        )
+        return PhraseSearch(corpus=docs)(qs)
+
     return {
         "bm25_fixed_batch": bm25_fixed,
         "ql_fixed_batch": ql_fixed,
@@ -136,6 +184,9 @@ def _fixed_makers():
         "matryoshka_fixed_batch": matryoshka_fixed,
         "ivf_fixed_batch": ivf_fixed,
         "sq8_fixed_batch": sq8_fixed,
+        "trigram_fixed_batch": trigram_fixed,
+        "trgm_sim_fixed_batch": trgm_sim_fixed,
+        "phrase_fixed_batch": phrase_fixed,
     }
 
 

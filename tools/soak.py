@@ -28,6 +28,17 @@ DEFAULT_QUERIES = [
 NONZERO_QUERIES = {"q201_kcore_dense", "q97_pagerank",
                    "q133_connected_components", "q28_minhash_dedup"}
 
+# Eval-tier queries riding the retrieval results cache: their in-catalog
+# soak row is order-dependent (the first payer is cold, later riders are
+# warm), so after the main pass each is re-measured BOTH ways — cache
+# wiped (cold_s) and immediately re-run (warm_s) — and recorded
+# separately (round-7 judge ask).
+EVAL_TIER = [
+    "q129_mrr_eval", "q138_hybrid_rrf", "q139_ndcg_eval",
+    "q141_rerank_cascade", "q174_prf_expansion", "q219_ranker_agreement",
+    "q226_rbo_agreement",
+]
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
@@ -71,12 +82,42 @@ def main():
             print(f"SOAK {name} FAILED {type(e).__name__}: {e}", flush=True)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+    def _force(name):
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        d = QUERIES[name].fn(spark, sf_dir).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        d.write.format("noop").mode("overwrite").save()
+        return obs.get["n"]
+
+    eval_cw = {}
+    for name in [n for n in EVAL_TIER if n in names]:
+        try:
+            clear_results_cache()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(name)
+            cold = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(name)
+            warm = round(time.perf_counter() - t0, 2)
+            eval_cw[name] = {"cold_s": cold, "warm_s": warm}
+            print(f"SOAK-EVAL {name} cold={cold}s warm={warm}s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            eval_cw[name] = {"error": f"{type(e).__name__}: {e}"}
+        spark.sparkContext._jvm.System.gc()
+
     out = {
         "metric": "sf1_soak_wall",
         "value": round(sum(t for t in timings.values() if t), 2),
         "unit": "sec",
         "queries": timings,
         "rows": rows,
+        "eval_cold_warm": eval_cw,
         "sf": 1.0,
         "copies": 10,
         "source": "tools/gen_scale.py from sf0.1; runner tools/soak.py",

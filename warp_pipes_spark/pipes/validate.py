@@ -646,9 +646,19 @@ class RobustStats(Pipe):
         D = "decimal(18,6)"
         g = F.col(self.group_col).alias("grp")
         x = F.col(self.value_col).cast("long")
-        vc = df.select(g, x.alias("v")).groupBy("grp", "v").agg(
+        # NULLs are split out of the value-count table BEFORE the
+        # cumulative windows (and reported as n_null): Spark orders
+        # NULLS FIRST ascending while DuckDB orders NULLS LAST, so a
+        # nullable value column would shift the lower-median/MAD
+        # selection differently per engine; n/median/mad/outliers are
+        # statistics of the NON-NULL values in both.
+        vc_all = df.select(g, x.alias("v")).groupBy("grp", "v").agg(
             F.count(F.lit(1)).alias("c")
         )
+        nullc = vc_all.filter(F.col("v").isNull()).select(
+            "grp", F.col("c").alias("n_null")
+        )
+        vc = vc_all.filter(F.col("v").isNotNull())
 
         def lower_median(vals: DataFrame) -> DataFrame:
             """(grp, v, c) -> (grp, n, med): smallest v with
@@ -697,9 +707,13 @@ class RobustStats(Pipe):
         )
         return (
             base.join(out_cnt, "grp", "left")
+            .join(nullc, "grp", "left")
             .select(
                 F.col("grp").alias(self.group_col),
                 F.col("n").cast("long").alias("n"),
+                F.coalesce(F.col("n_null"), F.lit(0))
+                .cast("long")
+                .alias("n_null"),
                 F.col("med").cast("long").alias("median"),
                 F.col("mad").cast("long").alias("mad"),
                 F.coalesce(F.col("n_out"), F.lit(0))
@@ -725,10 +739,12 @@ def robust_stats_sql(
     """DuckDB oracle for :class:`RobustStats` — identical integer
     lower-median / MAD chain and the single rounded division."""
     return f"""
-WITH vc AS MATERIALIZED (
+WITH vc_all AS MATERIALIZED (
   SELECT {group} AS grp, CAST({value} AS BIGINT) AS v, COUNT(*) AS c
   FROM {table} GROUP BY 1, 2
 ),
+nullc AS (SELECT grp, c AS n_null FROM vc_all WHERE v IS NULL),
+vc AS (SELECT * FROM vc_all WHERE v IS NOT NULL),
 cum AS (
   SELECT grp, v,
          SUM(c) OVER (PARTITION BY grp ORDER BY v
@@ -763,6 +779,7 @@ outc AS (
 )
 SELECT b.grp AS {group},
        CAST(b.n AS BIGINT) AS n,
+       CAST(COALESCE(nl.n_null, 0) AS BIGINT) AS n_null,
        CAST(b.med AS BIGINT) AS median,
        CAST(b.mad AS BIGINT) AS mad,
        CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers,
@@ -770,4 +787,5 @@ SELECT b.grp AS {group},
                  / CAST(b.n AS DOUBLE)
             AS DECIMAL(18,6)) AS DOUBLE) AS outlier_rate
 FROM base b LEFT JOIN outc o USING (grp)
+             LEFT JOIN nullc nl USING (grp)
 """

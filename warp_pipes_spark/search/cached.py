@@ -64,7 +64,16 @@ def cached_results(
     ``pipe`` must carry its corpus as ``pipe.corpus`` (the engine
     convention); the cache key combines the query batch's and corpus's
     plan fingerprints with the pipe config fingerprint, so any change to
-    corpus content, query batch, or ranking constants recomputes."""
+    corpus content, query batch, or ranking constants recomputes.
+
+    k-PREFIX SERVING: entries are keyed by the engine config WITHOUT its
+    ``k`` (the family key) with the depth recorded in the entry name, so
+    a request at k can be served from any cached run of the same family
+    at k' >= k by a rank slice — these engines rank deterministically
+    (score desc, id asc tie-break), so the top-k list IS a prefix of the
+    top-k' list. An MRR@10 panel after a fused k=20 run costs one
+    filtered read, not a retrieval. Engines without an integer ``k`` or
+    a ``rank`` output column fall back to exact-config memoization."""
     manager = CacheManager(cache_dir or results_cache_dir())
     input_fp = get_fingerprint(
         {
@@ -73,4 +82,50 @@ def cached_results(
             "corpus": fingerprint_dataframe(pipe.corpus),
         }
     )
-    return CachedPipe(pipe, manager, input_fingerprint=input_fp)(queries)
+    k = getattr(pipe, "k", None)
+    if not isinstance(k, int) or k <= 0:
+        return CachedPipe(pipe, manager, input_fingerprint=input_fp)(queries)
+    struct = dict(pipe.to_json_struct())
+    struct.pop("k", None)
+    family = get_fingerprint(
+        {"op": "search_results_family_v1", "input": input_fp, "pipe": struct}
+    )
+    prefix = family + "_k"
+    spark = queries.sparkSession
+    # smallest cached depth that covers the request = cheapest read
+    best = None
+    try:
+        names = os.listdir(manager.cache_dir)
+    except OSError:
+        names = []
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        try:
+            cached_k = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if cached_k >= k and manager.exists(name) and (
+            best is None or cached_k < best
+        ):
+            best = cached_k
+    if best is not None:
+        out = manager.load(spark, f"{prefix}{best}")
+        if best > k:
+            from pyspark.sql import functions as F
+
+            out = out.filter(F.col("rank") <= k)
+        return out
+    out = pipe(queries)
+    if "rank" not in out.columns:
+        from warp_pipes_spark.core.fingerprint import combine_fingerprints
+
+        return manager.get_or_compute(
+            spark,
+            combine_fingerprints(input_fp, pipe.fingerprint),
+            lambda: out,
+            meta={"pipe": type(pipe).__name__},
+        )
+    return manager.store(
+        out, f"{prefix}{k}", meta={"pipe": type(pipe).__name__, "k": k}
+    )

@@ -1,0 +1,197 @@
+"""Bounded-edit-distance self-join via q-gram prefix filtering (ED-Join).
+
+The naive "find all string pairs within Levenshtein distance d" is an
+all-pairs O(n^2) cross join — at 100 TB string-identity scale (customer
+names, product codes, URLs) that's the canonical never-do. The classic
+sub-quadratic fix (Gravano et al. 2001 approximate string joins;
+Xiao, Wang & Lin 2008 ED-Join; the same prefix-filtering family as
+PPJoin) exploits two facts about character q-grams (q = 3 here):
+
+* COUNT BOUND: one edit changes at most q gram positions, so at most q
+  DISTINCT gram values can disappear from a string's gram set —
+  ed(a, b) <= d implies |G(a) ∩ G(b)| >= max(|G(a)|, |G(b)|) - q*d.
+* PREFIX FILTER: order all grams by one global total order (document
+  frequency ascending, gram ascending — rarest first); if two SETS
+  overlap by at least alpha, their (|G| - alpha + 1)-prefixes under
+  that order must intersect. With alpha = |G| - q*d the prefix length
+  is q*d + 1, so a pair within distance d MUST share a gram among each
+  side's q*d + 1 RAREST grams.
+
+Candidate generation therefore joins only the rare-gram prefixes
+(df-bounded fan-out — the hot grams every row shares never enter the
+join), applies the free length filter |len(a) - len(b)| <= d, and one
+exact ``levenshtein`` verify over the bounded pair set gives results
+identical to the naive join. Strings with <= q*d distinct grams carry
+no prefix signal (ALL their grams can be destroyed by d edits — e.g.
+"aaaa" -> "aaba" shares zero grams at d = 1); they form a SHORT bucket
+that broadcast-cross-joins against everything — correct for the
+short/repetitive tail, and bounded because such strings are rare in
+identity-like columns.
+
+NOTE the plain 2-arg ``levenshtein`` is used deliberately: Spark's
+3-arg bounded variant measured SLOWER than the full computation on
+this workload shape.
+
+The DuckDB oracle is the NAIVE self join (``levenshtein(a, b) <= d``),
+so the differential proves the pruned path is pair-identical.
+
+Reference anchor: search/dedup-family extension — the edit-distance
+sibling of the MinHash band join (``text/dedup.py``) and the trigram
+substring index (``search/trigram.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+from warp_pipes_spark.search.trigram import grams_expr
+
+
+class EditDistanceJoin(Pipe):
+    """Self-join: input df = (``id_col``, ``string_col``); output =
+    (id_a, id_b, dist) for every UNORDERED pair (id_a < id_b) of rows
+    whose strings are within Levenshtein distance ``d``, identical to
+    the naive cross join. ``q`` is fixed at 3 (shared trigram
+    machinery)."""
+
+    Q = 3
+
+    def __init__(
+        self,
+        d: int = 1,
+        id_col: str = "id",
+        string_col: str = "s",
+        **kwargs,
+    ):
+        if d < 1:
+            raise ValueError(f"need d >= 1, got {d}")
+        super().__init__(**kwargs)
+        self.d = d
+        self.id_col = id_col
+        self.string_col = string_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark import StorageLevel
+
+        prefix_len = self.Q * self.d + 1
+        base = (
+            df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.string_col).alias("s"),
+                F.length(self.string_col).alias("len"),
+                grams_expr(F.col(self.string_col)).alias("__g"),
+            )
+            .withColumn("ng", F.size("__g"))
+            # base feeds the short bucket, the prefix join AND the
+            # gram-df pass — persist so the source scans + gram arrays
+            # materialize once (bench/soak clear storage between queries)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # short/repetitive strings (<= q*d distinct grams) carry no
+        # prefix signal — bucket them for a broadcast verify vs all
+        short = base.filter(F.col("ng") <= self.Q * self.d).select(
+            F.col("id").alias("id_a"),
+            F.col("s").alias("s_a"),
+            F.col("len").alias("len_a"),
+        )
+        long_ = base.filter(F.col("ng") > self.Q * self.d)
+        g = long_.select("id", F.explode("__g").alias("gram"))
+        # global gram order: document frequency asc, gram asc (rarest
+        # first) — one map-side-combined pass over the exploded grams
+        df_tbl = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("gram"))
+        pfx = (
+            g.join(df_tbl, "gram")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= prefix_len)
+            .select("id", "gram")
+        )
+        sides = pfx.join(
+            long_.select("id", "s", "len"), "id"
+        )
+        a = sides.select(
+            F.col("id").alias("id_a"),
+            F.col("s").alias("s_a"),
+            F.col("len").alias("len_a"),
+            "gram",
+        )
+        b = sides.select(
+            F.col("id").alias("id_b"),
+            F.col("s").alias("s_b"),
+            F.col("len").alias("len_b"),
+            "gram",
+        )
+        cand = (
+            a.join(b, "gram")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (
+                    F.abs(F.col("len_a") - F.col("len_b"))
+                    <= F.lit(self.d)
+                )
+            )
+            .select("id_a", "s_a", "id_b", "s_b")
+            .distinct()
+        )
+        # short bucket: verify against EVERYTHING (both orientations of
+        # short-long pairs collapse under the id_a < id_b convention)
+        allrows = base.select(
+            F.col("id").alias("id_b"),
+            F.col("s").alias("s_b"),
+            F.col("len").alias("len_b"),
+        )
+        short_cand = (
+            F.broadcast(short)
+            .join(
+                allrows,
+                (F.col("id_a") != F.col("id_b"))
+                & (
+                    F.abs(F.col("len_a") - F.col("len_b"))
+                    <= F.lit(self.d)
+                ),
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("s_a"))
+                .otherwise(F.col("s_b"))
+                .alias("s_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("s_b"))
+                .otherwise(F.col("s_a"))
+                .alias("s_b"),
+            )
+            .distinct()
+        )
+        verify = cand.unionByName(short_cand).distinct()
+        return (
+            verify.withColumn(
+                "dist", F.levenshtein(F.col("s_a"), F.col("s_b"))
+            )
+            .filter(F.col("dist") <= F.lit(self.d))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("dist").cast("int").alias("dist"),
+            )
+        )
+
+
+def edit_distance_join_sql(
+    rows_sql: str,
+    d: int = 1,
+    id_col: str = "id",
+    string_col: str = "s",
+) -> str:
+    """DuckDB oracle for :class:`EditDistanceJoin` — the NAIVE all-pairs
+    self join the pruned path must exactly reproduce."""
+    return f"""
+WITH r AS ({rows_sql})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(levenshtein(a.{string_col}, b.{string_col}) AS INTEGER) AS dist
+FROM r a JOIN r b ON a.{id_col} < b.{id_col}
+WHERE levenshtein(a.{string_col}, b.{string_col}) <= {d}
+"""

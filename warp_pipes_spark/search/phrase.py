@@ -1,0 +1,199 @@
+"""Exact phrase search over a positional inverted index.
+
+The ``match_phrase`` sibling of the BM25 engine: a document matches
+phrase t_0 .. t_{k-1} iff some position p has token t_i at p + i for
+every i. Elasticsearch serves this from term positions stored in the
+inverted index; the reference drives exactly that engine surface
+(``warp_pipes/support/elasticsearch.py`` es_search bodies are ``match``
+queries — phrase is the adjacency-constrained sibling), so this
+operator re-expresses it Spark-first.
+
+Plan shape (100 TB posture mirrors ``search/trigram.py``):
+
+* the POSITIONAL posting (term, doc_id, pos) is built once per corpus
+  fingerprint and materialized range-clustered by term — repeated
+  phrase batches never re-tokenize the corpus;
+* each phrase explodes to (query_id, i, term) rows (tiny) that
+  BROADCAST into the posting; every hit projects the candidate anchor
+  ``base = pos - i``, so the adjacency test is ONE map-side-combined
+  aggregation — a doc matches iff some (query, doc, base) group saw
+  all k distinct offsets (no k-way self-join chain, no text re-scan);
+* matched (query, doc) pairs come straight off the aggregation —
+  document text is never touched after indexing.
+
+The DuckDB oracle re-normalizes both sides with the SAME tokenizer
+(``text/analysis.py`` tokens_sql) and does the naive
+`` ' '||join(tokens)||' ' LIKE '% phrase %' `` scan, so the
+differential proves the positional-index path is scan-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warp_pipes_spark.core.pipe import Pipe
+
+
+def phrase_cache_dir() -> str:
+    """Override with ``WPS_PHRASE_CACHE_DIR`` (shared storage on a
+    cluster so every driver reuses the positional index)."""
+    return os.environ.get(
+        "WPS_PHRASE_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "warp_pipes_spark_phrase"),
+    )
+
+
+class PhraseSearch(Pipe):
+    """Input df = (``query_id``, ``phrase``) free-text phrases (>= 1
+    token after normalization — all-punctuation phrases raise from the
+    planning job); output = (query_id, doc_id) for every corpus
+    document containing the phrase's tokens CONSECUTIVELY, identical
+    to the naive normalized-text scan."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        corpus_id: str = "doc_id",
+        corpus_text: str = "text",
+        query_id: str = "query_id",
+        phrase_col: str = "phrase",
+        materialize_index: bool = True,
+        index_cache_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.corpus_id = corpus_id
+        self.corpus_text = corpus_text
+        self.query_id = query_id
+        self.phrase_col = phrase_col
+        self.materialize_index = materialize_index
+        self.index_cache_dir = index_cache_dir or phrase_cache_dir()
+
+    _no_fingerprint = ("corpus",)
+
+    def _index_fingerprint(self) -> str:
+        from warp_pipes_spark.core.fingerprint import (
+            fingerprint_dataframe,
+            get_fingerprint,
+        )
+
+        return get_fingerprint(
+            {
+                "op": "phrase_posting_v1",
+                "corpus": fingerprint_dataframe(self.corpus),
+                "id": self.corpus_id,
+                "text": self.corpus_text,
+            }
+        )
+
+    def _posting(self) -> DataFrame:
+        """(term, doc_id, pos) positional posting, materialized once per
+        corpus fingerprint, range-clustered by term."""
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        built = self.corpus.select(
+            F.col(self.corpus_id).alias("doc_id"),
+            F.posexplode(tokens_expr(F.col(self.corpus_text))).alias(
+                "pos", "term"
+            ),
+        )
+        if not self.materialize_index:
+            return built
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = CacheManager(self.index_cache_dir)
+        fp = self._index_fingerprint()
+        if not manager.exists(fp):
+            manager.store(
+                built.repartitionByRange("term").sortWithinPartitions(
+                    "term"
+                ),
+                fp,
+            )
+        return manager.load(self.corpus.sparkSession, fp)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.analysis import tokens_expr
+
+        qtok = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.posexplode(tokens_expr(F.col(self.phrase_col))).alias(
+                "i", "term"
+            ),
+        )
+        # one tiny query-side planning job: phrase length per query
+        # (the adjacency count target) + both contract guards — same
+        # single-job discipline as TrigramSubstringSearch
+        need = qtok.groupBy("query_id").agg(
+            F.countDistinct("i").alias("k")
+        )
+        probe = df.select(
+            F.countDistinct(F.col(self.query_id)).alias("n"),
+            F.count(F.lit(1)).alias("total"),
+        ).crossJoin(need.groupBy().agg(F.count(F.lit(1)).alias("m")))
+        row = probe.collect()[0]
+        if (row["total"] or 0) != (row["n"] or 0):
+            raise ValueError(
+                "PhraseSearch: duplicate query_id — each id must map to"
+                " ONE phrase (pooled tokens would corrupt the adjacency"
+                " count)."
+            )
+        if (row["n"] or 0) != (row["m"] or 0):
+            raise ValueError(
+                "PhraseSearch: some phrase normalizes to ZERO tokens —"
+                " it would silently match nothing. Filter empty/"
+                "all-punctuation phrases first."
+            )
+        posting = self._posting()
+        hits = (
+            posting.join(F.broadcast(qtok), "term")
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("pos") - F.col("i")).alias("base"),
+                "i",
+            )
+            .groupBy("query_id", "doc_id", "base")
+            .agg(F.count_distinct(F.col("i")).alias("got"))
+        )
+        return (
+            hits.join(F.broadcast(need), "query_id")
+            .filter(F.col("got") == F.col("k"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+
+
+def phrase_search_sql(
+    corpus_table: str,
+    queries_sql: str,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    query_id: str = "query_id",
+    phrase: str = "phrase",
+) -> str:
+    """DuckDB oracle for :class:`PhraseSearch` — normalize both sides
+    with the shared tokenizer and do the NAIVE padded-LIKE scan the
+    positional index must exactly reproduce."""
+    from warp_pipes_spark.text.analysis import tokens_sql
+
+    return f"""
+WITH q AS (
+  SELECT {query_id} AS query_id,
+         ' ' || array_to_string({tokens_sql(phrase)}, ' ') || ' ' AS needle
+  FROM ({queries_sql})
+),
+d AS (
+  SELECT {corpus_id} AS doc_id,
+         ' ' || array_to_string({tokens_sql(corpus_text)}, ' ') || ' ' AS hay
+  FROM {corpus_table}
+)
+SELECT q.query_id, d.doc_id
+FROM q JOIN d ON contains(d.hay, q.needle)
+"""

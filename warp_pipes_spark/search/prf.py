@@ -46,6 +46,7 @@ class PrfBm25Search(Pipe):
         fb_k: int = 5,
         fb_terms: int = 3,
         fb_champion_size: int | None = None,
+        use_results_cache: bool = False,
         corpus_id: str = "doc_id",
         corpus_text: str = "text",
         query_id: str = "query_id",
@@ -68,6 +69,7 @@ class PrfBm25Search(Pipe):
         self.fb_k = fb_k
         self.fb_terms = fb_terms
         self.fb_champion_size = fb_champion_size
+        self.use_results_cache = use_results_cache
         self.corpus_id = corpus_id
         self.corpus_text = corpus_text
         self.query_id = query_id
@@ -92,13 +94,24 @@ class PrfBm25Search(Pipe):
         # fb_champion_size=C the first pass streams at most C postings per
         # query term instead of every posting — the difference between 2x
         # and ~1x the cost of a single BM25 pass
-        first = Bm25Search(
+        first_engine = Bm25Search(
             corpus=self.corpus,
             k=self.fb_k,
             champion_size=self.fb_champion_size,
             corpus_id=self.corpus_id,
             corpus_text=self.corpus_text,
-        )(df)
+        )
+        if self.use_results_cache:
+            # the feedback pass is the SAME (corpus x queries) ranking
+            # the eval-tier panels compute — with k-prefix serving
+            # (search/cached.py) a prior k >= fb_k run of the same
+            # engine family serves top-fb_k as a rank slice, so pass 1
+            # costs one filtered read instead of a full scoring fan-out
+            from warp_pipes_spark.search.cached import cached_results
+
+            first = cached_results(first_engine, df)
+        else:
+            first = first_engine(df)
         fbtok = first.join(
             self.corpus.select(
                 F.col(self.corpus_id).alias("idx"),

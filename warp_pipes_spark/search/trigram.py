@@ -319,3 +319,154 @@ SELECT q.{query_id} AS query_id, d.{corpus_id} AS doc_id
 FROM ({queries_sql}) q
 JOIN {corpus_table} d ON contains(d.{corpus_text}, q.{pattern})
 """
+
+
+class TrigramSimilaritySearch(Pipe):
+    """pg_trgm's ``%`` operator as a Spark operator: trigram-set Jaccard
+    similarity search. Input df = (``query_id``, ``pattern``) strings;
+    output = (query_id, doc_id, sim) for every corpus document whose
+    DISTINCT-trigram Jaccard similarity with the pattern is >= ``tau``
+    (PostgreSQL's ``similarity() >= pg_trgm.similarity_threshold``).
+
+    Plan shape: any doc with sim >= tau > 0 shares at least one trigram
+    with the query, so the candidate set is exactly the inverted-index
+    join — the query's grams broadcast into the (materialized,
+    gram-clustered) posting, a map-side-combined count gives the
+    intersection size per (query, doc), and the per-doc distinct-gram
+    counts come from a corpus-fingerprint-cached stats table, so the
+    similarity is computed WITHOUT touching document text: sim =
+    inter / (n_q + n_d - inter), exact integer inputs and ONE division
+    rounded through DECIMAL(18,6) (engine-neutral).
+
+    The DuckDB oracle replays the same distinct-gram Jaccard over the
+    naive (queries x corpus) cross join, so the differential proves the
+    index path loses no document above the threshold.
+
+    Reference anchor: search-family extension alongside
+    :class:`TrigramSubstringSearch` (``search/bm25.py`` is the
+    word-granular scored sibling)."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        tau: float = 0.3,
+        corpus_id: str = "doc_id",
+        corpus_text: str = "text",
+        query_id: str = "query_id",
+        pattern_col: str = "pattern",
+        materialize_index: bool = True,
+        index_cache_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        if not 0.0 < tau <= 1.0:
+            raise ValueError(f"tau must be in (0, 1], got {tau}")
+        super().__init__(**kwargs)
+        self.corpus = corpus
+        self.tau = tau
+        self.corpus_id = corpus_id
+        self.corpus_text = corpus_text
+        self.query_id = query_id
+        self.pattern_col = pattern_col
+        self.materialize_index = materialize_index
+        self.index_cache_dir = index_cache_dir or trigram_cache_dir()
+
+    _no_fingerprint = ("corpus",)
+
+    # share the posting/stats builders (and their cache keys) with the
+    # substring engine — one index serves both operators
+    _index_fingerprint = TrigramSubstringSearch._index_fingerprint
+    _posting = TrigramSubstringSearch._posting
+
+    def _doc_gram_counts(self, posting: DataFrame) -> DataFrame:
+        """doc_id -> distinct-trigram count, derived from the posting
+        (already per-doc distinct) and cached under the corpus
+        fingerprint like the gram-df stats table."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        built = posting.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__nd")
+        )
+        if not self.materialize_index:
+            return built
+        manager = CacheManager(self.index_cache_dir)
+        fp = self._index_fingerprint() + "_ndoc"
+        if not manager.exists(fp):
+            manager.store(built, fp)
+        return manager.load(self.corpus.sparkSession, fp)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        D = "decimal(18,6)"
+        qg = df.select(
+            F.col(self.query_id).alias("query_id"),
+            grams_expr(F.col(self.pattern_col)).alias("__g"),
+        ).select(
+            "query_id",
+            F.size("__g").alias("__nq"),
+            F.explode("__g").alias("gram"),
+        )
+        posting = self._posting()
+        inter = (
+            posting.join(F.broadcast(qg), "gram")
+            .groupBy("query_id", "doc_id", "__nq")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        nd = self._doc_gram_counts(posting)
+        sim = (
+            F.col("__inter").cast("double")
+            / (F.col("__nq") + F.col("__nd") - F.col("__inter")).cast(
+                "double"
+            )
+        ).cast(D)
+        return (
+            inter.join(nd, "doc_id")
+            .select(
+                "query_id",
+                "doc_id",
+                sim.cast("double").alias("sim"),
+            )
+            .filter(F.col("sim") >= F.lit(float(self.tau)))
+        )
+
+
+def trigram_similarity_sql(
+    corpus_table: str,
+    queries_sql: str,
+    tau: float = 0.3,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    query_id: str = "query_id",
+    pattern: str = "pattern",
+) -> str:
+    """DuckDB oracle for :class:`TrigramSimilaritySearch` — the NAIVE
+    cross-join distinct-trigram Jaccard the index path must exactly
+    reproduce (same single DECIMAL(18,6)-rounded division)."""
+
+    def grams(col: str) -> str:
+        return (
+            f"list_distinct(list_transform(range(1, length({col}) - 1),"
+            f" i -> substr({col}, CAST(i AS INTEGER), 3)))"
+        )
+
+    return f"""
+WITH q AS (SELECT {query_id} AS query_id,
+                  {grams(pattern)} AS qg
+           FROM ({queries_sql})),
+d AS (SELECT {corpus_id} AS doc_id,
+             {grams(corpus_text)} AS dg
+      FROM {corpus_table}),
+pairs AS (
+  SELECT q.query_id, d.doc_id,
+         len(list_intersect(q.qg, d.dg)) AS inter,
+         len(q.qg) AS nq, len(d.dg) AS nd
+  FROM q CROSS JOIN d
+)
+SELECT query_id, doc_id,
+       CAST(CAST(CAST(inter AS DOUBLE)
+                 / CAST(nq + nd - inter AS DOUBLE)
+            AS DECIMAL(18,6)) AS DOUBLE) AS sim
+FROM pairs
+WHERE inter > 0
+  AND CAST(CAST(CAST(inter AS DOUBLE)
+                / CAST(nq + nd - inter AS DOUBLE)
+           AS DECIMAL(18,6)) AS DOUBLE) >= {tau}
+"""
