@@ -84,10 +84,17 @@ class PrfBm25Search(Pipe):
         # idx, score) regardless of its query_id parameter — normalize
         # the input once so configured column names work end to end
         qid, qtext = "query_id", "text"
-        df = df.select(
-            F.col(self.query_id).alias(qid),
-            F.col(self.query_text).alias(qtext),
-        )
+        if (self.query_id, self.query_text) != (qid, qtext) or list(
+            df.columns
+        ) != [qid, qtext]:
+            # skipped when already normalized: an extra no-op Project
+            # changes the plan fingerprint and would make the feedback
+            # pass MISS the eval tier's cached ranking of the very same
+            # query frame
+            df = df.select(
+                F.col(self.query_id).alias(qid),
+                F.col(self.query_text).alias(qtext),
+            )
         # the feedback pass needs only top-fb_k docs per query, which is
         # exactly what a champion list prunes the postings index for (the
         # q106 composition the round-4 judge asked for): with
