@@ -220,9 +220,17 @@ def main() -> None:
     clear_results_cache()
 
 
-    makers = {name: QUERIES[name].fn for name in names}
+    fixed = _fixed_makers()
+    makers = {}
+    for name in names:
+        if name in fixed:
+            makers[name] = fixed[name]
+        elif name == "FIXED":  # all fixed-batch makers
+            makers.update(fixed)
+        else:
+            makers[name] = QUERIES[name].fn
     if len(sys.argv) <= 1:
-        makers.update(_fixed_makers())
+        makers.update(fixed)
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -266,13 +274,22 @@ def main() -> None:
         )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "SCALING.json")
+    # MERGE into the existing artifact (subset re-runs must not erase
+    # the other rows — same convention as tools/parity_sweep.py)
+    merged = results
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(results)
+        merged = prev
     out = {
         "metric": "scaling_curve",
         "scales": {l: c for l, _, c in SCALES},
         "fit": "exp = log(t_sf3/t_sf1)/log(3) on warm runs; None below 1s",
-        "queries": results,
+        "queries": merged,
     }
-    with open(os.path.join(repo, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("DONE")
 
