@@ -71,12 +71,14 @@ from warp_pipes_spark.text.analysis import (
     QualityScore,
     TokenCount,
 )
-from warp_pipes_spark.search.fuzzy import EditDistanceJoin
+from warp_pipes_spark.search.fuzzy import EditDistanceJoin, EntityResolution
 from warp_pipes_spark.search.phrase import PhraseSearch
 from warp_pipes_spark.search.trigram import (
     TrigramSimilaritySearch,
     TrigramSubstringSearch,
+    WildcardLikeSearch,
 )
+from warp_pipes_spark.text.textrank import TextRankKeywords
 from warp_pipes_spark.text.dedup import (
     ChunkDedupStats,
     ContainmentPairs,
@@ -165,6 +167,9 @@ def instantiate_all():
         TrigramSimilaritySearch(corpus=None),
         EditDistanceJoin(d=1),
         PhraseSearch(corpus=None),
+        WildcardLikeSearch(corpus=None),
+        EntityResolution(d=1),
+        TextRankKeywords(),
     ]
 
 

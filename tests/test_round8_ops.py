@@ -297,3 +297,93 @@ def test_phrase_search_closed_form_and_guards(spark):
                 [(1, "quick"), (1, "brown")], ["query_id", "phrase"]
             )
         )
+
+
+def test_wildcard_search_closed_form_and_guards(spark):
+    from warp_pipes_spark.search.trigram import WildcardLikeSearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bridge gamma"),
+            (2, "gamma bridge alpha"),  # runs present but out of order
+            (3, "alpha x gamma"),
+            (4, "alphagamma"),          # no gap at all still matches %
+            (5, "alpha only"),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(10, "alpha%gamma")], ["query_id", "pattern"]
+    )
+    out = WildcardLikeSearch(corpus=docs, materialize_index=False)(qs)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (10, 1),
+        (10, 3),
+        (10, 4),
+    ]
+    # '_' is a single-char LIKE wildcard, honored by the verify
+    qs2 = spark.createDataFrame(
+        [(11, "alpha _ gamma")], ["query_id", "pattern"]
+    )
+    out2 = WildcardLikeSearch(corpus=docs, materialize_index=False)(qs2)
+    assert sorted(tuple(r) for r in out2.collect()) == [(11, 3)]
+    # guard: no literal run >= 3 chars -> no index signal -> raise
+    short = spark.createDataFrame(
+        [(12, "ab%cd")], ["query_id", "pattern"]
+    )
+    with pytest.raises(ValueError, match="literal run"):
+        WildcardLikeSearch(corpus=docs, materialize_index=False)(short)
+    # guard: backslash escape has no oracle equivalent -> raise
+    esc = spark.createDataFrame(
+        [(13, "alpha\\%gamma")], ["query_id", "pattern"]
+    )
+    with pytest.raises(ValueError, match="backslash"):
+        WildcardLikeSearch(corpus=docs, materialize_index=False)(esc)
+
+
+def test_textrank_closed_form_and_partition_invariance(spark):
+    from warp_pipes_spark.text.textrank import TextRankKeywords
+
+    # two docs, shared hub word "spark": it must out-rank the leaves
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join spark window"),
+            (2, "spark codegen"),
+            (3, "tiny"),  # one filtered token -> no pairs (guard path)
+        ],
+        ["doc_id", "text"],
+    )
+    out = TextRankKeywords(k=10, iters=3)(docs).collect()
+    words = [r["word"] for r in out]
+    assert words[0] == "spark"
+    assert set(words) == {
+        "spark", "shuffle", "join", "window", "codegen"
+    }
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+    # bit-stable under any partitioning (floor-scaled BIGINT discipline)
+    out1 = TextRankKeywords(k=10, iters=3)(docs.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out1))
+
+
+def test_entity_resolution_closed_form(spark):
+    from warp_pipes_spark.search.fuzzy import EntityResolution
+
+    rows = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme c0rp"),   # dist 1 of #1
+            (3, "acme c0rq"),   # dist 1 of #2, dist 2 of #1 (transitive)
+            (4, "zeta systems"),  # singleton
+            (5, "acme corp"),   # exact dup of #1 (dist 0)
+        ],
+        ["id", "s"],
+    )
+    out = {r["id"]: (r["entity"], r["n_members"]) for r in
+           EntityResolution(d=1, iters=4)(rows).collect()}
+    assert out == {
+        1: (1, 4),
+        2: (1, 4),
+        3: (1, 4),
+        4: (4, 1),
+        5: (1, 4),
+    }

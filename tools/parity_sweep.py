@@ -72,6 +72,8 @@ DEFAULT_QUERIES = [
     "q226_rbo_agreement", "q227_robust_outliers", "q228_trigram_search",
     # round-8 additions
     "q229_trigram_similarity", "q230_fuzzy_join", "q231_phrase_search",
+    "q232_textrank_keywords", "q233_wildcard_search",
+    "q234_entity_resolution",
 ]
 
 TABLES = (

@@ -63,9 +63,11 @@ def hash_min_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
-def hash_min_components_sql(edges_cte: str, iters: int = 4) -> str:
-    """Unrolled-iteration DuckDB oracle; ``edges_cte`` must define
-    ``edges(src, dst)`` (both directions)."""
+def hash_min_parts_sql(edges_cte: str, iters: int = 4):
+    """Unrolled hash-min CTE fragments; ``edges_cte`` must define
+    ``edges(src, dst)`` (both directions). Returns (parts, final_name)
+    where ``final_name`` holds (node, label) — composable into larger
+    oracles (entity resolution joins rows back onto it)."""
     parts = [
         edges_cte,
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
@@ -83,6 +85,13 @@ def hash_min_components_sql(edges_cte: str, iters: int = 4) -> str:
             f"FROM {prev} LEFT JOIN s{i} ON {prev}.node = s{i}.node)"
         )
         prev = f"l{i}"
+    return parts, prev
+
+
+def hash_min_components_sql(edges_cte: str, iters: int = 4) -> str:
+    """Unrolled-iteration DuckDB oracle; ``edges_cte`` must define
+    ``edges(src, dst)`` (both directions)."""
+    parts, prev = hash_min_parts_sql(edges_cte, iters)
     return (
         "WITH "
         + ", ".join(parts)

@@ -2380,6 +2380,75 @@ def q231_phrase_search(spark, sf):
     return PhraseSearch(corpus=docs)(qs)
 
 
+def q232_textrank_keywords(spark, sf):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004;
+    `text/textrank.py` `TextRankKeywords`): corpus-wide word
+    co-occurrence graph (adjacency window 2 over the length>=4 filtered
+    token sequence, weights = co-occurrence counts) + 5 iterations of
+    damped WEIGHTED PageRank — keywords by graph centrality where
+    q195's TF-IDF scores by counting. ONE corpus scan collapses to the
+    vocabulary-sized edge list; every iteration is one shuffle over
+    that vocab-sized table with contributions carried as floor-scaled
+    exact BIGINTs (the q97 discipline), so the distributed loop is
+    bit-identical to the unrolled SQL oracle; top-50 select is a
+    row_number over the rank vector."""
+    from warp_pipes_spark.text.textrank import TextRankKeywords
+
+    return TextRankKeywords(k=50, iters=5)(T(spark, sf, "documents"))
+
+
+def q233_wildcard_search(spark, sf):
+    """Index-accelerated infix wildcard (LIKE) search (pg_trgm's LIKE
+    acceleration; `search/trigram.py` `WildcardLikeSearch`): each
+    pattern's maximal literal runs pool their trigrams into the SAME
+    materialized gram-clustered posting q228/q229 built (one index,
+    three engines) — containment of every run is necessary for a LIKE
+    match, so the rarest-K candidate join is exhaustive — and one
+    bounded LIKE verify restores the in-order/any-gap semantics
+    trigrams can't see. Patterns are two 10-char document substrings
+    joined by `%`; the oracle is the naive full-scan LIKE join, so the
+    differential proves the indexed path scan-identical."""
+    from warp_pipes_spark.search.trigram import WildcardLikeSearch
+
+    docs = T(spark, sf, "documents")
+    qs = docs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 90)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat(
+            F.substring("text", 45, 10),
+            F.lit("%"),
+            F.substring("text", 65, 10),
+        ).alias("pattern"),
+    )
+    return WildcardLikeSearch(corpus=docs)(qs)
+
+
+def q234_entity_resolution(spark, sf):
+    """End-to-end entity resolution (`search/fuzzy.py`
+    `EntityResolution`): part names plus a deterministic typo'd variant
+    of every 3rd part (5th char -> 'x') resolve to canonical entities —
+    `EditDistanceJoin`'s q-gram prefix filter generates the
+    within-distance-1 match pairs WITHOUT the naive all-pairs
+    levenshtein, `hash_min_components` closes them transitively (4
+    unrolled hops, oracle-matched), unmatched records stay singletons,
+    and one entity-partitioned window count sizes each cluster. The
+    oracle replays naive all-pairs edges + the same unrolled closure,
+    proving the pruned pipeline pair- and cluster-identical."""
+    from warp_pipes_spark.search.fuzzy import EntityResolution
+
+    base = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+    )
+    typos = base.filter(F.col("id") % 3 == 0).select(
+        (F.col("id") + F.lit(10000000)).alias("id"),
+        F.concat(
+            F.substring("s", 1, 4), F.lit("x"), F.expr("substring(s, 6)")
+        ).alias("s"),
+    )
+    return EntityResolution(d=1, iters=4)(base.unionAll(typos))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7405,6 +7474,34 @@ FROM per_line GROUP BY source ORDER BY source
         "AS phrase FROM documents WHERE doc_id % 25 = 0",
     )
 
+    from warp_pipes_spark.text.textrank import textrank_sql
+
+    ORACLES_EXT["q232_textrank_keywords"] = textrank_sql(
+        "SELECT text FROM documents", k=50, iters=5
+    )
+
+    from warp_pipes_spark.search.trigram import wildcard_search_sql
+
+    ORACLES_EXT["q233_wildcard_search"] = wildcard_search_sql(
+        "documents",
+        "SELECT doc_id AS query_id, "
+        "substring(text, 45, 10) || '%' || substring(text, 65, 10)"
+        " AS pattern "
+        "FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 90",
+    )
+
+    from warp_pipes_spark.search.fuzzy import entity_resolution_sql
+
+    ORACLES_EXT["q234_entity_resolution"] = entity_resolution_sql(
+        "SELECT p_partkey AS id, p_name AS s FROM part "
+        "UNION ALL "
+        "SELECT p_partkey + 10000000,"
+        " substring(p_name, 1, 4) || 'x' || substring(p_name, 6) "
+        "FROM part WHERE p_partkey % 3 = 0",
+        d=1,
+        iters=4,
+    )
+
     from warp_pipes_spark.text.analysis import diversity_report_sql
 
     ORACLES_EXT["q222_diversity_report"] = diversity_report_sql(
@@ -7917,6 +8014,9 @@ def _register():
         "q229_trigram_similarity": q229_trigram_similarity,
         "q230_fuzzy_join": q230_fuzzy_join,
         "q231_phrase_search": q231_phrase_search,
+        "q232_textrank_keywords": q232_textrank_keywords,
+        "q233_wildcard_search": q233_wildcard_search,
+        "q234_entity_resolution": q234_entity_resolution,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -208,3 +208,110 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM r a JOIN r b ON a.{id_col} < b.{id_col}
 WHERE levenshtein(a.{string_col}, b.{string_col}) <= {d}
 """
+
+
+class EntityResolution(Pipe):
+    """End-to-end entity resolution: input df = (``id_col``,
+    ``string_col``) records; output = (id, entity, n_members) where
+    ``entity`` is the canonical (min) id of the record's duplicate
+    cluster under "within Levenshtein distance ``d``" matching and
+    ``n_members`` the cluster size — the classic dedup-identities
+    pipeline (typo'd names, re-keyed products) as ONE composed
+    operator: :class:`EditDistanceJoin` supplies the sub-quadratic
+    match-pair generation (q-gram prefix filtering — never the naive
+    all-pairs levenshtein), ``ml/graph.py`` ``hash_min_components``
+    supplies the transitive closure (min-id label within ``iters``
+    hops; real duplicate clusters have tiny diameters, and the oracle
+    unrolls the SAME iteration count so the contract is exact either
+    way), and unmatched records stay singleton entities of themselves.
+
+    Scale shape: pair generation is the bounded rare-gram join, the
+    closure iterates over the PAIR-sized edge list (2 semi-joins per
+    round), and the final labeling is one left join + one
+    entity-partitioned window count — nothing corpus-quadratic
+    anywhere.
+
+    Reference anchor: dedup-family extension (SURVEY.md §2 dedup tier;
+    the reference's duplicate-cluster surface is
+    ``warp_pipes``' index+dedup composition)."""
+
+    def __init__(
+        self,
+        d: int = 1,
+        iters: int = 4,
+        id_col: str = "id",
+        string_col: str = "s",
+        **kwargs,
+    ):
+        if iters < 1:
+            raise ValueError(f"need iters >= 1, got {iters}")
+        super().__init__(**kwargs)
+        self.d = d
+        self.iters = iters
+        self.id_col = id_col
+        self.string_col = string_col
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        from warp_pipes_spark.ml.graph import hash_min_components
+
+        pairs = EditDistanceJoin(
+            d=self.d, id_col=self.id_col, string_col=self.string_col
+        )(df).select("id_a", "id_b")
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        comp = hash_min_components(edges, iters=self.iters)
+        ent = (
+            df.select(F.col(self.id_col).alias("id"))
+            .join(comp, F.col("id") == F.col("node"), "left")
+            .select(
+                "id",
+                F.coalesce(F.col("component"), F.col("id")).alias(
+                    "entity"
+                ),
+            )
+        )
+        w = Window.partitionBy("entity")
+        return ent.select(
+            "id",
+            "entity",
+            F.count(F.lit(1)).over(w).alias("n_members"),
+        )
+
+
+def entity_resolution_sql(
+    rows_sql: str,
+    d: int = 1,
+    iters: int = 4,
+    id_col: str = "id",
+    string_col: str = "s",
+) -> str:
+    """DuckDB oracle for :class:`EntityResolution` — NAIVE all-pairs
+    levenshtein edges + the same unrolled hash-min closure."""
+    from warp_pipes_spark.ml.graph import hash_min_parts_sql
+
+    edges_cte = (
+        f"r AS ({rows_sql}), "
+        f"p AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b "
+        f"FROM r a JOIN r b ON a.{id_col} < b.{id_col} "
+        f"WHERE levenshtein(a.{string_col}, b.{string_col}) <= {d}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p "
+        "UNION ALL SELECT id_b, id_a FROM p)"
+    )
+    parts, prev = hash_min_parts_sql(edges_cte, iters)
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", ent AS (SELECT r.{id_col} AS id,"
+        f" COALESCE({prev}.label, r.{id_col}) AS entity"
+        f" FROM r LEFT JOIN {prev} ON r.{id_col} = {prev}.node)"
+        " SELECT id, entity,"
+        " COUNT(*) OVER (PARTITION BY entity) AS n_members"
+        " FROM ent ORDER BY id"
+    )

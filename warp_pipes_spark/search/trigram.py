@@ -128,6 +128,35 @@ class TrigramSubstringSearch(Pipe):
 
     _no_fingerprint = ("corpus",)
 
+    # subclass hooks: the wildcard engine reuses the whole candidate /
+    # prune / pushdown / verify machinery and swaps only these three
+    # seams (gram extraction, the guard's "has trigram signal" length,
+    # and the exact verify predicate)
+    _SHORT_MSG = (
+        "TrigramSubstringSearch: pattern shorter than 3 chars has no"
+        " trigram — it would need the full scan this index exists to"
+        " avoid. Filter or route short patterns to a direct contains()"
+        " scan."
+    )
+
+    def _qgram_expr(self, col: Column) -> Column:
+        return grams_expr(col)
+
+    def _guard_len_expr(self, col: Column) -> Column:
+        return F.length(col)
+
+    def _check_extra_guards(self, plan_row) -> None:
+        return None
+
+    def _extra_inner_guard_aggs(self) -> list:
+        return []
+
+    def _extra_outer_guard_aggs(self) -> list:
+        return []
+
+    def _verify_cond(self, txt: Column, pat: Column) -> Column:
+        return F.contains(txt, pat)
+
     def _index_fingerprint(self) -> str:
         from warp_pipes_spark.core.fingerprint import (
             fingerprint_dataframe,
@@ -191,7 +220,7 @@ class TrigramSubstringSearch(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         qg = df.select(
             F.col(self.query_id).alias("query_id"),
-            grams_expr(F.col(self.pattern_col)).alias("__g"),
+            self._qgram_expr(F.col(self.pattern_col)).alias("__g"),
         )
         qgrams = qg.select("query_id", F.explode("__g").alias("gram"))
         posting = self._posting()
@@ -234,10 +263,14 @@ class TrigramSubstringSearch(Pipe):
         # empty — a plan-folded guard both misfires and fails to fire.
         guards = df.groupBy(F.col(self.query_id).alias("query_id")).agg(
             F.count(F.lit(1)).alias("__npat"),
-            F.min(F.length(F.col(self.pattern_col))).alias("__minlen"),
+            F.min(
+                self._guard_len_expr(F.col(self.pattern_col))
+            ).alias("__minlen"),
+            *self._extra_inner_guard_aggs(),
         ).groupBy().agg(
             F.max("__npat").alias("max_dup"),
             F.min("__minlen").alias("min_len"),
+            *self._extra_outer_guard_aggs(),
         )
         pushdown = bool(
             self.materialize_index
@@ -258,12 +291,8 @@ class TrigramSubstringSearch(Pipe):
             )
         plan_row = guards.collect()[0]
         if plan_row["min_len"] is not None and plan_row["min_len"] < 3:
-            raise ValueError(
-                "TrigramSubstringSearch: pattern shorter than 3 chars"
-                " has no trigram — it would need the full scan this"
-                " index exists to avoid. Filter or route short patterns"
-                " to a direct contains() scan."
-            )
+            raise ValueError(self._SHORT_MSG)
+        self._check_extra_guards(plan_row)
         if plan_row["max_dup"] is not None and plan_row["max_dup"] > 1:
             raise ValueError(
                 "TrigramSubstringSearch: duplicate query_id — each id"
@@ -299,7 +328,7 @@ class TrigramSubstringSearch(Pipe):
         return (
             cand.join(F.broadcast(pat), "query_id")
             .join(txt, "doc_id")
-            .filter(F.contains(F.col("__txt"), F.col("__pat")))
+            .filter(self._verify_cond(F.col("__txt"), F.col("__pat")))
             .select("query_id", "doc_id")
         )
 
@@ -469,4 +498,100 @@ WHERE inter > 0
   AND CAST(CAST(CAST(inter AS DOUBLE)
                 / CAST(nq + nd - inter AS DOUBLE)
            AS DECIMAL(18,6)) AS DOUBLE) >= {tau}
+"""
+
+
+class WildcardLikeSearch(TrigramSubstringSearch):
+    """Index-accelerated infix wildcard search: input df =
+    (``query_id``, ``pattern``) SQL LIKE patterns (``%`` = any gap,
+    ``_`` = any single char), output = (query_id, doc_id) for every
+    corpus document whose text matches ``LIKE '%' || pattern || '%'``,
+    identical to the naive scan — pg_trgm's LIKE acceleration
+    (PostgreSQL rewrites ``col LIKE '%foo%bar%'`` into a trigram-index
+    bitmap scan) re-expressed on the same materialized posting
+    :class:`TrigramSubstringSearch` builds (one index, three engines).
+
+    Necessity argument: a document matching the pattern contains every
+    maximal LITERAL RUN (the ``[%_]``-free stretches) as a substring,
+    hence every trigram of every run >= 3 chars — so the pooled run
+    grams drive the exact same rarest-K candidate join, and one bounded
+    LIKE verify restores the in-order/gap semantics trigrams can't see.
+
+    Contract guards (same single planning job): every pattern needs at
+    least one literal run >= 3 chars (otherwise the index has no
+    signal) and may not contain a backslash (Spark's default LIKE
+    escape — DuckDB without an ESCAPE clause treats it literally, so
+    the differential would diverge on escaped patterns).
+
+    Reference anchor: the ES ``wildcard`` query surface next to the
+    ``match``/``match_phrase`` engines (``warp_pipes/support/
+    elasticsearch.py`` es_search bodies)."""
+
+    _SHORT_MSG = (
+        "WildcardLikeSearch: pattern has no literal run of >= 3 chars"
+        " — the trigram index has no signal to prune with. Route such"
+        " patterns to a direct LIKE scan."
+    )
+
+    def _qgram_expr(self, col: Column) -> Column:
+        runs = F.filter(
+            F.split(col, r"[%_]"), lambda s: F.length(s) >= 3
+        )
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    runs,
+                    lambda s: F.transform(
+                        F.sequence(F.lit(1), F.length(s) - 2),
+                        lambda i: s.substr(i, F.lit(3)),
+                    ),
+                )
+            )
+        )
+
+    def _guard_len_expr(self, col: Column) -> Column:
+        # longest literal run: >= 3 means the pattern has index signal
+        return F.array_max(
+            F.transform(F.split(col, r"[%_]"), lambda s: F.length(s))
+        )
+
+    def _extra_inner_guard_aggs(self) -> list:
+        return [
+            F.max(
+                F.contains(F.col(self.pattern_col), F.lit("\\"))
+            ).alias("__esc")
+        ]
+
+    def _extra_outer_guard_aggs(self) -> list:
+        return [F.max("__esc").alias("has_esc")]
+
+    def _check_extra_guards(self, plan_row) -> None:
+        if plan_row["has_esc"]:
+            raise ValueError(
+                "WildcardLikeSearch: backslash in pattern — Spark's"
+                " default LIKE escape has no DuckDB-oracle equivalent"
+                " without an ESCAPE clause; strip or pre-escape."
+            )
+
+    def _verify_cond(self, txt: Column, pat: Column) -> Column:
+        return F.like(
+            txt, F.concat(F.lit("%"), pat, F.lit("%"))
+        )
+
+
+def wildcard_search_sql(
+    corpus_table: str,
+    queries_sql: str,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    query_id: str = "query_id",
+    pattern: str = "pattern",
+) -> str:
+    """DuckDB oracle for :class:`WildcardLikeSearch` — the NAIVE
+    full-scan LIKE join the index path must exactly reproduce."""
+    return f"""
+SELECT q.{query_id} AS query_id, d.{corpus_id} AS doc_id
+FROM ({queries_sql}) q
+JOIN {corpus_table} d
+  ON d.{corpus_text} LIKE '%' || q.{pattern} || '%'
 """
