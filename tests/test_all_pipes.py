@@ -79,6 +79,7 @@ from warp_pipes_spark.search.trigram import (
     WildcardLikeSearch,
 )
 from warp_pipes_spark.text.textrank import TextRankKeywords
+from warp_pipes_spark.pipes.validate import RollingRobust
 from warp_pipes_spark.text.dedup import (
     ChunkDedupStats,
     ContainmentPairs,
@@ -170,6 +171,7 @@ def instantiate_all():
         WildcardLikeSearch(corpus=None),
         EntityResolution(d=1),
         TextRankKeywords(),
+        RollingRobust("value"),
     ]
 
 

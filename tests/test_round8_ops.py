@@ -387,3 +387,72 @@ def test_entity_resolution_closed_form(spark):
         4: (4, 1),
         5: (1, 4),
     }
+
+
+def test_trigram_append_equals_full_rebuild(spark, tmp_path):
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    cache = str(tmp_path / "trgm")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "pack my box with five dozen jugs"),
+            (3, "sphinx of black quartz judge my vow"),
+            (4, "quick quartz fox"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = docs.filter(F.col("doc_id") <= 2)
+    delta = docs.filter(F.col("doc_id") >= 3)
+    qs = spark.createDataFrame(
+        [(10, "quick"), (11, "quartz")], ["query_id", "pattern"]
+    )
+    base_eng = TrigramSubstringSearch(corpus=base, index_cache_dir=cache)
+    base_eng(qs).collect()  # materializes the base posting artifact
+    import os
+
+    n_before = len(os.listdir(cache))
+    assert n_before >= 1
+    appended = sorted(
+        tuple(r) for r in base_eng.append(delta)(qs).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in TrigramSubstringSearch(
+            corpus=docs, index_cache_dir=cache
+        )(qs).collect()
+    )
+    assert appended == full == [(10, 1), (10, 4), (11, 3), (11, 4)]
+    # the merged posting materialized as a NEW artifact next to the base
+    assert len(os.listdir(cache)) > n_before
+
+
+def test_rolling_robust_closed_form_and_invariance(spark):
+    from warp_pipes_spark.pipes.validate import RollingRobust
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: flat series with one spike at event 5
+    for i in range(10):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=i), 1,
+             100.0 if i == 5 else 10.0)
+        )
+    # user 2: constant series (MAD = 0) with one deviation -> flags
+    for i in range(10, 17):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 2,
+                     5.0 if i != 13 else 5.1))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"]
+    )
+    out = sorted(
+        (r["entity"], r["id"]) for r in RollingRobust(w=3, z=3.0)(df).collect()
+    )
+    assert out == [(1, 5), (2, 13)]
+    out2 = sorted(
+        (r["entity"], r["id"])
+        for r in RollingRobust(w=3, z=3.0)(df.repartition(5)).collect()
+    )
+    assert out2 == out

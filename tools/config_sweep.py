@@ -1152,6 +1152,126 @@ def _cells():
         make, sql = _phrase_cell(lo, n, mod)
         add(name, make, sql)
 
+    # ---- round-8b additions (wildcard / textrank / entity resolution) ----
+    from warp_pipes_spark.search.fuzzy import (
+        EntityResolution,
+        entity_resolution_sql,
+    )
+    from warp_pipes_spark.search.trigram import (
+        WildcardLikeSearch,
+        wildcard_search_sql,
+    )
+    from warp_pipes_spark.text.textrank import TextRankKeywords, textrank_sql
+
+    def _wild_cell(expr_sql, expr_spark_fn, mod, minlen):
+        cte = (
+            f"SELECT doc_id AS query_id, {expr_sql} AS pattern"
+            f" FROM documents WHERE doc_id % {mod} = 0"
+            f" AND length(text) >= {minlen}"
+        )
+
+        def make(spark, sf, mod=mod, minlen=minlen):
+            docs = _docs(spark, sf)
+            qs = docs.filter(
+                (F.col("doc_id") % mod == 0)
+                & (F.length("text") >= minlen)
+            ).select(
+                F.col("doc_id").alias("query_id"),
+                expr_spark_fn().alias("pattern"),
+            )
+            return WildcardLikeSearch(corpus=docs)(qs)
+
+        return make, wildcard_search_sql("documents", cte)
+
+    # three literal runs, any-gap in-order semantics
+    make, sql = _wild_cell(
+        "substring(text, 30, 8) || '%' || substring(text, 50, 8)"
+        " || '%' || substring(text, 70, 8)",
+        lambda: F.concat(
+            F.substring("text", 30, 8),
+            F.lit("%"),
+            F.substring("text", 50, 8),
+            F.lit("%"),
+            F.substring("text", 70, 8),
+        ),
+        50,
+        90,
+    )
+    add("wildcard_3runs", make, sql)
+    # '_' single-char wildcard inside the pattern (skips position 49)
+    make, sql = _wild_cell(
+        "substring(text, 45, 4) || '_' || substring(text, 50, 5)",
+        lambda: F.concat(
+            F.substring("text", 45, 4),
+            F.lit("_"),
+            F.substring("text", 50, 5),
+        ),
+        25,
+        60,
+    )
+    add("wildcard_underscore", make, sql)
+
+    def _textrank_cell(k, iters, damping, minlen):
+        def make(spark, sf, k=k, iters=iters, damping=damping,
+                 minlen=minlen):
+            return TextRankKeywords(
+                k=k, iters=iters, damping=damping, min_token_len=minlen
+            )(_docs(spark, sf))
+
+        return make, textrank_sql(
+            "SELECT text FROM documents",
+            k=k,
+            iters=iters,
+            damping=damping,
+            min_token_len=minlen,
+        )
+
+    make, sql = _textrank_cell(20, 2, 0.85, 3)   # wide graph, short chain
+    add("textrank_minlen3", make, sql)
+    make, sql = _textrank_cell(30, 4, 0.5, 4)    # low damping
+    add("textrank_damp05", make, sql)
+
+    def _er_cell(rows_spark, rows_sql, d):
+        def make(spark, sf, d=d):
+            return EntityResolution(d=d, iters=4)(rows_spark(spark, sf))
+
+        return make, entity_resolution_sql(rows_sql, d=d, iters=4)
+
+    def _part_typos(spark, sf):
+        base = T(spark, sf, "part").select(
+            F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+        )
+        typos = base.filter(F.col("id") % 3 == 0).select(
+            (F.col("id") + F.lit(10000000)).alias("id"),
+            F.concat(
+                F.substring("s", 1, 4),
+                F.lit("x"),
+                F.expr("substring(s, 6)"),
+            ).alias("s"),
+        )
+        return base.unionAll(typos)
+
+    _PART_TYPOS_SQL = (
+        "SELECT p_partkey AS id, p_name AS s FROM part "
+        "UNION ALL SELECT p_partkey + 10000000,"
+        " substring(p_name, 1, 4) || 'x' || substring(p_name, 6)"
+        " FROM part WHERE p_partkey % 3 = 0"
+    )
+    # d=2: typo'd variants also chain to near-miss part names
+    make, sql = _er_cell(_part_typos, _PART_TYPOS_SQL, 2)
+    add("entity_resolution_d2", make, sql)
+    # dense distance-1 graph (zero-padded supplier ids differ by one
+    # digit): giant near-clique components stress the bounded-hop
+    # contract — oracle unrolls the SAME hops, so exact by construction
+    make, sql = _er_cell(
+        lambda spark, sf: T(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("id"), F.col("s_name").alias("s")
+        ),
+        "SELECT s_suppkey AS id, s_name AS s FROM supplier",
+        1,
+    )
+    add("entity_resolution_dense", make, sql)
+
     return cells
 
 

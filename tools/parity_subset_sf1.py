@@ -40,9 +40,17 @@ def _cells():
         edit_distance_join_sql,
     )
     from warp_pipes_spark.search.phrase import PhraseSearch, phrase_search_sql
+    from warp_pipes_spark.search.fuzzy import (
+        EntityResolution,
+        entity_resolution_sql,
+    )
     from warp_pipes_spark.search.trigram import (
         TrigramSimilaritySearch,
+        TrigramSubstringSearch,
+        WildcardLikeSearch,
+        trigram_search_sql,
         trigram_similarity_sql,
+        wildcard_search_sql,
     )
     from warp_pipes_spark.text.analysis import tokens_expr, tokens_sql
 
@@ -90,7 +98,100 @@ def _cells():
         )
         return PhraseSearch(corpus=docs)(qs)
 
+    def substr_make(spark, sf):
+        return TrigramSubstringSearch(corpus=T(spark, sf, "documents"))(
+            _trgm_queries(spark, sf)
+        )
+
+    def wild_make(spark, sf):
+        docs = T(spark, sf, "documents")
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0)
+            & (F.length("text") >= 90)
+            & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat(
+                F.substring("text", 45, 10),
+                F.lit("%"),
+                F.substring("text", 65, 10),
+            ).alias("pattern"),
+        )
+        return WildcardLikeSearch(corpus=docs)(qs)
+
+    WILD_CTE = (
+        "SELECT doc_id AS query_id, substring(text, 45, 10) || '%' ||"
+        " substring(text, 65, 10) AS pattern "
+        "FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 90 "
+        "AND doc_id < 5000"
+    )
+
+    def er_make(spark, sf):
+        base = (
+            T(spark, sf, "part")
+            .filter(F.col("p_partkey") < 20000)
+            .select(
+                F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+            )
+        )
+        typos = base.filter(F.col("id") % 3 == 0).select(
+            (F.col("id") + F.lit(10000000)).alias("id"),
+            F.concat(
+                F.substring("s", 1, 4),
+                F.lit("x"),
+                F.expr("substring(s, 6)"),
+            ).alias("s"),
+        )
+        return EntityResolution(d=1, iters=4)(base.unionAll(typos))
+
+    def append_make(spark, sf):
+        docs = T(spark, sf, "documents")
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        return TrigramSubstringSearch(corpus=base).append(delta)(
+            _trgm_queries(spark, sf)
+        )
+
     return [
+        (
+            "q235_trigram_append",
+            "fixed query batch (doc_id < 5000) vs FULL sf1 corpus, 90/10"
+            " base/delta split — naive contains() oracle is quadratic",
+            append_make,
+            trigram_search_sql("documents", TRGM_CTE),
+        ),
+        (
+            "q228_trigram_search",
+            "fixed query batch (doc_id < 5000, 200 patterns) vs FULL sf1"
+            " corpus — naive contains() oracle is quadratic (10G pairs)",
+            substr_make,
+            trigram_search_sql("documents", TRGM_CTE),
+        ),
+        (
+            "q233_wildcard_search",
+            "fixed query batch (doc_id < 5000, 200 patterns) vs FULL sf1"
+            " corpus — naive LIKE oracle is quadratic (10G pairs)",
+            wild_make,
+            wildcard_search_sql("documents", WILD_CTE),
+        ),
+        (
+            "q234_entity_resolution",
+            "p_partkey < 20000 subset (sf0.1-sized, 26.7k strings) —"
+            " naive all-pairs levenshtein oracle is quadratic"
+            " (35G pairs at full sf1)",
+            er_make,
+            entity_resolution_sql(
+                "SELECT p_partkey AS id, p_name AS s FROM part"
+                " WHERE p_partkey < 20000 "
+                "UNION ALL "
+                "SELECT p_partkey + 10000000,"
+                " substring(p_name, 1, 4) || 'x' || substring(p_name, 6) "
+                "FROM part WHERE p_partkey % 3 = 0"
+                " AND p_partkey < 20000",
+                d=1,
+                iters=4,
+            ),
+        ),
         (
             "q229_trigram_similarity",
             "fixed query batch (doc_id < 5000, 200 queries) vs FULL sf1"
@@ -135,6 +236,9 @@ def main() -> None:
     path = os.path.join(repo, "PARITY_sf1.json")
 
     cells = _cells()
+    if len(sys.argv) > 2:  # comma-separated cell subset
+        only = set(sys.argv[2].split(","))
+        cells = [c for c in cells if c[0] in only]
     # phase 1: spark
     srows, results = {}, {}
     for name, note, make, _sql in cells:

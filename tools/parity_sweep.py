@@ -73,7 +73,8 @@ DEFAULT_QUERIES = [
     # round-8 additions
     "q229_trigram_similarity", "q230_fuzzy_join", "q231_phrase_search",
     "q232_textrank_keywords", "q233_wildcard_search",
-    "q234_entity_resolution",
+    "q234_entity_resolution", "q235_trigram_append",
+    "q236_rolling_outliers",
 ]
 
 TABLES = (

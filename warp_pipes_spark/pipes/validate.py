@@ -789,3 +789,115 @@ SELECT b.grp AS {group},
 FROM base b LEFT JOIN outc o USING (grp)
              LEFT JOIN nullc nl USING (grp)
 """
+
+
+class RollingRobust(Pipe):
+    """Hampel filter (Hampel 1974; Pearson et al. 2016): per-entity
+    ROLLING robust outlier detection over an ordered event stream —
+    the time-series sibling of :class:`RobustStats` (which is one
+    global panel per group). For each row, the window of ±``w`` rows
+    around it (ordered by ``order_cols`` within ``entity_col``) yields
+    an exact lower median and MAD; the row is flagged when
+    ``|value - med| > z * MAD`` (MAD = 0 degenerates to "any deviation
+    flags", the classic Hampel behavior on constant windows). Output =
+    the flagged rows only: (entity, id, value, med, mad).
+
+    Scale shape: ONE shuffle (the entity-partitioned window); the
+    median/MAD algebra is row-local array math over the 2w+1-element
+    window (sort_array + lower-median pick — no second pass, no join,
+    no UDF), so the operator is a single window stage at any corpus
+    size, and entity skew is bounded by the per-entity event count.
+
+    Reference anchor: data-quality extension family (SURVEY.md §2
+    validate tier) — the streaming-shaped cousin of q227.
+    """
+
+    def __init__(
+        self,
+        value_col: str = "value",
+        entity_col: str = "user_id",
+        order_cols=("ts", "event_id"),
+        id_col: str = "event_id",
+        w: int = 3,
+        z: float = 3.0,
+        **kwargs,
+    ):
+        if w < 1:
+            raise ValueError(f"need w >= 1, got {w}")
+        super().__init__(**kwargs)
+        self.value_col = value_col
+        self.entity_col = entity_col
+        self.order_cols = tuple(order_cols)
+        self.id_col = id_col
+        self.w = w
+        self.z = z
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        win = (
+            Window.partitionBy(self.entity_col)
+            .orderBy(*[F.asc(c) for c in self.order_cols])
+            .rowsBetween(-self.w, self.w)
+        )
+        arr = F.sort_array(
+            F.collect_list(F.col(self.value_col)).over(win)
+        )
+        base = df.select(
+            F.col(self.entity_col).alias("entity"),
+            F.col(self.id_col).alias("id"),
+            F.col(self.value_col).cast("double").alias("value"),
+            arr.alias("__arr"),
+        )
+        # lower median: sorted[(n+1) div 2] (1-based) — exact selection,
+        # no averaging, so doubles pass through untouched
+        mid = ((F.size("__arr") + 1) / 2).cast("int")
+        med = base.withColumn("med", F.get(F.col("__arr"), mid - 1))
+        mad = med.withColumn(
+            "mad",
+            F.get(
+                F.sort_array(
+                    F.transform(
+                        F.col("__arr"),
+                        lambda x: F.abs(x - F.col("med")),
+                    )
+                ),
+                mid - 1,
+            ),
+        )
+        return mad.filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(float(self.z)) * F.col("mad")
+        ).select("entity", "id", "value", "med", "mad")
+
+
+def rolling_robust_sql(
+    table: str,
+    value: str = "value",
+    entity: str = "user_id",
+    order_cols=("ts", "event_id"),
+    id_col: str = "event_id",
+    w: int = 3,
+    z: float = 3.0,
+) -> str:
+    """DuckDB oracle for :class:`RollingRobust` — the same ±w rows
+    window, sorted-list lower-median selection and IEEE comparison."""
+    order_sql = ", ".join(order_cols)
+    return f"""
+WITH b AS (
+  SELECT {entity} AS entity, {id_col} AS id,
+         CAST({value} AS DOUBLE) AS value,
+         list_sort(list(CAST({value} AS DOUBLE)) OVER (
+           PARTITION BY {entity} ORDER BY {order_sql}
+           ROWS BETWEEN {w} PRECEDING AND {w} FOLLOWING)) AS arr
+  FROM {table}
+),
+m AS (SELECT *, arr[(len(arr) + 1) // 2] AS med FROM b),
+d AS (SELECT *,
+        list_sort(list_transform(arr, x -> abs(x - med)))
+          [(len(arr) + 1) // 2] AS mad
+      FROM m)
+SELECT entity, id, value, med, mad
+FROM d
+WHERE abs(value - med) > {z!r} * mad
+"""

@@ -2449,6 +2449,48 @@ def q234_entity_resolution(spark, sf):
     return EntityResolution(d=1, iters=4)(base.unionAll(typos))
 
 
+def q235_trigram_append(spark, sf):
+    """Incremental trigram-index growth (`search/trigram.py`
+    `TrigramSubstringSearch.append` — the `search/bm25.py` append
+    convention; reference anchor: index-build-once skip-if-exists in
+    `warp_pipes/search/search.py:139-157`): the corpus splits into a
+    90% base and a 10% delta, the base engine's materialized posting is
+    UNIONED with an explode of only the delta (the base corpus is never
+    re-tokenized — posting rows are per-doc facts, so unlike BM25's
+    global stats nothing re-bakes), and the merged engine answers the
+    SAME query batch as q228. The oracle is the naive contains() scan
+    over the FULL corpus, so the differential proves append == full
+    rebuild."""
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    docs = T(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    eng = TrigramSubstringSearch(corpus=base).append(delta)
+    qs = docs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 90)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 50, 40).alias("pattern"),
+    )
+    return eng(qs)
+
+
+def q236_rolling_outliers(spark, sf):
+    """Per-user rolling Hampel filter over the event stream (Hampel
+    1974; Pearson et al. 2016; `pipes/validate.py` `RollingRobust`):
+    each event is judged against the exact lower median and MAD of the
+    ±3 surrounding events (ordered by ts, event_id within user), flagged
+    when |value - med| > 3*MAD — the time-series sibling of q227's
+    global panel, catching local spikes a corpus-wide MAD averages
+    away. ONE entity-partitioned window shuffle; the median/MAD algebra
+    is row-local sorted-array selection (no second pass, no join, no
+    UDF), so the plan is a single window stage at any scale."""
+    from warp_pipes_spark.pipes.validate import RollingRobust
+
+    return RollingRobust(w=3, z=3.0)(T(spark, sf, "events"))
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7490,6 +7532,18 @@ FROM per_line GROUP BY source ORDER BY source
         "FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 90",
     )
 
+    # q235: append == full rebuild, so the oracle is exactly q228's
+    # naive full-corpus contains() scan
+    ORACLES_EXT["q235_trigram_append"] = trigram_search_sql(
+        "documents", TRIGRAM_QUERIES_CTE
+    )
+
+    from warp_pipes_spark.pipes.validate import rolling_robust_sql
+
+    ORACLES_EXT["q236_rolling_outliers"] = rolling_robust_sql(
+        "events", w=3, z=3.0
+    )
+
     from warp_pipes_spark.search.fuzzy import entity_resolution_sql
 
     ORACLES_EXT["q234_entity_resolution"] = entity_resolution_sql(
@@ -8017,6 +8071,8 @@ def _register():
         "q232_textrank_keywords": q232_textrank_keywords,
         "q233_wildcard_search": q233_wildcard_search,
         "q234_entity_resolution": q234_entity_resolution,
+        "q235_trigram_append": q235_trigram_append,
+        "q236_rolling_outliers": q236_rolling_outliers,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

@@ -172,6 +172,40 @@ class TrigramSubstringSearch(Pipe):
             }
         )
 
+    # set by append(): (base_engine, delta_docs) — the posting then
+    # merges the base engine's artifact with a delta-only explode
+    _append_from = None
+
+    def append(self, new_docs: DataFrame) -> "TrigramSubstringSearch":
+        """Incremental index growth (the ``search/bm25.py`` ``append``
+        convention): returns an engine over corpus ∪ new_docs whose
+        posting is the BASE engine's materialized artifact unioned with
+        an explode of ONLY the new documents — the existing corpus is
+        never re-tokenized. The merged posting materializes under the
+        union corpus' own fingerprint, so chained appends each pay only
+        their delta, and results are identical to a full rebuild (the
+        posting rows are per-doc facts, unlike BM25's global stats —
+        no re-bake needed)."""
+        eng = type(self)(
+            corpus=self.corpus.select(
+                F.col(self.corpus_id), F.col(self.corpus_text)
+            ).unionByName(
+                new_docs.select(
+                    F.col(self.corpus_id), F.col(self.corpus_text)
+                )
+            ),
+            corpus_id=self.corpus_id,
+            corpus_text=self.corpus_text,
+            query_id=self.query_id,
+            pattern_col=self.pattern_col,
+            prune_grams=self.prune_grams,
+            materialize_index=self.materialize_index,
+            index_cache_dir=self.index_cache_dir,
+            gram_pushdown_max=self.gram_pushdown_max,
+        )
+        eng._append_from = (self, new_docs)
+        return eng
+
     def _posting(self) -> DataFrame:
         """(gram, doc_id) posting — the index. grams_expr is per-doc
         array_distinct, so the exploded posting is already
@@ -180,10 +214,25 @@ class TrigramSubstringSearch(Pipe):
         101.9 s with it). Materialized once per corpus fingerprint,
         range-partitioned + sorted by gram so literal gram predicates
         prune row groups on every later read."""
-        built = self.corpus.select(
-            F.col(self.corpus_id).alias("doc_id"),
-            F.explode(grams_expr(F.col(self.corpus_text))).alias("gram"),
-        )
+        # getattr: TrigramSimilaritySearch borrows this method without
+        # inheriting the class attribute
+        if getattr(self, "_append_from", None) is not None:
+            base_eng, delta = self._append_from
+            built = base_eng._posting().unionByName(
+                delta.select(
+                    F.col(self.corpus_id).alias("doc_id"),
+                    F.explode(
+                        grams_expr(F.col(self.corpus_text))
+                    ).alias("gram"),
+                )
+            )
+        else:
+            built = self.corpus.select(
+                F.col(self.corpus_id).alias("doc_id"),
+                F.explode(
+                    grams_expr(F.col(self.corpus_text))
+                ).alias("gram"),
+            )
         if not self.materialize_index:
             return built
         from warp_pipes_spark.pipes.cache import CacheManager
