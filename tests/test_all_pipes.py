@@ -71,7 +71,11 @@ from warp_pipes_spark.text.analysis import (
     QualityScore,
     TokenCount,
 )
-from warp_pipes_spark.search.fuzzy import EditDistanceJoin, EntityResolution
+from warp_pipes_spark.search.fuzzy import (
+    EditDistanceJoin,
+    EditDistanceLookup,
+    EntityResolution,
+)
 from warp_pipes_spark.search.phrase import PhraseSearch
 from warp_pipes_spark.search.trigram import (
     TrigramSimilaritySearch,
@@ -172,6 +176,7 @@ def instantiate_all():
         EntityResolution(d=1),
         TextRankKeywords(),
         RollingRobust("value"),
+        EditDistanceLookup(vocab=None),
     ]
 
 

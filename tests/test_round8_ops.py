@@ -456,3 +456,43 @@ def test_rolling_robust_closed_form_and_invariance(spark):
         for r in RollingRobust(w=3, z=3.0)(df.repartition(5)).collect()
     )
     assert out2 == out
+
+
+def test_edit_distance_lookup_closed_form(spark):
+    from warp_pipes_spark.search.fuzzy import EditDistanceLookup
+
+    vocab = spark.createDataFrame(
+        [("spark", 10), ("sparky", 3), ("shark", 10), ("abc", 2)],
+        ["term", "freq"],
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, "spxrk"),   # dist 1 of spark only
+            (2, "spark"),   # dist 0 exact beats dist-1 neighbors
+            (3, "zzzzz"),   # no match within 1 -> dropped
+            (4, "ab"),      # short bucket (no trigram): abc at dist 1
+            (5, "shark"),   # dist 0; 'spark' also dist... no (dist 2)
+        ],
+        ["query_id", "term"],
+    )
+    out = {r["query_id"]: (r["suggestion"], r["dist"], r["freq"])
+           for r in EditDistanceLookup(vocab=vocab, d=1)(qs).collect()}
+    assert out == {
+        1: ("spark", 1, 10),
+        2: ("spark", 0, 10),
+        4: ("abc", 1, 2),
+        5: ("shark", 0, 10),
+    }
+
+
+def test_edit_distance_lookup_tie_breaks(spark):
+    from warp_pipes_spark.search.fuzzy import EditDistanceLookup
+
+    vocab = spark.createDataFrame(
+        [("datum", 5), ("datus", 9), ("datuq", 9)], ["term", "freq"]
+    )
+    qs = spark.createDataFrame([(1, "datux")], ["query_id", "term"])
+    # all three are dist 1; freq desc prefers 9s; lexicographic breaks
+    # datuq < datus
+    [r] = EditDistanceLookup(vocab=vocab, d=1)(qs).collect()
+    assert (r["suggestion"], r["dist"], r["freq"]) == ("datuq", 1, 9)

@@ -74,7 +74,7 @@ DEFAULT_QUERIES = [
     "q229_trigram_similarity", "q230_fuzzy_join", "q231_phrase_search",
     "q232_textrank_keywords", "q233_wildcard_search",
     "q234_entity_resolution", "q235_trigram_append",
-    "q236_rolling_outliers",
+    "q236_rolling_outliers", "q237_spell_correct",
 ]
 
 TABLES = (

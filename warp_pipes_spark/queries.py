@@ -2491,6 +2491,41 @@ def q236_rolling_outliers(spark, sf):
     return RollingRobust(w=3, z=3.0)(T(spark, sf, "events"))
 
 
+def q237_spell_correct(spark, sf):
+    """Spell-correction lookup against the corpus vocabulary (SymSpell /
+    "did you mean"; `search/fuzzy.py` `EditDistanceLookup`): every 5th
+    document's first >=5-char token gets its 3rd char mutated to 'x',
+    and the lookup recovers the best vocabulary term within Levenshtein
+    distance 1 (rank: dist, freq desc, term). The bipartite q-gram
+    prefix filter joins each query's 4 rarest grams (under the
+    vocabulary's own gram-df order) into the vocabulary posting — never
+    the naive |queries| x |vocab| levenshtein — plus the free length
+    filter, one exact verify, one per-query top-1 window. The oracle is
+    the naive cross join with the same ranking, proving the pruned
+    lookup suggestion-identical."""
+    from warp_pipes_spark.search.fuzzy import EditDistanceLookup
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tok1 = F.get(tokens_expr(F.col("text")), 0)
+    qs = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length(tok1) >= 5)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat(
+            F.substring(tok1, 1, 2),
+            F.lit("x"),
+            F.substring(tok1, 4, 1000),
+        ).alias("term"),
+    )
+    return EditDistanceLookup(vocab=vocab, d=1)(qs)
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7544,6 +7579,23 @@ FROM per_line GROUP BY source ORDER BY source
         "events", w=3, z=3.0
     )
 
+    from warp_pipes_spark.search.fuzzy import edit_distance_lookup_sql
+
+    _TOK1 = f"({_toksql('text')})[1]"
+    ORACLES_EXT["q237_spell_correct"] = edit_distance_lookup_sql(
+        (
+            "SELECT term, COUNT(*) AS freq FROM (SELECT"
+            f" unnest({_toksql('text')}) AS term FROM documents)"
+            " GROUP BY 1"
+        ),
+        (
+            f"SELECT doc_id AS query_id, substring({_TOK1}, 1, 2) || 'x'"
+            f" || substring({_TOK1}, 4) AS term FROM documents"
+            f" WHERE doc_id % 5 = 0 AND length({_TOK1}) >= 5"
+        ),
+        d=1,
+    )
+
     from warp_pipes_spark.search.fuzzy import entity_resolution_sql
 
     ORACLES_EXT["q234_entity_resolution"] = entity_resolution_sql(
@@ -8073,6 +8125,7 @@ def _register():
         "q234_entity_resolution": q234_entity_resolution,
         "q235_trigram_append": q235_trigram_append,
         "q236_rolling_outliers": q236_rolling_outliers,
+        "q237_spell_correct": q237_spell_correct,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():

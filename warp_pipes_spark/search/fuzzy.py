@@ -315,3 +315,156 @@ def entity_resolution_sql(
         " COUNT(*) OVER (PARTITION BY entity) AS n_members"
         " FROM ent ORDER BY id"
     )
+
+
+class EditDistanceLookup(Pipe):
+    """Bipartite bounded-edit-distance lookup against a vocabulary —
+    the SymSpell / "did you mean" primitive (Norvig-style spell
+    correction at index speed). Input df = (``query_id``, ``term_col``)
+    possibly-misspelled terms; output = (query_id, term, suggestion,
+    dist, freq), the single best vocabulary term within Levenshtein
+    distance ``d`` per query (rank: dist asc, freq desc, suggestion
+    asc); queries with no match within ``d`` drop out.
+
+    Plan shape (the :class:`EditDistanceJoin` prefix filter, made
+    bipartite): the VOCABULARY explodes once into a (gram, term, len,
+    freq) posting; each query keeps only its q*d+1 RAREST grams under
+    the vocabulary's (df, gram) order — a term within distance d
+    destroys at most q*d of the query's distinct grams, so ANY q*d+1
+    of them contain at least one shared gram and the rare-gram
+    equi-join is exhaustive (grams absent from the vocabulary carry
+    df = 0 harmlessly: the guaranteed shared gram is by definition a
+    vocabulary gram). Queries with <= q*d distinct grams broadcast
+    into one |len diff| <= d vocabulary scan instead. One exact
+    levenshtein verify over the bounded candidate set, then a
+    per-query top-1 window. The vocabulary (term, freq) table is the
+    natural corpus-fingerprint artifact to cache at 100 TB — this
+    operator takes it as an input DataFrame so any cached token count
+    (BM25 postings stats, q195's TF table) can serve.
+
+    Reference anchor: search-family extension (the reference's ES
+    `suggest` surface next to match/match_phrase; `support/
+    elasticsearch.py` es_search bodies)."""
+
+    Q = 3
+
+    def __init__(
+        self,
+        vocab: DataFrame,
+        d: int = 1,
+        term_col: str = "term",
+        query_id: str = "query_id",
+        vocab_term: str = "term",
+        vocab_freq: str = "freq",
+        **kwargs,
+    ):
+        if d < 1:
+            raise ValueError(f"need d >= 1, got {d}")
+        super().__init__(**kwargs)
+        self.vocab = vocab
+        self.d = d
+        self.term_col = term_col
+        self.query_id = query_id
+        self.vocab_term = vocab_term
+        self.vocab_freq = vocab_freq
+
+    _no_fingerprint = ("vocab",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from pyspark.sql import Window
+
+        qd = self.Q * self.d
+        v = self.vocab.select(
+            F.col(self.vocab_term).alias("suggestion"),
+            F.col(self.vocab_freq).cast("long").alias("freq"),
+            F.length(self.vocab_term).alias("vlen"),
+            grams_expr(F.col(self.vocab_term)).alias("__vg"),
+        )
+        posting = v.select(
+            "suggestion", "freq", "vlen", F.explode("__vg").alias("gram")
+        )
+        # vocabulary-side gram document frequencies drive the rarest-
+        # first prefix order (one map-side-combined, vocab-sized pass)
+        df_tbl = posting.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        q = df.select(
+            F.col(self.query_id).alias("query_id"),
+            F.col(self.term_col).alias("term"),
+            F.length(self.term_col).alias("qlen"),
+            grams_expr(F.col(self.term_col)).alias("__qg"),
+        ).withColumn("ng", F.size("__qg"))
+        qlong = q.filter(F.col("ng") > qd)
+        qshort = q.filter(F.col("ng") <= qd)
+        qg = qlong.select(
+            "query_id", "term", "qlen", F.explode("__qg").alias("gram")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("__df"), F.asc("gram")
+        )
+        pfx = (
+            qg.join(df_tbl, "gram", "left")
+            .na.fill({"__df": 0})
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= qd + 1)
+            .select("query_id", "term", "qlen", "gram")
+        )
+        cand = (
+            posting.join(F.broadcast(pfx), "gram")
+            .filter(F.abs(F.col("qlen") - F.col("vlen")) <= F.lit(self.d))
+            .select("query_id", "term", "suggestion", "freq")
+            .distinct()
+        )
+        short_cand = F.broadcast(
+            qshort.select("query_id", "term", "qlen")
+        ).join(
+            v.select("suggestion", "freq", "vlen"),
+            F.abs(F.col("qlen") - F.col("vlen")) <= F.lit(self.d),
+        ).select("query_id", "term", "suggestion", "freq")
+        verified = (
+            cand.unionByName(short_cand)
+            .withColumn(
+                "dist",
+                F.levenshtein(F.col("term"), F.col("suggestion")).cast(
+                    "int"
+                ),
+            )
+            .filter(F.col("dist") <= F.lit(self.d))
+        )
+        rk = Window.partitionBy("query_id").orderBy(
+            F.asc("dist"), F.desc("freq"), F.asc("suggestion")
+        )
+        return (
+            verified.withColumn("__rk", F.row_number().over(rk))
+            .filter(F.col("__rk") == 1)
+            .select("query_id", "term", "suggestion", "dist", "freq")
+        )
+
+
+def edit_distance_lookup_sql(
+    vocab_sql: str,
+    queries_sql: str,
+    d: int = 1,
+) -> str:
+    """DuckDB oracle for :class:`EditDistanceLookup` — the NAIVE
+    query x vocabulary cross join with the same top-1 ranking.
+    ``vocab_sql`` must yield (term, freq); ``queries_sql``
+    (query_id, term)."""
+    return f"""
+WITH v AS ({vocab_sql}),
+q AS ({queries_sql}),
+pairs AS (
+  SELECT q.query_id, q.term, v.term AS suggestion,
+         CAST(levenshtein(q.term, v.term) AS INTEGER) AS dist,
+         CAST(v.freq AS BIGINT) AS freq
+  FROM q CROSS JOIN v
+  WHERE levenshtein(q.term, v.term) <= {d}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY dist ASC, freq DESC, suggestion ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, term, suggestion, dist, freq FROM ranked WHERE rk = 1
+"""
