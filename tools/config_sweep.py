@@ -1272,6 +1272,96 @@ def _cells():
     )
     add("entity_resolution_dense", make, sql)
 
+    # ---- round-8c additions (rolling robust / spell lookup / append) ----
+    from warp_pipes_spark.pipes.validate import (
+        RollingRobust,
+        rolling_robust_sql,
+    )
+
+    def _rolling_cell(w, z):
+        def make(spark, sf, w=w, z=z):
+            return RollingRobust(w=w, z=z)(T(spark, sf, "events"))
+
+        return make, rolling_robust_sql("events", w=w, z=z)
+
+    make, sql = _rolling_cell(1, 3.0)   # minimal windows (n = 2..3)
+    add("rolling_w1", make, sql)
+    make, sql = _rolling_cell(5, 2.0)   # wide window, aggressive z
+    add("rolling_w5_z2", make, sql)
+
+    from warp_pipes_spark.search.fuzzy import (
+        EditDistanceLookup,
+        edit_distance_lookup_sql,
+    )
+    from warp_pipes_spark.text.analysis import (
+        tokens_expr as _tk,
+        tokens_sql as _tksql,
+    )
+
+    def _lookup_d2_make(spark, sf):
+        docs = _docs(spark, sf)
+        vocab = (
+            docs.select(F.explode(_tk(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        tok1 = F.get(_tk(F.col("text")), 0)
+        qs = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.length(tok1) >= 6)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            # two edits: chars 3 and 5 -> 'x'/'q'
+            F.concat(
+                F.substring(tok1, 1, 2),
+                F.lit("x"),
+                F.substring(tok1, 4, 1),
+                F.lit("q"),
+                F.substring(tok1, 6, 1000),
+            ).alias("term"),
+        )
+        return EditDistanceLookup(vocab=vocab, d=2)(qs)
+
+    _TOK1S = f"({_tksql('text')})[1]"
+    add(
+        "lookup_d2",
+        _lookup_d2_make,
+        edit_distance_lookup_sql(
+            "SELECT term, COUNT(*) AS freq FROM (SELECT"
+            f" unnest({_tksql('text')}) AS term FROM documents)"
+            " GROUP BY 1",
+            f"SELECT doc_id AS query_id, substring({_TOK1S}, 1, 2) || 'x'"
+            f" || substring({_TOK1S}, 4, 1) || 'q'"
+            f" || substring({_TOK1S}, 6) AS term FROM documents"
+            f" WHERE doc_id % 5 = 0 AND length({_TOK1S}) >= 6",
+            d=2,
+        ),
+    )
+
+    from warp_pipes_spark.search.trigram import TrigramSubstringSearch
+
+    def _append_5050_make(spark, sf):
+        docs = _docs(spark, sf)
+        base = docs.filter(F.col("doc_id") % 2 == 0)
+        delta = docs.filter(F.col("doc_id") % 2 == 1)
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.length("text") >= 90)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 50, 40).alias("pattern"),
+        )
+        return TrigramSubstringSearch(corpus=base).append(delta)(qs)
+
+    add(
+        "trigram_append_5050",
+        _append_5050_make,
+        trigram_search_sql(
+            "documents",
+            "SELECT doc_id AS query_id, substring(text, 50, 40) AS"
+            " pattern FROM documents WHERE doc_id % 25 = 0 AND"
+            " length(text) >= 90",
+        ),
+    )
+
     return cells
 
 
