@@ -84,6 +84,8 @@ from warp_pipes_spark.search.trigram import (
 )
 from warp_pipes_spark.text.textrank import TextRankKeywords
 from warp_pipes_spark.pipes.validate import RollingRobust
+from warp_pipes_spark.search.boolean import BooleanSearch
+from warp_pipes_spark.pipes.sampling import LeakageSafeSplit
 from warp_pipes_spark.text.dedup import (
     ChunkDedupStats,
     ContainmentPairs,
@@ -177,6 +179,8 @@ def instantiate_all():
         TextRankKeywords(),
         RollingRobust("value"),
         EditDistanceLookup(vocab=None),
+        BooleanSearch(corpus=None),
+        LeakageSafeSplit(pairs=None, splits={"validation": 0.1}),
     ]
 
 

@@ -496,3 +496,69 @@ def test_edit_distance_lookup_tie_breaks(spark):
     # datuq < datus
     [r] = EditDistanceLookup(vocab=vocab, d=1)(qs).collect()
     assert (r["suggestion"], r["dist"], r["freq"]) == ("datuq", 1, 9)
+
+
+def test_boolean_search_closed_form_and_guards(spark):
+    from warp_pipes_spark.search.boolean import BooleanSearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window"),
+            (2, "spark shuffle codegen"),
+            (3, "shuffle join spark"),
+            (4, "spark only"),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [
+            (10, ["spark", "shuffle"], ["codegen"]),  # 1, 3 (2 excluded)
+            (11, ["join"], []),                        # 1, 3
+            (12, ["spark", "zzz"], []),                # nothing
+        ],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    out = sorted(
+        tuple(r)
+        for r in BooleanSearch(corpus=docs, materialize_index=False)(
+            qs
+        ).collect()
+    )
+    assert out == [(10, 1), (10, 3), (11, 1), (11, 3)]
+    # guards: duplicate id / empty must raise from the planning job
+    dup = spark.createDataFrame(
+        [(1, ["a"], []), (1, ["b"], [])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        BooleanSearch(corpus=docs, materialize_index=False)(dup)
+    empty = spark.createDataFrame(
+        [(1, [], ["a"])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    with pytest.raises(ValueError, match="empty must"):
+        BooleanSearch(corpus=docs, materialize_index=False)(empty)
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    from warp_pipes_spark.pipes.sampling import LeakageSafeSplit
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], ["doc_id", "text"]
+    )
+    # two clusters: {1,2,3} (chain) and {10, 11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = LeakageSafeSplit(
+        pairs=pairs, splits={"validation": 0.3, "test": 0.3}, seed=3
+    )(docs).collect()
+    by_id = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out}
+    assert by_id[1][0] == by_id[2][0] == by_id[3][0] == 1
+    assert by_id[10][0] == by_id[11][0] == 10
+    # the leakage property: same cluster -> same split, always
+    assert by_id[1][1] == by_id[2][1] == by_id[3][1]
+    assert by_id[10][1] == by_id[11][1]
+    # singletons keep their own id
+    assert by_id[7] == (7, by_id[7][1])
+    assert len(out) == 20

@@ -75,6 +75,7 @@ DEFAULT_QUERIES = [
     "q232_textrank_keywords", "q233_wildcard_search",
     "q234_entity_resolution", "q235_trigram_append",
     "q236_rolling_outliers", "q237_spell_correct",
+    "q238_boolean_search", "q239_leakage_safe_split",
 ]
 
 TABLES = (

@@ -1186,3 +1186,97 @@ SELECT stratum AS {stratum},
             AS DECIMAL(18,6)) AS DOUBLE) AS eff_sources
 FROM agg
 """
+
+
+class LeakageSafeSplit(Pipe):
+    """Near-dup-aware train/validation/test assignment: a plain
+    :class:`SplitAssign` keyed on doc_id leaks — two near-duplicate
+    documents hash independently, so one lands in train and its twin in
+    validation, and the eval score silently measures memorization.
+    This operator keys the split hash on the DUPLICATE CLUSTER instead:
+    ``pairs`` (any pair-finding dedup's output — exact, Jaccard,
+    MinHash, SimHash) close transitively via ``text/dedup.py``
+    ``DedupClusters`` (min-id label), unmatched documents stay
+    singleton clusters of themselves, and every member of a cluster
+    gets the SAME ``md5(cluster_id:seed)`` gate — so a whole near-dup
+    family moves between splits as one unit and no pair ever straddles
+    a split boundary. Output: (doc_id, cluster_id, split).
+
+    Scale shape: the pair edge list is dedup-sized (never corpus
+    quadratic — it comes from a banded/prefix-filtered finder), the
+    closure iterates over it with pointer jumping, the label join-back
+    is one left join, and the split itself is a scan-level CASE — no
+    additional shuffle beyond the closure.
+
+    Reference anchor: dedup + sampling composition (SURVEY.md §2 dedup
+    tier x q59's SplitAssign); the leakage this prevents is exactly
+    what q160's split-leakage AUDIT measures after the fact.
+    """
+
+    def __init__(
+        self,
+        pairs: DataFrame,
+        splits: Dict[str, float],
+        id_col: str = "doc_id",
+        seed: int = 0,
+        default_split: str = "train",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.pairs = pairs
+        self.splits = dict(splits)
+        self.id_col = id_col
+        self.seed = seed
+        self.default_split = default_split
+
+    _no_fingerprint = ("pairs",)
+
+    def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        from warp_pipes_spark.text.dedup import DedupClusters
+
+        clusters = DedupClusters()(self.pairs)
+        labeled = (
+            df.select(F.col(self.id_col).alias("doc_id"))
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        return SplitAssign(
+            self.splits,
+            key_col="cluster_id",
+            seed=self.seed,
+            default_split=self.default_split,
+        )(labeled)
+
+
+def leakage_safe_split_sql(
+    table: str,
+    pairs_sql: str,
+    splits: Dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_split: str = "train",
+) -> str:
+    """DuckDB oracle for :class:`LeakageSafeSplit` — recursive-CTE
+    closure over the same pairs + the same cumulative hex gate on the
+    cluster id."""
+    from warp_pipes_spark.text.dedup import dedup_clusters_sql
+
+    inner = (
+        f"SELECT d.{id_col} AS doc_id,"
+        f" COALESCE(c.cluster_id, d.{id_col}) AS cluster_id"
+        f" FROM {table} d LEFT JOIN ({dedup_clusters_sql(pairs_sql)}) c"
+        f" ON d.{id_col} = c.doc_id"
+    )
+    return split_assign_sql(
+        f"({inner}) labeled",
+        splits,
+        columns="doc_id, cluster_id",
+        key_col="cluster_id",
+        seed=seed,
+        default_split=default_split,
+    )

@@ -2526,6 +2526,54 @@ def q237_spell_correct(spark, sf):
     return EditDistanceLookup(vocab=vocab, d=1)(qs)
 
 
+def q238_boolean_search(spark, sf):
+    """Boolean (must / must_not) retrieval over the materialized
+    (term, doc_id) posting (`search/boolean.py` `BooleanSearch` — the
+    Elasticsearch `bool` query surface the reference's es_search bodies
+    compose; `support/elasticsearch.py`): required terms broadcast into
+    the term-clustered posting, a doc survives iff it matched ALL of
+    them (count == n_must, one map-side-combined aggregation), excluded
+    terms reduce to distinct (query, doc) hits that LEFT ANTI join the
+    survivors — negation via posting slices, document text never
+    touched. Queries take each 25th document's tokens 1-2 as must and
+    token 8 as must_not; the oracle is the naive per-document
+    list_has_all / NOT list_has_any scan over the shared tokenizer."""
+    from warp_pipes_spark.search.boolean import BooleanSearch
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    docs = T(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    qs = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(toks, 1, 2).alias("must"),
+        F.slice(toks, 8, 1).alias("must_not"),
+    )
+    return BooleanSearch(corpus=docs)(qs)
+
+
+def q239_leakage_safe_split(spark, sf):
+    """Near-dup-aware train/val/test assignment (`pipes/sampling.py`
+    `LeakageSafeSplit`): q55's trigram-Jaccard near-dup pairs close
+    into clusters (pointer-jumping min-label CC), every document's
+    split gate hashes the CLUSTER id (singletons hash their own id) —
+    so near-duplicate families move between splits as one unit and no
+    pair straddles train/validation, the leakage q160's audit would
+    otherwise flag after the fact. 90/5/5 split; oracle = recursive-CTE
+    closure over the same pairs + the same cumulative hex gate."""
+    from warp_pipes_spark.pipes.sampling import LeakageSafeSplit
+    from warp_pipes_spark.text.dedup import NgramJaccardDedup
+
+    docs = T(spark, sf, "documents")
+    pairs = NgramJaccardDedup(n=3, threshold=0.5, prefix_filter=False)(
+        docs
+    ).select("doc_a", "doc_b")
+    return LeakageSafeSplit(
+        pairs=pairs,
+        splits={"validation": 0.05, "test": 0.05},
+        seed=7,
+    )(docs)
+
+
 def _copurchase_edges_sql(min_support: int = 2) -> str:
     return (
         "SELECT a.l_partkey AS u, b.l_partkey AS v "
@@ -7596,6 +7644,27 @@ FROM per_line GROUP BY source ORDER BY source
         d=1,
     )
 
+    from warp_pipes_spark.search.boolean import boolean_search_sql
+
+    ORACLES_EXT["q238_boolean_search"] = boolean_search_sql(
+        "documents",
+        (
+            f"SELECT doc_id AS query_id,"
+            f" list_slice({_toksql('text')}, 1, 2) AS must,"
+            f" list_slice({_toksql('text')}, 8, 8) AS must_not"
+            " FROM documents WHERE doc_id % 25 = 0"
+        ),
+    )
+
+    from warp_pipes_spark.pipes.sampling import leakage_safe_split_sql
+
+    ORACLES_EXT["q239_leakage_safe_split"] = leakage_safe_split_sql(
+        "documents",
+        ngram_jaccard_sql(n=3, threshold=0.5),
+        {"validation": 0.05, "test": 0.05},
+        seed=7,
+    )
+
     from warp_pipes_spark.search.fuzzy import entity_resolution_sql
 
     ORACLES_EXT["q234_entity_resolution"] = entity_resolution_sql(
@@ -8126,6 +8195,8 @@ def _register():
         "q235_trigram_append": q235_trigram_append,
         "q236_rolling_outliers": q236_rolling_outliers,
         "q237_spell_correct": q237_spell_correct,
+        "q238_boolean_search": q238_boolean_search,
+        "q239_leakage_safe_split": q239_leakage_safe_split,
     }
     oracles = {**ORACLES_RELATIONAL, **ORACLES_EXT}
     for name, fn in fns.items():
