@@ -144,6 +144,20 @@ def _cells():
         )
         return EntityResolution(d=1, iters=4)(base.unionAll(typos))
 
+    def bool_make(spark, sf):
+        from warp_pipes_spark.search.boolean import BooleanSearch
+
+        docs = T(spark, sf, "documents")
+        toks = tokens_expr(F.col("text"))
+        qs = docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, 2).alias("must"),
+            F.slice(toks, 8, 1).alias("must_not"),
+        )
+        return BooleanSearch(corpus=docs)(qs)
+
     def append_make(spark, sf):
         docs = T(spark, sf, "documents")
         base = docs.filter(F.col("doc_id") % 10 != 0)
@@ -152,7 +166,25 @@ def _cells():
             _trgm_queries(spark, sf)
         )
 
+    from warp_pipes_spark.search.boolean import boolean_search_sql
+
     return [
+        (
+            "q238_boolean_search",
+            "fixed query batch (doc_id < 5000, 200 queries) vs FULL sf1"
+            " corpus — naive list_has_all scan oracle is quadratic",
+            bool_make,
+            boolean_search_sql(
+                "documents",
+                (
+                    f"SELECT doc_id AS query_id,"
+                    f" list_slice({tokens_sql('text')}, 1, 2) AS must,"
+                    f" list_slice({tokens_sql('text')}, 8, 8) AS must_not"
+                    " FROM documents WHERE doc_id % 25 = 0"
+                    " AND doc_id < 5000"
+                ),
+            ),
+        ),
         (
             "q235_trigram_append",
             "fixed query batch (doc_id < 5000) vs FULL sf1 corpus, 90/10"
