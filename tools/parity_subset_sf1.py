@@ -77,14 +77,22 @@ def _cells():
         )(_trgm_queries(spark, sf))
 
     def fuzzy_make(spark, sf):
-        cust = (
-            T(spark, sf, "customer")
-            .filter(F.col("c_custkey") < 15000)
+        base = (
+            T(spark, sf, "part")
+            .filter(F.col("p_partkey") < 20000)
             .select(
-                F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+                F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
             )
         )
-        return EditDistanceJoin(d=1)(cust)
+        typos = base.filter(F.col("id") % 3 == 0).select(
+            (F.col("id") + F.lit(10000000)).alias("id"),
+            F.concat(
+                F.substring("s", 1, 4),
+                F.lit("x"),
+                F.expr("substring(s, 6)"),
+            ).alias("s"),
+        )
+        return EditDistanceJoin(d=1)(base.unionAll(typos))
 
     def phrase_make(spark, sf):
         docs = T(spark, sf, "documents")
@@ -233,12 +241,18 @@ def _cells():
         ),
         (
             "q230_fuzzy_join",
-            "c_custkey < 15000 subset (sf0.1-sized) — naive all-pairs"
-            " levenshtein oracle is quadratic (11G pairs at full sf1)",
+            "p_partkey < 20000 subset (sf0.1-sized, 26.7k strings) —"
+            " naive all-pairs levenshtein oracle is quadratic"
+            " (35G pairs at full sf1)",
             fuzzy_make,
             edit_distance_join_sql(
-                "SELECT c_custkey AS id, c_name AS s FROM customer"
-                " WHERE c_custkey < 15000",
+                "SELECT p_partkey AS id, p_name AS s FROM part"
+                " WHERE p_partkey < 20000 "
+                "UNION ALL "
+                "SELECT p_partkey + 10000000,"
+                " substring(p_name, 1, 4) || 'x' || substring(p_name, 6) "
+                "FROM part WHERE p_partkey % 3 = 0"
+                " AND p_partkey < 20000",
                 d=1,
             ),
         ),

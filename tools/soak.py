@@ -111,19 +111,33 @@ def main():
             eval_cw[name] = {"error": f"{type(e).__name__}: {e}"}
         spark.sparkContext._jvm.System.gc()
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "BENCH_sf1.json")
+    # MERGE into the existing artifact (the parity_sweep rule): a
+    # subset re-run after a query change refreshes just those rows
+    # instead of erasing the rest of the catalog's timings
+    prev_t, prev_r, prev_cw = {}, {}, {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev_t = prev.get("queries", {})
+        prev_r = prev.get("rows", {})
+        prev_cw = prev.get("eval_cold_warm", {})
+    prev_t.update(timings)
+    prev_r.update(rows)
+    prev_cw.update(eval_cw)
     out = {
         "metric": "sf1_soak_wall",
-        "value": round(sum(t for t in timings.values() if t), 2),
+        "value": round(sum(t for t in prev_t.values() if t), 2),
         "unit": "sec",
-        "queries": timings,
-        "rows": rows,
-        "eval_cold_warm": eval_cw,
+        "queries": prev_t,
+        "rows": prev_r,
+        "eval_cold_warm": prev_cw,
         "sf": 1.0,
         "copies": 10,
         "source": "tools/gen_scale.py from sf0.1; runner tools/soak.py",
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("DONE")
 

@@ -2331,9 +2331,17 @@ def q229_trigram_similarity(spark, sf):
 def q230_fuzzy_join(spark, sf):
     """Bounded-edit-distance self-join via q-gram prefix filtering
     (ED-Join, Xiao et al. 2008; `search/fuzzy.py` `EditDistanceJoin`):
-    all customer-name pairs within Levenshtein distance 1 — the
+    all part-name pairs within Levenshtein distance 1 over parts plus a
+    deterministic typo'd variant of every 3rd part — the
     entity-resolution primitive (typo'd identities, near-identical
-    product codes). The naive join is O(n^2) levenshtein calls; the
+    product codes) on a realistic SPARSE-match domain (multi-word names;
+    true matches are the planted typos plus rare natural collisions).
+    The round-8 sf1 soak showed the earlier zero-padded customer-name
+    domain is adversarially DENSE — every serial name within distance 1
+    of ~180 neighbors, 26.9M output pairs, 418 s mostly materializing
+    output — and that stress shape stays covered by the
+    `fuzzy_cust_d2`/`entity_resolution_dense` sweep cells instead.
+    The naive join is O(n^2) levenshtein calls; the
     prefix filter joins only each string's q*d+1 = 4 RAREST grams under
     a global (df, gram) order — a pair within distance d MUST share one
     (one edit kills <= 3 distinct grams, so sets overlap by >=
@@ -2347,10 +2355,16 @@ def q230_fuzzy_join(spark, sf):
     the pruned path is pair-identical."""
     from warp_pipes_spark.search.fuzzy import EditDistanceJoin
 
-    cust = T(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    base = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
     )
-    return EditDistanceJoin(d=1)(cust)
+    typos = base.filter(F.col("id") % 3 == 0).select(
+        (F.col("id") + F.lit(10000000)).alias("id"),
+        F.concat(
+            F.substring("s", 1, 4), F.lit("x"), F.expr("substring(s, 6)")
+        ).alias("s"),
+    )
+    return EditDistanceJoin(d=1)(base.unionAll(typos))
 
 
 def q231_phrase_search(spark, sf):
@@ -7586,7 +7600,12 @@ FROM per_line GROUP BY source ORDER BY source
     from warp_pipes_spark.search.fuzzy import edit_distance_join_sql
 
     ORACLES_EXT["q230_fuzzy_join"] = edit_distance_join_sql(
-        "SELECT c_custkey AS id, c_name AS s FROM customer", d=1
+        "SELECT p_partkey AS id, p_name AS s FROM part "
+        "UNION ALL "
+        "SELECT p_partkey + 10000000,"
+        " substring(p_name, 1, 4) || 'x' || substring(p_name, 6) "
+        "FROM part WHERE p_partkey % 3 = 0",
+        d=1,
     )
 
     from warp_pipes_spark.search.phrase import phrase_search_sql

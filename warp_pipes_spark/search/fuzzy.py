@@ -116,22 +116,32 @@ class EditDistanceJoin(Pipe):
         # operator's cost (measured sf0.1: 30.5 s -> ~12 s); strings
         # re-enter via two id-equi-joins only for the bounded verify set
         sides = pfx.join(long_.select("id", "len"), "id")
+        # the |len_a - len_b| <= d filter FOLDS INTO THE JOIN KEY: the
+        # a-side replicates each prefix row across its 2d+1 admissible
+        # partner lengths, so the equi-join key is (gram, len) and the
+        # per-key fan-out is df(gram, len) x df(gram, len') instead of
+        # df(gram)^2 — on length-spread corpora that divides the
+        # candidate join by ~spread/(2d+1) for a (2d+1)x row replication
+        # (measured sf1 part names: the post-join len filter shape
+        # ground a single 1.4G-row candidate stage)
         a = sides.select(
             F.col("id").alias("id_a"), F.col("len").alias("len_a"), "gram"
+        ).withColumn(
+            "len_b",
+            F.explode(
+                F.sequence(
+                    F.col("len_a") - F.lit(self.d),
+                    F.col("len_a") + F.lit(self.d),
+                )
+            ),
         )
         b = sides.select(
             F.col("id").alias("id_b"), F.col("len").alias("len_b"), "gram"
         )
         strings = base.select("id", "s")
         cand = (
-            a.join(b, "gram")
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
-                & (
-                    F.abs(F.col("len_a") - F.col("len_b"))
-                    <= F.lit(self.d)
-                )
-            )
+            a.join(b, ["gram", "len_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
             .join(
@@ -408,10 +418,21 @@ class EditDistanceLookup(Pipe):
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= qd + 1)
             .select("query_id", "term", "qlen", "gram")
+            # the length filter folds into the join key (the
+            # EditDistanceJoin banding): each prefix row replicates
+            # across its 2d+1 admissible vocabulary lengths
+            .withColumn(
+                "vlen",
+                F.explode(
+                    F.sequence(
+                        F.col("qlen") - F.lit(self.d),
+                        F.col("qlen") + F.lit(self.d),
+                    )
+                ),
+            )
         )
         cand = (
-            posting.join(F.broadcast(pfx), "gram")
-            .filter(F.abs(F.col("qlen") - F.col("vlen")) <= F.lit(self.d))
+            posting.join(F.broadcast(pfx), ["gram", "vlen"])
             .select("query_id", "term", "suggestion", "freq")
             .distinct()
         )
