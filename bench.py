@@ -42,14 +42,16 @@ def main() -> None:
     spark = get_spark(app_name="warp-pipes-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # the eval-tier queries reuse retrieval runs through a Parquet
-    # results cache; wipe it so this run's first eval row is a true
-    # cold retrieval and within-run reuse is exactly what a production
-    # panel would see (leaving a prior session's entries would silently
-    # turn cold rows warm)
-    from warp_pipes_spark.search.cached import clear_results_cache
+    # wipe EVERY on-disk artifact cache (retrieval results, index
+    # postings, vector codebooks, shingle tables) so this invocation
+    # computes everything from the parquet inputs: the first payer of
+    # each index/ranking is a true cold build and within-run reuse is
+    # exactly what a production panel would see. Clearing only the
+    # results cache (rounds 6-7) left the index caches warm across
+    # invocations — a second bench run never paid the posting builds.
+    from warp_pipes_spark.pipes.cache import clear_all_artifact_caches
 
-    clear_results_cache()
+    clear_all_artifact_caches()
 
     # warm up the JVM + parquet footers with a trivial action, and spin up
     # the Python worker pool once (pandas/numpy import + Arrow channel) so

@@ -49,11 +49,12 @@ def main():
     spark = get_spark(app_name="sf-soak")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
-    # cold-run honesty: wipe the eval-tier retrieval results cache so
-    # reuse measured here is within-run only
+    # cold-run honesty: wipe ALL on-disk artifact caches (results cache,
+    # index postings, codebooks) so reuse measured here is within-run only
+    from warp_pipes_spark.pipes.cache import clear_all_artifact_caches
     from warp_pipes_spark.search.cached import clear_results_cache
 
-    clear_results_cache()
+    clear_all_artifact_caches()
 
     timings, rows = {}, {}
     for name in names:

@@ -34,6 +34,36 @@ from warp_pipes_spark.core.fingerprint import (
 from warp_pipes_spark.core.pipe import Pipe
 
 
+def clear_all_artifact_caches() -> None:
+    """Wipe EVERY on-disk engine artifact cache (index postings, vector
+    codebooks, shingle tables, results cache) so the next run rebuilds
+    everything from its parquet inputs.
+
+    Measurement honesty: the index-once-query-many caches are a real
+    production design (an index outliving one driver is the point), but a
+    TIMED bench/soak run must not inherit a previous invocation's
+    artifacts — ``bench.py`` and the soak harness call this first so every
+    timed invocation is cold-start self-contained: index builds are paid
+    inside the run they benefit."""
+    import glob
+    import shutil
+    import tempfile
+
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), "warp_pipes_spark_*")
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+    for env in (
+        "WPS_RESULTS_CACHE_DIR",
+        "WPS_TRIGRAM_CACHE_DIR",
+        "WPS_PHRASE_CACHE_DIR",
+        "WPS_BOOL_CACHE_DIR",
+    ):
+        d = os.environ.get(env)
+        if d:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class CacheManager:
     """Content-addressed Parquet cache: ``cache_dir/<fingerprint>/``.
 
