@@ -44,7 +44,14 @@ def hash_min_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    for _ in range(iters):
+    for i in range(iters):
+        # each round references the previous label table TWICE (the
+        # neighbor-min join and the update join), so an unmaterialized
+        # loop doubles the plan per round — 2^iters copies of the base
+        # subtree, 46 exchanges at iters = 4 (measured q133). An eager
+        # node-sized localCheckpoint per round keeps the plan linear;
+        # the final round stays lazy (the caller's action materializes
+        # it, and hash_min's callers always consume the result once).
         nbr_min = (
             e.join(labels, e.dst == labels.node)
             .groupBy("src")
@@ -60,6 +67,8 @@ def hash_min_components(
                 ),
             )
         )
+        if i < iters - 1:
+            labels = labels.localCheckpoint()
     return labels.select("node", F.col("label").alias("component"))
 
 

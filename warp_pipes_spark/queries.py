@@ -2329,28 +2329,27 @@ def q229_trigram_similarity(spark, sf):
 
 
 def q230_fuzzy_join(spark, sf):
-    """Bounded-edit-distance self-join via q-gram prefix filtering
-    (ED-Join, Xiao et al. 2008; `search/fuzzy.py` `EditDistanceJoin`):
-    all part-name pairs within Levenshtein distance 1 over parts plus a
-    deterministic typo'd variant of every 3rd part — the
-    entity-resolution primitive (typo'd identities, near-identical
-    product codes) on a realistic SPARSE-match domain (multi-word names;
-    true matches are the planted typos plus rare natural collisions).
-    The round-8 sf1 soak showed the earlier zero-padded customer-name
-    domain is adversarially DENSE — every serial name within distance 1
-    of ~180 neighbors, 26.9M output pairs, 418 s mostly materializing
-    output — and that stress shape stays covered by the
-    `fuzzy_cust_d2`/`entity_resolution_dense` sweep cells instead.
-    The naive join is O(n^2) levenshtein calls; the
-    prefix filter joins only each string's q*d+1 = 4 RAREST grams under
-    a global (df, gram) order — a pair within distance d MUST share one
-    (one edit kills <= 3 distinct grams, so sets overlap by >=
-    max(|Ga|,|Gb|) - 3d, and prefix filtering turns that overlap bound
-    into a rare-gram equi-join) — plus the free |len_a - len_b| <= d
-    filter, then ONE exact levenshtein verify over the bounded pair
-    set. Strings with <= 3d distinct grams (no prefix signal: d edits
-    can destroy every gram) broadcast-verify against everything. The
-    plain 2-arg levenshtein is deliberate — Spark's 3-arg bounded
+    """Bounded-edit-distance self-join via dedupe-first deletion
+    neighborhoods (FastSS, Bocek et al. 2007; `search/fuzzy.py`
+    `EditDistanceJoin`): all part-name pairs within Levenshtein
+    distance 1 over parts plus a deterministic typo'd variant of every
+    3rd part — the entity-resolution primitive (typo'd identities,
+    near-identical product codes). The round-8 sf1 soak showed the
+    earlier zero-padded customer-name domain is adversarially DENSE —
+    every serial name within distance 1 of ~180 neighbors, 26.9M output
+    pairs, 418 s mostly materializing output — and that stress shape
+    stays covered by the `fuzzy_cust_d2`/`entity_resolution_dense`
+    sweep cells instead. The naive join is O(n^2) levenshtein calls;
+    this operator (a) collapses rows to DISTINCT string values first
+    (edit distance is value-determined; sf0.1 part names: 26,667 rows,
+    128 values), (b) self-joins the values on hashed <= d-deletion
+    variants — ed(a, b) <= d forces the deletion neighborhoods to
+    intersect, so the candidate join is match-bounded — (c) verifies
+    with ONE exact levenshtein per value pair, and (d) expands value
+    pairs back to row pairs through broadcast member joins (the 6.3M
+    output rows stream map-side; a q-gram prefix filter first cut left
+    a 42M-pair verify on this palette-style domain, 63 s vs 2.5 s).
+    The plain 2-arg levenshtein is deliberate — Spark's 3-arg bounded
     variant measured slower. Oracle = the naive all-pairs join, proving
     the pruned path is pair-identical."""
     from warp_pipes_spark.search.fuzzy import EditDistanceJoin
@@ -2442,13 +2441,16 @@ def q234_entity_resolution(spark, sf):
     """End-to-end entity resolution (`search/fuzzy.py`
     `EntityResolution`): part names plus a deterministic typo'd variant
     of every 3rd part (5th char -> 'x') resolve to canonical entities —
-    `EditDistanceJoin`'s q-gram prefix filter generates the
-    within-distance-1 match pairs WITHOUT the naive all-pairs
-    levenshtein, `hash_min_components` closes them transitively (4
-    unrolled hops, oracle-matched), unmatched records stay singletons,
-    and one entity-partitioned window count sizes each cluster. The
-    oracle replays naive all-pairs edges + the same unrolled closure,
-    proving the pruned pipeline pair- and cluster-identical."""
+    `EditDistanceJoin`'s deletion-neighborhood join generates the
+    within-distance-1 match pairs over DISTINCT string values (never
+    the naive all-pairs levenshtein), `hash_min_components` closes the
+    VALUE graph transitively (4 unrolled hops seeded with per-value min
+    row ids — hop-for-hop identical to the oracle's row-level closure
+    because value pairs induce complete bipartite row subgraphs),
+    unmatched records stay singletons, and one entity-partitioned
+    window count sizes each cluster. The oracle replays naive all-pairs
+    edges + the same unrolled closure, proving the pruned pipeline
+    pair- and cluster-identical."""
     from warp_pipes_spark.search.fuzzy import EntityResolution
 
     base = T(spark, sf, "part").select(

@@ -1,32 +1,35 @@
-"""Bounded-edit-distance self-join via q-gram prefix filtering (ED-Join).
+"""Bounded-edit-distance self-join via deletion neighborhoods (FastSS).
 
 The naive "find all string pairs within Levenshtein distance d" is an
 all-pairs O(n^2) cross join — at 100 TB string-identity scale (customer
-names, product codes, URLs) that's the canonical never-do. The classic
-sub-quadratic fix (Gravano et al. 2001 approximate string joins;
-Xiao, Wang & Lin 2008 ED-Join; the same prefix-filtering family as
-PPJoin) exploits two facts about character q-grams (q = 3 here):
+names, product codes, URLs) that's the canonical never-do. The
+sub-quadratic fix used here is the deletion-neighborhood join (Bocek et
+al. 2007 FastSS; the same family as SymSpell, which
+:class:`EditDistanceLookup` already uses for the dictionary case):
 
-* COUNT BOUND: one edit changes at most q gram positions, so at most q
-  DISTINCT gram values can disappear from a string's gram set —
-  ed(a, b) <= d implies |G(a) ∩ G(b)| >= max(|G(a)|, |G(b)|) - q*d.
-* PREFIX FILTER: order all grams by one global total order (document
-  frequency ascending, gram ascending — rarest first); if two SETS
-  overlap by at least alpha, their (|G| - alpha + 1)-prefixes under
-  that order must intersect. With alpha = |G| - q*d the prefix length
-  is q*d + 1, so a pair within distance d MUST share a gram among each
-  side's q*d + 1 RAREST grams.
+* NECESSITY: if ed(a, b) <= d, an optimal alignment matches all but
+  <= d characters of a (its deletions + substitutions) and all but
+  <= d characters of b (its insertions + substitutions); deleting the
+  unmatched characters from each side yields the SAME string. Hence
+  Del<=d(a) ∩ Del<=d(b) is non-empty, where Del<=d(s) = every string
+  obtainable by deleting at most d characters from s.
+* CANDIDATE JOIN: explode each row into its deletion variants, key
+  them by ``xxhash64(variant)`` (8-byte shuffle keys instead of
+  strings; hash collisions only ADD candidates and the verify is
+  exact), self-join on the key, and run ONE exact ``levenshtein``
+  verify over the bounded pair set — identical to the naive join.
 
-Candidate generation therefore joins only the rare-gram prefixes
-(df-bounded fan-out — the hot grams every row shares never enter the
-join), applies the free length filter |len(a) - len(b)| <= d, and one
-exact ``levenshtein`` verify over the bounded pair set gives results
-identical to the naive join. Strings with <= q*d distinct grams carry
-no prefix signal (ALL their grams can be destroyed by d edits — e.g.
-"aaaa" -> "aaba" shares zero grams at d = 1); they form a SHORT bucket
-that broadcast-cross-joins against everything — correct for the
-short/repetitive tail, and bounded because such strings are rare in
-identity-like columns.
+Why not q-gram prefix filtering (ED-Join, round-8 first cut): its
+fan-out is df-bounded, and on palette-style corpora (TPC-H part names:
+five words from a ~90-word vocabulary) the whole corpus shares ~126
+distinct trigrams, so even the rarest-gram prefixes produced 42M
+candidate pairs out of a 356M all-pairs space at sf0.1 — an 8x prune
+where the deletion join needs no df statistics and its per-key fan-out
+is the number of GENUINE near-matches of that variant (measured sf0.1:
+~121k candidate pairs, 346x fewer, for a ~34x key expansion per row at
+d = 1). The deletion-key cardinality is (n choose <= d) per string of
+length n — linear in corpus size for fixed d, the index-size-for-
+join-speed trade every deletion-based engine makes.
 
 NOTE the plain 2-arg ``levenshtein`` is used deliberately: Spark's
 3-arg bounded variant measured SLOWER than the full computation on
@@ -49,14 +52,48 @@ from warp_pipes_spark.core.pipe import Pipe
 from warp_pipes_spark.search.trigram import grams_expr
 
 
+def deletion_neighborhood_expr(col, d: int):
+    """Array of DISTINCT strings obtainable by deleting AT MOST ``d``
+    characters from ``col`` (the string itself included). Pure codegen
+    array expressions; guarded so the empty string yields just itself
+    (``sequence(1, 0)`` steps DOWNWARD — the trigram.py trap)."""
+
+    def _one_deletion_round(arr):
+        # every variant of the incoming set, minus one character each —
+        # plus the incoming set itself ("at most" semantics)
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda s: F.concat(
+                        F.when(
+                            F.length(s) > 0,
+                            F.transform(
+                                F.sequence(F.lit(1), F.length(s)),
+                                lambda i: F.concat(
+                                    s.substr(F.lit(1), i - F.lit(1)),
+                                    s.substr(i + F.lit(1), F.length(s)),
+                                ),
+                            ),
+                        ).otherwise(F.array().cast("array<string>")),
+                        F.array(s),
+                    ),
+                )
+            )
+        )
+
+    arr = F.array(col)
+    for _ in range(d):
+        arr = _one_deletion_round(arr)
+    return arr
+
+
 class EditDistanceJoin(Pipe):
     """Self-join: input df = (``id_col``, ``string_col``); output =
     (id_a, id_b, dist) for every UNORDERED pair (id_a < id_b) of rows
     whose strings are within Levenshtein distance ``d``, identical to
-    the naive cross join. ``q`` is fixed at 3 (shared trigram
-    machinery)."""
-
-    Q = 3
+    the naive cross join (deletion-neighborhood candidates + exact
+    verify — see the module docstring)."""
 
     def __init__(
         self,
@@ -75,132 +112,87 @@ class EditDistanceJoin(Pipe):
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         from pyspark import StorageLevel
 
-        prefix_len = self.Q * self.d + 1
-        base = (
+        # DEDUPE-FIRST: edit distance depends only on the string VALUES,
+        # so the expensive near-match search runs over DISTINCT strings
+        # and the row-level answer is a multiplicity expansion. Identity
+        # columns are heavily duplicated in practice (sf0.1 part names:
+        # 26,667 rows but 128 distinct strings, hot value x347) — on the
+        # raw rows every exact-duplicate group of size c hits the same
+        # deletion keys c times, which ground the first cuts (42M q-gram
+        # candidates / a 38M-row key join, 63-125 s); on distinct
+        # strings the same join is value-pair-bounded and the output
+        # pairs (6.3M here — the true answer) materialize through two
+        # broadcast expansion joins, never a corpus-squared shuffle.
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        rows_ = (
             df.select(
                 F.col(self.id_col).alias("id"),
                 F.col(self.string_col).alias("s"),
-                F.length(self.string_col).alias("len"),
-                grams_expr(F.col(self.string_col)).alias("__g"),
             )
-            .withColumn("ng", F.size("__g"))
-            # base feeds the short bucket, the prefix join AND the
-            # gram-df pass — persist so the source scans + gram arrays
-            # materialize once (bench/soak clear storage between queries)
+            # spread the expansion joins' stream side over the executors
+            # (a bare 2-file scan otherwise caps the output stage at the
+            # scan's parallelism); feeds value-dedupe + 3 member scans
+            .repartition(n_part)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # short/repetitive strings (<= q*d distinct grams) carry no
-        # prefix signal — bucket them for a broadcast verify vs all
-        short = base.filter(F.col("ng") <= self.Q * self.d).select(
-            F.col("id").alias("id_a"),
-            F.col("s").alias("s_a"),
-            F.col("len").alias("len_a"),
-        )
-        long_ = base.filter(F.col("ng") > self.Q * self.d)
-        g = long_.select("id", F.explode("__g").alias("gram"))
-        # global gram order: document frequency asc, gram asc (rarest
-        # first) — one map-side-combined pass over the exploded grams
-        df_tbl = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("gram"))
-        pfx = (
-            g.join(df_tbl, "gram")
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= prefix_len)
-            .select("id", "gram")
-        )
-        # candidate generation carries ONLY (id, len, gram) — the hot
-        # prefix grams fan out to millions of rows, and dragging the
-        # strings through that shuffle + the pair distinct doubled the
-        # operator's cost (measured sf0.1: 30.5 s -> ~12 s); strings
-        # re-enter via two id-equi-joins only for the bounded verify set
-        sides = pfx.join(long_.select("id", "len"), "id")
-        # the |len_a - len_b| <= d filter FOLDS INTO THE JOIN KEY: the
-        # a-side replicates each prefix row across its 2d+1 admissible
-        # partner lengths, so the equi-join key is (gram, len) and the
-        # per-key fan-out is df(gram, len) x df(gram, len') instead of
-        # df(gram)^2 — on length-spread corpora that divides the
-        # candidate join by ~spread/(2d+1) for a (2d+1)x row replication
-        # (measured sf1 part names: the post-join len filter shape
-        # ground a single 1.4G-row candidate stage)
-        a = sides.select(
-            F.col("id").alias("id_a"), F.col("len").alias("len_a"), "gram"
-        ).withColumn(
-            "len_b",
+        ds = rows_.select("s").distinct()
+        # each distinct string explodes into its <= d-deletion variants
+        # hashed to 8-byte keys (FastSS; hash collisions only add
+        # candidates — the verify is exact), and the variant-key
+        # self-join finds every distinct VALUE pair within distance d
+        keys = ds.select(
+            "s",
             F.explode(
-                F.sequence(
-                    F.col("len_a") - F.lit(self.d),
-                    F.col("len_a") + F.lit(self.d),
-                )
-            ),
-        )
-        b = sides.select(
-            F.col("id").alias("id_b"), F.col("len").alias("len_b"), "gram"
-        )
-        strings = base.select("id", "s")
-        cand = (
-            a.join(b, ["gram", "len_b"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+                deletion_neighborhood_expr(F.col("s"), self.d)
+            ).alias("__v"),
+        ).select("s", F.xxhash64("__v").alias("__k"))
+        pairs = (
+            keys.join(
+                keys.select(F.col("s").alias("s_b"), "__k"), "__k"
+            )
+            .filter(F.col("s") < F.col("s_b"))
+            .select("s", "s_b")
             .distinct()
-            .join(
-                strings.select(
-                    F.col("id").alias("id_a"), F.col("s").alias("s_a")
-                ),
-                "id_a",
-            )
-            .join(
-                strings.select(
-                    F.col("id").alias("id_b"), F.col("s").alias("s_b")
-                ),
-                "id_b",
-            )
-            .select("id_a", "s_a", "id_b", "s_b")
-        )
-        # short bucket: verify against EVERYTHING (both orientations of
-        # short-long pairs collapse under the id_a < id_b convention)
-        allrows = base.select(
-            F.col("id").alias("id_b"),
-            F.col("s").alias("s_b"),
-            F.col("len").alias("len_b"),
-        )
-        short_cand = (
-            F.broadcast(short)
-            .join(
-                allrows,
-                (F.col("id_a") != F.col("id_b"))
-                & (
-                    F.abs(F.col("len_a") - F.col("len_b"))
-                    <= F.lit(self.d)
-                ),
-            )
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.when(F.col("id_a") < F.col("id_b"), F.col("s_a"))
-                .otherwise(F.col("s_b"))
-                .alias("s_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-                F.when(F.col("id_a") < F.col("id_b"), F.col("s_b"))
-                .otherwise(F.col("s_a"))
-                .alias("s_b"),
-            )
-            .distinct()
-        )
-        # disjoint by construction: cand is long-long only, short_cand
-        # has a short side in every pair — union needs no second distinct
-        verify = cand.unionByName(short_cand)
-        return (
-            verify.withColumn(
-                "dist", F.levenshtein(F.col("s_a"), F.col("s_b"))
-            )
+            .withColumn("dist", F.levenshtein(F.col("s"), F.col("s_b")))
             .filter(F.col("dist") <= F.lit(self.d))
+        )
+        # expansion: every member of value u x every member of value v
+        # (dist is value-determined); both joins broadcast value-pair /
+        # member tables, so the output rows stream map-side
+        cross = (
+            rows_.join(F.broadcast(pairs), "s")
+            .join(
+                rows_.select(
+                    F.col("s").alias("s_b"), F.col("id").alias("id_r")
+                ),
+                "s_b",
+            )
             .select(
-                "id_a",
-                "id_b",
+                F.least("id", "id_r").alias("id_a"),
+                F.greatest("id", "id_r").alias("id_b"),
                 F.col("dist").cast("int").alias("dist"),
             )
         )
+        # exact-duplicate rows are distance-0 pairs the naive join also
+        # emits: all within-group combinations under the id_a < id_b
+        # convention
+        within = (
+            rows_.join(
+                rows_.select(
+                    F.col("s").alias("s"), F.col("id").alias("id_r")
+                ),
+                "s",
+            )
+            .filter(F.col("id") < F.col("id_r"))
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("id_r").alias("id_b"),
+                F.lit(0).cast("int").alias("dist"),
+            )
+        )
+        return cross.unionByName(within)
 
 
 def edit_distance_join_sql(
@@ -228,16 +220,18 @@ class EntityResolution(Pipe):
     ``n_members`` the cluster size — the classic dedup-identities
     pipeline (typo'd names, re-keyed products) as ONE composed
     operator: :class:`EditDistanceJoin` supplies the sub-quadratic
-    match-pair generation (q-gram prefix filtering — never the naive
-    all-pairs levenshtein), ``ml/graph.py`` ``hash_min_components``
-    supplies the transitive closure (min-id label within ``iters``
-    hops; real duplicate clusters have tiny diameters, and the oracle
-    unrolls the SAME iteration count so the contract is exact either
-    way), and unmatched records stay singleton entities of themselves.
+    match-pair generation (dedupe-first deletion neighborhoods — never
+    the naive all-pairs levenshtein), ``ml/graph.py``
+    ``hash_min_components`` supplies the transitive closure (min-id
+    label within ``iters`` hops; real duplicate clusters have tiny
+    diameters, and the oracle unrolls the SAME iteration count so the
+    contract is exact either way), and unmatched records stay
+    singleton entities of themselves.
 
-    Scale shape: pair generation is the bounded rare-gram join, the
-    closure iterates over the PAIR-sized edge list (2 semi-joins per
-    round), and the final labeling is one left join + one
+    Scale shape: pair generation and the closure both run at
+    DISTINCT-VALUE granularity (the closure's node ids are per-value
+    min row ids — hop-for-hop identical to the row-level closure, see
+    ``_transform``), and the final labeling is one value join + one
     entity-partitioned window count — nothing corpus-quadratic
     anywhere.
 
@@ -266,23 +260,47 @@ class EntityResolution(Pipe):
 
         from warp_pipes_spark.ml.graph import hash_min_components
 
-        pairs = EditDistanceJoin(
-            d=self.d, id_col=self.id_col, string_col=self.string_col
-        )(df).select("id_a", "id_b")
-        edges = pairs.select(
+        # VALUE-GRAPH closure (round-8 optimization): edit distance is a
+        # function of string VALUES, and every within-distance value
+        # pair induces a COMPLETE bipartite row subgraph (each member of
+        # u is a direct match of each member of v), while exact-
+        # duplicate rows form a clique of distance-0 edges. So the row
+        # graph's k-hop minimum equals, for every row of value u, the
+        # k-hop minimum over the VALUE graph of seed(v) = min row id of
+        # v — round for round, because any row of a value within k
+        # value-hops is within k row-hops and vice versa. The closure
+        # therefore runs on the distinct-value graph whose node ids ARE
+        # the per-value min row ids (sf0.1 part names: 128 nodes instead
+        # of 12.7M row edges), and stays bit-identical to the oracle's
+        # row-level unrolled closure at every iteration count.
+        vals = df.groupBy(F.col(self.string_col).alias("s")).agg(
+            F.min(F.col(self.id_col)).alias("vid")
+        )
+        vpairs = EditDistanceJoin(
+            d=self.d, id_col="vid", string_col="s"
+        )(vals).select("id_a", "id_b")
+        edges = vpairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).unionAll(
-            pairs.select(
+            vpairs.select(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
         comp = hash_min_components(edges, iters=self.iters)
+        # entity(row) = component label of its value's representative;
+        # values without any within-distance partner keep their own
+        # representative (exact-duplicate groups collapse to min member
+        # id — the same answer the row-level clique closure gives)
         ent = (
-            df.select(F.col(self.id_col).alias("id"))
-            .join(comp, F.col("id") == F.col("node"), "left")
+            df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.string_col).alias("s"),
+            )
+            .join(vals, "s")
+            .join(comp, F.col("vid") == F.col("node"), "left")
             .select(
                 "id",
-                F.coalesce(F.col("component"), F.col("id")).alias(
+                F.coalesce(F.col("component"), F.col("vid")).alias(
                     "entity"
                 ),
             )
