@@ -454,20 +454,26 @@ class RepetitionScore(Pipe):
         self.out_col = out_col
 
     def _columns(self, df: DataFrame, **kwargs) -> Dict[str, Column]:
-        toks = tokens_expr(F.col(self.text_col))
-        n_sh = F.greatest(F.size(toks) - F.lit(self.n - 1), F.lit(0))
-        idx = F.sequence(F.lit(1), n_sh)
-        grams = F.when(
-            n_sh > 0,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, self.n), " ")),
-        ).otherwise(F.array().cast("array<string>"))
-        rep = F.when(
-            n_sh > 0,
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct(grams)).cast("double") / n_sh.cast("double")
-            ),
-        ).otherwise(F.lit(0.0))
+        from warp_pipes_spark.core.exprs import bind_expr
+
+        def rep_of(toks: Column) -> Column:
+            # toks is a let-bound lambda variable: the gram lambda below
+            # would otherwise re-tokenize the document once per gram
+            n_sh = F.greatest(F.size(toks) - F.lit(self.n - 1), F.lit(0))
+            idx = F.sequence(F.lit(1), n_sh)
+            grams = F.when(
+                n_sh > 0,
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i, self.n), " ")),
+            ).otherwise(F.array().cast("array<string>"))
+            return F.when(
+                n_sh > 0,
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(grams)).cast("double") / n_sh.cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+
+        rep = bind_expr(tokens_expr(F.col(self.text_col)), rep_of)
         return {self.out_col: rep.cast("decimal(18,6)").cast("double")}
 
 
