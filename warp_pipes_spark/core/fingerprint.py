@@ -93,7 +93,36 @@ def fingerprint_path(path: str) -> str:
     return fingerprint_struct(entries)
 
 
+import weakref
+
+# DataFrame-object -> fingerprint memo. Computing the fingerprint costs a
+# full analyzed-plan toString through py4j plus an inputFiles listing and
+# an os.stat sweep (~50-150 ms driver-side); index-backed engines call it
+# 4-6x while CONSTRUCTING one query (index fp, tokenization fp, seed fp,
+# stats fp ...), always on the same DataFrame object. A DataFrame's plan
+# is immutable, so per-object memoization is exact; keyed weakly so the
+# memo never pins a plan alive. Source files changing on disk under an
+# ALIVE DataFrame object would be stale — but a source rewrite always goes
+# through a fresh read (new object) in this engine.
+_df_fp_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def fingerprint_dataframe(df: Any) -> str:
+    try:
+        memo = _df_fp_memo.get(df)
+    except TypeError:  # non-weakref-able stand-in (tests)
+        memo = None
+    if memo is not None:
+        return memo
+    out = _fingerprint_dataframe_uncached(df)
+    try:
+        _df_fp_memo[df] = out
+    except TypeError:
+        pass
+    return out
+
+
+def _fingerprint_dataframe_uncached(df: Any) -> str:
     """Cross-session-stable fingerprint of a DataFrame's *contents as
     declared by its plan*: the canonicalized analyzed-plan string (exprIds
     stripped — they are session-assigned) plus per-file (path, size, mtime)

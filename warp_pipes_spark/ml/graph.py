@@ -34,40 +34,47 @@ def hash_min_components(
 ) -> DataFrame:
     """``edges`` (directed pairs; pass both directions for an undirected
     graph) -> ``(node, component)`` where component = min node id within
-    ``iters`` hops (the component id once ``iters`` >= diameter)."""
-    # localCheckpoint (eager, GC-released), not a bare persist: every hop
-    # references the edge list, but the returned label plan is lazy, so an
-    # un-unpersisted cache would leak for the session's lifetime
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    ``iters`` hops (the component id once ``iters`` >= diameter).
+    Contract (unchanged, now load-bearing for the folded first round):
+    every ``dst`` must also appear as a ``src`` — true for any
+    undirected graph passed as both directions, which is what every
+    caller does.
+
+    Self-loop formulation (round-8 optimization): the edge list is
+    augmented with one ``(node, node)`` row per node, so a round is a
+    single ``join + groupBy(src).min(label)`` — the min over neighbors
+    INCLUDING the node's own label, exactly ``least(label,
+    min-neighbor)`` of the classic two-reference round. Because each
+    round references the label table ONCE, the lazy plan grows linearly
+    (the old form doubled per round — 2^iters copies of the base
+    subtree, 46 exchanges at iters=4, measured q133 — and needed an
+    eager node-sized localCheckpoint EVERY round to stay sane, i.e.
+    ``iters`` extra materialization job trees per closure). Now only the
+    augmented edge list is checkpointed (once — every round references
+    it), plus a cadence checkpoint every 6 rounds to bound plan depth
+    for large ``iters``; iters<=6 closures run as ONE lazy job chain."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.unionAll(
+        e.select("src").distinct().select("src", F.col("src").alias("dst"))
+    ).localCheckpoint()
+    if iters <= 0:
+        return e.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("component")
+        )
+    # round 1 folds the identity seed: label0(n) = n, so min over
+    # neighbor labels (self-loop included) is just min(dst) per src
     labels = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        e.groupBy("src").agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "node")
     )
-    for i in range(iters):
-        # each round references the previous label table TWICE (the
-        # neighbor-min join and the update join), so an unmaterialized
-        # loop doubles the plan per round — 2^iters copies of the base
-        # subtree, 46 exchanges at iters = 4 (measured q133). An eager
-        # node-sized localCheckpoint per round keeps the plan linear;
-        # the final round stays lazy (the caller's action materializes
-        # it, and hash_min's callers always consume the result once).
-        nbr_min = (
+    for i in range(1, iters):
+        labels = (
             e.join(labels, e.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("m"))
+            .agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "node")
         )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
-        if i < iters - 1:
+        if i < iters - 1 and (i + 1) % 6 == 0:
             labels = labels.localCheckpoint()
     return labels.select("node", F.col("label").alias("component"))
 

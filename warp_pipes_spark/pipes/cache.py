@@ -34,6 +34,20 @@ from warp_pipes_spark.core.fingerprint import (
 from warp_pipes_spark.core.pipe import Pipe
 
 
+# (app_id, artifact path, _SUCCESS mtime_ns) -> loaded DataFrame. A warm
+# indexed query re-opens the same handful of artifact directories every
+# time it is constructed (postings + seed + stats per BM25 engine, say
+# 3-4 spark.read.parquet calls at ~100 ms of driver/py4j each); the
+# DataFrame returned by read.parquet is an immutable plan over the file
+# listing taken at read time, so reusing the object for the same
+# (published) artifact is exact. The mtime key invalidates on republish
+# (store() renames a fresh staging dir into place -> new mtime), and
+# clear_all_artifact_caches() drops the memo wholesale. This memoizes
+# PLANS, never results: every artifact is still built from the parquet
+# inputs inside the run that uses it.
+_load_memo: dict = {}
+
+
 def clear_all_artifact_caches() -> None:
     """Wipe EVERY on-disk engine artifact cache (index postings, vector
     codebooks, shingle tables, results cache) so the next run rebuilds
@@ -49,6 +63,7 @@ def clear_all_artifact_caches() -> None:
     import shutil
     import tempfile
 
+    _load_memo.clear()
     for d in glob.glob(
         os.path.join(tempfile.gettempdir(), "warp_pipes_spark_*")
     ):
@@ -85,7 +100,53 @@ class CacheManager:
         return os.path.exists(os.path.join(self.path_for(fingerprint), "_SUCCESS"))
 
     def load(self, spark: SparkSession, fingerprint: str) -> DataFrame:
-        return spark.read.parquet(self.path_for(fingerprint))
+        path = self.path_for(fingerprint)
+        key = self._memo_key(spark, path)
+        if key is not None:
+            hit = _load_memo.get(key)
+            if hit is not None:
+                return hit
+        df = spark.read.parquet(path)
+        if key is not None:
+            _load_memo[key] = df
+        return df
+
+    @staticmethod
+    def _memo_key(spark: SparkSession, path: str):
+        try:
+            mtime = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+            return (spark.sparkContext.applicationId, path, mtime)
+        except Exception:  # unpublished artifact / Connect: no memo
+            return None
+
+    def update_meta(self, fingerprint: str, extra: dict) -> None:
+        """Merge scalar fields into a published artifact's sidecar meta.
+        Used to lazily memoize index-intrinsic statistics (e.g. total
+        posting count) computed by the first query batch, so every later
+        batch skips that probe job. Last-writer-wins on the tiny JSON is
+        safe: all writers compute the same values from the same artifact."""
+        path = os.path.join(self.path_for(fingerprint), "_wps_meta.json")
+        try:
+            meta = self.read_meta(fingerprint)
+            meta.update(extra)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+
+    def read_meta(self, fingerprint: str) -> dict:
+        """Driver-side sidecar metadata written by ``store`` — scalar
+        index statistics live here so warm query paths read a tiny local
+        JSON instead of running a Spark probe job."""
+        try:
+            with open(
+                os.path.join(self.path_for(fingerprint), "_wps_meta.json")
+            ) as f:
+                return json.load(f)
+        except Exception:
+            return {}
 
     def store(self, df: DataFrame, fingerprint: str, meta: Optional[dict] = None) -> DataFrame:
         import shutil
@@ -102,7 +163,7 @@ class CacheManager:
             # a concurrent writer published first: same fingerprint = same
             # content — use theirs, drop ours
             shutil.rmtree(staging, ignore_errors=True)
-        return df.sparkSession.read.parquet(path)
+        return self.load(df.sparkSession, fingerprint)
 
     def store_async(
         self, df: DataFrame, fingerprint: str, meta: Optional[dict] = None

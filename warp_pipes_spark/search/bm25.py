@@ -523,6 +523,27 @@ class Bm25Search(Pipe):
             seed = manager.load(self.corpus.sparkSession, fp_seed)
         return seed
 
+    def _n_postings(self, stats: DataFrame) -> int:
+        """Total posting count ``sum(df)`` — an index-intrinsic scalar the
+        term/doc-major strategy chooser needs per query batch. Memoized in
+        the termdf artifact's sidecar meta: the FIRST batch over a given
+        index pays the one-row probe job and writes the scalar back; every
+        later batch (and every other engine sharing the index) reads the
+        local JSON with zero Spark jobs."""
+        from warp_pipes_spark.pipes.cache import CacheManager
+
+        manager = fp = None
+        if self.materialize_index:
+            manager = CacheManager(self.index_cache_dir)
+            fp = self._index_fingerprint() + "_termdf"
+            cached = manager.read_meta(fp).get("n_postings")
+            if cached is not None:
+                return cached
+        n = stats.agg(F.sum("df")).collect()[0][0] or 0
+        if manager is not None:
+            manager.update_meta(fp, {"n_postings": int(n)})
+        return int(n)
+
     def _term_stats(self, postings: DataFrame) -> DataFrame:
         """Per-term document frequency ``(term, df)`` — the vocabulary-sized
         statistics table the query planner reads to choose between the
@@ -657,7 +678,7 @@ class Bm25Search(Pipe):
         # qterms carries one row per (query, leg, term), so the join-sum
         # counts the true fan-out across legs
         stats = self._term_stats(postings)
-        n_postings = stats.agg(F.sum("df")).collect()[0][0] or 0
+        n_postings = self._n_postings(stats)
         fan_est = (
             qterms.join(stats, "term").agg(F.sum("df")).collect()[0][0] or 0
         )

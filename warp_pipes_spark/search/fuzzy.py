@@ -109,6 +109,57 @@ class EditDistanceJoin(Pipe):
         self.id_col = id_col
         self.string_col = string_col
 
+    def value_pairs(
+        self, vals: DataFrame, vid_col: str = "vid", string_col: str = "s"
+    ) -> DataFrame:
+        """(vid, string) over DISTINCT strings -> (id_a, id_b) value-id
+        pairs whose strings are within distance ``d`` — the dedupe-first
+        core of ``_transform`` WITHOUT the row-expansion machinery.
+        Value-granularity callers (:class:`EntityResolution`) consume
+        pair ids only, so the row persist/repartition, the two broadcast
+        expansion joins and the distance-0 ``within`` branch (provably
+        empty over distinct strings) would be pure plan noise — skipping
+        them halved q234's job count. Pair orientation follows the
+        string order (``s < s_b``), not the numeric id order ``_transform``
+        emits; closure callers union both directions so the edge set is
+        identical."""
+        keys = (
+            vals.select(
+                F.col(vid_col).alias("__vid"),
+                F.col(string_col).alias("__s"),
+            )
+            .select(
+                "__vid",
+                "__s",
+                F.explode(
+                    deletion_neighborhood_expr(F.col("__s"), self.d)
+                ).alias("__v"),
+            )
+            .select("__vid", "__s", F.xxhash64("__v").alias("__k"))
+        )
+        cand = (
+            keys.join(
+                keys.select(
+                    F.col("__vid").alias("__vid_b"),
+                    F.col("__s").alias("__s_b"),
+                    "__k",
+                ),
+                "__k",
+            )
+            .filter(F.col("__s") < F.col("__s_b"))
+            .select("__vid", "__s", "__vid_b", "__s_b")
+            .distinct()
+        )
+        return (
+            cand.withColumn(
+                "__dist", F.levenshtein(F.col("__s"), F.col("__s_b"))
+            )
+            .filter(F.col("__dist") <= F.lit(self.d))
+            .select(
+                F.col("__vid").alias("id_a"), F.col("__vid_b").alias("id_b")
+            )
+        )
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         from pyspark import StorageLevel
 
@@ -276,9 +327,9 @@ class EntityResolution(Pipe):
         vals = df.groupBy(F.col(self.string_col).alias("s")).agg(
             F.min(F.col(self.id_col)).alias("vid")
         )
-        vpairs = EditDistanceJoin(
-            d=self.d, id_col="vid", string_col="s"
-        )(vals).select("id_a", "id_b")
+        vpairs = EditDistanceJoin(d=self.d).value_pairs(
+            vals, vid_col="vid", string_col="s"
+        )
         edges = vpairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).unionAll(
