@@ -261,7 +261,10 @@ class DirichletQLSearch(Pipe):
         # theta-survivors per query ever shuffle again).
         bm = self._bm()
         stats = bm._term_stats(bm._raw_postings())
-        n_postings = stats.agg(F.sum("df")).collect()[0][0] or 0
+        # index-intrinsic scalar memoized in the termdf artifact meta
+        # (see Bm25Search._n_postings) — only the first batch per index
+        # pays the probe job
+        n_postings = bm._n_postings(stats)
         fan_est = (
             q_terms.join(stats, "term").agg(F.sum("df")).collect()[0][0]
             or 0
