@@ -562,3 +562,33 @@ def test_leakage_safe_split_cluster_coherent(spark):
     # singletons keep their own id
     assert by_id[7] == (7, by_id[7][1])
     assert len(out) == 20
+
+
+def test_grams_udf_matches_grams_expr(spark):
+    """The vectorized posting kernel must produce the same arrays (values
+    AND first-occurrence order) as the expression form it replaced on the
+    posting build, including the short/empty/NULL-doc guards."""
+    from pyspark.sql import functions as F
+
+    from warp_pipes_spark.search.trigram import grams_expr, grams_udf
+
+    rows = [
+        (1, "abcdefg"),
+        (2, "ababab"),          # repeated grams: first-occurrence order
+        (3, "ab"),              # shorter than 3 -> []
+        (4, ""),                # empty -> []
+        (5, None),              # NULL -> []
+        (6, "aaa"),             # exactly 3
+        (7, "héllo wörld"),     # non-ASCII code points
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", grams_udf()(F.col("text")).alias("g")).collect()
+    }
+    want = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", grams_expr(F.col("text")).alias("g")).collect()
+    }
+    # NULL input: expr form yields [] via the otherwise-branch; kernel too
+    assert got == want

@@ -73,6 +73,32 @@ def grams_expr(col: Column) -> Column:
     )
 
 
+def grams_udf():
+    """Vectorized trigram kernel (pandas UDF): same values and the same
+    first-occurrence order as :func:`grams_expr` (asserted in tests), but
+    ~3x faster on the corpus-sized posting build — Spark's higher-order
+    array functions are interpreted per element, a Python loop over Arrow
+    batches wins (the ``shingles_udf`` precedent in ``text/dedup.py``).
+    Used for the EXPLODED posting builds only; query-side gram arrays
+    keep the pure-expression form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(texts):
+        out = []
+        for t in texts:
+            if t is None or len(t) < 3:
+                out.append([])
+            else:
+                out.append(
+                    list(dict.fromkeys(t[i : i + 3] for i in range(len(t) - 2)))
+                )
+        return pd.Series(out)
+
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "array<string>")
+
+
 class TrigramSubstringSearch(Pipe):
     """Input df = (``query_id``, ``pattern``) literal patterns (unique
     ids; length >= 3 — shorter patterns have no trigram and would need
@@ -216,22 +242,19 @@ class TrigramSubstringSearch(Pipe):
         prune row groups on every later read."""
         # getattr: TrigramSimilaritySearch borrows this method without
         # inheriting the class attribute
+        g = grams_udf()
         if getattr(self, "_append_from", None) is not None:
             base_eng, delta = self._append_from
             built = base_eng._posting().unionByName(
                 delta.select(
                     F.col(self.corpus_id).alias("doc_id"),
-                    F.explode(
-                        grams_expr(F.col(self.corpus_text))
-                    ).alias("gram"),
+                    F.explode(g(F.col(self.corpus_text))).alias("gram"),
                 )
             )
         else:
             built = self.corpus.select(
                 F.col(self.corpus_id).alias("doc_id"),
-                F.explode(
-                    grams_expr(F.col(self.corpus_text))
-                ).alias("gram"),
+                F.explode(g(F.col(self.corpus_text))).alias("gram"),
             )
         if not self.materialize_index:
             return built
