@@ -4341,35 +4341,48 @@ def q97_pagerank(spark, sf):
     edges = _pr_edges(spark, sf).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    # ONE driver scalar replaces the per-iteration n_nodes broadcast
+    # crossJoin (1.0/n and (1-d)/n as Python doubles are the same IEEE
+    # operations the crossJoin form evaluated in the JVM — oracle parity
+    # green). deg/nodes deliberately stay LAZY: checkpointing them was
+    # measured SLOWER (min-of-4 4.65 -> 7.43 s) — their recompute rides
+    # existing stages, while materialization adds jobs and denies AQE
+    # the runtime-size information it uses to broadcast them.
+    n = nodes.count()
+    rank = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     # contributions carry as floor-scaled BIGINTs (exact, ORDER-FREE sums;
     # floor is tie-free where decimal casts round-to-nearest differently
     # across engines), so every iteration's doubles are bit-identical to
     # the unrolled oracle under any partitioning
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
+        # the floor-scaled contribution floor((rank/deg)*1e14) is a
+        # per-NODE value: computing it on the node-sized rank ⋈ deg join
+        # BEFORE touching edges replaces one edge-sized join per
+        # iteration (edges ⋈ rank ⋈ deg) with a node-sized one — the
+        # per-edge rows then just carry the precomputed long. Identical
+        # arithmetic on identical operands, so bit-stable as before.
+        per_src = (
+            rank.withColumnRenamed("node", "src")
             .join(deg, "src")
             .select(
-                F.col("dst").alias("node"),
+                "src",
                 F.floor((F.col("rank") / F.col("deg")) * F.lit(1.0e14))
                 .cast("long")
                 .alias("c"),
             )
+        )
+        contrib = edges.join(per_src, "src").select(
+            F.col("dst").alias("node"), "c"
         )
         sums = contrib.groupBy("node").agg(
             (F.sum("c").cast("double") / F.lit(1.0e14)).alias("s")
         )
         rank = (
             nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 (
-                    (1.0 - _PR_D) / F.col("n")
+                    F.lit((1.0 - _PR_D) / n)
                     + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
