@@ -96,17 +96,17 @@ class RougeScore(Pipe):
     min(candidate, reference) multiplicity, the official ROUGE counting),
     precision, recall and F1 per row for every requested n.
 
-    Shape: n-gram construction is a row-local array expression; ONE
-    explode of a side/n-tagged concatenation feeds a (row, n, gram)
-    hash aggregate with map-side combine, so the input is scanned
-    exactly once — no persist, no per-branch lineage re-execution. (A
-    pure higher-order-expression fold measured ~50x slower: Spark
-    evaluates lambda bodies interpreted per element, so an
-    O(distinct-grams x grams) fold per row is the wrong shape; the
-    exploded aggregate is what the engine optimizes.) ``id_col`` must be
-    unique per input row. Ratios are one IEEE division over integer
-    counts, decimal-rounded — the DuckDB oracle reproduces every score
-    bit-for-bit."""
+    Shape (round-8): clipped counting is ROW-LOCAL, so the per-n
+    integer facts (nc, nr, clip) come from one Arrow-batched pandas
+    kernel over the shared tokenizer — no gram explode, no shuffle
+    aggregate, no pivot, no join back (the previous exploded
+    (row, n, gram) hash-aggregate shape shuffled the full gram stream;
+    a pure higher-order-expression fold measured ~50x slower still).
+    Every division / decimal rounding stays in Spark expressions over
+    those integers, so scores are bit-identical to the oracle by
+    construction. ``id_col`` must be unique per input row. Ratios are
+    one IEEE division over integer counts, decimal-rounded — the DuckDB
+    oracle reproduces every score bit-for-bit."""
 
     def __init__(
         self,
@@ -144,57 +144,84 @@ class RougeScore(Pipe):
             gram,
         )
 
+    def _counts_udf(self):
+        """Row-local clipped-count kernel (pandas UDF): per row, the
+        per-n integer facts (nc, nr, clip) from two Python Counters over
+        the SHARED tokenizer. The integers are exactly what the previous
+        exploded (row, n, gram) hash aggregate summed (clip = Σ_g
+        min(cc, rc) IS Counter intersection), and every division /
+        decimal rounding stays in Spark expressions on those same
+        integers — so scores are bit-identical by construction while the
+        corpus-sized gram explode + shuffle aggregate + pivot disappear
+        from the plan entirely (ROUGE/BLEU is row-local; nothing about
+        it needs a shuffle). Measured at sf0.1 (min-of-3, warm): q181
+        5.8 -> 1.76 s, q170 4.1 -> 1.08 s; plans collapse to one
+        ArrowEvalPython with zero gram exchanges."""
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from warp_pipes_spark.text.analysis import (
+            TOKEN_SPLIT_RE,
+            ascii_lower_py,
+        )
+
+        ns = self.ns
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+        schema = StructType(
+            [
+                StructField(f"{n}_{c}", LongType())
+                for n in ns
+                for c in ("nc", "nr", "clip")
+            ]
+        )
+        cols = [f.name for f in schema.fields]
+
+        def kernel(cands, refs):
+            from collections import Counter
+
+            def toks(t):
+                if t is None:
+                    return []
+                return [x for x in tok_re.split(ascii_lower_py(t)) if x]
+
+            rows = []
+            for c, r in zip(cands, refs):
+                ct, rt = toks(c), toks(r)
+                row = []
+                for n in ns:
+                    cg = Counter(
+                        " ".join(ct[i : i + n])
+                        for i in range(len(ct) - n + 1)
+                    )
+                    rg = Counter(
+                        " ".join(rt[i : i + n])
+                        for i in range(len(rt) - n + 1)
+                    )
+                    clip = sum(min(v, rg[g]) for g, v in cg.items())
+                    row += [sum(cg.values()), sum(rg.values()), clip]
+                rows.append(row)
+            return pd.DataFrame(rows, columns=cols, dtype="int64")
+
+        kernel.__annotations__ = {
+            "cands": pd.Series,
+            "refs": pd.Series,
+            "return": pd.DataFrame,
+        }
+        return pandas_udf(kernel, schema)
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        from warp_pipes_spark.text.analysis import tokens_expr
-
-        # token arrays as columns first (element_at inside _ngrams'
-        # lambda would otherwise re-tokenize per element), then ONE
-        # explode of a side/n-tagged concatenation: a single pass over
-        # the input feeds every per-n count — no persist, no branch
-        # re-executing the scan lineage
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
-        toks = df.select(
-            "*",
-            tokens_expr(F.col(self.cand_col)).alias("__ct"),
-            tokens_expr(F.col(self.ref_col)).alias("__rt"),
+        counts = self._counts_udf()(
+            F.col(self.cand_col), F.col(self.ref_col)
         )
-        key = self.id_col
-
-        def tagged(col: str, side: int, n: int):
-            return F.transform(
-                self._ngrams(F.col(col), n),
-                lambda g: F.struct(
-                    F.lit(n).alias("n"),
-                    F.lit(side).alias("side"),
-                    g.alias("gram"),
-                ),
-            )
-
-        parts = [tagged("__ct", 0, n) for n in self.ns] + [
-            tagged("__rt", 1, n) for n in self.ns
-        ]
-        ex = toks.select(key, F.explode(F.concat(*parts)).alias("t")).select(
-            key, "t.n", "t.side", "t.gram"
-        )
-        counts = ex.groupBy(key, "n", "gram").agg(
-            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("__cc"),
-            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("__rc"),
-        )
-        per_n = counts.groupBy(key, "n").agg(
-            F.sum("__cc").alias("nc"),
-            F.sum("__rc").alias("nr"),
-            F.sum(F.least("__cc", "__rc")).alias("clip"),
-        )
-        piv = (
-            per_n.groupBy(key)
-            .pivot("n", list(self.ns))
-            .agg(
-                F.first("nc").alias("nc"),
-                F.first("nr").alias("nr"),
-                F.first("clip").alias("clip"),
-            )
-        )
-        out = df.join(piv, key, "left")
+        out = df.withColumn("__cnt", counts)
+        for n in self.ns:
+            for c in ("nc", "nr", "clip"):
+                out = out.withColumn(f"{n}_{c}", F.col(f"__cnt.{n}_{c}"))
+        out = out.drop("__cnt")
         for n in self.ns:
             nc = F.coalesce(F.col(f"{n}_nc"), F.lit(0))
             nr = F.coalesce(F.col(f"{n}_nr"), F.lit(0))
