@@ -275,11 +275,15 @@ class LabelPropagation(Pipe):
     structures can 2-cycle, so a fixed unroll is both the exactness
     contract AND the termination guarantee.
 
-    Scale shape per round: one join of the (cached) undirected edge list
-    against the node-sized label table, one map-side-combined
+    Scale shape per round: one join of the (checkpointed) undirected
+    edge list against the node-sized label table, one map-side-combined
     (node, label) count, one (count DESC, label ASC) argmax — shuffle
-    keys are node-sized throughout; lineage cut per round with
-    node-sized localCheckpoints."""
+    keys are node-sized throughout. The label table is referenced ONCE
+    per round, so the lazy plan grows linearly and rounds need no
+    per-round materialization (round-8: the eager per-round
+    localCheckpoint jobs were pure overhead — the hash_min_components
+    finding); a cadence checkpoint every 4 rounds bounds plan depth for
+    large ``rounds``."""
 
     def __init__(
         self,
@@ -298,46 +302,43 @@ class LabelPropagation(Pipe):
         self.out_id = out_id
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        # localCheckpoint (eager, GC-released), not persist+unpersist:
+        # every round references the edge list, and the returned label
+        # plan stays LAZY — an unpersist in a finally block would yank
+        # the cache out from under it while a bare persist would leak
         und = df.select(
             F.col(self.src).alias("node"), F.col(self.dst).alias("nbr")
         ).unionByName(
             df.select(
                 F.col(self.dst).alias("node"), F.col(self.src).alias("nbr")
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
+        ).localCheckpoint()
+        labels = (
+            und.select("node").distinct().withColumn("label", F.col("node"))
+        )
+        for r in range(self.rounds):
+            freq = (
+                und.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = F.min(
+                F.struct(
+                    (-F.col("c")).alias("negc"),
+                    F.col("label").alias("l"),
+                )
+            )
             labels = (
-                und.select("node")
-                .distinct()
-                .withColumn("label", F.col("node"))
-                .localCheckpoint()
+                freq.groupBy("node")
+                .agg(best.alias("__b"))
+                .select("node", F.col("__b.l").alias("label"))
             )
-            for _ in range(self.rounds):
-                freq = (
-                    und.join(
-                        labels.withColumnRenamed("node", "nbr"), "nbr"
-                    )
-                    .groupBy("node", "label")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                )
-                best = F.min(
-                    F.struct(
-                        (-F.col("c")).alias("negc"),
-                        F.col("label").alias("l"),
-                    )
-                )
-                labels = (
-                    freq.groupBy("node")
-                    .agg(best.alias("__b"))
-                    .select("node", F.col("__b.l").alias("label"))
-                    .localCheckpoint()
-                )
-            return labels.select(
-                F.col("node").alias(self.out_id),
-                F.col("label").cast("long").alias("label"),
-            )
-        finally:
-            und.unpersist()
+            if r < self.rounds - 1 and (r + 1) % 4 == 0:
+                labels = labels.localCheckpoint()
+        return labels.select(
+            F.col("node").alias(self.out_id),
+            F.col("label").cast("long").alias("label"),
+        )
 
 
 def label_propagation_sql(
