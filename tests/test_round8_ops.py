@@ -592,3 +592,91 @@ def test_grams_udf_matches_grams_expr(spark):
     }
     # NULL input: expr form yields [] via the otherwise-branch; kernel too
     assert got == want
+
+
+def test_gopher_masses_kernel_matches_exploded_formulation(spark):
+    """GopherRepetition's row-local masses kernel must produce the exact
+    per-(doc, n) integers the old explode -> (doc, n, gram) aggregate
+    computed — including the (cnt, chars, gram) tie-break — on ties,
+    case folding, short/empty/NULL docs and non-ASCII text."""
+    from warp_pipes_spark.text.analysis import (
+        GOPHER_DUP_NS,
+        GOPHER_TOP_NS,
+        GopherRepetition,
+        tokens_expr,
+    )
+
+    rows = [
+        (1, "spam ham " * 20),                      # heavy repetition
+        (2, "aa bb aa bb cc dd cc dd ee"),          # count ties for top-2
+        (3, "x yy x yy x zz"),                       # tie broken on chars
+        (4, "single"),                               # no grams at all
+        (5, ""),                                     # empty
+        (6, None),                                   # NULL text
+        (7, "Héllo WÖRLD Héllo wörld mixed CASE mixed case"),  # non-ASCII
+        (8, "alpha beta gamma delta epsilon zeta " * 3 + "tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
+
+    # --- old exploded formulation (per-(doc, n) masses), verbatim shape
+    toks = F.col("__l")
+
+    def grams(n):
+        def gram(x, i):
+            parts = [x]
+            for d in range(1, n):
+                parts.extend([F.lit(" "), F.element_at(toks, i + d + 1)])
+            return F.concat(*parts)
+
+        return F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            gram,
+        )
+
+    def tagged(n):
+        return F.transform(
+            grams(n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    d = df.select("doc_id", tokens_expr(F.col("text")).alias("__l"))
+    ex = d.select(
+        "doc_id", F.explode(F.concat(*[tagged(n) for n in ns])).alias("t")
+    ).select("doc_id", "t.n", "t.gram")
+    counts = ex.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = (F.length("gram") - (F.col("n") - 1)).cast("long")
+    per_n = (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.max(F.struct(F.col("cnt"), chars.alias("ch"), F.col("gram"))).alias(
+                "__top"
+            ),
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * chars).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dm"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("__top.cnt") * F.col("__top.ch")).alias("tm"),
+            "dm",
+        )
+    )
+    old = {(r["doc_id"], r["n"]): (r["tm"], r["dm"]) for r in per_n.collect()}
+
+    # --- kernel
+    got = df.select(
+        "doc_id", GopherRepetition._masses_udf()(F.col("text")).alias("m")
+    ).collect()
+    for r in got:
+        for n in ns:
+            tm = r["m"][f"m{n}_tm"]
+            dm = r["m"][f"m{n}_dm"]
+            # gram-less (doc, n) was absent from the old aggregate and
+            # coalesced to 0 downstream; the kernel emits 0 directly
+            assert (tm, dm) == old.get((r["doc_id"], n), (0, 0)), (
+                r["doc_id"],
+                n,
+            )

@@ -1699,8 +1699,8 @@ def q176_gopher_repetition(spark, sf):
     q140's quality gate: per-doc char fraction of the most frequent
     2/3/4-gram and of duplicated 5..10-grams, all nine thresholds
     conjoined as ``rep_keep``. Catches looping generations and keyword
-    stuffing that q62's distinct-token fraction misses. One unioned
-    explode -> single (doc, n, gram) hash aggregate -> doc-sized pivot."""
+    stuffing that q62's distinct-token fraction misses. Row-local pandas
+    masses kernel -> threshold expressions; zero exchanges."""
     from warp_pipes_spark.text.analysis import GopherRepetition
 
     return GopherRepetition()(T(spark, sf, "documents"))

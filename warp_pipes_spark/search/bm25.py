@@ -87,23 +87,23 @@ def build_inverted_index(
     toks = narrow.select(
         "doc_id", tokens_expr(F.col("__text")).alias("__toks")
     )
-    nonempty = (
-        toks.filter(F.size("__toks") > 0)
+    # ONE corpus scan: explode_outer emits the empty-doc sentinel (NULL
+    # term, dl 0) in the same pass instead of a second filter branch that
+    # re-scans + re-tokenizes the corpus under the union. count(term)
+    # ignores NULLs, so the sentinel group's tf is 0 exactly like the old
+    # literal. NULL-token-array rows (NULL text) are dropped by the size
+    # guard in both formulations (size(NULL) is NULL).
+    return (
+        toks.filter(F.size("__toks") >= 0)
         .select(
             "doc_id",
             F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("term"),
+            F.explode_outer("__toks").alias("term"),
         )
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.col("term")).alias("tf"))
+        .select("term", "doc_id", "dl", "tf")
     )
-    empty = toks.filter(F.size("__toks") == 0).select(
-        F.lit(None).cast("string").alias("term"),
-        "doc_id",
-        F.lit(0).alias("dl"),
-        F.lit(0).cast("long").alias("tf"),
-    )
-    return nonempty.select("term", "doc_id", "dl", "tf").unionByName(empty)
 
 
 class Bm25Search(Pipe):
@@ -327,7 +327,18 @@ class Bm25Search(Pipe):
             # (parquet-backed), so re-baking scores — e.g. after an append
             # shifted idf, or under different k1/b — never re-tokenizes
             postings = self._raw_postings().persist(StorageLevel.MEMORY_AND_DISK)
-            scored = self._champion_cap(self._score_postings(postings))
+            # corpus stats as literals: memoized in the raw artifact's
+            # sidecar meta, so every re-bake over the same tokenization
+            # (appends re-key; k1/b/champion re-configs don't) skips the
+            # doc-level distinct pass AND the bake plan loses the stats
+            # crossJoin subtree
+            fp_raw = self._tok_fingerprint() + "_raw"
+            stats = manager.read_meta(fp_raw).get("stats")
+            if stats is None:
+                stats = self._corpus_stats(postings)
+                if manager.exists(fp_raw):
+                    manager.update_meta(fp_raw, {"stats": stats})
+            scored = self._champion_cap(self._score_postings(postings, stats=stats))
             # no repartition on write: the query join broadcasts the query
             # terms and STREAMS the postings, so postings-side co-location
             # buys nothing — writing map-side output avoids a full shuffle
@@ -350,34 +361,67 @@ class Bm25Search(Pipe):
             .drop("__cr")
         )
 
-    def _score_postings(self, postings: DataFrame) -> DataFrame:
-        """postings (term, doc_id, dl, tf) -> (term, doc_id, score_d DOUBLE).
-        The arithmetic is the oracle's expression tree verbatim (ln / mul /
-        div over exact ints + corpus stats), so the double is bit-identical
-        across engines. NULL-term sentinel rows (token-less docs) feed the
-        stats, then drop out in the df inner join."""
-        stats = (
+    def _corpus_stats(self, postings: DataFrame) -> dict:
+        """Index-intrinsic corpus scalars — ONE tiny agg over the (ideally
+        persisted) raw postings, memoized in the raw artifact's sidecar
+        meta by `_index` so score re-bakes (appends, k1/b re-configs)
+        never repeat the doc-level distinct pass. Values are the exact
+        doubles the old broadcast-stats crossJoin carried (JSON round-
+        trips doubles exactly), so literal injection is bit-identical."""
+        row = (
             postings.select("doc_id", "dl")
             .distinct()
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
             )
-        )
+        ).collect()[0]
+        return {
+            "n_docs": int(row["n_docs"]),
+            "avgdl": None if row["avgdl"] is None else float(row["avgdl"]),
+        }
+
+    def _score_postings(self, postings: DataFrame, stats: dict = None) -> DataFrame:
+        """postings (term, doc_id, dl, tf) -> (term, doc_id, score_d DOUBLE).
+        The arithmetic is the oracle's expression tree verbatim (ln / mul /
+        div over exact ints + corpus stats), so the double is bit-identical
+        across engines. NULL-term sentinel rows (token-less docs) feed the
+        stats, then drop out in the df inner join.
+
+        With ``stats`` (the `_corpus_stats` scalars), n_docs/avgdl fold in
+        as LITERALS — the doc-level distinct+agg pass and the stats
+        crossJoin vanish from the bake plan; without it (non-materialized
+        one-shot engines) the stats stay a fused broadcast subtree."""
+        if stats is not None:
+            n_docs_d = F.lit(float(stats["n_docs"]))
+            avgdl_d = F.lit(stats["avgdl"]).cast("double")
+        else:
+            stats_df = (
+                postings.select("doc_id", "dl")
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+                )
+            )
+            n_docs_d = F.col("n_docs").cast("double")
+            avgdl_d = F.col("avgdl")
         df_counts = (
             postings.where(F.col("term").isNotNull())
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
-        enriched = postings.join(df_counts, "term").crossJoin(F.broadcast(stats))
+        enriched = postings.join(df_counts, "term")
+        if stats is None:
+            enriched = enriched.crossJoin(F.broadcast(stats_df))
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            + (n_docs_d - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
         tf = F.col("tf").cast("double")
         norm = tf + F.lit(self.k1) * (
-            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / F.col("avgdl")
+            F.lit(1.0) - F.lit(self.b) + F.lit(self.b) * F.col("dl") / avgdl_d
         )
         score_d = idf * tf * F.lit(self.k1 + 1.0) / norm
         return enriched.select("term", "doc_id", score_d.alias("score_d"))
@@ -903,21 +947,40 @@ class Bm25FSearch(Bm25Search):
             and all(0.0 <= v <= 1.0 for v in self.field_b.values())
         )
 
-    def _score_postings(self, postings: DataFrame) -> DataFrame:
-        """(term, doc_id, dl, tf, field) -> (term, doc_id, score_d). The
-        field combination ``ctf`` is summed in DECIMAL so the result is
-        independent of which field's row arrives first; df counts a doc
-        once however many fields hit. Sentinel NULL-term rows keep every
-        (field, doc) in the per-field avgdl."""
-        avgdl_f = (
+    def _corpus_stats(self, postings: DataFrame) -> dict:
+        """Per-field avgdl + corpus n_docs scalars (two tiny aggs over the
+        persisted raw), exactly the doubles the old broadcast joins
+        carried."""
+        avg_rows = (
             postings.select("field", "doc_id", "dl")
             .distinct()
             .groupBy("field")
             .agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
-        )
-        n_docs_df = postings.select("doc_id").distinct().agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
+        ).collect()
+        n_docs = (
+            postings.select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        ).collect()[0]["n_docs"]
+        return {
+            "n_docs": int(n_docs),
+            "avgdl_f": {
+                r["field"]: (None if r["avgdl"] is None else float(r["avgdl"]))
+                for r in avg_rows
+            },
+        }
+
+    def _score_postings(self, postings: DataFrame, stats: dict = None) -> DataFrame:
+        """(term, doc_id, dl, tf, field) -> (term, doc_id, score_d). The
+        field combination ``ctf`` is summed in DECIMAL so the result is
+        independent of which field's row arrives first; df counts a doc
+        once however many fields hit. Sentinel NULL-term rows keep every
+        (field, doc) in the per-field avgdl.
+
+        With ``stats`` the per-field avgdl becomes a literal map lookup
+        (like w/b) and n_docs a literal — the doc-level distinct passes
+        and two broadcast joins vanish from the bake plan; values are the
+        identical doubles, so scores are bit-identical."""
         real = postings.where(F.col("term").isNotNull())
         df_counts = (
             real.select("term", "doc_id").distinct().groupBy("term").agg(
@@ -930,27 +993,51 @@ class Bm25FSearch(Bm25Search):
         b_map = F.create_map(
             *[x for f, b in sorted(self.field_b.items()) for x in (F.lit(f), F.lit(float(b)))]
         )
+        if stats is not None:
+            if stats["avgdl_f"]:
+                avgdl_map = F.create_map(
+                    *[
+                        x
+                        for f, a in sorted(stats["avgdl_f"].items())
+                        for x in (F.lit(f), F.lit(a).cast("double"))
+                    ]
+                )
+                avgdl_d = avgdl_map[F.col("field")]
+            else:  # empty corpus: no per-field rows, postings are empty
+                avgdl_d = F.lit(None).cast("double")
+            n_docs_d = F.lit(float(stats["n_docs"]))
+        else:
+            avgdl_d = F.col("avgdl")
+            n_docs_d = F.col("n_docs").cast("double")
         tfn = (
             F.col("tf").cast("double")
             / (
                 F.lit(1.0)
                 - b_map[F.col("field")]
-                + b_map[F.col("field")] * F.col("dl") / F.col("avgdl")
+                + b_map[F.col("field")] * F.col("dl") / avgdl_d
             )
         ) * w_map[F.col("field")]
-        ctf = (
-            real.join(F.broadcast(avgdl_f), "field")
-            .groupBy("term", "doc_id")
-            .agg(
-                F.sum(tfn.cast("decimal(18,8)")).cast("double").alias("ctf")
+        ctf_src = real
+        if stats is None:
+            avgdl_f = (
+                postings.select("field", "doc_id", "dl")
+                .distinct()
+                .groupBy("field")
+                .agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
             )
+            ctf_src = real.join(F.broadcast(avgdl_f), "field")
+        ctf = ctf_src.groupBy("term", "doc_id").agg(
+            F.sum(tfn.cast("decimal(18,8)")).cast("double").alias("ctf")
         )
-        enriched = (
-            ctf.join(df_counts, "term").crossJoin(F.broadcast(n_docs_df))
-        )
+        enriched = ctf.join(df_counts, "term")
+        if stats is None:
+            n_docs_df = postings.select("doc_id").distinct().agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+            enriched = enriched.crossJoin(F.broadcast(n_docs_df))
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            + (n_docs_d - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
         score_d = (

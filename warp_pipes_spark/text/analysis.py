@@ -1606,11 +1606,16 @@ class GopherRepetition(Pipe):
     the same relaxation). Ties for "most frequent" break on (chars,
     gram) so both engines pick the same gram.
 
-    Scale shape: ONE shuffle and (near-)one scan — a single explode of
-    an n-tagged gram concatenation feeds the (doc, n, gram) hash
-    aggregate with map-side combine, then a doc-sized pivot; totals are
-    the only second consumer of the token frame. No window over the
-    exploded table, no join per n."""
+    Scale shape: the per-doc, per-n integer masses (top-gram mass,
+    duplicated mass) are ROW-LOCAL facts — one Arrow-batched pandas
+    kernel computes them from a Counter per (row, n) over the shared
+    tokenizer, so the corpus-sized gram explode + (doc, n, gram) hash
+    aggregate + pivot + join disappear from the plan entirely (zero
+    exchanges). Every division / decimal rounding stays in Spark
+    expressions over those SAME integers, and the tie-break max is the
+    identical (cnt, chars, gram) tuple order (gram strings are pure
+    ``[a-z ]`` so Python and UTF8-byte ordering agree), so results are
+    bit-identical to the exploded formulation by construction."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", **kwargs):
         super().__init__(**kwargs)
@@ -1618,95 +1623,85 @@ class GopherRepetition(Pipe):
         self.text_col = text_col
 
     @staticmethod
-    def _grams(n: int) -> Column:
-        toks = F.col("__l")
-        if n == 1:
-            return toks
+    def _masses_udf():
+        """Row-local repetition-mass kernel: per row, for each n, the
+        exact integers the old (doc, n, gram) aggregate produced —
+        ``tm`` = cnt*chars of the (cnt, chars, gram)-max gram, ``dm`` =
+        Σ over grams with cnt >= 2 of cnt*chars, chars = summed token
+        lengths. Gram-less (row, n) emits 0, matching the NULL →
+        ``coalesce(…, 0)`` of the old pivot."""
+        import re
 
-        def gram(x, i):
-            parts = [x]
-            for d in range(1, n):
-                parts.extend([F.lit(" "), F.element_at(toks, i + d + 1)])
-            return F.concat(*parts)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType, StructField, StructType
 
-        return F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            gram,
+        ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
+        tok_re = re.compile(TOKEN_SPLIT_RE)
+        schema = StructType(
+            [
+                StructField(f"m{n}_{c}", LongType())
+                for n in ns
+                for c in ("tm", "dm")
+            ]
         )
+        cols = [f.name for f in schema.fields]
+
+        def kernel(texts):
+            from collections import Counter
+
+            rows = []
+            for t in texts:
+                toks = (
+                    []
+                    if t is None
+                    else [x for x in tok_re.split(ascii_lower_py(t)) if x]
+                )
+                row = []
+                for n in ns:
+                    if len(toks) < n:
+                        row += [0, 0]
+                        continue
+                    cnts = Counter(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                    tm = dm = 0
+                    best = None
+                    for g, cnt in cnts.items():
+                        ch = len(g) - (n - 1)
+                        if best is None or (cnt, ch, g) > best:
+                            best = (cnt, ch, g)
+                        if cnt >= 2:
+                            dm += cnt * ch
+                    tm = best[0] * best[1]
+                    row += [tm, dm]
+                rows.append(row)
+            return pd.DataFrame(rows, columns=cols, dtype="int64")
+
+        kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+        return pandas_udf(kernel, schema)
 
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
-        ns = list(GOPHER_TOP_NS) + list(GOPHER_DUP_NS)
         from warp_pipes_spark.text.dedup import widen_partitions
 
-        # widened + checkpoint-barriered token table: projection collapse
-        # would re-inline the tokenize expression into each of the seven
-        # per-n gram transforms (re-tokenizing per gram element), and a
-        # single-file local read would run the gram stage on one core
-        d = (
-            widen_partitions(
-                df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
-            )
-            .select("doc_id", tokens_expr(F.col(self.text_col)).alias("__l"))
-            .localCheckpoint(eager=False)
+        # widened input: a single-row-group local parquet read would run
+        # the Arrow kernel on one core
+        d = widen_partitions(
+            df.select(F.col(self.id_col).alias("doc_id"), F.col(self.text_col))
         )
-        totals = d.select(
+        # __total keeps the exact JVM expression form (NULL text →
+        # NULL total → NULL fractions, as before); the masses are exact
+        # integers either way
+        out = d.select(
             "doc_id",
             F.aggregate(
-                F.col("__l"),
+                tokens_expr(F.col(self.text_col)),
                 F.lit(0).cast("long"),
                 lambda acc, t: acc + F.length(t),
             ).alias("__total"),
+            self._masses_udf()(F.col(self.text_col)).alias("__m"),
         )
-        # ONE explode of an n-tagged concatenation — a union of per-n
-        # explodes would re-execute the scan+tokenize lineage once per
-        # branch (the q170 lesson)
-        def tagged(n):
-            return F.transform(
-                self._grams(n),
-                lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-            )
-
-        ex = d.select(
-            "doc_id", F.explode(F.concat(*[tagged(n) for n in ns])).alias("t")
-        ).select("doc_id", "t.n", "t.gram")
-        counts = ex.groupBy("doc_id", "n", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        chars = (F.length("gram") - (F.col("n") - 1)).cast("long")
-        per_n = counts.groupBy("doc_id", "n").agg(
-            F.max(
-                F.struct(
-                    F.col("cnt"),
-                    chars.alias("ch"),
-                    F.col("gram"),
-                )
-            ).alias("__top"),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * chars).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("__dupmass"),
-        ).select(
-            "doc_id",
-            "n",
-            (F.col("__top.cnt") * F.col("__top.ch")).alias("__topmass"),
-            "__dupmass",
-        )
-        piv = (
-            per_n.groupBy("doc_id")
-            .pivot("n", ns)
-            .agg(
-                F.first("__topmass").alias("tm"),
-                F.first("__dupmass").alias("dm"),
-            )
-        )
-        # left-join FROM totals: a doc too short to produce ANY gram (< 2
-        # tokens) is absent from the pivot, and an inner join would drop
-        # it from the output entirely — a pipeline filtering on rep_keep
-        # would silently lose those rows (round-4 advisor finding).
-        # Gram-less docs have zero repetition by definition: every
-        # fraction 0.0, rep_keep true.
-        out = totals.join(piv, "doc_id", "left")
         dec = lambda c: c.cast("decimal(18,6)").cast("double")
         frac = lambda mass: dec(
             F.when(F.col("__total") <= 0, F.lit(0.0)).otherwise(
@@ -1720,17 +1715,13 @@ class GopherRepetition(Pipe):
         cols = [F.col("doc_id")]
         keep = F.lit(True)
         for n in GOPHER_TOP_NS:
-            c = frac(F.col(f"{n}_tm")).alias(f"top_{n}gram_frac")
-            cols.append(c)
-            keep = keep & (
-                frac(F.col(f"{n}_tm")) < F.lit(GOPHER_REP_THRESHOLDS[("top", n)])
-            )
+            m = F.col("__m").getField(f"m{n}_tm")
+            cols.append(frac(m).alias(f"top_{n}gram_frac"))
+            keep = keep & (frac(m) < F.lit(GOPHER_REP_THRESHOLDS[("top", n)]))
         for n in GOPHER_DUP_NS:
-            c = frac(F.col(f"{n}_dm")).alias(f"dup_{n}gram_frac")
-            cols.append(c)
-            keep = keep & (
-                frac(F.col(f"{n}_dm")) < F.lit(GOPHER_REP_THRESHOLDS[("dup", n)])
-            )
+            m = F.col("__m").getField(f"m{n}_dm")
+            cols.append(frac(m).alias(f"dup_{n}gram_frac"))
+            keep = keep & (frac(m) < F.lit(GOPHER_REP_THRESHOLDS[("dup", n)]))
         return out.select(*cols, keep.alias("rep_keep"))
 
 
