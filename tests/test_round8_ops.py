@@ -425,6 +425,13 @@ def test_trigram_append_equals_full_rebuild(spark, tmp_path):
     assert appended == full == [(10, 1), (10, 4), (11, 3), (11, 4)]
     # the merged posting materialized as a NEW artifact next to the base
     assert len(os.listdir(cache)) > n_before
+    # append pays only its delta: the union posting is served as
+    # base-artifact ∪ delta-artifact — the merged engine must NOT have
+    # materialized a full index-sized posting under its own fingerprint
+    merged = base_eng.append(delta)
+    fp = merged._index_fingerprint()
+    assert os.path.exists(os.path.join(cache, fp + "_delta"))
+    assert not os.path.exists(os.path.join(cache, fp))
 
 
 def test_rolling_robust_closed_form_and_invariance(spark):

@@ -244,18 +244,43 @@ class TrigramSubstringSearch(Pipe):
         # inheriting the class attribute
         g = grams_udf()
         if getattr(self, "_append_from", None) is not None:
+            # append pays ONLY its delta: the base engine's posting (its
+            # already-gram-clustered artifact when materialized) is
+            # UNIONED with a delta-only explode, and only the DELTA slice
+            # is materialized (keyed under the union corpus fingerprint,
+            # so chained appends and re-runs invalidate correctly). The
+            # old form re-ran repartitionByRange over base ∪ delta — a
+            # full index-sized shuffle + rewrite per append, exactly the
+            # corpus-proportional cost an incremental append exists to
+            # avoid. Gram predicates (the literal-IN pushdown) push
+            # through the Union into BOTH clustered scans, so row-group
+            # pruning is preserved on each side.
             base_eng, delta = self._append_from
-            built = base_eng._posting().unionByName(
-                delta.select(
-                    F.col(self.corpus_id).alias("doc_id"),
-                    F.explode(g(F.col(self.corpus_text))).alias("gram"),
-                )
-            )
-        else:
-            built = self.corpus.select(
+            delta_built = delta.select(
                 F.col(self.corpus_id).alias("doc_id"),
                 F.explode(g(F.col(self.corpus_text))).alias("gram"),
             )
+            if not self.materialize_index:
+                return base_eng._posting().unionByName(delta_built)
+            from warp_pipes_spark.pipes.cache import CacheManager
+
+            manager = CacheManager(self.index_cache_dir)
+            fp = self._index_fingerprint() + "_delta"
+            if not manager.exists(fp):
+                # delta-sized shuffle: cluster just the new rows by gram
+                manager.store(
+                    delta_built.repartitionByRange(
+                        "gram"
+                    ).sortWithinPartitions("gram"),
+                    fp,
+                )
+            return base_eng._posting().unionByName(
+                manager.load(self.corpus.sparkSession, fp)
+            )
+        built = self.corpus.select(
+            F.col(self.corpus_id).alias("doc_id"),
+            F.explode(g(F.col(self.corpus_text))).alias("gram"),
+        )
         if not self.materialize_index:
             return built
         from warp_pipes_spark.pipes.cache import CacheManager
