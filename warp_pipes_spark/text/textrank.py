@@ -113,48 +113,56 @@ class TextRankKeywords(Pipe):
             .localCheckpoint()
         )
         wsum = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
-        nodes = edges.select(F.col("src").alias("node")).distinct()
-        n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-        rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
-            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        # nodes is referenced by every iteration's left join (and the
+        # scalar count below): one eager, GC-released materialization
+        # instead of re-running the distinct's exchange per round
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ONE driver scalar replaces the per-iteration n_nodes broadcast
+        # crossJoin (the q97 PageRank discipline): n is a plain long
+        # literal in the same IEEE expressions, so ranks are unchanged
+        n = nodes.count()
+        rank = nodes.select(
+            "node", (F.lit(1.0) / F.lit(n)).alias("rank")
         )
         d = float(self.damping)
         for _ in range(self.iters):
             # floor-scaled BIGINT contributions: exact, order-free sums
             # (bit-identical to the unrolled oracle under any
-            # partitioning — the q97 discipline)
-            contrib = (
-                edges.join(rank.withColumnRenamed("node", "src"), "src")
-                .join(wsum, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.floor(
-                        (
-                            F.col("rank")
-                            * (
-                                F.col("w").cast("double")
-                                / F.col("wtot").cast("double")
-                            )
+            # partitioning — the q97 discipline). rank/wtot pre-join on
+            # the NODE-sized table so each round touches edges in ONE
+            # join instead of two edge-sized ones; the arithmetic stays
+            # rank * (w / wtot) verbatim, so the doubles are identical.
+            rw = rank.join(
+                wsum.withColumnRenamed("src", "node"), "node"
+            ).select(F.col("node").alias("src"), "rank", "wtot")
+            contrib = edges.join(rw, "src").select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    (
+                        F.col("rank")
+                        * (
+                            F.col("w").cast("double")
+                            / F.col("wtot").cast("double")
                         )
-                        * F.lit(1.0e14)
                     )
-                    .cast("long")
-                    .alias("c"),
+                    * F.lit(1.0e14)
                 )
+                .cast("long")
+                .alias("c"),
             )
             sums = contrib.groupBy("node").agg(
                 (F.sum("c").cast("double") / F.lit(1.0e14)).alias("s")
             )
-            rank = (
-                nodes.join(sums, "node", "left")
-                .crossJoin(F.broadcast(n_nodes))
-                .select(
-                    "node",
-                    (
-                        (1.0 - d) / F.col("n")
-                        + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            rank = nodes.join(sums, "node", "left").select(
+                "node",
+                (
+                    (1.0 - d) / F.lit(n)
+                    + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
             )
         w = Window.orderBy(F.desc("rank"), F.asc("node"))
         return (
