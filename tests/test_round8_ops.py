@@ -687,3 +687,36 @@ def test_gopher_masses_kernel_matches_exploded_formulation(spark):
                 r["doc_id"],
                 n,
             )
+
+
+def test_bm25f_one_pass_postings_match_per_field_union(spark):
+    """The stacked one-scan BM25F posting build must be row-identical to
+    the old per-field build_inverted_index union, including NULL-field
+    drops and the empty-field NULL-term sentinel."""
+    from warp_pipes_spark.search.bm25 import Bm25FSearch, build_inverted_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "Quick Fox", "jumps over the lazy dog"),
+            (2, "", "pack my box"),           # empty title -> sentinel row
+            (3, None, "five dozen jugs"),     # NULL title -> title row dropped
+            (4, "sphinx of quartz", None),    # NULL body -> body row dropped
+            (5, None, None),
+        ],
+        ["doc_id", "title", "body"],
+    )
+    eng = Bm25FSearch(
+        corpus=corpus, fields={"title": 2.0, "body": 1.0}, k=3
+    )
+    got = eng._postings()
+    want = None
+    for col in eng.fields:
+        part = build_inverted_index(corpus, "doc_id", col).withColumn(
+            "field", F.lit(col)
+        )
+        want = part if want is None else want.unionByName(part)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # sentinel present for the empty (non-NULL) field, absent for NULLs
+    rows = {(r["doc_id"], r["field"]) for r in got.where(F.col("term").isNull()).collect()}
+    assert rows == {(2, "title")}

@@ -892,17 +892,55 @@ class Bm25FSearch(Bm25Search):
         self.field_b = {f: (field_b or {}).get(f, self.b) for f in fields}
 
     def _postings(self) -> DataFrame:
-        parts = []
-        for col in self.fields:
-            parts.append(
-                build_inverted_index(self.corpus, self.corpus_id, col).withColumn(
-                    "field", F.lit(col)
-                )
+        # ONE corpus scan for every field: the fields stack into an
+        # exploded (field, text) array so a derived corpus projection
+        # (q88 computes title/body by tokenizing the full text) is
+        # evaluated once, not once per field — the old per-field
+        # build_inverted_index union re-scanned the corpus |fields|
+        # times. Row-for-row identical to the union (A/B exceptAll = 0
+        # both ways): per (doc, field), dl/tf/sentinel semantics are
+        # build_inverted_index's verbatim, including the explode_outer
+        # NULL-term sentinel for token-less fields and the NULL-text
+        # drop via the size guard.
+        from warp_pipes_spark.text.analysis import tokens_expr
+        from warp_pipes_spark.text.dedup import widen_partitions
+
+        narrow = widen_partitions(
+            self.corpus.select(
+                F.col(self.corpus_id).cast("long").alias("doc_id"),
+                *[F.col(f) for f in self.fields],
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        )
+        stacked = narrow.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("field"),
+                            F.col(f).alias("__ftext"),
+                        )
+                        for f in self.fields
+                    ]
+                )
+            ).alias("fx"),
+        ).select(
+            "doc_id",
+            F.col("fx.field").alias("field"),
+            tokens_expr(F.col("fx.__ftext")).alias("__toks"),
+        )
+        return (
+            stacked.filter(F.size("__toks") >= 0)
+            .select(
+                "doc_id",
+                "field",
+                F.size("__toks").alias("dl"),
+                F.explode_outer("__toks").alias("term"),
+            )
+            .groupBy("term", "doc_id", "dl", "field")
+            .agg(F.count(F.col("term")).alias("tf"))
+            .select("term", "doc_id", "dl", "tf", "field")
+        )
 
     def _index_fingerprint(self) -> str:
         from warp_pipes_spark.core.fingerprint import fingerprint_dataframe
