@@ -720,3 +720,33 @@ def test_bm25f_one_pass_postings_match_per_field_union(spark):
     # sentinel present for the empty (non-NULL) field, absent for NULLs
     rows = {(r["doc_id"], r["field"]) for r in got.where(F.col("term").isNull()).collect()}
     assert rows == {(2, "title")}
+
+
+def test_bm25_append_materializes_only_the_delta(spark, tmp_path):
+    """BM25 append must not rewrite the merged raw posting artifact: the
+    union engine serves base-raw ∪ delta-raw, and results stay identical
+    to a from-scratch engine over the concatenated corpus."""
+    import os
+
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    cache = str(tmp_path / "bm25")
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 4} beta{i % 3} gamma delta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    base = docs.filter(F.col("doc_id") < 15)
+    delta = docs.filter(F.col("doc_id") >= 15)
+    qs = spark.createDataFrame(
+        [(1, "alpha1 gamma"), (2, "beta2 delta")], ["query_id", "text"]
+    )
+    base_eng = Bm25Search(corpus=base, k=5, index_cache_dir=cache)
+    base_eng(qs).collect()
+    merged = base_eng.append(delta)
+    got = sorted((r["query_id"], r["rank"], r["idx"]) for r in merged(qs).collect())
+    fresh = Bm25Search(corpus=docs, k=5, index_cache_dir=cache)
+    want = sorted((r["query_id"], r["rank"], r["idx"]) for r in fresh(qs).collect())
+    assert got == want
+    fp_raw = merged._tok_fingerprint() + "_raw"
+    assert os.path.exists(os.path.join(cache, fp_raw + "delta"))
+    assert not os.path.exists(os.path.join(cache, fp_raw))

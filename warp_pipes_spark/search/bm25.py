@@ -210,10 +210,22 @@ class Bm25Search(Pipe):
             }
         )
 
+    # set by append(): (base_engine, new_docs) — the union engine's raw
+    # postings then serve as base-raw-artifact ∪ delta-only artifact
+    _append_from = None
+
     def _raw_postings(self) -> DataFrame:
         """Raw (term, doc_id, dl, tf) postings, served from the
         tokenization-keyed Parquet cache — the expensive corpus pass.
-        Scoring (idf/length-norm bake) is cheap and derived from these."""
+        Scoring (idf/length-norm bake) is cheap and derived from these.
+
+        Append engines pay ONLY their delta: the base engine's raw
+        artifact is unioned with a delta-only tokenization pass stored
+        under the union fingerprint's ``_rawdelta`` key — the old form
+        rewrote the whole merged raw artifact per append, an index-sized
+        I/O pass the incremental append exists to avoid. The scored bake
+        still reads every posting row (global idf/avgdl shift), so
+        results are unchanged."""
         from warp_pipes_spark.pipes.cache import CacheManager
 
         if not self.materialize_index:
@@ -222,6 +234,18 @@ class Bm25Search(Pipe):
         fp_raw = self._tok_fingerprint() + "_raw"
         if manager.exists(fp_raw):
             return manager.load(self.corpus.sparkSession, fp_raw)
+        ap = getattr(self, "_append_from", None)
+        if ap is not None:
+            base_eng, new_docs = ap
+            fp_delta = fp_raw + "delta"
+            if not manager.exists(fp_delta):
+                new_raw = type(self)(
+                    corpus=new_docs, **self._ctor_kwargs()
+                )._postings()
+                manager.store(new_raw, fp_delta)
+            return base_eng._raw_postings().unionByName(
+                manager.load(self.corpus.sparkSession, fp_delta)
+            )
         raw = self._postings().persist(StorageLevel.MEMORY_AND_DISK)
         out = manager.store(raw, fp_raw)
         raw.unpersist()
@@ -262,17 +286,9 @@ class Bm25Search(Pipe):
         corpus schema and disjoint ids."""
         union = self.corpus.unionByName(new_docs)
         out = type(self)(corpus=union, **self._ctor_kwargs())
-        if self.materialize_index:
-            from warp_pipes_spark.pipes.cache import CacheManager
-
-            manager = CacheManager(self.index_cache_dir)
-            fp_union_raw = out._tok_fingerprint() + "_raw"
-            if not manager.exists(fp_union_raw):
-                old_raw = self._raw_postings()
-                new_raw = type(self)(
-                    corpus=new_docs, **self._ctor_kwargs()
-                )._postings()
-                manager.store(old_raw.unionByName(new_raw), fp_union_raw)
+        # delta-only raw materialization happens lazily in _raw_postings
+        # (base artifact ∪ delta artifact) — no merged index-sized rewrite
+        out._append_from = (self, new_docs)
         return out
 
     def _index_fingerprint(self) -> str:
