@@ -1,0 +1,159 @@
+"""Round-9 behavioral tests: the trigram-similarity dense/sparse
+strategy split (packed-bitmask intersections vs the exhaustive posting
+count — result-identical by construction, verified differentially
+here), plus the other round-9 optimization seams.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _sim_expr(inter, nq, nd):
+    """The engine/oracle's exact sim arithmetic (ONE decimal-rounded
+    division over exact integers)."""
+    return (
+        (
+            inter.cast("double")
+            / (nq + nd - inter).cast("double")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+
+
+def _naive_similarity(spark, docs, qs, tau):
+    """The oracle's naive cross-join Jaccard, in Spark, with the exact
+    same integer inputs and decimal rounding as the engine."""
+    from warp_pipes_spark.search.trigram import grams_expr
+
+    q = qs.select(
+        F.col("query_id"),
+        grams_expr(F.col("pattern")).alias("__qg"),
+    )
+    d = docs.select(
+        F.col("doc_id"),
+        grams_expr(F.col("text")).alias("__dg"),
+    )
+    pairs = q.crossJoin(d).select(
+        "query_id",
+        "doc_id",
+        F.size(F.array_intersect("__qg", "__dg")).alias("__inter"),
+        F.size("__qg").alias("__nq"),
+        F.size("__dg").alias("__nd"),
+    )
+    sim = _sim_expr(F.col("__inter"), F.col("__nq"), F.col("__nd"))
+    return (
+        pairs.filter(F.col("__inter") > 0)
+        .select("query_id", "doc_id", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(float(tau)))
+    )
+
+
+def test_trgm_sim_dense_mask_strategy_closed_form(spark, tmp_path):
+    """Dense-regime construction: query 'abcdefg' (grams abc..efg,
+    nq=5) over a corpus where fan_est (sum of query-gram dfs = 7)
+    exceeds |queries| x |docs with grams| (1 x 6 = 6), so the packed-
+    bitmask plan is chosen. Boundary doc 'abcd' has sim = 2/5 = 0.4
+    == tau and must be KEPT (ties at the threshold are inclusive)."""
+    from warp_pipes_spark.search.trigram import TrigramSimilaritySearch
+
+    docs = spark.createDataFrame(
+        [(1, "abcd")]
+        + [(10 + i, "xabcx") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([(9, "abcdefg")], ["query_id", "pattern"])
+
+    for kwargs in (
+        dict(materialize_index=False),
+        # materialized path additionally exercises the literal-IN gram
+        # pushdown onto the gram-clustered index Parquet
+        dict(
+            materialize_index=True,
+            index_cache_dir=str(tmp_path / "trgm"),
+        ),
+        # mask_grams_max=0 forces the sparse (exhaustive-count) plan —
+        # both strategies must agree exactly
+        dict(materialize_index=False, mask_grams_max=0),
+    ):
+        out = sorted(
+            (r["query_id"], r["doc_id"], r["sim"])
+            for r in TrigramSimilaritySearch(
+                corpus=docs, tau=0.4, **kwargs
+            )(qs).collect()
+        )
+        # doc 1: inter=2, nq=5, nd=2 -> 2/5 = 0.4 == tau (boundary KEPT)
+        # docs 1x: inter=1 ({abc}), nd=3 -> 1/7 < 0.4 (excluded)
+        assert out == [(9, 1, 0.4)], (kwargs, out)
+
+    # tau just above the boundary drops the doc
+    out2 = TrigramSimilaritySearch(
+        corpus=docs, tau=0.41, materialize_index=False
+    )(qs).collect()
+    assert out2 == []
+
+
+@pytest.mark.parametrize("tau", [0.2, 0.35, 0.6])
+@pytest.mark.parametrize("mask_max", [4096, 0])
+def test_trgm_sim_strategies_match_naive_cross_join(spark, tau, mask_max):
+    """Differential: heavy gram sharing (tiny alphabet — the dense
+    regime's trigger shape), short/empty/NULL docs and patterns, vs the
+    naive cross-join Jaccard with identical integer algebra, under BOTH
+    physical strategies. exceptAll both ways == 0."""
+    from warp_pipes_spark.search.trigram import TrigramSimilaritySearch
+
+    words = ["abcab", "bcabc", "cabca", "aabb", "bbcc", "ccaa", "abc"]
+    docs_rows = []
+    for i in range(40):
+        # deterministic pseudo-random composition
+        a = words[(i * 7) % len(words)]
+        b = words[(i * 13 + 3) % len(words)]
+        c = words[(i * 29 + 5) % len(words)]
+        docs_rows.append((i, (a + b + c)[: 4 + (i % 13)]))
+    docs_rows += [(100, "ab"), (101, ""), (102, None), (103, "abcabcabc")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [
+            (0, "abcab"),
+            (1, "bcabcaa"),
+            (2, "ccaabb"),
+            (3, "ab"),  # no trigram -> no output rows
+            (4, "aabbccaa"),
+        ],
+        ["query_id", "pattern"],
+    )
+    got = TrigramSimilaritySearch(
+        corpus=docs,
+        tau=tau,
+        materialize_index=False,
+        mask_grams_max=mask_max,
+    )(qs)
+    want = _naive_similarity(spark, docs, qs, tau)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_trgm_sim_mask_width_over_64_buckets(spark):
+    """> 64 distinct batch grams forces multi-long masks (bucket > 0)
+    including the sign bit (position 63); differential vs naive."""
+    from warp_pipes_spark.search.trigram import TrigramSimilaritySearch
+
+    # one long doc supplies > 64 distinct grams; pattern shares a chunk
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    text = "".join(
+        alpha[(i * 7) % 36] + alpha[(i * 11 + 3) % 36] for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, text[:30]), (3, text[40:90])],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [(0, text[10:50]), (1, text[60:100])], ["query_id", "pattern"]
+    )
+    tau = 0.2
+    got = TrigramSimilaritySearch(
+        corpus=docs, tau=tau, materialize_index=False
+    )(qs)
+    want = _naive_similarity(spark, docs, qs, tau)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -454,15 +454,39 @@ class TrigramSimilaritySearch(Pipe):
     DISTINCT-trigram Jaccard similarity with the pattern is >= ``tau``
     (PostgreSQL's ``similarity() >= pg_trgm.similarity_threshold``).
 
-    Plan shape: any doc with sim >= tau > 0 shares at least one trigram
-    with the query, so the candidate set is exactly the inverted-index
-    join — the query's grams broadcast into the (materialized,
-    gram-clustered) posting, a map-side-combined count gives the
-    intersection size per (query, doc), and the per-doc distinct-gram
-    counts come from a corpus-fingerprint-cached stats table, so the
-    similarity is computed WITHOUT touching document text: sim =
-    inter / (n_q + n_d - inter), exact integer inputs and ONE division
-    rounded through DECIMAL(18,6) (engine-neutral).
+    Two physical strategies, chosen per batch from EXACT scalars (the
+    ``search/bm25.py`` term-major/doc-major convention; both are
+    result-identical by construction):
+
+    * SPARSE regime (selective grams — any real Zipf corpus): any doc
+      with sim >= tau > 0 shares at least one trigram with the query,
+      so the candidate set is exactly the inverted-index join — the
+      query's grams broadcast into the (materialized, gram-clustered)
+      posting, a map-side-combined count gives the intersection size
+      per (query, doc), and per-doc distinct-gram counts come from a
+      corpus-fingerprint-cached stats table, so the similarity is
+      computed WITHOUT touching document text. The batch's distinct
+      grams also push down as a literal IN predicate, pruning the
+      index scan to the queried grams' row groups.
+    * DENSE regime (fan-out Σ_q Σ_g df(g) exceeds |queries| x |docs| —
+      a corpus whose gram dfs are near-uniform, where nearly every
+      (query, doc) pair shares a gram and the fan-out aggregate
+      shuffles an order of magnitude more rows than there are pairs):
+      the batch's distinct grams (<= ``mask_grams_max``) get driver-
+      assigned bit positions; ONE bounded pass over the pruned posting
+      packs each doc's queried-gram set into ceil(|grams|/64) longs,
+      and the exact intersection is popcount(doc_mask & query_mask)
+      over a broadcast nested-loop pair enumeration — no corpus-sized
+      aggregate, no shuffle after the doc-count-sized mask build.
+      (A rarest-prefix candidate prune + contains() verify — pg_trgm's
+      short-circuit — was measured first and REJECTED on this shape:
+      with near-uniform dfs the prefix drops almost no candidates and
+      the text verify pays |pairs| x n_q contains() calls; fixed-batch
+      exponent went 1.22 -> 1.9. The mask path replaces it.)
+
+    Either way sim = inter / (n_q + n_d - inter) over the SAME exact
+    integer inputs with ONE division rounded through DECIMAL(18,6)
+    (engine-neutral), so the two strategies are bit-identical.
 
     The DuckDB oracle replays the same distinct-gram Jaccard over the
     naive (queries x corpus) cross join, so the differential proves the
@@ -482,6 +506,7 @@ class TrigramSimilaritySearch(Pipe):
         pattern_col: str = "pattern",
         materialize_index: bool = True,
         index_cache_dir: Optional[str] = None,
+        mask_grams_max: int = 4096,
         **kwargs,
     ):
         if not 0.0 < tau <= 1.0:
@@ -495,6 +520,12 @@ class TrigramSimilaritySearch(Pipe):
         self.pattern_col = pattern_col
         self.materialize_index = materialize_index
         self.index_cache_dir = index_cache_dir or trigram_cache_dir()
+        # cap on the batch's DISTINCT gram count for (a) the literal-IN
+        # pushdown onto the gram-sorted index Parquet and (b) the dense
+        # regime's bitmask width (ceil(n/64) longs per doc). Batches
+        # with more distinct grams fall back to the sparse plan with no
+        # pushdown. 0 disables both.
+        self.mask_grams_max = mask_grams_max
 
     _no_fingerprint = ("corpus",)
 
@@ -502,6 +533,7 @@ class TrigramSimilaritySearch(Pipe):
     # substring engine — one index serves both operators
     _index_fingerprint = TrigramSubstringSearch._index_fingerprint
     _posting = TrigramSubstringSearch._posting
+    _gram_df = TrigramSubstringSearch._gram_df
 
     def _doc_gram_counts(self, posting: DataFrame) -> DataFrame:
         """doc_id -> distinct-trigram count, derived from the posting
@@ -524,37 +556,73 @@ class TrigramSimilaritySearch(Pipe):
         import math
 
         D = "decimal(18,6)"
-        qg = df.select(
+        qarr = df.select(
             F.col(self.query_id).alias("query_id"),
             grams_expr(F.col(self.pattern_col)).alias("__g"),
-        ).select(
-            "query_id",
-            F.size("__g").alias("__nq"),
-            F.explode("__g").alias("gram"),
+        ).withColumn("__nq", F.size("__g"))
+        qg = qarr.select(
+            "query_id", "__nq", F.explode("__g").alias("gram")
         )
         posting = self._posting()
-        # LOSSLESS length pushdown (pg_trgm's length filter; the one
-        # planning job of this engine): J(q, d) >= tau forces
-        # tau * nq <= nd <= nq / tau, so with the batch's min/max nq two
-        # scalars bound the admissible per-doc distinct-gram counts and
-        # the gram join never touches docs outside the band — on corpora
-        # where doc gram-sets dwarf the patterns' this halves-or-better
-        # the join (measured sf1: median nd 152 vs bound 148 at
-        # tau=0.25). Bounds are widened one integer outward so float
-        # rounding can never exclude a boundary document.
-        row = df.select(
-            F.size(grams_expr(F.col(self.pattern_col))).alias("__nq")
-        ).groupBy().agg(
-            F.min("__nq").alias("lo"), F.max("__nq").alias("hi")
-        ).collect()[0]
+        df_tbl = self._gram_df(posting)
         nd = self._doc_gram_counts(posting)
+        # ONE planning job collects every strategy scalar: the nq band
+        # (pg_trgm's length filter: tau * nq <= nd <= nq / tau, widened
+        # one integer outward so float rounding never excludes a
+        # boundary document), the batch's distinct grams (sliced one
+        # past the cap so truncation is detectable), the EXACT fan-out
+        # sum df(g) over every query gram (the sparse plan's aggregate
+        # input size), |queries| and |docs with grams| (the dense
+        # plan's pair count).
+        plan = (
+            qarr.groupBy()
+            .agg(
+                F.min("__nq").alias("lo"),
+                F.max("__nq").alias("hi"),
+                F.count(F.lit(1)).alias("n_q"),
+            )
+            .crossJoin(
+                qg.join(df_tbl, "gram", "left")
+                .na.fill({"__df": 0})
+                .groupBy()
+                .agg(
+                    F.sum("__df").alias("fan_est"),
+                    F.slice(
+                        F.sort_array(F.collect_set("gram")),
+                        1,
+                        self.mask_grams_max + 1,
+                    ).alias("__grams"),
+                )
+            )
+            .crossJoin(
+                nd.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+            )
+        )
+        row = plan.collect()[0]
         if row["lo"] is not None:
             lo = math.floor(self.tau * row["lo"])
             hi = math.ceil(row["hi"] / self.tau)
             nd = nd.filter(F.col("__nd").between(lo, hi))
-        # nd rides the posting INTO the gram join (the filtered stats
-        # table is doc-count-sized), so the intersection groupBy carries
-        # __nd and no post-aggregation join remains
+        grams = list(row["__grams"] or [])
+        bounded = bool(self.mask_grams_max) and (
+            len(grams) <= self.mask_grams_max
+        )
+        if bounded and grams:
+            # literal IN on the gram-sorted index Parquet: row groups
+            # outside the queried grams' slices are skipped by min/max
+            # stats (lossless for both strategies — only batch grams
+            # can join or set mask bits)
+            posting = posting.filter(F.col("gram").isin(grams))
+        dense = (
+            bounded
+            and grams
+            and (row["fan_est"] or 0) > row["n_q"] * row["n_docs"]
+        )
+        if dense:
+            return self._transform_masks(qg, posting, nd, grams)
+        # SPARSE plan: nd rides the posting INTO the gram join (the
+        # banded stats table is doc-count-sized), so the intersection
+        # groupBy carries __nd and no post-aggregation join remains
         inter = (
             posting.join(nd, "doc_id")
             .join(F.broadcast(qg), "gram")
@@ -572,6 +640,64 @@ class TrigramSimilaritySearch(Pipe):
             "doc_id",
             sim.cast("double").alias("sim"),
         ).filter(F.col("sim") >= F.lit(float(self.tau)))
+
+    def _transform_masks(
+        self, qg: DataFrame, posting: DataFrame, nd: DataFrame, grams: list
+    ) -> DataFrame:
+        """DENSE plan: exact intersections via packed gram bitmasks (see
+        class docstring). ``posting`` arrives already pruned to the
+        batch's grams; ``nd`` already carries the lossless length band."""
+        D = "decimal(18,6)"
+        spark = posting.sparkSession
+        nb = (len(grams) + 63) // 64
+        # driver-assigned bit positions; bit 63 wraps to the sign bit
+        # (bitwise AND / bit_count are two's-complement-safe)
+        rows = []
+        for i, g in enumerate(grams):
+            v = 1 << (i % 64)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            rows.append((g, i // 64, v))
+        pos = spark.createDataFrame(
+            rows, "gram string, __b int, __v long"
+        )
+
+        def masks(src: DataFrame, key: str, extra: list) -> DataFrame:
+            packed = src.join(F.broadcast(pos), "gram")
+            aggs = [
+                F.bit_or(
+                    F.when(F.col("__b") == b, F.col("__v")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(f"__{key}m{b}")
+                for b in range(nb)
+            ]
+            return packed.groupBy(*extra).agg(*aggs)
+
+        dm = masks(posting, "d", ["doc_id"]).join(nd, "doc_id")
+        qm = masks(qg, "q", ["query_id", "__nq"])
+        inter = sum(
+            F.bit_count(
+                F.col(f"__dm{b}").bitwiseAND(F.col(f"__qm{b}"))
+            )
+            for b in range(nb)
+        )
+        sim = (
+            F.col("__inter").cast("double")
+            / (F.col("__nq") + F.col("__nd") - F.col("__inter")).cast(
+                "double"
+            )
+        ).cast(D)
+        return (
+            dm.crossJoin(F.broadcast(qm))
+            .withColumn("__inter", inter)
+            .select(
+                "query_id",
+                "doc_id",
+                sim.cast("double").alias("sim"),
+            )
+            .filter(F.col("sim") >= F.lit(float(self.tau)))
+        )
 
 
 def trigram_similarity_sql(
