@@ -157,3 +157,82 @@ def test_trgm_sim_mask_width_over_64_buckets(spark):
     want = _naive_similarity(spark, docs, qs, tau)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def _naive_boolean(spark, docs, qs):
+    """The oracle's naive token-array scan (shared tokenizer), in
+    Spark."""
+    from warp_pipes_spark.text.analysis import tokens_expr
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(tokens_expr(F.col("text"))).alias("__t"),
+    )
+    pairs = qs.crossJoin(toks)
+    has_all = F.forall(
+        F.array_distinct(F.col("must")), lambda t: F.array_contains("__t", t)
+    )
+    has_none = ~F.exists(
+        F.coalesce(F.col("must_not"), F.array().cast("array<string>")),
+        lambda t: F.array_contains("__t", t),
+    )
+    return pairs.filter(has_all & has_none).select("query_id", "doc_id")
+
+
+@pytest.mark.parametrize("mask_max", [4096, 0])
+def test_boolean_strategies_match_naive_scan(spark, mask_max):
+    """Differential for both physical strategies (mask_terms_max=0
+    forces the aggregation plan) over edge shapes: empty must_not, NULL
+    must_not array, corpus-absent must term (query matches nothing),
+    corpus-absent must_not term (no effect), duplicate terms within a
+    clause."""
+    from warp_pipes_spark.search.boolean import BooleanSearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta beta epsilon"),
+            (3, "gamma delta epsilon"),
+            (4, "alpha gamma"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame(
+        [
+            (10, ["alpha", "beta"], ["epsilon"]),
+            (11, ["alpha"], []),                     # empty must_not
+            (12, ["gamma", "gamma"], None),          # dup terms + NULL arr
+            (13, ["alpha", "zzz_oov"], []),          # OOV must -> nothing
+            (14, ["delta"], ["zzz_oov"]),            # OOV must_not -> no-op
+        ],
+        "query_id long, must array<string>, must_not array<string>",
+    )
+    got = BooleanSearch(
+        corpus=docs, materialize_index=False, mask_terms_max=mask_max
+    )(qs)
+    want = _naive_boolean(spark, docs, qs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_boolean_null_must_element_matches_nothing(spark):
+    """A NULL element inside must can never be satisfied (count <
+    n_must in the aggregation plan); the mask plan must agree."""
+    from warp_pipes_spark.search.boolean import BooleanSearch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], ["doc_id", "text"]
+    )
+    qs = spark.createDataFrame(
+        [(10, ["alpha", None], []), (11, ["alpha"], [])],
+        "query_id long, must array<string>, must_not array<string>",
+    )
+    for mask_max in (4096, 0):
+        out = sorted(
+            (r["query_id"], r["doc_id"])
+            for r in BooleanSearch(
+                corpus=docs, materialize_index=False, mask_terms_max=mask_max
+            )(qs).collect()
+        )
+        assert out == [(11, 1), (11, 2)], (mask_max, out)

@@ -647,41 +647,27 @@ class TrigramSimilaritySearch(Pipe):
         """DENSE plan: exact intersections via packed gram bitmasks (see
         class docstring). ``posting`` arrives already pruned to the
         batch's grams; ``nd`` already carries the lossless length band."""
+        from warp_pipes_spark.search.masks import (
+            bit_rows,
+            doc_masks,
+            mask_aggs,
+            n_buckets,
+            popcount_and,
+        )
+
         D = "decimal(18,6)"
         spark = posting.sparkSession
-        nb = (len(grams) + 63) // 64
-        # driver-assigned bit positions; bit 63 wraps to the sign bit
-        # (bitwise AND / bit_count are two's-complement-safe)
-        rows = []
-        for i, g in enumerate(grams):
-            v = 1 << (i % 64)
-            if v >= 1 << 63:
-                v -= 1 << 64
-            rows.append((g, i // 64, v))
+        nb = n_buckets(grams)
         pos = spark.createDataFrame(
-            rows, "gram string, __b int, __v long"
+            bit_rows(grams), "gram string, __b int, __v long"
         )
-
-        def masks(src: DataFrame, key: str, extra: list) -> DataFrame:
-            packed = src.join(F.broadcast(pos), "gram")
-            aggs = [
-                F.bit_or(
-                    F.when(F.col("__b") == b, F.col("__v")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias(f"__{key}m{b}")
-                for b in range(nb)
-            ]
-            return packed.groupBy(*extra).agg(*aggs)
-
-        dm = masks(posting, "d", ["doc_id"]).join(nd, "doc_id")
-        qm = masks(qg, "q", ["query_id", "__nq"])
-        inter = sum(
-            F.bit_count(
-                F.col(f"__dm{b}").bitwiseAND(F.col(f"__qm{b}"))
-            )
-            for b in range(nb)
+        dm = doc_masks(posting, pos, "gram", nb, "dm").join(nd, "doc_id")
+        qm = (
+            qg.join(F.broadcast(pos), "gram")
+            .groupBy("query_id", "__nq")
+            .agg(*mask_aggs(nb, "qm"))
         )
+        inter = popcount_and(nb, "dm", "qm")
         sim = (
             F.col("__inter").cast("double")
             / (F.col("__nq") + F.col("__nd") - F.col("__inter")).cast(
