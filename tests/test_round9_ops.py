@@ -236,3 +236,44 @@ def test_boolean_null_must_element_matches_nothing(spark):
             )(qs).collect()
         )
         assert out == [(11, 1), (11, 2)], (mask_max, out)
+
+
+def test_bm25_fan_est_dict_matches_join_probe(spark, tmp_path):
+    """The driver-side termdf-dict fan-out sum must equal the Spark
+    join probe exactly (incl. unindexed query terms contributing 0 and
+    duplicate term rows counting per row)."""
+    from warp_pipes_spark.search.bm25 import Bm25Search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    eng = Bm25Search(
+        corpus=docs, k=2, index_cache_dir=str(tmp_path / "bm25")
+    )
+    postings = eng._index()
+    stats = eng._term_stats(postings)
+    qs = spark.createDataFrame(
+        [(1, "alpha zzz_oov"), (2, "beta beta gamma")],
+        ["query_id", "text"],
+    )
+    qterms = eng._query_legs(qs)
+    dfmap = eng._termdf_map()
+    assert dfmap is not None and dfmap == {"alpha": 3, "beta": 2, "gamma": 1}
+    got = eng._fan_est(qterms, stats)
+    want = (
+        qterms.join(stats, "term").agg(F.sum("df")).collect()[0][0] or 0
+    )
+    assert got == want == 3 + 0 + 2 + 1  # alpha, oov, beta(distinct), gamma
+
+    # vocab over the cap falls back to the join probe (returns None)
+    eng._TERMDF_MAP_MAX_ROWS = 1
+    from warp_pipes_spark.pipes.cache import _load_memo
+
+    _load_memo.clear()
+    assert eng._termdf_map() is None
+    assert eng._fan_est(qterms, stats) == want

@@ -265,10 +265,9 @@ class DirichletQLSearch(Pipe):
         # (see Bm25Search._n_postings) — only the first batch per index
         # pays the probe job
         n_postings = bm._n_postings(stats)
-        fan_est = (
-            q_terms.join(stats, "term").agg(F.sum("df")).collect()[0][0]
-            or 0
-        )
+        # driver-side df-dict sum after one narrow term collect (see
+        # Bm25Search._fan_est) — the join+AQE probe only for huge vocabs
+        fan_est = bm._fan_est(q_terms, stats)
         doc_major = fan_est > n_postings
         fan_src = scored
         # pinned width: AQE would coalesce the (small) repartition
