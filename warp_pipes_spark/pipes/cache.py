@@ -166,7 +166,11 @@ class CacheManager:
         return self.load(df.sparkSession, fingerprint)
 
     def store_async(
-        self, df: DataFrame, fingerprint: str, meta: Optional[dict] = None
+        self,
+        df: DataFrame,
+        fingerprint: str,
+        meta: Optional[dict] = None,
+        release: bool = True,
     ) -> DataFrame:
         """Write-behind publish: kick the Parquet write to a background
         thread and return ``df`` itself immediately, so the FIRST query
@@ -186,7 +190,15 @@ class CacheManager:
         the foreground query share one materialization of the plan —
         without this an expensive plan (e.g. a PQ encode UDF over the
         whole corpus) executes at least twice, competing for the same
-        executors. The persist is released once the publish completes."""
+        executors. The persist is released once the publish completes —
+        UNLESS ``release=False``: a caller whose returned plan is
+        consumed repeatedly AFTER the publish (the results cache: a PRF
+        feedback pass references the first-pass ranking several times)
+        must keep the persist, or the publish thread yanks it mid-query
+        and every later reference recomputes the full plan. Such
+        persists are small by contract (top-k results tables) and are
+        reclaimed by ``spark.catalog.clearCache()`` or the
+        ContextCleaner once the plan is garbage collected."""
 
         we_persisted = False
         try:
@@ -208,7 +220,7 @@ class CacheManager:
                     exc_info=True,
                 )
             finally:
-                if we_persisted:
+                if we_persisted and release:
                     try:
                         df.unpersist(blocking=False)
                     except Exception:

@@ -126,6 +126,21 @@ def cached_results(
             lambda: out,
             meta={"pipe": type(pipe).__name__},
         )
-    return manager.store(
-        out, f"{prefix}{k}", meta={"pipe": type(pipe).__name__, "k": k}
+    # write-behind publish (guide §2.6 overlap): the first panel's OWN
+    # consumption runs from the live (persisted) plan while the cache
+    # entry publishes on a background thread — an eager store here
+    # serialized the whole retrieval job AHEAD of every independent
+    # sibling branch of the calling panel (q138's dense leg waited for
+    # the BM25 leg's store to finish before its own stages could start;
+    # as one lazy plan the DAG scheduler overlaps them). Later panels
+    # load the published artifact as before; racing writers are safe
+    # (atomic staging rename, content-identical losers discarded).
+    # release=False: the returned live plan may be referenced several
+    # times after the publish completes (PRF's feedback pass), and the
+    # persisted table is only k x |Q| rows — clearCache/GC reclaims it
+    return manager.store_async(
+        out,
+        f"{prefix}{k}",
+        meta={"pipe": type(pipe).__name__, "k": k},
+        release=False,
     )
