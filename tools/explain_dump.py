@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for named catalog queries to plans/r08/.
+"""Dump .explain("formatted") for named catalog queries to plans/<round>/.
 
 Usage: python tools/explain_dump.py <suffix> q32_bm25 [q88_bm25f ...]
-  suffix: "before" | "after" (file becomes plans/r08/<name>_<suffix>.txt)
-Optional env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  suffix: "before" | "after" (file becomes plans/<round>/<name>_<suffix>.txt)
+Optional env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_PLANS_DIR (default plans/r08).
 
 Plans are captured WITHOUT executing the query (explain only), so cached
 artifacts are not built: for index-backed engines the plan shows the
@@ -23,7 +24,9 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08")
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08"
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from warp_pipes_spark.queries import QUERIES

@@ -48,6 +48,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# per-session {(abs path, source mtime_ns, row_id) -> loaded base-table
+# DataFrame}. Every catalog query re-opens its base tables through
+# load_table (250 T() call sites): each call costs a file listing, a
+# Parquet footer read and several py4j round trips (~50-150 ms of pure
+# driver time) to rebuild a PLAN that is identical for the life of the
+# source snapshot. Memoizing the immutable plan object is exact — this
+# memoizes PLANS, never results (execution still reads the parquet
+# inputs every time), the mtime key invalidates when the source is
+# rewritten, and a restarted session (new object) never sees old
+# entries (weak keying also avoids pinning stopped sessions). Same
+# convention as pipes/cache.py's artifact-plan memo (round 8).
+import weakref
+
+_table_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _table_memo_key(path: str, row_id: bool):
+    try:
+        return (os.path.abspath(path), os.stat(path).st_mtime_ns, row_id)
+    except Exception:  # missing path / odd FS: no memo, fail in read
+        return None
+
+
 def with_row_id(df: DataFrame, key: Optional[str] = None) -> DataFrame:
     """Attach a stable ``row_id`` column: alias a natural key, or assign
     ``monotonically_increasing_id`` (partition-local, no shuffle, stable for
@@ -60,16 +83,30 @@ def with_row_id(df: DataFrame, key: Optional[str] = None) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, row_id: bool = False) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _table_memo_key(path, row_id)
+    per_session = None
+    if key is not None:
+        try:
+            per_session = _table_memo.setdefault(spark, {})
+        except TypeError:  # non-weakrefable session stub
+            per_session = None
+        if per_session is not None:
+            hit = per_session.get(key)
+            if hit is not None:
+                return hit
     # Parquet TIMESTAMP(NANOS) (events.ts) is not a native Spark type: read
     # nanos as long, then truncate to micros — the same conversion DuckDB
     # applies when it coerces TIMESTAMP_NS to its micro TIMESTAMP.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if row_id:
         df = with_row_id(df, NATURAL_KEYS.get(name))
+    if per_session is not None:
+        per_session[key] = df
     return df
 
 

@@ -47,6 +47,26 @@ from warp_pipes_spark.core.pipe import Pipe
 # inputs inside the run that uses it.
 _load_memo: dict = {}
 
+# (cache_dir, fingerprint) -> [DataFrame, Thread] for write-behind
+# publishes still in flight. Between store_async() returning and the
+# background rename landing, the entry is not yet on disk — a
+# same-session reader (the next eval panel in a bench run) would MISS,
+# silently recompute the whole retrieval it was supposed to reuse, and
+# race a duplicate staging write. Serving the live (persisted) plan from
+# this registry is exact: it is the very DataFrame being published.
+_inflight: dict = {}
+
+
+def _wait_inflight_publishes(timeout: float = 60.0) -> None:
+    """Join every in-flight write-behind publish thread (bounded)."""
+    for entry in list(_inflight.values()):
+        th = entry[1]
+        if th is not None:
+            try:
+                th.join(timeout)
+            except Exception:
+                pass
+
 
 def clear_all_artifact_caches() -> None:
     """Wipe EVERY on-disk engine artifact cache (index postings, vector
@@ -63,6 +83,10 @@ def clear_all_artifact_caches() -> None:
     import shutil
     import tempfile
 
+    # a publish landing AFTER the wipe would resurrect its artifact into
+    # the "cold" cache — drain the write-behind queue first
+    _wait_inflight_publishes()
+    _inflight.clear()
     _load_memo.clear()
     for d in glob.glob(
         os.path.join(tempfile.gettempdir(), "warp_pipes_spark_*")
@@ -97,9 +121,19 @@ class CacheManager:
         return os.path.join(self.cache_dir, fingerprint)
 
     def exists(self, fingerprint: str) -> bool:
+        if (self.cache_dir, fingerprint) in _inflight:
+            return True
         return os.path.exists(os.path.join(self.path_for(fingerprint), "_SUCCESS"))
 
+    def inflight_names(self) -> list:
+        """Fingerprints with a write-behind publish still in flight for
+        THIS cache dir — not yet listable on disk but serveable live."""
+        return [fp for (cdir, fp) in list(_inflight) if cdir == self.cache_dir]
+
     def load(self, spark: SparkSession, fingerprint: str) -> DataFrame:
+        entry = _inflight.get((self.cache_dir, fingerprint))
+        if entry is not None:
+            return entry[0]
         path = self.path_for(fingerprint)
         key = self._memo_key(spark, path)
         if key is not None:
@@ -209,6 +243,9 @@ class CacheManager:
         except Exception:
             pass
 
+        inflight_key = (self.cache_dir, fingerprint)
+        inflight_entry = [df, None]
+
         def _publish():
             try:
                 self.store(df, fingerprint, meta)
@@ -220,6 +257,7 @@ class CacheManager:
                     exc_info=True,
                 )
             finally:
+                _inflight.pop(inflight_key, None)
                 if we_persisted and release:
                     try:
                         df.unpersist(blocking=False)
@@ -229,11 +267,16 @@ class CacheManager:
         try:
             from pyspark import InheritableThread
 
+            # registered BEFORE start so a reader never sees a gap; the
+            # publish thread pops this same (mutated-in-place) entry
+            _inflight[inflight_key] = inflight_entry
             t = InheritableThread(target=_publish, daemon=True)
             t.start()
+            inflight_entry[1] = t
         except Exception:
             # sync fallback: _publish never runs, so release the persist
             # here — otherwise every fallback call leaks a cached plan
+            _inflight.pop(inflight_key, None)
             if we_persisted:
                 try:
                     df.unpersist(blocking=False)

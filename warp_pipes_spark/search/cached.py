@@ -53,7 +53,15 @@ def results_cache_dir() -> str:
 
 
 def clear_results_cache() -> None:
-    shutil.rmtree(results_cache_dir(), ignore_errors=True)
+    # a write-behind publish landing AFTER the wipe would resurrect its
+    # entry into the "cold" cache — drain the queue first
+    from warp_pipes_spark.pipes.cache import _inflight, _wait_inflight_publishes
+
+    _wait_inflight_publishes()
+    rdir = results_cache_dir()
+    for key in [k for k in list(_inflight) if k[0] == rdir]:
+        _inflight.pop(key, None)
+    shutil.rmtree(rdir, ignore_errors=True)
 
 
 def cached_results(
@@ -92,12 +100,14 @@ def cached_results(
     )
     prefix = family + "_k"
     spark = queries.sparkSession
-    # smallest cached depth that covers the request = cheapest read
+    # smallest cached depth that covers the request = cheapest read;
+    # in-flight write-behind entries count (manager serves them live)
     best = None
     try:
         names = os.listdir(manager.cache_dir)
     except OSError:
         names = []
+    names = set(names) | set(manager.inflight_names())
     for name in names:
         if not name.startswith(prefix):
             continue
