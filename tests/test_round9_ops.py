@@ -348,3 +348,98 @@ def test_load_table_plan_memo_invalidation(spark, tmp_path):
     c = load_table(spark, sf, "documents")
     assert c is not a
     assert c.count() == 5
+
+
+def _subseq_rows():
+    """Heavy-gram-sharing corpus (tiny alphabet): the dense regime's
+    trigger shape for the substring/wildcard candidate conjunction."""
+    words = ["abcab", "bcabc", "cabca", "aabb", "bbcc", "ccaa", "abc"]
+    rows = []
+    for i in range(40):
+        a = words[(i * 7) % len(words)]
+        b = words[(i * 13 + 3) % len(words)]
+        c = words[(i * 29 + 5) % len(words)]
+        rows.append((i, a + b + c))
+    rows += [(100, "ab"), (101, ""), (103, "abcabcabc")]
+    return rows
+
+
+def test_substring_strategies_match_naive_contains(spark, tmp_path, monkeypatch):
+    """Differential for the round-9 dense candidate conjunction in
+    TrigramSubstringSearch: packed-bitmask subset test vs the
+    count==n_need aggregate vs the naive contains() join — all three
+    bit-identical (OOV-gram patterns included: they must match
+    nothing)."""
+    from warp_pipes_spark.search import trigram as tg
+
+    docs = spark.createDataFrame(_subseq_rows(), "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "abcab"), (1, "bcabca"), (2, "ccaabb"), (3, "xyzzy"), (4, "aab")],
+        ["query_id", "pattern"],
+    )
+    naive = (
+        qs.crossJoin(docs.select("doc_id", "text"))
+        .filter(F.contains(F.col("text"), F.col("pattern")))
+        .select("query_id", "doc_id")
+    )
+    sparse = tg.TrigramSubstringSearch(
+        corpus=docs,
+        index_cache_dir=str(tmp_path / "s"),
+        gram_pushdown_max=0,  # forces the aggregation plan, no pushdown
+    )(qs)
+    # force the dense gate regardless of the tiny corpus' real scalars
+    monkeypatch.setattr(
+        tg.TrigramSubstringSearch, "_n_docs", lambda self, p: 0
+    )
+    eng = tg.TrigramSubstringSearch(
+        corpus=docs, index_cache_dir=str(tmp_path / "d")
+    )
+    dense = eng(qs)
+    # the dense plan must actually be the mask plan
+    assert "__qm0" in dense._jdf.queryExecution().analyzed().toString()
+    for got in (sparse, dense):
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0
+
+
+def test_wildcard_strategies_match_naive_like(spark, tmp_path, monkeypatch):
+    """Same differential for WildcardLikeSearch (pooled literal-run
+    grams + LIKE verify) under both candidate strategies."""
+    from warp_pipes_spark.search import trigram as tg
+
+    docs = spark.createDataFrame(_subseq_rows(), "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [
+            (0, "abc%bca"),
+            (1, "aabb_bcc"),
+            (2, "cab%"),
+            (3, "xyz%zyx"),
+            (4, "%abcab%"),
+        ],
+        ["query_id", "pattern"],
+    )
+    naive = (
+        qs.crossJoin(docs.select("doc_id", "text"))
+        .filter(
+            F.like(
+                F.col("text"),
+                F.concat(F.lit("%"), F.col("pattern"), F.lit("%")),
+            )
+        )
+        .select("query_id", "doc_id")
+    )
+    sparse = tg.WildcardLikeSearch(
+        corpus=docs,
+        index_cache_dir=str(tmp_path / "s"),
+        gram_pushdown_max=0,
+    )(qs)
+    monkeypatch.setattr(
+        tg.WildcardLikeSearch, "_n_docs", lambda self, p: 0
+    )
+    dense = tg.WildcardLikeSearch(
+        corpus=docs, index_cache_dir=str(tmp_path / "d")
+    )(qs)
+    assert "__qm0" in dense._jdf.queryExecution().analyzed().toString()
+    for got in (sparse, dense):
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0

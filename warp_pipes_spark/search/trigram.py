@@ -154,6 +154,10 @@ class TrigramSubstringSearch(Pipe):
 
     _no_fingerprint = ("corpus",)
 
+    # dense-gate weight: measured sparse-aggregate-row vs pair-predicate
+    # unit-cost ratio (see the strategy comment in _transform)
+    _DENSE_FAN_WEIGHT = 4
+
     # subclass hooks: the wildcard engine reuses the whole candidate /
     # prune / pushdown / verify machinery and swaps only these three
     # seams (gram extraction, the guard's "has trigram signal" length,
@@ -314,6 +318,25 @@ class TrigramSubstringSearch(Pipe):
             manager.store(built, fp)
         return manager.load(self.corpus.sparkSession, fp)
 
+    def _n_docs(self, posting: DataFrame) -> int:
+        """|distinct indexed docs| — the dense-regime pair-count factor.
+        Index-intrinsic, so the first batch pays the probe job and
+        memoizes the scalar in the gram-df artifact's sidecar meta (the
+        BM25 ``_n_postings`` / BooleanSearch ``_n_docs`` convention)."""
+        manager = fp = None
+        if self.materialize_index:
+            from warp_pipes_spark.pipes.cache import CacheManager
+
+            manager = CacheManager(self.index_cache_dir)
+            fp = self._index_fingerprint() + "_df"
+            cached = manager.read_meta(fp).get("n_docs")
+            if cached is not None:
+                return cached
+        n = posting.select("doc_id").distinct().count()
+        if manager is not None and manager.exists(fp):
+            manager.update_meta(fp, {"n_docs": int(n)})
+        return int(n)
+
     def _transform(self, df: DataFrame, **kwargs) -> DataFrame:
         qg = df.select(
             F.col(self.query_id).alias("query_id"),
@@ -337,14 +360,16 @@ class TrigramSubstringSearch(Pipe):
             w = Window.partitionBy("query_id").orderBy(
                 F.asc("__df"), F.asc("gram")
             )
-            sel = (
+            sel0 = (
                 qgrams.join(df_tbl, "gram", "left")
                 .na.fill({"__df": 0})
                 .withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= self.prune_grams)
-                .select("query_id", "gram")
+                .select("query_id", "gram", "__df")
             )
+            sel = sel0.select("query_id", "gram")
         else:
+            sel0 = None
             sel = qgrams
         # ONE tiny query-side planning job carries BOTH input-contract
         # guards (pattern length >= 3 — an empty trigram set would
@@ -367,6 +392,7 @@ class TrigramSubstringSearch(Pipe):
         ).groupBy().agg(
             F.max("__npat").alias("max_dup"),
             F.min("__minlen").alias("min_len"),
+            F.count(F.lit(1)).alias("n_q"),
             *self._extra_outer_guard_aggs(),
         )
         pushdown = bool(
@@ -376,14 +402,18 @@ class TrigramSubstringSearch(Pipe):
         )
         if pushdown:
             # bounded by |queries| x prune_grams distinct grams; the
-            # slice caps what reaches the driver
+            # slice caps what reaches the driver. The same rows carry
+            # the EXACT candidate fan-out Σ df(selected grams) — the
+            # dense/sparse strategy scalar (similarity/boolean
+            # convention).
             guards = guards.crossJoin(
-                sel.groupBy().agg(
+                sel0.groupBy().agg(
                     F.slice(
                         F.sort_array(F.collect_set("gram")),
                         1,
                         self.gram_pushdown_max + 1,
-                    ).alias("__grams")
+                    ).alias("__grams"),
+                    F.sum("__df").alias("__fan"),
                 )
             )
         plan_row = guards.collect()[0]
@@ -396,24 +426,79 @@ class TrigramSubstringSearch(Pipe):
                 " must map to ONE pattern (pooled grams would"
                 " under-match)."
             )
-        if pushdown and len(plan_row["__grams"]) <= self.gram_pushdown_max:
+        grams = list(plan_row["__grams"]) if pushdown else []
+        bounded = pushdown and len(grams) <= self.gram_pushdown_max
+        # DENSE regime (the similarity/boolean engines' convention,
+        # chosen per batch from exact scalars): when the candidate
+        # fan-out Σ df(selected grams) approaches |queries| x |docs| —
+        # near-uniform gram dfs, where almost every (query, doc) pair
+        # shares a selected gram — the count==n_need aggregate shuffles
+        # nearly pair-many rows. Pack each doc's selected-gram set into
+        # ceil(n/64) longs in one pass over the pruned posting and
+        # evaluate the conjunction as a per-row subset test over a
+        # broadcast pair enumeration: (doc_mask & query_mask) ==
+        # query_mask. A bit is set iff the (gram, doc) posting row
+        # exists, so the subset test holds iff the hit count equals
+        # n_need — result-identical by construction (absent-from-corpus
+        # grams keep df 0, their bit is never set by any doc, and the
+        # query correctly matches nothing). The n_docs probe reads the
+        # FULL posting (an index fact), memoized in the gram-df sidecar.
+        # _DENSE_FAN_WEIGHT: a shuffled + hash-aggregated fan-out row
+        # costs ~4x a codegen'd pair-mask predicate evaluation (measured
+        # at sf1, OPTIMIZATION_r09.md: fan 91M sparse 33-38 s vs pairs
+        # 94M dense 8-12 s; fan 42M sparse 9-10 s vs dense 2-4 s), so
+        # the dense plan wins well below fan == pairs. Truly selective
+        # batches (fan << pairs/4 — rare grams, the classic pg_trgm
+        # case) keep the aggregate, which shuffles only the few
+        # matching slices instead of enumerating every pair.
+        dense = (
+            bounded
+            and grams
+            and (plan_row["__fan"] or 0) * self._DENSE_FAN_WEIGHT
+            > plan_row["n_q"] * self._n_docs(posting)
+        )
+        if bounded and grams:
             # a literal IN predicate on the gram-sorted index Parquet
             # prunes row groups by min/max stats — the scan reads only
             # the selected grams' posting slices
-            posting = posting.filter(
-                F.col("gram").isin(list(plan_row["__grams"]))
+            posting = posting.filter(F.col("gram").isin(grams))
+        if dense:
+            from warp_pipes_spark.search.masks import (
+                bit_rows,
+                doc_masks,
+                mask_aggs,
+                n_buckets,
+                superset_of,
             )
-        need = sel.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_need")
-        )
-        cand = (
-            posting.join(F.broadcast(sel), "gram")
-            .groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("hit"))
-            .join(F.broadcast(need), "query_id")
-            .filter(F.col("hit") == F.col("n_need"))
-            .select("query_id", "doc_id")
-        )
+
+            spark = posting.sparkSession
+            nb = n_buckets(grams)
+            pos = spark.createDataFrame(
+                bit_rows(grams), "gram string, __b int, __v long"
+            )
+            dm = doc_masks(posting, pos, "gram", nb, "dm")
+            qm = (
+                sel.join(F.broadcast(pos), "gram")
+                .groupBy("query_id")
+                .agg(*mask_aggs(nb, "qm"))
+            )
+            cand = (
+                dm.crossJoin(F.broadcast(qm))
+                .filter(superset_of(nb, "dm", "qm"))
+                .select("query_id", "doc_id")
+            )
+        else:
+            need = sel.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_need")
+            )
+            cand = (
+                posting.join(F.broadcast(sel), "gram")
+                .groupBy("query_id", "doc_id")
+                .agg(F.count(F.lit(1)).alias("hit"))
+                .join(F.broadcast(need), "query_id")
+                .filter(F.col("hit") == F.col("n_need"))
+                .select("query_id", "doc_id")
+            )
         pat = df.select(
             F.col(self.query_id).alias("query_id"),
             F.col(self.pattern_col).alias("__pat"),
